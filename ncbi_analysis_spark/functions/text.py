@@ -1,0 +1,211 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen). Hash-derived features use
+md5 — chosen deliberately because md5 is bit-identical across engines
+(Spark, DuckDB, Python), which makes every operator here verifiable
+against an independent SQL oracle, and makes results reproducible across
+cluster versions (Spark's builtin ``hash``/``xxhash64`` are fine too but
+engine-specific).
+
+Scale notes: everything is per-row expression work — embarrassingly
+parallel, no shuffle. At 100 TB the cost is one linear scan; the
+expressions stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram language-ID heuristic.
+# Deterministic tie-break: languages are scored in this order; first wins.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "a", "in", "is", "that"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "una"],
+}
+
+EN_STOPWORDS = ["the", "of", "and", "to", "a", "in", "is", "that", "it", "for"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Number of whitespace tokens (empty string -> 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-ish token estimate: count of word-piece units, where a word of
+    length L contributes ceil(L/4) units (the common ~4-chars-per-token
+    heuristic) and punctuation splits words.
+    """
+    words = F.split(F.lower(text), r"[^a-z0-9]+")
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (space-joined).
+
+    The shingle set is the input to MinHash / Jaccard dedup.
+    """
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Character k-gram shingles (for fingerprinting / near-dup on short text)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))),
+        lambda i: F.substring(text, i, k),
+    )
+
+
+def _hash32(col: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit integer hash of a string via md5 prefix.
+
+    Cross-engine reproducible: DuckDB ``('0x'||substr(md5(s),1,8))::BIGINT``
+    computes the identical value.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(text: Column, num_perm: int = 16, shingle_n: int = 3) -> Column:
+    """MinHash signature: array of ``num_perm`` hex-string minima.
+
+    Each permutation i takes ``min over shingles of md5(i || '|' || shingle)``
+    — the salted-hash formulation of MinHash (one hash function per salt).
+    Lexicographic min over fixed-width hex == numeric min over the hash.
+
+    Scale: per-row expression only. Signature width num_perm*32 bytes.
+    """
+    sh = word_shingles(text, shingle_n)
+
+    # NB: single-arg lambdas only — a 2-arg lambda in a Spark higher-order
+    # function receives the array index as its second argument.
+    def perm_min(i: int):
+        salt = f"{i}|"
+        return F.array_min(F.transform(sh, lambda x: F.md5(F.concat(F.lit(salt), x))))
+
+    return F.array(*[perm_min(i) for i in range(num_perm)])
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` (band_id, band_hash) structs.
+
+    Two documents collide in a band iff their signatures agree on all
+    ``rows_per_band`` rows of that band -> standard s-curve tuning.
+    """
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band))).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    Per token, a 32-bit hash (md5-derived); per bit, +1 if set else -1,
+    summed over tokens; result bit j is 1 iff the sum is positive.
+    Pure expression: array-accumulator fold, no shuffle.
+    """
+    toks = tokens(text)
+
+    def bit_vec(t):
+        h = _hash32(t)
+        return F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+            for j in range(32)
+        ])
+
+    acc = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 32),
+        lambda a, t: F.zip_with(a, bit_vec(t), lambda x, y: x + y),
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(32)])
+    return F.aggregate(
+        F.zip_with(acc, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit ints stored as longs."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """Language-ID heuristic: count marker-stopword hits per language,
+    return the argmax (ties broken by LANG_MARKERS order), 'und' if no
+    marker hits at all.
+    """
+    toks = tokens(F.lower(text))
+
+    def marker_hits(ws: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    scores = {lang: marker_hits(ws) for lang, ws in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    # first language (in LANG_MARKERS priority order) whose score equals the
+    # positive maximum wins; no hits at all -> 'und'
+    expr = None
+    for lang in langs:
+        cond = (scores[lang] > 0) & (scores[lang] == mx)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ascii letters or space."""
+    clean = F.regexp_replace(F.lower(text), "[^a-z ]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(clean) / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are common English stopwords."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0,1]:
+    0.4 * min(1, tokens/64) + 0.3 * alpha_ratio + 0.3 * (1 - |stopword_ratio - 0.4|).
+
+    The same formula (same operation order) is used by the DuckDB oracle, so
+    results are bit-identical doubles.
+    """
+    tc = token_count(text).cast("double")
+    return (
+        F.lit(0.4) * F.least(F.lit(1.0), tc / F.lit(64.0))
+        + F.lit(0.3) * alpha_ratio(text)
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stopword_ratio(text) - F.lit(0.4)))
+    )
+
+
+def doc_fingerprint(text: Column, k: int = 8) -> Column:
+    """Document fingerprint: minimum 32-bit hash over character k-grams
+    (winnowing-lite / MinHash-of-char-shingles). Stable under small edits
+    away from the minimizing k-gram; cross-engine reproducible.
+    """
+    return F.array_min(F.transform(char_shingles(text, k), lambda s: _hash32(s)))

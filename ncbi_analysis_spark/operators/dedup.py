@@ -1,0 +1,217 @@
+"""Deduplication family for training-data pipelines (BASELINE.json
+north-star extension: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Design for 100 TB:
+
+- Exact dedup: groupBy on ``md5(normalized text)`` — shuffle bytes are the
+  32-char digest, not the document; map-side combine shrinks early.
+- MinHash+LSH: per-row signature (no shuffle) -> explode to
+  (band, band_hash) keys -> self-join *within buckets only* (the LSH
+  point: candidate pairs ~ true-near-dup pairs, not n^2).
+- n-gram Jaccard: inverted-index join — explode shingles, pair documents
+  sharing a shingle, count common shingles per pair, Jaccard from
+  |A|+|B|-common. Cost ~ sum of shingle-bucket sizes squared; cap hot
+  shingles (stopword shingles) by frequency to bound skew.
+- SimHash: per-row 32-bit fingerprint; near-dup = small Hamming distance,
+  found by banding the fingerprint bits (4 bands of 8 bits -> any pair at
+  Hamming<=3 shares a band by pigeonhole... with 4 bands any pair with <4
+  differing bits shares at least one identical band).
+- Embedding near-dup: cosine >= threshold; brute force within LSH-ish
+  buckets (random-hyperplane signs) for scale, exact pairwise as oracle.
+
+All hash functions are md5-derived -> bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions.text import (
+    minhash_bands,
+    minhash_signature,
+    simhash32,
+    word_shingles,
+)
+from ncbi_analysis_spark.functions.vectors import cosine
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group."""
+    w = Window.partitionBy(F.md5(normalize_text(F.col(text)))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Duplicate-group report: (text_hash, dup_count, min_id) for groups
+    with more than one member."""
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text))).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Returns distinct (id_a, id_b) with id_a < id_b that collide in at
+    least one band. Verify with ``ngram_jaccard_pairs`` (or directly
+    threshold on signature agreement) downstream.
+    """
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_bands(minhash_signature(F.col(text), num_perm, shingle_n), bands, rows_per_band).alias("bnds"),
+    ).select("id", F.explode("bnds").alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Inverted-index self-join; ``max_shingle_freq`` drops ultra-common
+    shingles (skew cap) — at 100 TB a stopword shingle would otherwise
+    create a quadratic hot bucket.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text), shingle_n))).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
+        sh = sh.join(F.broadcast(freq.select("sh")), "sh", "inner")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: any pair with Hamming distance
+    < ``bands`` over the 32-bit fingerprint shares an identical 8-bit band
+    (pigeonhole), so candidates come from cheap equi-joins; the exact
+    Hamming filter runs only on candidates.
+    """
+    from ncbi_analysis_spark.functions.text import hamming32
+
+    bits_per = 32 // bands
+    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text)).alias("fp"))
+    banded = fp.select(
+        "id", "fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("fp"), i * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1)).alias("key"),
+            )
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("id", "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming32(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    ``bucket_planes`` = 0 -> exact all-pairs (oracle-checkable; O(n^2),
+    fine <= ~10^5 rows). > 0 -> random-hyperplane LSH buckets first: only
+    pairs agreeing on all plane signs are compared (recall < 1, the scale
+    path; planes derived deterministically from md5 so runs reproduce).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    if bucket_planes > 0:
+        dim = len(base.first()["v"])
+        import hashlib
+
+        def plane(p: int) -> list[float]:
+            vals = []
+            for d in range(dim):
+                h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+                vals.append((h / 0xFFFFFFFF) * 2.0 - 1.0)
+            return vals
+
+        sign_cols = []
+        for p in range(bucket_planes):
+            pv = F.array(*[F.lit(x) for x in plane(p)])
+            s = F.aggregate(
+                F.zip_with(F.col("v"), pv, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            sign_cols.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
+        base = base.withColumn("bucket", F.concat_ws("", *[c.cast("string") for c in sign_cols]))
+    else:
+        base = base.withColumn("bucket", F.lit("all"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.round("cos", 6).alias("cos_sim"))
+    )

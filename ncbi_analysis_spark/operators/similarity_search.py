@@ -1,0 +1,93 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(BASELINE.json north-star extension).
+
+- ``brute_force_topk``: exact cosine top-k of every query against the
+  corpus. Queries are a small set -> broadcast; the corpus streams; per
+  (query, corpus-partition) partial top-k then a final merge — Spark's
+  window TopK gives exactly the partial/merge physical shape.
+- ``ivf_topk``: IVF-style two-stage search — corpus rows are assigned to
+  their nearest centroid (the coarse quantizer); a query probes only the
+  ``nprobe`` closest centroid buckets. At 100 TB the corpus is
+  partitioned/bucketed by centroid id so a probe touches ~nprobe/k of the
+  data. Centroids here are taken deterministically (kmeans would be an
+  offline job; the operator contract is bucket-prune + exact re-rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions.vectors import cosine
+from ncbi_analysis_spark.operators.topk import topk_per_group
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (q_id, vec_id, cos_sim, rk) — deterministic ordering with
+    vec_id as tiebreaker.
+    """
+    # queries are the small side -> broadcast; the corpus never moves
+    joined = corpus.select(F.col(id_col), F.col(vec).alias("__cv")).join(
+        F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))),
+        how="cross",
+    )
+    scored = joined.select(
+        q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
+    )
+    return topk_per_group(
+        scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF bucket-pruned top-k: assign corpus rows to nearest centroid,
+    probe the ``nprobe`` nearest centroid buckets per query, exact re-rank
+    inside the probed buckets.
+
+    Centroids are small -> broadcast into both assignment joins; the only
+    big shuffle is the bucket-key join, which at scale becomes a
+    co-partitioned (bucketed-table) join with no shuffle at all.
+    """
+    cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
+
+    assign = (
+        corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+        .join(F.broadcast(cent), how="cross")
+        .select(id_col, "__cv", c_id, cosine(F.col("__cv"), F.col("__cent")).alias("__sim"))
+    )
+    assign = topk_per_group(assign, [id_col], [F.desc("__sim"), F.asc(c_id)], 1).select(
+        id_col, "__cv", c_id
+    )
+
+    probes = (
+        queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+        .join(F.broadcast(cent), how="cross")
+        .select(q_id, "__qv", c_id, cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
+    )
+    probes = topk_per_group(probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe).select(
+        q_id, "__qv", c_id
+    )
+
+    scored = probes.join(assign, on=c_id, how="inner").select(
+        q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
+    )
+    return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")

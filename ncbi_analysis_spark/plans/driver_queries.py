@@ -1,0 +1,841 @@
+"""Driver-contract queries: one entry per implemented operator from
+SURVEY.md §2 (+ the LLM-data-pipeline extensions), each with a DuckDB
+oracle SQL producing bit-identical results.
+
+Cross-engine determinism rules used throughout (these are the whole game
+for the hash-compare gate):
+
+- money sums: ``cast(sum(cast(x as decimal(18,2))) as double)`` — decimal
+  addition is associative, so Spark's partial aggregation order doesn't
+  change the result; the final double is identical in DuckDB.
+- products: round once into a decimal *before* summing
+  (``cast(a*b as decimal(18,4))``) — the double product is identical
+  per-row, the decimal sum is order-independent.
+- averages: exact decimal sum divided (in double) by the exact count.
+- hashes: md5 only (bit-identical across Spark/DuckDB/Python).
+- vector math: sequential left-fold in double — DuckDB's ``list_reduce``
+  reproduces Spark's ``aggregate`` fold bit-for-bit.
+- every ambiguous integer output cast to BIGINT on both sides.
+- ranks/orders always carry a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions import sequence as seqf
+from ncbi_analysis_spark.functions import text as textf
+from ncbi_analysis_spark.operators import (
+    asof,
+    cluster,
+    dedup,
+    distribution,
+    intervals,
+    reorder,
+    similarity_search,
+    suppression,
+    topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects by default. Read nanos as long and truncate to microseconds —
+    the same floor(ns/1000) DuckDB applies when reading ns timestamps, so
+    both engines see identical instants."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = _t(spark, sf_dir, "events")
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _dec_sum(col, scale: str = "decimal(18,2)"):
+    """Order-independent money sum, emitted as double."""
+    return F.sum(F.col(col).cast(scale) if isinstance(col, str) else col.cast(scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish) — SURVEY §2.3-2.5
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate with pushed-down filter.
+
+    The headline batch-aggregation query (reference has nothing comparable
+    — its aggregations are Counter loops, SURVEY §2.4 A1-A7).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    # charge has up to 6 decimal digits (2dp price x 2dp disc x 2dp tax):
+    # cast at scale 6 so no rounding happens at all (scale-4 rounding sits
+    # exactly on representation boundaries and differs between engines)
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(24,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity").alias("sum_qty"),
+            _dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + aggregate + global top-k (W1 global form).
+
+    Catalyst broadcast-joins customer/orders sides; the top-10 is
+    TakeOrderedAndProject (partial top-k per partition, like the
+    reference's per-slice heaps, src/analysis/gene_similarity_match.py:105-107).
+    """
+    li, orders, cust = (_t(spark, sf_dir, t) for t in ("lineitem", "orders", "customer"))
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return topk.global_topk(joined, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+Q3_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderkey, o_date
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def a1_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-count + ratio (reference Counter + percent,
+    src/analysis/neighbor_analysis.py:138-153)."""
+    return distribution.value_distribution(_t(spark, sf_dir, "orders"), ["o_orderpriority"])
+
+
+A1_SQL = """
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS ratio
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-group top-k (reference bounded heap per gene/strand/slice,
+    src/analysis/gene_similarity_match.py:202-208)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = topk.topk_per_group(
+        li.select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag", "l_linestatus"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        5,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+W1_SQL = """
+SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice, rk::BIGINT AS rk
+FROM (
+  SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+  FROM lineitem
+) WHERE rk <= 5
+"""
+
+
+def w2_local_max_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 sliding local-max suppression (reference deque dedup,
+    src/analysis/gene_similarity_match.py:259-277): keep events whose
+    value is the max within +/-300s among same-type events."""
+    ev = _events(spark, sf_dir).withColumn("pos", F.unix_micros("ts"))
+    out = suppression.local_max_suppress(ev, ["event_type"], "pos", "value", 300_000_000)
+    return out.select("event_id", "event_type", "value")
+
+
+W2_SQL = """
+SELECT event_id, event_type, value FROM (
+  SELECT event_id, event_type, value,
+         MAX(value) OVER (PARTITION BY event_type ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING) AS mx
+  FROM events WHERE value > 0
+) WHERE value >= mx
+"""
+
+
+def w7_gap_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 inter-genic gap numbering (reference region walk,
+    src/analysis/gene_range_analysis.py:24-39): >30-day gaps between a
+    customer's consecutive order days, numbered per customer."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("d"))
+        .distinct()
+        .withColumn("d2", F.col("d"))
+    )
+    out = intervals.gap_regions(o, ["o_custkey"], "d", "d2", min_gap=30)
+    return out.select(
+        "o_custkey",
+        F.col("gap_start").cast("long").alias("gap_start"),
+        F.col("gap_end").cast("long").alias("gap_end"),
+        F.col("region_no").cast("long").alias("region_no"),
+        "region_name",
+    )
+
+
+W7_SQL = """
+WITH o AS (SELECT DISTINCT o_custkey, date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS d FROM orders),
+s AS (SELECT o_custkey, d,
+             MAX(d) OVER (PARTITION BY o_custkey ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM o),
+g AS (SELECT o_custkey, prev_end + 1 AS gap_start, d - 1 AS gap_end
+      FROM s WHERE prev_end IS NOT NULL AND d - prev_end > 30)
+SELECT o_custkey, gap_start, gap_end,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap_start)::BIGINT AS region_no,
+       'region_' || ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap_start)::VARCHAR AS region_name
+FROM g
+"""
+
+
+def j1_cluster_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A2/A3 exact-key clustering (reference O(n^2) seq clustering ->
+    hash aggregate, src/analysis/cluster_match.py:83-114)."""
+    p = _t(spark, sf_dir, "part")
+    return cluster.cluster_by_key(p, F.upper(F.col("p_type")), F.col("p_partkey"))
+
+
+J1_SQL = """
+SELECT UPPER(p_type) AS cluster_key, COUNT(*) AS cluster_size,
+       STRING_AGG(p_partkey::VARCHAR, ',' ORDER BY p_partkey) AS members,
+       MIN(p_partkey) AS representative
+FROM part GROUP BY UPPER(p_type)
+"""
+
+
+def j2_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 broadcast name-lookup join + rollup (reference gene_name map
+    join, src/utils/ncbi_database.py:106-113)."""
+    c, n, r = (_t(spark, sf_dir, t) for t in ("customer", "nation", "region"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dec_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+J2_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def p5_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 membership semi-filter (reference remain_gene set,
+    src/analysis/gene_location_analysis.py:32-37,195-197)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+P5_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def p5b_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — reference's '%s not found' reporting
+    (src/analysis/gene_extract.py:54-55): parts not shipped in 1998+."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= F.lit("2001-06-01"))
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select("p_partkey", "p_name")
+
+
+P5B_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-06-01')
+"""
+
+
+def j3_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 big x big interval-overlap join via coordinate binning + F12
+    overlap math + 8-way relation classification (reference binary-search
+    probe + IntervalPositionStatus,
+    src/analysis/gene_location_analysis.py:149-204,278-304).
+
+    Intervals: each order's 30-day window; pairs of overlapping windows of
+    the same customer.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("s"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + 30).cast("long").alias("e"),
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("o_orderkey_b"), "o_custkey",
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    joined = intervals.interval_join_binned(
+        o, right, "s", "e", "sb", "eb", bin_size=64, partition_keys=["o_custkey"]
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey_b"))
+    out = intervals.classify_overlaps(joined, "s", "e", "sb", "eb")
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderkey_b",
+        F.col("overlap_len").cast("long").alias("overlap_days"), "relation",
+    )
+
+
+J3_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS s,
+         date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT + 30 AS e
+  FROM orders
+)
+SELECT a.o_custkey, a.o_orderkey, b.o_orderkey AS o_orderkey_b,
+       GREATEST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) + 1, 0)::BIGINT AS overlap_days,
+       CASE WHEN a.e < b.s THEN 'TotallyLeft'
+            WHEN a.s > b.e THEN 'TotallyRight'
+            WHEN a.s = b.s AND a.e = b.e THEN 'Same'
+            WHEN a.s <= b.s AND a.e >= b.e THEN 'Cover'
+            WHEN a.s >= b.s AND a.e <= b.e THEN 'CoveredBy'
+            WHEN a.s < b.s THEN 'LeftOverlap'
+            ELSE 'RightOverlap' END AS relation
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.s <= b.e AND a.e >= b.s
+ AND a.o_orderkey < b.o_orderkey
+"""
+
+
+def j4_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 as-of join (reference nearest-gene-left,
+    src/analysis/neighbor_analysis.py:171-199): for each event, the
+    latest order of the same customer at or before the event."""
+    ev = _events(spark, sf_dir)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"), o, ["user_id"], "ts", "o_orderdate",
+        ["o_orderkey"], direction="backward",
+    )
+    return out.select("event_id", "user_id", F.col("asof_o_orderkey").alias("matched_orderkey"))
+
+
+J4_SQL = """
+WITH o AS (SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey
+FROM events e ASOF LEFT JOIN o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+def j5_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 directional next-neighbor (reference strand-aware next gene,
+    src/analysis/neighbor_analysis.py:201-214): for each event, the next
+    'error' event of the same user at or after it."""
+    ev = _events(spark, sf_dir)
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    out = asof.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        errs.withColumnRenamed("ts", "err_ts"),
+        ["user_id"], "ts", "err_ts", ["err_id"], direction="forward",
+    )
+    return out.select("event_id", "user_id", F.col("asof_err_id").alias("next_error_id"))
+
+
+J5_SQL = """
+WITH errs AS (SELECT user_id, ts AS err_ts, MAX(event_id) AS err_id
+              FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, x.err_id AS next_error_id
+FROM events e ASOF LEFT JOIN errs x
+  ON e.user_id = x.user_id AND e.ts <= x.err_ts
+"""
+
+
+def j8_reorder_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/W6 explicit-order reorder join (reference index-file ordering,
+    src/analysis/location_reorder.py:18-45)."""
+    n = _t(spark, sf_dir, "nation")
+    idx = (
+        _t(spark, sf_dir, "region")
+        .select(F.col("r_regionkey").alias("n_regionkey"),
+                (4 - F.col("r_regionkey")).cast("long").alias("rank"))
+    )
+    return reorder.reorder_by_index(n, idx, "n_regionkey", "rank").select(
+        "n_nationkey", "n_name", "rank"
+    )
+
+
+J8_SQL = """
+SELECT n_nationkey, n_name, (4 - r_regionkey)::BIGINT AS rank
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def f2_sequence_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 sequence scalar ops (reference get_opposite_dna + 1-based
+    slicing, src/utils/gene_util.py:1-8, src/utils/ncbi_database.py:153-156)
+    applied to document text."""
+    d = _t(spark, sf_dir, "documents")
+    lower40 = F.substring(F.lower(F.col("text")), 1, 40)
+    return d.select(
+        "doc_id",
+        seqf.revcomp(lower40).alias("rc40"),
+        seqf.subseq_1based(F.col("text"), F.lit(11), F.lit(30)).alias("sub_11_30"),
+        seqf.complement(lower40).alias("comp40"),
+    )
+
+
+F2_SQL = """
+SELECT doc_id,
+       REVERSE(TRANSLATE(SUBSTR(LOWER(text), 1, 40), 'acgtACGT', 'tgcaTGCA')) AS rc40,
+       SUBSTR(text, 11, 20) AS sub_11_30,
+       TRANSLATE(SUBSTR(LOWER(text), 1, 40), 'acgtACGT', 'tgcaTGCA') AS comp40
+FROM documents
+"""
+
+
+def p7_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P7/F11 regex predicates + extraction (reference alphabet filter
+    src/analysis/cluster_match.py:117-131; locus regex
+    src/analysis/gentamycin.py:87-93): JSON-ish prop extraction from the
+    events props column with a regex, filtered."""
+    ev = _events(spark, sf_dir)
+    kval = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return (
+        ev.filter(F.col("event_type").rlike("^(click|view)$"))
+        .select("event_id", kval.alias("k_val"))
+        .filter(F.col("k_val") >= 50)
+    )
+
+
+P7_SQL = """
+SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+FROM events
+WHERE regexp_matches(event_type, '^(click|view)$')
+  AND CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) >= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over md5(normalized text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(dedup.normalize_text(F.col("text"))).alias("text_hash")
+    ).agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS text_hash,
+       COUNT(*) AS dup_count, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys (4 perms, 2 bands of 2)."""
+    d = _t(spark, sf_dir, "documents")
+    # materialize the signature once (a project barrier) so each output
+    # column doesn't re-evaluate the shingle+md5 pipeline
+    sig_df = d.select(
+        "doc_id", textf.minhash_signature(F.col("text"), num_perm=4, shingle_n=3).alias("sig")
+    )
+    bands = textf.minhash_bands(F.col("sig"), bands=2, rows_per_band=2)
+    return sig_df.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh0"), F.col("sig")[1].alias("mh1"),
+        F.col("sig")[2].alias("mh2"), F.col("sig")[3].alias("mh3"),
+        bands[0]["band_hash"].alias("band0"), bands[1]["band_hash"].alias("band1"),
+    )
+
+
+_SHINGLES_SQL = (
+    "list_transform(range(GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 3, 0) + 1), "
+    "i -> array_to_string(string_split_regex(TRIM(text), '\\s+')[i+1:i+3], ' '))"
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM s)
+SELECT doc_id, mh0, mh1, mh2, mh3,
+       md5(mh0 || ',' || mh1) AS band0, md5(mh2 || ',' || mh3) AS band1
+FROM m
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.01)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.01
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (expression-only fold, no shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textf.simhash32(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n        ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT AS s{j}"
+        for j in range(32)
+    )
+    recompose = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+WITH toks AS (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, ({recompose})::BIGINT AS simhash FROM bits
+"""
+
+
+_DOT = (
+    "list_reduce(list_transform(range(len({a})), i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE),"
+    " (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return (
+        f"(CASE WHEN sqrt({na}) = 0 OR sqrt({nb}) = 0 THEN 0.0 "
+        f"ELSE {d} / (sqrt({na}) * sqrt({nb})) END)"
+    )
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs at test scale; the
+    bucketed variant is the 100 TB path, see operators.dedup)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(e, "embedding", "vec_id", threshold=0.4)
+
+
+DEDUP_EMB_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
+"""
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = similarity_search.brute_force_topk(e, q, k=10)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+ANN_BF_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id, ROUND({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)::BIGINT AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF bucket-pruned top-k (centroids = first 8 vectors, nprobe=2)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
+    out = similarity_search.ivf_topk(e, q, cents, k=10, nprobe=2)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+ANN_IVF_SQL = f"""
+WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+assign0 AS (
+  SELECT c.vec_id, c.v, ct.c_id, {_cos_sql('c.v', 'ct.cv')} AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM assign0
+) WHERE rn = 1),
+probe0 AS (
+  SELECT q.q_id, q.qv, ct.c_id, {_cos_sql('q.qv', 'ct.cv')} AS sim
+  FROM q CROSS JOIN cent ct
+),
+probes AS (SELECT q_id, qv, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM probe0
+) WHERE rn <= 2),
+scored AS (
+  SELECT p.q_id, a.vec_id, ROUND({_cos_sql('p.qv', 'a.v')}, 6) AS cos_sim
+  FROM probes p JOIN assign a USING (c_id)
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)::BIGINT AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis battery: token counts, BPE-ish counts, ratios,
+    language-ID, composite quality, char-k-gram fingerprint, prefix
+    projection (P8), char histogram (A4)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = textf.tokens(t)
+    return d.select(
+        "doc_id",
+        textf.token_count(t).cast("long").alias("tok_cnt"),
+        textf.bpe_ish_token_count(t).alias("bpe_cnt"),
+        F.round(textf.alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(textf.stopword_ratio(t), 6).alias("stop_ratio"),
+        textf.lang_id(t).alias("lang_guess"),
+        F.round(textf.quality_score(t), 6).alias("quality"),
+        textf.doc_fingerprint(t, 8).alias("fp32"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("prefix2"),
+        (F.length(t) - F.length(F.replace(t, F.lit("a"), F.lit("")))).cast("long").alias("n_a"),
+    )
+
+
+_TOKS = "string_split_regex(TRIM(text), '\\s+')"
+_LTOKS = "string_split_regex(TRIM(LOWER(text)), '\\s+')"
+
+
+def _lang_sql() -> str:
+    scores = {
+        lang: f"len(list_filter({_LTOKS}, t -> list_contains({words}, t)))"
+        for lang, words in ((lg, "[" + ", ".join(f"'{w}'" for w in ws) + "]")
+                            for lg, ws in textf.LANG_MARKERS.items())
+    }
+    mx = "GREATEST(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {s} > 0 AND {s} = {mx} THEN '{lang}'" for lang, s in scores.items()
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+def _text_stats_sql() -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in textf.EN_STOPWORDS) + "]"
+    alpha = ("(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+             "LENGTH(regexp_replace(LOWER(text), '[^a-z ]', '', 'g')) / LENGTH(text) END)")
+    stopr = (f"(CASE WHEN len({_LTOKS}) = 0 THEN 0.0 ELSE "
+             f"len(list_filter({_LTOKS}, t -> list_contains({stop}, t))) / len({_LTOKS}) END)")
+    tokc = f"(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    quality = (f"(0.4 * LEAST(1.0, {tokc}::DOUBLE / 64.0) + 0.3 * {alpha} "
+               f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
+    bpe = ("list_reduce(list_prepend(0::BIGINT, list_transform("
+           "string_split_regex(LOWER(text), '[^a-z0-9]+'), "
+           "w -> CEIL(LENGTH(w) / 4.0)::BIGINT)), (a, b) -> a + b)")
+    fp = ("list_aggregate(list_transform(range(GREATEST(LENGTH(text) - 8 + 1, 1)), "
+          "i -> ('0x' || substr(md5(substr(text, (i + 1)::INT, 8)), 1, 8))::BIGINT), 'min')")
+    return f"""
+SELECT doc_id,
+       {tokc}::BIGINT AS tok_cnt,
+       {bpe} AS bpe_cnt,
+       ROUND({alpha}, 6) AS alpha_ratio,
+       ROUND({stopr}, 6) AS stop_ratio,
+       {_lang_sql()} AS lang_guess,
+       ROUND({quality}, 6) AS quality,
+       {fp} AS fp32,
+       array_to_string({_TOKS}[1:2], ' ') AS prefix2,
+       (LENGTH(text) - LENGTH(REPLACE(text, 'a', '')))::BIGINT AS n_a
+FROM documents
+"""
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 distribution over the lang_id heuristic output."""
+    d = _t(spark, sf_dir, "documents")
+    return distribution.value_distribution(
+        d.select(textf.lang_id(F.col("text")).alias("lang_guess")), ["lang_guess"]
+    )
+
+
+def _lang_dist_sql() -> str:
+    return f"""
+SELECT lang_guess, COUNT(*) AS cnt, ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS ratio
+FROM (SELECT {_lang_sql()} AS lang_guess FROM documents) GROUP BY lang_guess
+"""
+
+
+def f6_direct_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 direct (Hamming-with-c~t) similarity — expression form.
+
+    The reference's positional match count where gene-side 'c' matches
+    database-side 't' (src/analysis/similarities/direct_match_similarity.py:22-28,
+    base char rule src/analysis/similarities/base_similarity.py:12-18),
+    applied to consecutive documents' first 32 chars.
+    """
+    d = _t(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id"), F.substring(F.lower("text"), 1, 32).alias("sa"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring(F.lower("text"), 1, 32).alias("sb"))
+    joined = a.join(b, "doc_id", "inner")
+    score = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sa"), ""), F.split(F.col("sb"), ""),
+            lambda x, y: F.when((x == y) | ((x == "c") & (y == "t")), 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return joined.select("doc_id", score.alias("direct_sim"))
+
+
+F6_SQL = """
+WITH p AS (
+  SELECT a.doc_id, substr(LOWER(a.text), 1, 32) AS sa, substr(LOWER(b.text), 1, 32) AS sb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT, list_transform(
+         range(LEAST(LENGTH(sa), LENGTH(sb))),
+         i -> (CASE WHEN substr(sa, (i+1)::INT, 1) = substr(sb, (i+1)::INT, 1)
+                      OR (substr(sa, (i+1)::INT, 1) = 'c' AND substr(sb, (i+1)::INT, 1) = 't')
+               THEN 1 ELSE 0 END)::BIGINT)), (a, b) -> a + b) AS direct_sim
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue": q3_top_revenue,
+        "a1_priority_distribution": a1_priority_distribution,
+        "w1_topk_per_group": w1_topk_per_group,
+        "w2_local_max_suppression": w2_local_max_suppression,
+        "w7_gap_regions": w7_gap_regions,
+        "j1_cluster_parts": j1_cluster_parts,
+        "j2_nation_rollup": j2_nation_rollup,
+        "p5_semi_join": p5_semi_join,
+        "p5b_anti_join": p5b_anti_join,
+        "j3_interval_overlap": j3_interval_overlap,
+        "j4_asof_backward": j4_asof_backward,
+        "j5_asof_forward": j5_asof_forward,
+        "j8_reorder_by_index": j8_reorder_by_index,
+        "f2_sequence_ops": f2_sequence_ops,
+        "p7_regex_filter": p7_regex_filter,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_signature": dedup_minhash_signature,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding_pairs": dedup_embedding_pairs,
+        "ann_brute_force": ann_brute_force,
+        "ann_ivf": ann_ivf,
+        "text_stats": text_stats,
+        "lang_distribution": lang_distribution,
+        "f6_direct_similarity": f6_direct_similarity,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_revenue": Q3_SQL,
+        "a1_priority_distribution": A1_SQL,
+        "w1_topk_per_group": W1_SQL,
+        "w2_local_max_suppression": W2_SQL,
+        "w7_gap_regions": W7_SQL,
+        "j1_cluster_parts": J1_SQL,
+        "j2_nation_rollup": J2_SQL,
+        "p5_semi_join": P5_SQL,
+        "p5b_anti_join": P5B_SQL,
+        "j3_interval_overlap": J3_SQL,
+        "j4_asof_backward": J4_SQL,
+        "j5_asof_forward": J5_SQL,
+        "j8_reorder_by_index": J8_SQL,
+        "f2_sequence_ops": F2_SQL,
+        "p7_regex_filter": P7_SQL,
+        "dedup_exact_groups": DEDUP_EXACT_SQL,
+        "dedup_minhash_signature": DEDUP_MINHASH_SQL,
+        "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_pairs": DEDUP_EMB_SQL,
+        "ann_brute_force": ANN_BF_SQL,
+        "ann_ivf": ANN_IVF_SQL,
+        "text_stats": _text_stats_sql(),
+        "lang_distribution": _lang_dist_sql(),
+        "f6_direct_similarity": F6_SQL,
+    }
