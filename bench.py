@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with the noop sink (full pipeline runs, nothing is
+collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from ncbi_analysis_spark.plans import driver_queries  # noqa: E402
+from ncbi_analysis_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan-agg core, window ops, every join family, and the
+# LLM-pipeline ops — each stresses a distinct shuffle/UDF shape.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "a1_priority_distribution",
+    "w1_topk_per_group",
+    "w2_local_max_suppression",
+    "w7_gap_regions",
+    "j1_cluster_parts",
+    "j2_nation_rollup",
+    "j3_interval_overlap",
+    "j4_asof_backward",
+    "j5_asof_forward",
+    "dedup_exact_groups",
+    "dedup_minhash_signature",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "ann_brute_force",
+    "ann_ivf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="ncbi-analysis-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = driver_queries.queries()
+
+    # warmup: exercise codegen/JIT + file index once so timings reflect
+    # steady-state executor behavior, not JVM startup
+    qs["q3_top_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    qs["j1_cluster_parts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -493,17 +493,11 @@ FROM documents GROUP BY 1
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + LSH band keys (4 perms, 2 bands of 2)."""
     d = _t(spark, sf_dir, "documents")
-    # materialize the signature once (a project barrier) so each output
-    # column doesn't re-evaluate the shingle+md5 pipeline
-    sig_df = d.select(
-        "doc_id", textf.minhash_signature(F.col("text"), num_perm=4, shingle_n=3).alias("sig")
-    )
-    bands = textf.minhash_bands(F.col("sig"), bands=2, rows_per_band=2)
+    sig_df = dedup.minhash_signatures(d, "text", "doc_id", num_perm=4, shingle_n=3)
     return sig_df.select(
-        "doc_id",
-        F.col("sig")[0].alias("mh0"), F.col("sig")[1].alias("mh1"),
-        F.col("sig")[2].alias("mh2"), F.col("sig")[3].alias("mh3"),
-        bands[0]["band_hash"].alias("band0"), bands[1]["band_hash"].alias("band1"),
+        "doc_id", "mh0", "mh1", "mh2", "mh3",
+        F.md5(F.concat_ws(",", "mh0", "mh1")).alias("band0"),
+        F.md5(F.concat_ws(",", "mh2", "mh3")).alias("band1"),
     )
 
 
@@ -546,9 +540,10 @@ WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.01
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (expression-only fold, no shuffle)."""
+    """32-bit SimHash fingerprints (codegen explode+aggregate form; the
+    shuffle-free expression form is functions.text.simhash32)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", textf.simhash32(F.col("text")).alias("simhash"))
+    return dedup.simhash_fingerprints(d, "text", "doc_id")
 
 
 def _simhash_sql() -> str:
