@@ -224,7 +224,9 @@ def simhash_pairs(
     from ncbi_analysis_spark.functions.text import hamming32
 
     bits_per = 32 // bands
-    fp = df.select(F.col(id_col).alias("id"), simhash32(F.col(text)).alias("fp"))
+    fp = simhash_fingerprints(df, text, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash").alias("fp")
+    )
     banded = fp.select(
         "id", "fp",
         F.explode(F.array(*[

@@ -770,6 +770,50 @@ FROM p
 """
 
 
+def f5_textedit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 text-edit similarity (pandas UDF; rows-only check — the c->t DP
+    with traceback abort is not SQL-expressible; unit-tested against
+    goldens derived by executing the reference,
+    src/analysis/similarities/text_edit_similarity.py:13-48)."""
+    from ncbi_analysis_spark.similarity.udfs import text_edit_similarity_udf
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring(F.lower("text"), 1, 24).alias("sa"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring(F.lower("text"), 1, 24).alias("sb"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", text_edit_similarity_udf("sa", "sb", F.lit(3)).alias("textedit_sim"))
+    )
+
+
+def f7_consistency_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 patience-merged longest-run similarity (pandas UDF; rows-only;
+    src/analysis/similarities/consistency_similarity.py:35-64)."""
+    from ncbi_analysis_spark.similarity.udfs import consistency_similarity_udf
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring(F.lower("text"), 1, 24).alias("sa"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring(F.lower("text"), 1, 24).alias("sb"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", consistency_similarity_udf("sa", "sb", F.lit(2)).alias("consistency_sim"))
+    )
+
+
+def f9_blat_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 seed-and-extend 8-mer matcher (pandas UDF; rows-only;
+    src/analysis/similarities/blat_similarity.py:58-116)."""
+    from ncbi_analysis_spark.similarity.udfs import blat_match_udf
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring(F.lower("text"), 1, 8).alias("gene"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.lower("text").alias("db"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", blat_match_udf("gene", "db", F.lit(0)).alias("blat_matched"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -802,6 +846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_distribution": lang_distribution,
         "f6_direct_similarity": f6_direct_similarity,
+        # pandas-UDF scorers: rows-only (no SQL oracle exists for these)
+        "f5_textedit_similarity": f5_textedit_similarity,
+        "f7_consistency_similarity": f7_consistency_similarity,
+        "f9_blat_similarity": f9_blat_similarity,
     }
 
 

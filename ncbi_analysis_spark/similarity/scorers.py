@@ -1,0 +1,209 @@
+"""Similarity scoring kernels (pure Python/numpy; wrapped as pandas UDFs
+in similarity.udfs).
+
+Semantics re-derived from the reference (not ported code):
+
+- char rule (F4): gene char a matches database char b iff a == b or
+  (a == 'c' and b == 't') — asymmetric bisulfite-style C->T tolerance
+  (reference: src/analysis/similarities/base_similarity.py:12-18). This
+  is why plain ``levenshtein`` can't be used anywhere.
+- direct (F6): positional match count
+  (src/analysis/similarities/direct_match_similarity.py:22-28).
+- consistency (F7): longest run of consecutive matches, where a window of
+  up to ``patience+1`` consecutive runs may be merged when the merged
+  span contains at most ``patience`` mismatches
+  (src/analysis/similarities/consistency_similarity.py:35-64).
+- text_edit (F5): full O(L^2) edit-distance DP (unit indels, substitution
+  cost by the char rule); score = L - dp[L][L]; if
+  ``continuous_mismatch_limit`` is set, a traceback preferring
+  diagonal > delete > insert aborts to 0 when it sees that many
+  consecutive non-matching steps
+  (src/analysis/similarities/text_edit_similarity.py:13-48).
+- blat (F9): seed-and-extend for 8-mer queries: first 4 bases with <= 2
+  skipped database chars, middle gap <= 10, last 4 with <= 2 skips;
+  returns (matched, end_pos)
+  (src/analysis/similarities/blat_similarity.py:58-116).
+- weighted mix (A5): weighted mean of the enabled scorers
+  (src/analysis/gene_similarity_match.py:304-328).
+"""
+
+from __future__ import annotations
+
+INF = 1 << 30
+
+
+def char_match(a: str, b: str) -> bool:
+    """Gene char ``a`` vs database char ``b`` under the c->t rule."""
+    return a == b or (a == "c" and b == "t")
+
+
+def direct_score(gene: str, window: str) -> float:
+    """Positional match count of ``gene`` against ``window`` (same length
+    prefix of the window is used)."""
+    return float(sum(1 for ga, wb in zip(gene, window) if char_match(ga, wb)))
+
+
+def _match_runs(gene: str, window: str) -> list[tuple[int, int]]:
+    """Consecutive-match runs as (length, end_exclusive) pairs, including
+    zero-length runs at every mismatch position (the reference's
+    score_queue shape, which the patience merge iterates over)."""
+    runs: list[tuple[int, int]] = []
+    cur = 0
+    n = len(gene)
+    for i in range(n):
+        if char_match(gene[i], window[i]):
+            cur += 1
+            if i == n - 1:
+                runs.append((cur, n))
+        else:
+            runs.append((cur, i))
+            cur = 0
+    return runs
+
+
+def consistency_score(gene: str, window: str, patience: int = 2) -> float:
+    """Longest match run, allowing runs to be bridged while the merged
+    span carries <= ``patience`` mismatches."""
+    runs = _match_runs(gene, window)
+    best = max((ln for ln, _ in runs), default=0)
+    for i in range(len(runs)):
+        span_start = runs[i][1] - runs[i][0]
+        merged = 0
+        for w in range(patience + 1):
+            if i + w >= len(runs):
+                break
+            span_len = runs[i + w][1] - span_start
+            merged += runs[i + w][0]
+            if span_len - merged > patience:
+                break
+            if merged > best:
+                best = merged
+    return float(best)
+
+
+def text_edit_score(
+    gene: str, window: str, continuous_mismatch_limit: int | None = None
+) -> float:
+    """Edit-distance similarity: L - editdist(gene, window[:L]) with the
+    c->t substitution rule; optional traceback abort on a run of
+    ``continuous_mismatch_limit`` consecutive non-match steps."""
+    n = len(gene)
+    dp = [[INF] * (n + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        ga = gene[i - 1]
+        row, prev = dp[i], dp[i - 1]
+        for j in range(1, n + 1):
+            sub = prev[j - 1] + (0 if char_match(ga, window[j - 1]) else 1)
+            row[j] = min(prev[j] + 1, row[j - 1] + 1, sub)
+    score = float(n - dp[n][n])
+    if continuous_mismatch_limit is not None:
+        i = j = n
+        mismatch = 0
+        while i > 0 or j > 0:
+            if (
+                i > 0
+                and j > 0
+                and dp[i][j]
+                == dp[i - 1][j - 1] + (0 if char_match(gene[i - 1], window[j - 1]) else 1)
+            ):
+                mismatch = 0 if char_match(gene[i - 1], window[j - 1]) else mismatch + 1
+                i, j = i - 1, j - 1
+            elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
+                mismatch += 1
+                i -= 1
+            elif j > 0 and dp[i][j] == dp[i][j - 1] + 1:
+                mismatch += 1
+                j -= 1
+            else:  # unreachable on a consistent DP table
+                break
+            if mismatch >= continuous_mismatch_limit:
+                return 0.0
+    return score
+
+
+def blat_score(
+    gene: str, database: str, offset: int, mid_limit: int = 10, end_limit: int = 2
+) -> tuple[bool, int | None]:
+    """Seed-and-extend match of an 8-mer ``gene`` starting at ``offset``:
+    anchor char must match; the first 4 gene chars must align with <= 2
+    skipped database chars (and at least one clean adjacent pair); a
+    middle gap of <= ``mid_limit`` database chars may follow; the last 4
+    likewise with <= 2 skips. Returns (matched, end_pos_exclusive)."""
+    if len(gene) != 8:
+        raise ValueError("blat similarity requires an 8-char query")
+    n = len(database)
+    if offset >= n or not char_match(gene[0], database[offset]):
+        return False, None
+
+    def extend(pg: int, pd: int, inserts: int, upto: int):
+        """Align gene[pg:upto] against database from pd, skipping database
+        chars (<= end_limit total); needs one adjacent matched pair."""
+        clean_pair = False
+        run = 1
+        while pg < upto and pd < n:
+            while not char_match(gene[pg], database[pd]):
+                run = 0
+                inserts += 1
+                pd += 1
+                if inserts > end_limit or pd >= n:
+                    return False, None, False
+            if run > 0:
+                clean_pair = True
+            run += 1
+            pg += 1
+            pd += 1
+        return True, pd, clean_pair
+
+    ok, pd, clean = extend(1, offset + 1, 0, 4)
+    if not ok or not clean:
+        return False, None
+
+    # middle: allow <= mid_limit skipped database chars before gene[4]
+    def mid_and_tail(pd: int, inserts: int):
+        if inserts > mid_limit or pd >= n:
+            return False, None
+        while not char_match(gene[4], database[pd]):
+            pd += 1
+            inserts += 1
+            if pd >= n or inserts > mid_limit:
+                return False, None
+        ok, end, clean = extend(5, pd + 1, 0, 8)
+        if ok and clean:
+            return True, end
+        return mid_and_tail(pd + 1, inserts + 1)
+
+    flag = mid_and_tail(pd + 3, 3)
+    return (flag[0], flag[1]) if flag[0] else (False, None)
+
+
+def weighted_similarity(
+    gene: str,
+    window: str,
+    weights: dict[str, float],
+    patience: int = 2,
+    continuous_mismatch_limit: int | None = None,
+    pattern=None,
+) -> tuple[float, dict[str, float]]:
+    """Weighted mean of the enabled scorers (weights keyed by
+    'direct' | 'consistency' | 'text_edit' | 'pattern')."""
+    from ncbi_analysis_spark.similarity.pattern import pattern_score
+
+    scores: dict[str, float] = {}
+    total_w = 0.0
+    acc = 0.0
+    for kind, w in weights.items():
+        if kind == "direct":
+            s = direct_score(gene, window)
+        elif kind == "consistency":
+            s = consistency_score(gene, window, patience)
+        elif kind == "text_edit":
+            s = text_edit_score(gene, window, continuous_mismatch_limit)
+        elif kind == "pattern":
+            s = pattern_score(pattern, window)
+        else:
+            raise ValueError(f"unknown similarity kind {kind}")
+        scores[kind] = s
+        acc += s * w
+        total_w += w
+    return (acc / total_w if total_w else 0.0), scores

@@ -1,0 +1,108 @@
+"""Sequence / text / vector expression-library tests (SURVEY.md §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions import sequence as seqf
+from ncbi_analysis_spark.functions import text as textf
+from ncbi_analysis_spark.functions import vectors as vecf
+
+
+def one(spark, expr, **cols):
+    df = spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+    return df.select(expr.alias("x")).collect()[0]["x"]
+
+
+def test_revcomp(spark):
+    # reference composes complement map + [::-1] (src/utils/gene_util.py:1-8)
+    assert one(spark, seqf.revcomp(F.col("s")), s="acgt") == "acgt"
+    assert one(spark, seqf.revcomp(F.col("s")), s="aacg") == "cgtt"
+
+
+def test_subseq_1based(spark):
+    # dna_code[left-1:right] (src/utils/ncbi_database.py:156)
+    assert one(
+        spark, seqf.subseq_1based(F.col("s"), F.lit(2), F.lit(4)), s="abcdef"
+    ) == "bcd"
+
+
+def test_extract_strand_seq_reverse(spark):
+    # start > end encodes reverse strand -> revcomp of [end..start]
+    got = one(spark, seqf.extract_strand_seq(F.col("s"), F.lit(4), F.lit(1)), s="aacgtt")
+    assert got == "cgtt"  # revcomp("aacg")
+
+
+def test_flanks(spark):
+    assert one(
+        spark, seqf.upstream_flank(F.col("s"), F.lit(4), 2), s="abcdefgh"
+    ) == "bc"
+    assert one(
+        spark, seqf.downstream_flank(F.col("s"), F.lit(4), 3), s="abcdefgh"
+    ) == "efg"
+    # clamped at sequence start like python slicing
+    assert one(spark, seqf.upstream_flank(F.col("s"), F.lit(2), 5), s="abcdefgh") == "a"
+
+
+def test_parse_locus(spark):
+    df = spark.createDataFrame([("NC_1:15-99(-)",)], ["locus"])
+    row = df.select(*seqf.parse_locus(F.col("locus"))).collect()[0]
+    assert (row.accession, row.left, row.right, row.direction) == ("NC_1", 15, 99, "-")
+
+
+def test_overlap_math(spark):
+    assert one(
+        spark,
+        seqf.overlap_size(F.lit(1), F.lit(10), F.lit(5), F.lit(20)),
+        dummy=1,
+    ) == 6
+    assert one(
+        spark,
+        seqf.interval_relation(F.lit(5), F.lit(8), F.lit(1), F.lit(10)),
+        dummy=1,
+    ) == "CoveredBy"
+
+
+def test_alphabet_and_histogram(spark):
+    assert one(spark, seqf.alphabet_ok(F.col("s")), s="AUCG") is True
+    assert one(spark, seqf.alphabet_ok(F.col("s")), s="AUXG") is False
+    hist = one(spark, seqf.base_histogram(F.col("s")), s="aacgt")
+    assert hist["a"] == 2 and hist["t"] == 1
+
+
+def test_token_counts(spark):
+    assert one(spark, textf.token_count(F.col("s")), s="a b  c") == 3
+    assert one(spark, textf.token_count(F.col("s")), s="  ") == 0
+
+
+def test_lang_id(spark):
+    assert one(spark, textf.lang_id(F.col("s")), s="the cat of the hat") == "en"
+    assert one(spark, textf.lang_id(F.col("s")), s="le chat et la mer") == "fr"
+    assert one(spark, textf.lang_id(F.col("s")), s="zzz qqq") == "und"
+
+
+def test_simhash_expression_matches_agg(spark):
+    """The shuffle-free expression form and the codegen agg form must agree."""
+    from ncbi_analysis_spark.operators.dedup import simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "spark window agg join"), (2, "key value table scan row")],
+        ["id", "text"],
+    )
+    expr = {r["id"]: r["x"] for r in df.select("id", textf.simhash32(F.col("text")).alias("x")).collect()}
+    agg = {r["id"]: r["simhash"] for r in simhash_fingerprints(df, "text", "id").collect()}
+    assert expr == agg
+
+
+def test_hamming32(spark):
+    assert one(spark, textf.hamming32(F.lit(0b1011), F.lit(0b0010)), d=1) == 2
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 2.0], [1.0, 2.0, 2.0])], ["a", "b"])
+    row = df.select(
+        vecf.dot(F.col("a"), F.col("b")).alias("d"),
+        vecf.cosine(F.col("a"), F.col("b")).alias("c"),
+        vecf.l2_distance(F.col("a"), F.col("b")).alias("l2"),
+    ).collect()[0]
+    assert row["d"] == 9.0 and row["c"] == 1.0 and row["l2"] == 0.0

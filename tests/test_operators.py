@@ -1,0 +1,160 @@
+"""Relational operator-kit tests on tiny synthetic frames (SURVEY.md §2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.operators import asof, cluster, dedup, distribution, intervals
+from ncbi_analysis_spark.operators.suppression import local_max_suppress
+from ncbi_analysis_spark.operators.topk import topk_per_group
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        ["g", "id", "score"],
+    )
+    out = topk_per_group(df, ["g"], [F.desc("score"), F.asc("id")], 2)
+    got = {(r["g"], r["id"], r["rk"]) for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 3, 2), ("b", 4, 1)}
+
+
+def test_local_max_suppress(spark):
+    # reference deque semantics: strictly-lower neighbors suppressed, ties
+    # within distance both survive, nonpositive dropped
+    # (src/analysis/gene_similarity_match.py:259-277)
+    df = spark.createDataFrame(
+        [("g", 100, 5.0), ("g", 103, 7.0), ("g", 104, 7.0), ("g", 120, 3.0),
+         ("g", 125, -1.0)],
+        ["k", "pos", "score"],
+    )
+    out = local_max_suppress(df, ["k"], "pos", "score", distance=5)
+    got = sorted(r["pos"] for r in out.collect())
+    assert got == [103, 104, 120]
+
+
+def test_cluster_by_key(spark):
+    # J1: upper-cased equality, representative = first member
+    # (src/analysis/cluster_match.py:83-114)
+    df = spark.createDataFrame(
+        [("AAB", 1), ("aab", 2), ("ccg", 3)], ["seq", "no"]
+    )
+    out = cluster.cluster_by_key(df, F.upper(F.col("seq")), F.col("no"))
+    rows = {r["cluster_key"]: r for r in out.collect()}
+    assert rows["AAB"]["cluster_size"] == 2
+    assert rows["AAB"]["members"] == "1,2"
+    assert rows["AAB"]["representative"] == 1
+
+
+def test_distribution(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], ["k"])
+    out = distribution.value_distribution(df, ["k"]).collect()
+    assert out[0]["k"] == "x" and out[0]["cnt"] == 2
+    assert abs(out[0]["ratio"] - 0.666667) < 1e-9
+
+
+def test_asof_backward_and_forward(spark):
+    probe = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], ["k", "t"])
+    build = spark.createDataFrame(
+        [(1, 8, "a"), (1, 15, "b"), (2, 9, "c")], ["k", "bt", "v"]
+    )
+    out = asof.asof_join(probe, build, ["k"], "t", "bt", ["v"], "backward")
+    got = {(r["k"], r["t"]): r["asof_v"] for r in out.collect()}
+    assert got == {(1, 10): "a", (1, 20): "b", (2, 5): None}
+    out = asof.asof_join(probe, build, ["k"], "t", "bt", ["v"], "forward")
+    got = {(r["k"], r["t"]): r["asof_v"] for r in out.collect()}
+    assert got == {(1, 10): "b", (1, 20): None, (2, 5): "c"}
+
+
+def test_asof_inclusive_tie(spark):
+    probe = spark.createDataFrame([(1, 10)], ["k", "t"])
+    build = spark.createDataFrame([(1, 10, "x")], ["k", "bt", "v"])
+    out = asof.asof_join(probe, build, ["k"], "t", "bt", ["v"], "backward")
+    assert out.collect()[0]["asof_v"] == "x"
+
+
+def test_nearest_neighbors(spark):
+    # J4: nearest gene wholly left / wholly right of an interval
+    # (src/analysis/neighbor_analysis.py:171-199)
+    probe = spark.createDataFrame([("n1", 100, 110)], ["acc", "left", "right"])
+    genes = spark.createDataFrame(
+        [("n1", 10, 50, "gA"), ("n1", 60, 95, "gB"), ("n1", 130, 150, "gC")],
+        ["acc", "left", "right", "gene"],
+    )
+    out = asof.nearest_neighbors(probe, genes, ["acc"]).collect()[0]
+    assert out["left_gene"] == "gB" and out["right_gene"] == "gC"
+
+
+def test_interval_join_binned_matches_naive(spark):
+    import random
+
+    random.seed(3)
+    rows = [(i, random.randint(0, 500), 0) for i in range(80)]
+    rows = [(i, s, s + random.randint(0, 80)) for i, s, _ in rows]
+    left = spark.createDataFrame(rows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(
+        [(100 + i, s, e) for i, s, e in rows], ["rid", "rs", "re"]
+    )
+    binned = intervals.interval_join_binned(left, right, "ls", "le", "rs", "re", bin_size=64)
+    naive = left.join(
+        right, (F.col("ls") <= F.col("re")) & (F.col("le") >= F.col("rs"))
+    )
+    got = {(r["lid"], r["rid"]) for r in binned.collect()}
+    want = {(r["lid"], r["rid"]) for r in naive.collect()}
+    assert got == want
+
+
+def test_gap_regions(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 20), ("a", 22, 30), ("a", 50, 60), ("a", 90, 95)],
+        ["acc", "s", "e"],
+    )
+    out = intervals.gap_regions(df, ["acc"], "s", "e", min_gap=5).collect()
+    got = [(r["gap_start"], r["gap_end"], r["region_name"]) for r in out]
+    assert got == [(31, 49, "region_1"), (61, 89, "region_2")]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["id", "text"]
+    )
+    out = dedup.exact_dedup(df, "text", "id")
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words in this sentence about spark engines"
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], ["id", "text"])
+    pairs = dedup.minhash_lsh_pairs(df, "text", "id", num_perm=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")], ["id", "text"]
+    )
+    out = dedup.ngram_jaccard_pairs(df, "text", "id", shingle_n=3, threshold=0.5)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows == {(1, 2): 1.0}
+
+
+def test_simhash_near_dup_pairs(spark):
+    base = "spark sql window functions are great for analytics " * 3
+    near = base.replace("great", "good", 1)
+    df = spark.createDataFrame([(1, base), (2, near)], ["id", "text"])
+    out = dedup.simhash_pairs(df, "text", "id", max_hamming=6)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["hamming"] <= 6
+
+
+def test_embedding_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])], ["id", "v"]
+    )
+    out = dedup.embedding_dup_pairs(df, "v", "id", threshold=0.95)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}

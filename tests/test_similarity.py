@@ -1,0 +1,124 @@
+"""Similarity-kernel tests against golden values derived by *executing*
+the reference implementations (the reference's own unit tests are stale —
+SURVEY.md §5 — so goldens were re-derived from
+src/analysis/similarities/*.py at build time; 3100-case fuzz showed exact
+parity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ncbi_analysis_spark.similarity import (
+    MatchPattern,
+    blat_score,
+    char_match,
+    consistency_score,
+    direct_score,
+    pattern_score,
+    text_edit_score,
+    weighted_similarity,
+)
+
+GOLDEN = [
+    ("consistency", "agcccaata", "accactctg", 2, 3),
+    ("text_edit", "agcccaata", "accactctg", 3, 4.0),
+    ("text_edit_nolimit", "agcccaata", "accactctg", None, 4.0),
+    ("consistency", "agggatataggcaa", "catgtgcggcgacc", 2, 1),
+    ("text_edit", "agggatataggcaa", "catgtgcggcgacc", 3, 0),
+    ("text_edit_nolimit", "agggatataggcaa", "catgtgcggcgacc", None, 4.0),
+    ("consistency", "gtgacgct", "gttgccta", 2, 3),
+    ("text_edit", "gtgacgct", "gttgccta", 3, 4.0),
+    ("text_edit_nolimit", "gtgacgct", "gttgccta", None, 4.0),
+    ("consistency", "tttgaagga", "agcagccgc", 2, 1),
+    ("text_edit", "tttgaagga", "agcagccgc", 3, 0),
+    ("text_edit_nolimit", "tttgaagga", "agcagccgc", None, 2.0),
+    ("consistency", "acaatacctcg", "tccgtgttacc", 2, 4),
+    ("text_edit", "acaatacctcg", "tccgtgttacc", 3, 5.0),
+    ("text_edit_nolimit", "acaatacctcg", "tccgtgttacc", None, 5.0),
+    ("consistency", "acgtcctcttcaa", "tgaccctctcgtc", 2, 5),
+    ("text_edit", "acgtcctcttcaa", "tgaccctctcgtc", 3, 0),
+    ("text_edit_nolimit", "acgtcctcttcaa", "tgaccctctcgtc", None, 5.0),
+]
+
+BLAT_GOLDEN = [
+    ("aaccctta", "gagttatatcagaccgttaccgccttaatg", 5, True, 19),
+    ("taccccac", "tagcctacaattgccgttatagaggggtcg", 0, True, 20),
+    ("ggtccacc", "tgggtatattacgcgaacttacttttgcca", 1, True, 19),
+]
+
+
+def test_char_rule():
+    assert char_match("a", "a")
+    assert char_match("c", "t")       # bisulfite-style tolerance
+    assert not char_match("t", "c")   # asymmetric
+    assert not char_match("a", "g")
+
+
+def test_direct():
+    assert direct_score("acgt", "acgt") == 4.0
+    assert direct_score("cccc", "tttt") == 4.0  # all c->t
+    assert direct_score("acgt", "tgca") == 0.0
+
+
+@pytest.mark.parametrize("kind,gene,win,param,expect", GOLDEN)
+def test_golden(kind, gene, win, param, expect):
+    if kind == "consistency":
+        got = consistency_score(gene, win, param)
+    else:
+        got = text_edit_score(gene, win, param)
+    assert got == expect, (kind, gene, win, param)
+
+
+@pytest.mark.parametrize("gene,db,off,flag,end", BLAT_GOLDEN)
+def test_blat_golden(gene, db, off, flag, end):
+    got_flag, got_end = blat_score(gene, db, off)
+    assert (got_flag, got_end) == (flag, end)
+
+
+def test_blat_anchor_fail():
+    assert blat_score("aaaaaaaa", "ttttttttttttttt", 0) == (False, None)
+
+
+def test_pattern_c_to_t_rewrite():
+    p = MatchPattern("acgtacgtac", {"must": [{"offset": 0, "length": 4}], "optional": []})
+    assert p.must_pattern == "^a(c|t)gt.+"
+    assert pattern_score(p, "atgtaaaaaa") == 4.0  # c matched as t
+    assert pattern_score(p, "aggtaaaaaa") == 0.0
+
+
+def test_pattern_negative_offset_anchors_end():
+    p = MatchPattern("acgtacgtac", {"must": [{"offset": -3, "length": 3}], "optional": []})
+    assert p.must_pattern.endswith("$")
+    assert p.must_pattern.startswith(".+")
+
+
+def test_weighted_mix():
+    w, scores = weighted_similarity(
+        "acgt", "acga", {"direct": 2.0, "consistency": 1.0}, patience=1
+    )
+    assert scores["direct"] == 3.0
+    assert scores["consistency"] == 3.0
+    assert w == 3.0
+
+
+def test_udfs_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.similarity.udfs import (
+        consistency_similarity_udf,
+        direct_similarity_udf,
+        text_edit_similarity_udf,
+    )
+
+    df = spark.createDataFrame(
+        [("agcccaata", "accactctg")], ["gene", "win"]
+    )
+    row = df.select(
+        direct_similarity_udf("gene", "win").alias("d"),
+        consistency_similarity_udf("gene", "win", F.lit(2)).alias("c"),
+        text_edit_similarity_udf("gene", "win", F.lit(3)).alias("t"),
+        text_edit_similarity_udf("gene", "win", F.lit(None).cast("int")).alias("t2"),
+    ).collect()[0]
+    assert row["c"] == 3.0
+    assert row["t"] == 4.0
+    assert row["t2"] == 4.0
