@@ -814,6 +814,40 @@ def f9_blat_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship genomic scan pipeline (SURVEY.md §3.1/§7.3) on a
+    deterministic synthetic genome derived from the documents table:
+    chunked both-strand scan -> weighted similarity (direct+consistency)
+    -> W2 suppression -> W1 top-k -> reference coordinate mapping.
+    Rows-only check (the scoring kernels are not SQL-expressible)."""
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    d = _t(spark, sf_dir, "documents")
+    # md5 hex -> acgt alphabet, concatenated in doc_id order
+    base = F.translate(F.md5(F.col("text")), "0123456789abcdef", "acgtacgtacgtacgt")
+    parts = d.filter(F.col("doc_id") < 200).select(
+        F.struct(F.col("doc_id"), base.alias("h")).alias("s")
+    )
+    genome_df = parts.agg(
+        F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["h"]),
+        ).alias("seq")
+    ).select(F.lit("synthetic").alias("accession"), "seq")
+    queries_df = d.filter(F.col("doc_id") < 2).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("name"),
+        F.substring(base, 1, 12).alias("gene"),
+    )
+    return similarity_scan(
+        genome_df, queries_df, {"direct": 1.0, "consistency": 2.0},
+        top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
+    ).select(
+        "name", "accession", "strand", "offset", "start", "end",
+        F.round("weighted_similarity", 6).alias("weighted_similarity"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -850,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_textedit_similarity": f5_textedit_similarity,
         "f7_consistency_similarity": f7_consistency_similarity,
         "f9_blat_similarity": f9_blat_similarity,
+        "flagship_similarity_scan": flagship_similarity_scan,
     }
 
 

@@ -1,0 +1,146 @@
+"""Reference entry-point pipelines re-expressed as DataFrame compositions
+(SURVEY.md §3.2, §3.3 — cluster+neighbor analysis, gene extraction,
+flanking regions, enrichment joins).
+
+Each stage handoff that the reference serializes through block-text files
+(S5/S6) is simply a DataFrame here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions.sequence import (
+    downstream_flank,
+    extract_strand_seq,
+    upstream_flank,
+)
+from ncbi_analysis_spark.operators.asof import nearest_neighbors
+from ncbi_analysis_spark.operators.cluster import cluster_by_key
+from ncbi_analysis_spark.operators.distribution import value_distribution
+from ncbi_analysis_spark.operators.intervals import classify_overlaps, interval_join_broadcast
+
+
+def cluster_sequences(elements: DataFrame) -> DataFrame:
+    """§3.2 step 1 (J1/A2/A3): cluster parsed fna elements by upper-cased
+    alignment sequence; emit size, member list, representative
+    (reference src/analysis/cluster_match.py:83-114)."""
+    return cluster_by_key(
+        elements, F.upper(F.col("seq_align")), F.col("gene_no"), key_alias="seq_key"
+    )
+
+
+def aucg_filter_report(elements: DataFrame) -> DataFrame:
+    """P3 alphabet filter + offender-character report
+    (reference src/analysis/cluster_match.py:117-131)."""
+    ok = F.col("seq_target").rlike("^[AUCG]+$")
+    offenders = F.array_distinct(
+        F.filter(
+            F.split(F.col("seq_target"), ""),
+            lambda c: ~c.isin(["A", "U", "C", "G"]),
+        )
+    )
+    return elements.select(
+        "record_no", "gene_no", "seq_target", ok.alias("aucg_only"),
+        F.when(~ok, offenders).alias("offending_chars"),
+    )
+
+
+def neighbor_analysis(matches: DataFrame, genes: DataFrame) -> DataFrame:
+    """§3.2 step 2 (J4 + J3): for each match interval, the nearest gene
+    wholly left / right (as-of joins) plus all overlapping genes
+    (broadcast interval join + relation classification)
+    (reference src/analysis/neighbor_analysis.py:171-214)."""
+    nn = nearest_neighbors(
+        matches, genes, ["accession"],
+        p_left="left", p_right="right", g_left="left", g_right="right",
+    )
+    overlaps = interval_join_broadcast(
+        matches.select("accession", F.col("left").alias("m_left"), F.col("right").alias("m_right")),
+        genes.select(F.col("accession").alias("g_acc"), F.col("left").alias("g_left"),
+                     F.col("right").alias("g_right"), F.col("gene").alias("overlap_gene")),
+        "m_left", "m_right", "g_left", "g_right",
+        extra_cond=F.col("accession") == F.col("g_acc"),
+    ).drop("g_acc")
+    overlaps = classify_overlaps(overlaps, "m_left", "m_right", "g_left", "g_right")
+    agg = overlaps.groupBy("accession", "m_left", "m_right").agg(
+        F.array_join(F.sort_array(F.collect_list("overlap_gene")), ",").alias("overlap_genes")
+    )
+    return nn.join(
+        agg,
+        (nn.accession == agg.accession) & (nn.left == agg.m_left) & (nn.right == agg.m_right),
+        "left",
+    ).drop(agg.accession).drop("m_left", "m_right")
+
+
+def source_distribution(neighbors: DataFrame, prefix_words: int = 2) -> DataFrame:
+    """§3.2 step 3 (A1 + P8): distribution of organism-source prefixes and
+    nearest-gene names (reference src/analysis/neighbor_analysis.py:120-153)."""
+    pref = F.array_join(
+        F.slice(F.split(F.trim(F.col("source")), r"\s+"), 1, prefix_words), " "
+    ).alias("source_prefix")
+    return value_distribution(neighbors.select(pref), ["source_prefix"])
+
+
+def extract_gene_sequences(query_names: DataFrame, genes: DataFrame,
+                           genome: DataFrame) -> DataFrame:
+    """GeneExtract by name (J2 + F2): broadcast name-lookup join (one row
+    per matching segment) + strand-aware sequence slice; unmatched names
+    are reported via an anti-join flag
+    (reference src/analysis/gene_extract.py:40-82)."""
+    hits = (
+        query_names.join(F.broadcast(genes), "gene", "inner")
+        .join(F.broadcast(genome.select("accession", "seq")), "accession")
+        .withColumn(
+            "sequence",
+            F.when(
+                F.col("strand") == "+",
+                extract_strand_seq(F.col("seq"), F.col("left"), F.col("right")),
+            ).otherwise(
+                extract_strand_seq(F.col("seq"), F.col("right"), F.col("left"))
+            ),
+        )
+        .drop("seq")
+    )
+    missing = query_names.join(F.broadcast(genes), "gene", "left_anti").select(
+        "gene", F.lit("not found").alias("status")
+    )
+    return hits, missing
+
+
+def flanking_regions(query_names: DataFrame, genes: DataFrame, genome: DataFrame,
+                     limit: int = 200) -> DataFrame:
+    """'Gene stream' analysis (F3): up/downstream flanking regions,
+    swapped + revcomp'd on the minus strand (the reference's misleadingly
+    named GeneStreamAnalysis, src/analysis/gene_stream_analysis.py:30-45)."""
+    from ncbi_analysis_spark.functions.sequence import revcomp
+
+    up = upstream_flank(F.col("seq"), F.col("left"), limit)
+    down = downstream_flank(F.col("seq"), F.col("right"), limit)
+    return (
+        query_names.join(F.broadcast(genes), "gene", "inner")
+        .join(F.broadcast(genome.select("accession", "seq")), "accession")
+        .withColumn("upstream", F.when(F.col("strand") == "+", up).otherwise(revcomp(down)))
+        .withColumn("downstream", F.when(F.col("strand") == "+", down).otherwise(revcomp(up)))
+        .select("gene", "accession", "left", "right", "strand", "upstream", "downstream")
+    )
+
+
+def enrich_genes(genes: DataFrame, ecocyc_records: DataFrame | None = None,
+                 kegg_pathways: DataFrame | None = None,
+                 go_terms: DataFrame | None = None) -> DataFrame:
+    """J9 enrichment joins over snapshot dimension tables (the engine
+    never fetches: web sources S7-S10 are ingestion-time snapshots,
+    reference src/analysis/ecocyc_analysis.py:196-275 et al.)."""
+    out = genes
+    if ecocyc_records is not None:
+        out = out.join(
+            F.broadcast(ecocyc_records.withColumnRenamed("product", "ecocyc_product")),
+            "gene", "left",
+        )
+    if kegg_pathways is not None:
+        out = out.join(F.broadcast(kegg_pathways), "gene", "left")
+    if go_terms is not None:
+        out = out.join(F.broadcast(go_terms), "gene", "left")
+    return out

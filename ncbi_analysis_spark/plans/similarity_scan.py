@@ -1,0 +1,273 @@
+"""Flagship similarity-scan pipeline (SURVEY.md §3.1, §7.3).
+
+The reference pipeline (src/1-run_gene_similarity_match.py ->
+src/analysis/gene_similarity_match.py): every query gene x every genome
+offset x both strands, scored with a weighted similarity mix, locally
+deduplicated (sliding deque), per-gene top-k, then location-annotated.
+Parallelism there is 2 processes x 32 threads on one box.
+
+Spark shape (one declarative plan, no intermediate text files):
+
+  genome -> revcomp union (strand column)
+         -> fixed-size chunks with (L_max - 1) overlap   [chunk_genome]
+         -> cross join broadcast(query genes)
+         -> mapInPandas scorer (numpy fast-skip + kernels) -> candidates
+         -> W2 local-max suppression (window)             [operators.suppression]
+         -> W1 per-gene top-k (window)                    [operators.topk]
+
+Scale: chunks are the unit of parallelism — a 100 TB genome corpus scans
+as (total_bases / chunk_size) independent tasks; the chunk overlap
+guarantees every offset's full window lives in exactly one chunk (offsets
+in the overlap tail are owned by the next chunk). The scorer is the only
+Python stage (Arrow-batched); everything before/after is codegen + two
+keyed shuffles (suppression, top-k).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ncbi_analysis_spark.functions.sequence import revcomp
+from ncbi_analysis_spark.operators.suppression import local_max_suppress
+from ncbi_analysis_spark.operators.topk import topk_per_group
+
+CANDIDATE_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("accession", T.StringType()),
+    T.StructField("strand", T.StringType()),
+    T.StructField("offset", T.LongType()),        # 0-based, strand coords
+    T.StructField("weighted_similarity", T.DoubleType()),
+    T.StructField("direct_similarity", T.DoubleType()),
+    T.StructField("consistency_similarity", T.DoubleType()),
+    T.StructField("textedit_similarity", T.DoubleType()),
+    T.StructField("pattern_similarity", T.DoubleType()),
+])
+
+
+def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
+                 both_strands: bool = True) -> DataFrame:
+    """(accession, strand, base_offset, chunk_seq) — chunks of
+    ``chunk_size`` plus an ``overlap`` tail so windows starting in
+    [base_offset, base_offset + chunk_size) are fully contained.
+
+    The reverse strand is the reverse complement sequence, chunked the
+    same way in its own coordinate system (reference scans the revcomp
+    database, src/analysis/gene_similarity_match.py:58-66).
+    """
+    strands = genome_df.select("accession", F.lit("+").alias("strand"), F.col("seq"))
+    if both_strands:
+        strands = strands.unionByName(
+            genome_df.select("accession", F.lit("-").alias("strand"),
+                             revcomp(F.col("seq")).alias("seq"))
+        )
+    n_chunks = F.greatest(F.ceil(F.length("seq") / chunk_size), F.lit(1)).cast("int")
+    return (
+        strands
+        .select(
+            "accession", "strand", "seq",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .withColumn("base_offset", F.col("chunk_id").cast("long") * chunk_size)
+        .withColumn(
+            "chunk_seq",
+            F.substring(F.col("seq"), (F.col("base_offset") + 1).cast("int"),
+                        chunk_size + overlap),
+        )
+        .drop("seq")
+        .filter(F.length("chunk_seq") > 0)
+    )
+
+
+def _np_window_view(chunk: np.ndarray, L: int) -> np.ndarray:
+    """(n_offsets x L) sliding view over a uint8 char array."""
+    n = len(chunk) - L + 1
+    if n <= 0:
+        return np.empty((0, L), dtype=np.uint8)
+    return np.lib.stride_tricks.sliding_window_view(chunk, L)[:n]
+
+
+def _match_matrix(gene_arr: np.ndarray, windows: np.ndarray) -> np.ndarray:
+    """Bool matrix of the c->t char rule (F4) across all offsets."""
+    eq = windows == gene_arr
+    ct = (gene_arr == ord("c")) & (windows == ord("t"))
+    return eq | ct
+
+
+def scan_candidates(
+    chunks_df: DataFrame,
+    queries_df: DataFrame,
+    weights: dict[str, float],
+    patience: int = 2,
+    continuous_mismatch_limit: int | None = None,
+    pattern_conditions: dict | None = None,
+    fast_skip_cut: float | None = None,
+    score_floor: float = 0.0,
+) -> DataFrame:
+    """Score every (chunk, query) pair at every offset; emit candidates
+    with weighted score > score_floor.
+
+    Python stage strategy (mirrors the reference's pruning order,
+    src/analysis/gene_similarity_match.py:179-201,280-291):
+    fast_skip histogram filter (vectorized) -> direct score (vectorized
+    match matrix) -> exact consistency / text-edit / pattern kernels only
+    at surviving offsets.
+    """
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
+    from ncbi_analysis_spark.similarity.scorers import (
+        consistency_score,
+        text_edit_score,
+    )
+
+    w_direct = float(weights.get("direct", 0.0))
+    w_cons = float(weights.get("consistency", 0.0))
+    w_te = float(weights.get("text_edit", 0.0))
+    w_pat = float(weights.get("pattern", 0.0))
+    total_w = w_direct + w_cons + w_te + w_pat
+    if total_w <= 0:
+        raise ValueError("at least one similarity weight must be > 0")
+
+    pat_cache: dict[str, MatchPattern] = {}
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                gene = row.gene
+                L = len(gene)
+                chunk = row.chunk_seq
+                limit = len(chunk) - L + 1
+                # offsets in the overlap tail belong to the next chunk
+                owned = min(limit, row.chunk_size_)
+                if owned <= 0:
+                    continue
+                chunk_a = np.frombuffer(chunk.encode("ascii"), dtype=np.uint8)
+                gene_a = np.frombuffer(gene.encode("ascii"), dtype=np.uint8)
+                windows = _np_window_view(chunk_a, L)[:owned]
+
+                mm = _match_matrix(gene_a, windows)
+                direct = mm.sum(axis=1).astype(np.float64)
+
+                keep = np.ones(len(mm), dtype=bool)
+                if fast_skip_cut is not None:
+                    # histogram prune: sum over bases of min(gene count,
+                    # window count) >= cut (reference fast_skip)
+                    same = np.zeros(len(mm), dtype=np.int64)
+                    for b in b"acgt":
+                        g_cnt = int((gene_a == b).sum())
+                        if g_cnt == 0:
+                            continue
+                        is_b = (chunk_a == b).astype(np.int32)
+                        cs = np.concatenate(([0], np.cumsum(is_b)))
+                        win_cnt = cs[L:] - cs[:-L]
+                        same += np.minimum(g_cnt, win_cnt[:owned])
+                    keep &= same >= fast_skip_cut
+
+                pat = None
+                if w_pat > 0 and pattern_conditions is not None:
+                    pat = pat_cache.get(gene)
+                    if pat is None:
+                        pat = MatchPattern(gene, pattern_conditions)
+                        pat_cache[gene] = pat
+
+                for off in np.nonzero(keep)[0]:
+                    win = chunk[off:off + L]
+                    acc = w_direct * direct[off]
+                    s_cons = s_te = s_pat = 0.0
+                    if w_cons > 0:
+                        s_cons = consistency_score(gene, win, patience)
+                        acc += w_cons * s_cons
+                    if w_te > 0:
+                        s_te = text_edit_score(gene, win, continuous_mismatch_limit)
+                        acc += w_te * s_te
+                    if w_pat > 0:
+                        s_pat = pattern_score(pat, win)
+                        acc += w_pat * s_pat
+                    weighted = acc / total_w
+                    if weighted > score_floor:
+                        out_rows.append((
+                            row.name, row.accession, row.strand,
+                            int(row.base_offset) + int(off), weighted,
+                            float(direct[off]), s_cons, s_te, s_pat,
+                        ))
+            yield pd.DataFrame(out_rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields])
+
+    if "chunk_size_" not in chunks_df.columns:
+        raise ValueError("chunks_df must carry a chunk_size_ column (see chunk_genome)")
+    return (
+        chunks_df.join(F.broadcast(queries_df.select("name", "gene")), how="cross")
+        .mapInPandas(score_batch, CANDIDATE_SCHEMA)
+    )
+
+
+def similarity_scan(
+    genome_df: DataFrame,
+    queries_df: DataFrame,
+    weights: dict[str, float],
+    top_k: int = 20,
+    candidate_distance: int = 5,
+    patience: int = 2,
+    continuous_mismatch_limit: int | None = None,
+    pattern_conditions: dict | None = None,
+    fast_skip_cut: float | None = None,
+    chunk_size: int = 8192,
+    ascending: bool = False,
+) -> DataFrame:
+    """End-to-end flagship scan. Returns per-query top-k candidates with
+    reference coordinate semantics: forward rows start=offset+1,
+    end=offset+L; reverse rows start=db_len-offset, end=db_len-offset-L+1
+    (start > end encodes the strand;
+    src/analysis/models/match_candidate.py:16-22).
+
+    ``ascending=True`` reproduces W4 order polarity (smaller-is-better).
+    """
+    max_len_row = queries_df.select(F.max(F.length("gene")).alias("m")).collect()
+    overlap = int(max_len_row[0]["m"] or 1) - 1
+
+    chunks = chunk_genome(genome_df, chunk_size, overlap)
+    chunks = chunks.withColumn("chunk_size_", F.lit(chunk_size))
+
+    cands = scan_candidates(
+        chunks, queries_df, weights, patience, continuous_mismatch_limit,
+        pattern_conditions, fast_skip_cut,
+    )
+
+    # W2: sliding local-max suppression per (query, accession, strand)
+    sup = local_max_suppress(
+        cands, ["name", "accession", "strand"], "offset", "weighted_similarity",
+        candidate_distance,
+    )
+
+    # W1: per-query top-k (W4 polarity via ordering direction)
+    order = (
+        F.asc("weighted_similarity") if ascending else F.desc("weighted_similarity")
+    )
+    top = topk_per_group(
+        sup, ["name"], [order, F.asc("accession"), F.asc("strand"), F.asc("offset")],
+        top_k, rank_col="rk",
+    )
+
+    # reference coordinate mapping
+    db_len = genome_df.select("accession", F.length("seq").alias("db_len"))
+    gene_len = queries_df.select("name", F.length("gene").alias("gene_len"))
+    out = (
+        top.join(F.broadcast(db_len), "accession")
+        .join(F.broadcast(gene_len), "name")
+        .withColumn(
+            "start",
+            F.when(F.col("strand") == "+", F.col("offset") + 1)
+            .otherwise(F.col("db_len") - F.col("offset")),
+        )
+        .withColumn(
+            "end",
+            F.when(F.col("strand") == "+", F.col("offset") + F.col("gene_len"))
+            .otherwise(F.col("db_len") - F.col("offset") - F.col("gene_len") + 1),
+        )
+        .drop("db_len", "gene_len")
+    )
+    return out

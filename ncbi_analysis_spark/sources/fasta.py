@@ -1,0 +1,97 @@
+"""ATCC FASTA-with-attributes source (SURVEY.md §2.1 S2).
+
+Reference: splits on ``>lcl`` headers, regex-extracts
+``[locus_tag=..][location=..][gbkey=..][gene=..]`` attributes,
+``complement(a..b)`` or ``a..b`` locations, concatenates sequence lines,
+sorts by start (src/utils/atcc_database.py:20-67).
+
+Output: segments(accession_header, locus_tag, start, end, strand, gbkey,
+gene, location, sequence) ordered by start.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEGMENT_SCHEMA = T.StructType([
+    T.StructField("header", T.StringType()),
+    T.StructField("locus_tag", T.StringType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+    T.StructField("strand", T.StringType()),
+    T.StructField("gbkey", T.StringType()),
+    T.StructField("gene", T.StringType()),
+    T.StructField("location", T.StringType()),
+    T.StructField("sequence", T.StringType()),
+])
+
+_ATTR_RE = {a: re.compile(rf"\[{a}=([^\]]+)\]", re.IGNORECASE)
+            for a in ("locus_tag", "location", "gbkey", "gene")}
+_COMP_RE = re.compile(r"complement\((\d+)\.\.(\d+)\)", re.IGNORECASE)
+_PLAIN_RE = re.compile(r"(\d+)\.\.(\d+)")
+
+
+def parse_fasta_attrs(text: str) -> list[dict]:
+    segs: list[dict] = []
+    header = None
+    seq_lines: list[str] = []
+
+    def flush():
+        if header is None:
+            return
+        attrs = {a: (m.group(1) if (m := rx.search(header)) else None)
+                 for a, rx in _ATTR_RE.items()}
+        start = end = None
+        strand = "+"
+        loc = attrs.get("location") or ""
+        if m := _COMP_RE.search(loc):
+            start, end, strand = int(m.group(1)), int(m.group(2)), "-"
+        elif m := _PLAIN_RE.search(loc):
+            start, end = int(m.group(1)), int(m.group(2))
+        gene = attrs.get("gene") or (
+            f"Unknown:{attrs.get('locus_tag')}" if attrs.get("locus_tag") else "Unknown:None"
+        )
+        segs.append({
+            "header": header, "locus_tag": attrs.get("locus_tag"),
+            "start": start, "end": end, "strand": strand,
+            "gbkey": attrs.get("gbkey"), "gene": gene, "location": loc or None,
+            "sequence": "".join(seq_lines).lower(),
+        })
+
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith(">lcl"):
+            flush()
+            header = line
+            seq_lines = []
+        elif line:
+            seq_lines.append(line)
+    flush()
+    return segs
+
+
+def read_fasta_segments(spark: SparkSession, path: str) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend(parse_fasta_attrs(text))
+            yield pd.DataFrame(rows, columns=[f.name for f in SEGMENT_SCHEMA.fields])
+
+    return (
+        spark.read.text(path, wholetext=True)
+        .mapInPandas(gen, SEGMENT_SCHEMA)
+        .orderBy(F.col("start").asc_nulls_last())
+    )
+
+
+def fasta_record(name: F.Column, start: F.Column, end: F.Column, seq: F.Column) -> F.Column:
+    """S12 FASTA sink record: ``>name/start-end\\nSEQ``
+    (reference src/analysis/cluster_match.py:115-135)."""
+    return F.format_string(">%s/%s-%s\n%s", name, start, end, seq)

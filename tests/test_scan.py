@@ -1,0 +1,132 @@
+"""Flagship similarity-scan pipeline tests (SURVEY.md §3.1, §7.3).
+
+Validated two ways: against a brute-force single-machine scan using the
+(fuzz-verified) kernels, and for chunking invariance — results must not
+depend on chunk size (the overlap layout owns every offset exactly once).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.plans.similarity_scan import chunk_genome, similarity_scan
+from ncbi_analysis_spark.similarity.scorers import (
+    consistency_score,
+    direct_score,
+    weighted_similarity,
+)
+
+random.seed(11)
+GENOME = "".join(random.choice("acgt") for _ in range(3000))
+QUERIES = [("q1", "acgtacgtta"), ("q2", "ttgacagcta")]
+WEIGHTS = {"direct": 1.0, "consistency": 2.0}
+PATIENCE = 2
+DIST = 3
+TOPK = 5
+
+
+def revcomp_py(s: str) -> str:
+    return s[::-1].translate(str.maketrans("acgt", "tgca"))
+
+
+def brute_force():
+    """Reference-shaped scan: both strands, all offsets, drop <=0, W2
+    strict-dominance suppression, top-k by weighted desc."""
+    out = {}
+    for name, gene in QUERIES:
+        cands = []
+        for strand, db in (("+", GENOME), ("-", revcomp_py(GENOME))):
+            strand_cands = []
+            for off in range(len(db) - len(gene) + 1):
+                win = db[off:off + len(gene)]
+                w, _ = weighted_similarity(gene, win, WEIGHTS, patience=PATIENCE)
+                if w > 0:
+                    strand_cands.append((off, w))
+            for off, w in strand_cands:
+                dominated = any(
+                    w2 > w for o2, w2 in strand_cands if abs(o2 - off) <= DIST
+                )
+                if not dominated:
+                    cands.append((strand, off, w))
+        cands.sort(key=lambda c: (-c[2], c[0], c[1]))
+        out[name] = cands[:TOPK]
+    return out
+
+
+@pytest.fixture(scope="module")
+def scan_result(spark):
+    genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    return similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=TOPK,
+        candidate_distance=DIST, patience=PATIENCE, chunk_size=512,
+    ).collect()
+
+
+def test_scan_matches_brute_force(spark, scan_result):
+    want = brute_force()
+    got = {}
+    for r in scan_result:
+        got.setdefault(r["name"], []).append(
+            (r["strand"], r["offset"], r["weighted_similarity"])
+        )
+    for name in got:
+        got[name].sort(key=lambda c: (-c[2], c[0], c[1]))
+    assert set(got) == set(want)
+    for name in want:
+        assert got[name] == want[name], name
+
+
+def test_scan_chunk_invariance(spark, scan_result):
+    genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    one_chunk = similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=TOPK,
+        candidate_distance=DIST, patience=PATIENCE, chunk_size=100_000,
+    ).collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r["name"], r["strand"], r["offset"], round(r["weighted_similarity"], 9))
+        for r in rows
+    )
+    assert key(one_chunk) == key(scan_result)
+
+
+def test_scan_coordinates(spark, scan_result):
+    L = len(QUERIES[0][1])
+    n = len(GENOME)
+    for r in scan_result:
+        if r["strand"] == "+":
+            assert r["start"] == r["offset"] + 1 and r["end"] == r["offset"] + L
+            assert r["start"] <= r["end"]
+        else:
+            assert r["start"] == n - r["offset"] and r["end"] == n - r["offset"] - L + 1
+            assert r["start"] > r["end"]  # strand encoded by coordinate order
+
+
+def test_chunk_genome_covers_everything(spark):
+    genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
+    chunks = chunk_genome(genome_df, 500, 9, both_strands=False).collect()
+    assert all(len(c["chunk_seq"]) <= 509 for c in chunks)
+    rebuilt = "".join(
+        c["chunk_seq"][:500] for c in sorted(chunks, key=lambda c: c["base_offset"])
+    )
+    assert rebuilt == GENOME
+
+
+def test_fast_skip_prune_keeps_results(spark):
+    genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    pruned = similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=TOPK, candidate_distance=DIST,
+        patience=PATIENCE, chunk_size=512, fast_skip_cut=3,
+    ).collect()
+    # fast-skip at a low cut must not change the top-k (scores there are high)
+    full = similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=TOPK, candidate_distance=DIST,
+        patience=PATIENCE, chunk_size=512,
+    ).collect()
+    key = lambda rows: sorted((r["name"], r["strand"], r["offset"]) for r in rows)  # noqa: E731
+    assert key(pruned) == key(full)

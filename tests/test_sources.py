@@ -1,0 +1,133 @@
+"""Source reader tests on synthetic fixtures mirroring the reference's
+input formats (SURVEY.md §2.1 S1-S4)."""
+
+from __future__ import annotations
+
+import textwrap
+
+from ncbi_analysis_spark.sources import cluster_blocks, ecocyc, fasta, genbank
+
+GENBANK_TEXT = textwrap.dedent("""\
+    LOCUS       NC_TEST              120 bp    DNA     circular CON 01-JAN-2020
+    DEFINITION  Test genome.
+    SOURCE      Escherichia coli str. K-12 substr. Test
+      ORGANISM  Escherichia coli
+    FEATURES             Location/Qualifiers
+         source          1..120
+         gene            3..50
+                         /gene="thrA"
+                         /locus_tag="b0001"
+                         /db_xref="GeneID:944742"
+                         /db_xref="ASAP:ABE-0000006"
+         gene            complement(60..100)
+                         /gene="thrB"
+                         /product="homoserine kinase
+                         with continuation"
+                         /codon_start=1
+         gene            join(10..20,30..40)
+                         /gene="badjoin"
+    ORIGIN
+            1 acgtacgtac gtacgtacgt acgtacgtac gtacgtacgt acgtacgtac gtacgtacgt
+           61 aaaaccccgg ggttttaaaa ccccggggtt ttaaaacccc ggggttttaa aaccccgggg
+    //
+    """)
+
+
+def test_parse_genbank_semantics():
+    acc, source, dna, genes = genbank.parse_genbank(GENBANK_TEXT)
+    assert acc == "NC_TEST"
+    assert source == "Escherichia coli str. K-12 substr. Test"
+    assert len(dna) == 120 and dna.startswith("acgtacgtac")
+    # join(...) locations are skipped like the reference
+    assert [g["gene"] for g in genes] == ["thrA", "thrB"]
+    thrA, thrB = genes
+    assert (thrA["left"], thrA["right"], thrA["strand"]) == (3, 50, "+")
+    assert thrA["gene_id"] == 944742
+    assert thrA["xref"] == {"ASAP": "ABE-0000006"}
+    assert (thrB["left"], thrB["right"], thrB["strand"]) == (60, 100, "-")
+    # multi-line attribute continuation
+    assert thrB["product"] == "homoserine kinase with continuation"
+    assert thrB["codon_start"] == 1
+
+
+def test_read_genbank_dataframes(spark, tmp_path):
+    p = tmp_path / "test.gb"
+    p.write_text(GENBANK_TEXT)
+    genes = genbank.read_genbank_genes(spark, str(p)).collect()
+    genome = genbank.read_genbank_genome(spark, str(p)).collect()
+    assert {g["gene"] for g in genes} == {"thrA", "thrB"}
+    assert genome[0]["accession"] == "NC_TEST" and len(genome[0]["seq"]) == 120
+
+
+FASTA_TEXT = textwrap.dedent("""\
+    >lcl|NZ_TEST.1_gene_1 [gene=alr] [locus_tag=AT1] [location=complement(10..40)] [gbkey=Gene]
+    acgtacgtacgtacgt
+    acgtacgtacgtacgt
+    >lcl|NZ_TEST.1_gene_2 [locus_tag=AT2] [location=50..70] [gbkey=Gene]
+    ttttccccggggaaaa
+    """)
+
+
+def test_fasta_reader(spark, tmp_path):
+    p = tmp_path / "atcc.fasta"
+    p.write_text(FASTA_TEXT)
+    segs = fasta.read_fasta_segments(spark, str(p)).collect()
+    assert len(segs) == 2
+    s1, s2 = sorted(segs, key=lambda s: s["start"])
+    assert (s1["gene"], s1["start"], s1["end"], s1["strand"]) == ("alr", 10, 40, "-")
+    assert s1["sequence"] == "acgtacgtacgtacgt" * 2
+    # missing gene attr falls back to Unknown:<locus_tag> like the reference
+    assert s2["gene"] == "Unknown:AT2" and s2["strand"] == "+"
+
+
+ECOCYC_TSV = (
+    "gene\tproduct\tpromoter_name\tpromoter_pos\tgene_start_pos\tmap_start_pos\tmap_end_pos\n"
+    "thrL\tleader\tthrLp\t148\t190\t190\t255\n"
+    "revG\trev product\t\t\t\t500\t400\n"
+)
+
+
+def test_ecocyc_reader(spark, tmp_path):
+    p = tmp_path / "ecocyc.tsv"
+    p.write_text(ECOCYC_TSV)
+    records, inter = ecocyc.read_ecocyc(spark, str(p), output_promoter=True)
+    recs = {r["gene"]: r for r in records.collect()}
+    assert recs["revG"]["promoter_pos"] == -1  # '' -> -1 sentinel
+    rows = inter.collect()
+    # thrL gene + thrL promoter + revG gene; sorted by start
+    assert [r["name"] for r in rows] == ["thrLp", "thrL", "revG"]
+    prom = rows[0]
+    assert (prom["is_gene"], prom["start"], prom["end"]) == (False, 148, 190)
+    rev = rows[2]
+    assert rev["direction"] == "<" and (rev["left"], rev["right"]) == (400, 500)
+
+
+CLUSTER_TEXT = textwrap.dedent("""\
+    >> block one
+    comment line
+    another
+    (17) ?
+    rna_tag 5 AUCG 8
+    NZ_1 5 acgu 8
+    NZ_1 5 ACGU 8
+
+    >> block two
+    x
+    y
+    (18) skipme
+    rna_tag 1 AAAA 4
+    NZ_2 1 cccc 4
+    NZ_2 1 GGGG 4
+    """)
+
+
+def test_cluster_block_reader(spark, tmp_path):
+    p = tmp_path / "clusters.fna"
+    p.write_text(CLUSTER_TEXT)
+    rows = cluster_blocks.read_cluster_blocks(spark, str(p), "rna_tag").collect()
+    # block two fails the ?/! flag filter (P4)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["gene_no"] == "17"
+    assert (r["name"], r["start"], r["end"]) == ("NZ_1", 5, 8)
+    assert (r["seq_rna"], r["seq_align"], r["seq_target"]) == ("AUCG", "acgu", "ACGU")
