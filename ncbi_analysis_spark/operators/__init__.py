@@ -10,6 +10,7 @@ from ncbi_analysis_spark.operators import (  # noqa: F401
     dedup,
     distribution,
     intervals,
+    multimodal,
     reorder,
     similarity_search,
     suppression,

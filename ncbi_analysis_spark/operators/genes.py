@@ -1,0 +1,99 @@
+"""Gene-position operators: cover-preference join, promoter selection,
+presentation glyphs (SURVEY.md §2.3 J7, §2.7 F13/F16/F17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions.sequence import overlap_size
+
+
+def cover_preference_join(
+    ranges: DataFrame,
+    genes: DataFrame,
+    on: list[str],
+    r_left: str = "left", r_right: str = "right",
+    g_left: str = "left", g_right: str = "right",
+) -> DataFrame:
+    """J7: join each range to overlapping genes; if any single gene covers
+    the whole range, keep only covering gene(s); else keep all overlaps
+    (reference src/utils/gene_position_helper.py:18-43,61-66).
+
+    Implemented as a range join + a per-range window preferring
+    ``covers`` rows (rank over covers desc).
+    """
+    g = genes
+    for c in (g_left, g_right):
+        g = g.withColumnRenamed(c, f"g_{c}")
+    cond = (F.col(r_left) <= F.col(f"g_{g_right}")) & (F.col(r_right) >= F.col(f"g_{g_left}"))
+    for k in on:
+        g = g.withColumnRenamed(k, f"g_{k}")
+        cond = cond & (F.col(k) == F.col(f"g_{k}"))
+    joined = ranges.join(F.broadcast(g), cond, "inner").drop(*[f"g_{k}" for k in on])
+    covers = (
+        (F.col(f"g_{g_left}") <= F.col(r_left)) & (F.col(f"g_{g_right}") >= F.col(r_right))
+    ).cast("int")
+    w = Window.partitionBy(*on, r_left, r_right)
+    return (
+        joined.withColumn("__covers", covers)
+        .withColumn("__max_covers", F.max("__covers").over(w))
+        .filter(F.col("__covers") == F.col("__max_covers"))
+        .drop("__covers", "__max_covers")
+    )
+
+
+def select_promoter(genes_tu: DataFrame, promoters: DataFrame, on: list[str]) -> DataFrame:
+    """F16: direction-aware promoter selection — for each gene, the
+    nearest promoter at or before its start on the same strand (reverse
+    strand: at or after), via the as-of pattern
+    (reference get_target_promoter, src/utils/gene_promoter_util.py:89-167).
+    """
+    from ncbi_analysis_spark.operators.asof import asof_join
+
+    fwd = asof_join(
+        genes_tu.filter(F.col("strand") == "+"),
+        promoters.filter(F.col("strand") == "+")
+        .select(*on, F.col("pos").alias("p_pos"), F.col("promoter").alias("p_name")),
+        on, "start", "p_pos", ["p_name"], direction="backward",
+    )
+    rev = asof_join(
+        genes_tu.filter(F.col("strand") == "-"),
+        promoters.filter(F.col("strand") == "-")
+        .select(*on, F.col("pos").alias("p_pos"), F.col("promoter").alias("p_name")),
+        on, "start", "p_pos", ["p_name"], direction="forward",
+    )
+    return fwd.unionByName(rev).withColumnRenamed("asof_p_name", "promoter") \
+        .withColumnRenamed("asof_ts", "promoter_pos")
+
+
+def direction_glyphs(m_left: Column, m_right: Column, g_left: Column, g_right: Column,
+                     strand: Column) -> Column:
+    """F13 presentation: gene drawn as 10 direction chars; deciles with
+    >50% overlap by the match interval replaced by '*'
+    (reference src/analysis/gene_location_analysis.py:213-240)."""
+    glen = (g_right - g_left + 1).cast("double")
+    arrow = F.when(strand == "+", F.lit(">")).otherwise(F.lit("<"))
+
+    def decile(i: int) -> Column:
+        d_left = (g_left + (glen * i / 10)).cast("long")
+        d_right = (g_left + (glen * (i + 1) / 10)).cast("long") - 1
+        ov = overlap_size(m_left, m_right, d_left, d_right).cast("double")
+        dlen = (d_right - d_left + 1).cast("double")
+        return F.when(ov * 2 > dlen, F.lit("*")).otherwise(arrow)
+
+    return F.concat(*[decile(i) for i in range(10)])
+
+
+def random_split_triples(targets: DataFrame, value_col: str, seed: int = 42,
+                         jitter: float = 0.025) -> DataFrame:
+    """F17: per target x, two uniform draws in [(1-jitter)x, (1+jitter)x],
+    third = 3x - sum, so the triple averages exactly x
+    (reference src/run_random_generate.py:16-25)."""
+    x = F.col(value_col).cast("double")
+    lo, hi = 1.0 - jitter, 1.0 + jitter
+    a = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * F.rand(seed))
+    b = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * F.rand(seed + 1))
+    return targets.withColumn("v1", a).withColumn("v2", b) \
+        .withColumn("v3", 3 * x - F.col("v1") - F.col("v2"))

@@ -848,6 +848,49 @@ def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' bytes as opaque image
+    payloads -> mapInPandas decode (deterministic md5 stub; real codec is
+    a drop-in, operators/multimodal.py) -> per-media features. The stub
+    is md5-derived, so a DuckDB oracle verifies the full Arrow round-trip
+    bit-exactly."""
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("png").alias("format"),
+        ).alias("meta"),
+    )
+    out = mm.image_features(media)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("mean_luma", 6).alias("mean_luma"), "phash64",
+    )
+
+
+MULTIMODAL_SQL = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents)
+SELECT media_id,
+       (('0x' || substr(hx, 1, 2))::INT % 64 + 1)::INT AS width,
+       (('0x' || substr(hx, 3, 2))::INT % 64 + 1)::INT AS height,
+       ROUND(('0x' || substr(hx, 5, 2))::INT / 255.0, 6) AS mean_luma,
+       (CASE WHEN ('0x' || substr(hx, 1, 16))::UBIGINT >= 9223372036854775808::UBIGINT
+             THEN (('0x' || substr(hx, 1, 16))::UBIGINT - 9223372036854775808::UBIGINT)::BIGINT
+                  - 9223372036854775807 - 1
+             ELSE ('0x' || substr(hx, 1, 16))::UBIGINT::BIGINT END) AS phash64
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -885,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_consistency_similarity": f7_consistency_similarity,
         "f9_blat_similarity": f9_blat_similarity,
         "flagship_similarity_scan": flagship_similarity_scan,
+        "multimodal_image_features": multimodal_image_features,
     }
 
 
@@ -916,4 +960,5 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_dist_sql(),
         "f6_direct_similarity": F6_SQL,
+        "multimodal_image_features": MULTIMODAL_SQL,
     }

@@ -1,0 +1,135 @@
+"""Streaming operators over the events stream.
+
+All operators take a streaming DataFrame (``spark.readStream``) and
+return a transformed streaming DataFrame; callers pick the sink/trigger.
+Watermarks bound state so these run indefinitely at cluster scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """events as a file stream; ``path`` must be a directory (file-stream
+    source requirement). The driver testdata stores TIMESTAMP(NANOS)
+    which Spark's reader rejects; nanos are read as long and truncated to
+    microsecond timestamps (same rule as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Event-time tumbling-window counts per event_type with late-data
+    handling (A1's streaming form)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"),
+                "event_type", "cnt", "sum_value")
+    )
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str],
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Exact dedup in a stream: dropDuplicates bounded by the watermark
+    (the streaming form of operators.dedup.exact_dedup)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates([*keys, "ts"])
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize(stream: DataFrame, gap: str = "30 minutes",
+               watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator: per-user session windows with a gap
+    timeout, via ``applyInPandasWithState`` (the pattern the reference
+    has no equivalent for — SURVEY §2.8 notes streaming as extension).
+
+    Emits one row per closed session (event-time timeout)."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            })
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        if not ts_us:
+            return
+        ts_us.sort()
+        closed = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            if t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + int(pd.Timedelta(gap).total_seconds() * 1000))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            })
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+    """Run a streaming query to a memory sink with availableNow (test and
+    smoke-check helper: processes everything currently in the source,
+    then stops)."""
+    q = (
+        stream_df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests: schemas, batch shapes, UDF signatures are
+real; the codec step is the documented deterministic stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ncbi_analysis_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"imgbytes-1", (32, 16, 3, None, None, "png")),
+        (2, "image", b"imgbytes-2", (None, None, 3, None, None, "jpg")),
+        (3, "video", b"vidbytes-3", (640, 480, 3, None, 3500, "mp4")),
+        (4, "audio", b"audbytes-4", (None, None, 1, 16000, 2000, "wav")),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark, media):
+    out = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert set(out) == {1, 2}  # only images
+    # meta wins when present; fake decode fills gaps deterministically
+    assert (out[1]["width"], out[1]["height"]) == (32, 16)
+    h = hashlib.md5(b"imgbytes-2").digest()
+    assert out[2]["width"] == (h[0] % 64) + 1
+    again = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert out[2]["phash64"] == again[2]["phash64"]
+
+
+def test_resize_requires_codec(media):
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(media, 64, 64)
+
+
+def test_sample_frames_shape(spark, media):
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    # 3500ms video at 1fps -> 3 frames; only the video row produces output
+    assert len(frames) == 3
+    assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == [0, 1, 2]
+    assert all(f["media_id"] == 3 and len(f["frame"]) == 16 for f in frames)
+
+
+def test_media_stats_no_decode(spark, media):
+    stats = {r["kind"]: r for r in mm.media_stats(media).collect()}
+    assert stats["image"]["n"] == 2
+    assert stats["video"]["avg_duration_ms"] == 3500.0
+    assert stats["audio"]["total_bytes"] == len(b"audbytes-4")
