@@ -81,6 +81,44 @@ def consistency_score(gene: str, window: str, patience: int = 2) -> float:
     return float(best)
 
 
+def consistency_render(gene: str, window: str, patience: int = 2) -> tuple[float, str]:
+    """Score + glyph string for the consistency similarity: matched
+    positions '*', bridged-merge gaps '-', others '.'
+    (reference rendering_sequence,
+    src/analysis/similarities/consistency_similarity.py:7-30)."""
+    runs = _match_runs(gene, window)
+    best = max((ln for ln, _ in runs), default=0)
+    merge_lo, merge_hi = -1, -1
+    for i in range(len(runs)):
+        span_start = runs[i][1] - runs[i][0]
+        merged = 0
+        for w in range(patience + 1):
+            if i + w >= len(runs):
+                break
+            span_len = runs[i + w][1] - span_start
+            merged += runs[i + w][0]
+            if span_len - merged > patience:
+                break
+            if merged > best:
+                best = merged
+                merge_lo, merge_hi = i, i + w
+    glyphs: list[str] = []
+    cur = 0
+    n = len(gene)
+    for idx, (ln, end) in enumerate(runs):
+        run_start = end - ln
+        while cur < run_start:
+            glyphs.append("-" if merge_lo < idx <= merge_hi else ".")
+            cur += 1
+        while cur < end:
+            glyphs.append("*")
+            cur += 1
+    while cur < n:
+        glyphs.append(".")
+        cur += 1
+    return float(best), "".join(glyphs)
+
+
 def text_edit_score(
     gene: str, window: str, continuous_mismatch_limit: int | None = None
 ) -> float:
