@@ -475,6 +475,47 @@ WHERE regexp_matches(event_type, '^(click|view)$')
 # LLM-data-pipeline extensions (BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
+def f3_flanks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 flanking-region extraction (reference gene_stream_analysis.py:
+    30-45): upstream/downstream windows around a 1-based position, plus a
+    reverse-strand slice (revcomp of the region)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    pos = F.lit(20)
+    return d.select(
+        "doc_id",
+        seqf.upstream_flank(t, pos, 5).alias("up5"),
+        seqf.downstream_flank(t, pos, 5).alias("down5"),
+        seqf.extract_strand_seq(t, F.lit(30), F.lit(21)).alias("rev_slice"),
+    )
+
+
+F3_SQL = """
+SELECT doc_id,
+       substr(LOWER(text), GREATEST(20 - 5, 1), 20 - GREATEST(20 - 5, 1)) AS up5,
+       substr(LOWER(text), 21, 5) AS down5,
+       REVERSE(TRANSLATE(substr(LOWER(text), 21, 10), 'acgtACGT', 'tgcaTGCA')) AS rev_slice
+FROM documents
+"""
+
+
+def p1_header_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 header-driven projection: re-emit a fixed column list in
+    order, '' for columns the source lacks (reference extract_output,
+    src/analysis/ecocyc_analysis.py:115-138)."""
+    d = _t(spark, sf_dir, "documents")
+    wanted = ["doc_id", "source", "lang", "promoter_name"]  # last one absent
+    cols = [
+        (F.col(c) if c in d.columns else F.lit("")).alias(c) for c in wanted
+    ]
+    return d.select(*cols)
+
+
+P1_SQL = """
+SELECT doc_id, source, lang, '' AS promoter_name FROM documents
+"""
+
+
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups over md5(normalized text)."""
     d = _t(spark, sf_dir, "documents")
@@ -912,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_asof_forward": j5_asof_forward,
         "j8_reorder_by_index": j8_reorder_by_index,
         "f2_sequence_ops": f2_sequence_ops,
+        "f3_flanks": f3_flanks,
+        "p1_header_projection": p1_header_projection,
         "p7_regex_filter": p7_regex_filter,
         "dedup_exact_groups": dedup_exact_groups,
         "dedup_minhash_signature": dedup_minhash_signature,
@@ -949,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "j5_asof_forward": J5_SQL,
         "j8_reorder_by_index": J8_SQL,
         "f2_sequence_ops": F2_SQL,
+        "f3_flanks": F3_SQL,
+        "p1_header_projection": P1_SQL,
         "p7_regex_filter": P7_SQL,
         "dedup_exact_groups": DEDUP_EXACT_SQL,
         "dedup_minhash_signature": DEDUP_MINHASH_SQL,
