@@ -66,6 +66,26 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
+    # strands with branch-and-bound floor (the scale configuration;
+    # exact-parity no-floor mode is ~20x slower and is what the reference
+    # does offset-by-offset in pure Python)
+    import random
+
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    rnd = random.Random(2)
+    genome = "".join(rnd.choice("acgt") for _ in range(1_000_000))
+    gq = [(f"q{i}", "".join(rnd.choice("acgt") for _ in range(12))) for i in range(2)]
+    g_df = spark.createDataFrame([("bench", genome)], ["accession", "seq"])
+    q_df = spark.createDataFrame(gq, ["name", "gene"])
+    t0 = time.time()
+    similarity_scan(
+        g_df, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
+        candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
+    ).write.format("noop").mode("overwrite").save()
+    timings["flagship_scan_1mbp"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",

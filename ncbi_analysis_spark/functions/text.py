@@ -64,10 +64,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
-def char_shingles(text: Column, k: int = 8) -> Column:
-    """Character k-gram shingles (for fingerprinting / near-dup on short text)."""
+def char_shingles(text: Column, k: int = 8, stride: int = 1) -> Column:
+    """Character k-gram shingles (for fingerprinting / near-dup on short
+    text). ``stride`` > 1 samples every stride-th gram — the winnowing
+    trade-off (stride-1 edits can shift the minimizer, cost drops by
+    stride x)."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.length(text) - k + 1, F.lit(1)), F.lit(stride)),
         lambda i: F.substring(text, i, k),
     )
 
@@ -150,12 +153,17 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, lower_toks: Column | None = None) -> Column:
     """Language-ID heuristic: count marker-stopword hits per language,
     return the argmax (ties broken by LANG_MARKERS order), 'und' if no
     marker hits at all.
+
+    Pass ``lower_toks`` (pre-computed lowercased token array) to share
+    the tokenization with sibling expressions — Catalyst does not CSE
+    across when-branches, so re-tokenizing per feature costs a split
+    per column otherwise.
     """
-    toks = tokens(F.lower(text))
+    toks = lower_toks if lower_toks is not None else tokens(F.lower(text))
 
     def marker_hits(ws: list[str]):
         return F.size(F.filter(toks, lambda t: t.isin(ws)))
@@ -180,15 +188,15 @@ def alpha_ratio(text: Column) -> Column:
     )
 
 
-def stopword_ratio(text: Column) -> Column:
+def stopword_ratio(text: Column, lower_toks: Column | None = None) -> Column:
     """Fraction of tokens that are common English stopwords."""
-    toks = tokens(F.lower(text))
+    toks = lower_toks if lower_toks is not None else tokens(F.lower(text))
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, lower_toks: Column | None = None) -> Column:
     """Composite document-quality score in [0,1]:
     0.4 * min(1, tokens/64) + 0.3 * alpha_ratio + 0.3 * (1 - |stopword_ratio - 0.4|).
 
@@ -199,13 +207,15 @@ def quality_score(text: Column) -> Column:
     return (
         F.lit(0.4) * F.least(F.lit(1.0), tc / F.lit(64.0))
         + F.lit(0.3) * alpha_ratio(text)
-        + F.lit(0.3) * (F.lit(1.0) - F.abs(stopword_ratio(text) - F.lit(0.4)))
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stopword_ratio(text, lower_toks) - F.lit(0.4)))
     )
 
 
-def doc_fingerprint(text: Column, k: int = 8) -> Column:
-    """Document fingerprint: minimum 32-bit hash over character k-grams
-    (winnowing-lite / MinHash-of-char-shingles). Stable under small edits
-    away from the minimizing k-gram; cross-engine reproducible.
+def doc_fingerprint(text: Column, k: int = 8, stride: int = 4) -> Column:
+    """Document fingerprint: minimum 32-bit hash over strided character
+    k-grams (winnowing-lite / MinHash-of-char-shingles). Stable under
+    small edits away from the minimizing k-gram; cross-engine
+    reproducible; stride trades edit-shift sensitivity for a stride-x
+    cost cut (the per-gram hash is the hot loop of text_stats).
     """
-    return F.array_min(F.transform(char_shingles(text, k), lambda s: _hash32(s)))
+    return F.array_min(F.transform(char_shingles(text, k, stride), lambda s: _hash32(s)))

@@ -111,6 +111,25 @@ def simhash_fingerprints(df: DataFrame, text: str, id_col: str) -> DataFrame:
     return bits.select(F.col(id_col), sim.alias("simhash"))
 
 
+def doc_fingerprints(df: DataFrame, text: str, id_col: str, k: int = 8,
+                     stride: int = 4) -> DataFrame:
+    """Min char-k-gram hash fingerprint per row — explode+aggregate form
+    of functions.text.doc_fingerprint (same value, codegen'd md5 + hash
+    aggregate instead of the interpreted array fold)."""
+    from ncbi_analysis_spark.functions.text import _hash32, char_shingles
+
+    # slice the k-grams BEFORE exploding so exploded rows carry 8-char
+    # strings, not a copy of the whole document per position
+    sh = df.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text), k, stride)).alias("__sh")
+    )
+    return (
+        sh.select(id_col, _hash32(F.col("__sh")).alias("__h"))
+        .groupBy(id_col)
+        .agg(F.min("__h").alias("fp32"))
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

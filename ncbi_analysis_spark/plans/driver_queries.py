@@ -697,17 +697,24 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (P8), char histogram (A4)."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
-    toks = textf.tokens(t)
-    return d.select(
+    # tokenize ONCE (a project barrier) — every downstream feature reads
+    # the materialized arrays instead of re-running split per column
+    staged = d.select(
+        "doc_id", "text",
+        textf.tokens(t).alias("toks"),
+        textf.tokens(F.lower(t)).alias("ltoks"),
+    )
+    lt = F.col("ltoks")
+    return staged.select(
         "doc_id",
         textf.token_count(t).cast("long").alias("tok_cnt"),
         textf.bpe_ish_token_count(t).alias("bpe_cnt"),
         F.round(textf.alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(textf.stopword_ratio(t), 6).alias("stop_ratio"),
-        textf.lang_id(t).alias("lang_guess"),
-        F.round(textf.quality_score(t), 6).alias("quality"),
+        F.round(textf.stopword_ratio(t, lt), 6).alias("stop_ratio"),
+        textf.lang_id(t, lt).alias("lang_guess"),
+        F.round(textf.quality_score(t, lt), 6).alias("quality"),
         textf.doc_fingerprint(t, 8).alias("fp32"),
-        F.array_join(F.slice(toks, 1, 2), " ").alias("prefix2"),
+        F.array_join(F.slice(F.col("toks"), 1, 2), " ").alias("prefix2"),
         (F.length(t) - F.length(F.replace(t, F.lit("a"), F.lit("")))).cast("long").alias("n_a"),
     )
 
@@ -741,8 +748,8 @@ def _text_stats_sql() -> str:
     bpe = ("list_reduce(list_prepend(0::BIGINT, list_transform("
            "string_split_regex(LOWER(text), '[^a-z0-9]+'), "
            "w -> CEIL(LENGTH(w) / 4.0)::BIGINT)), (a, b) -> a + b)")
-    fp = ("list_aggregate(list_transform(range(GREATEST(LENGTH(text) - 8 + 1, 1)), "
-          "i -> ('0x' || substr(md5(substr(text, (i + 1)::INT, 8)), 1, 8))::BIGINT), 'min')")
+    fp = ("list_aggregate(list_transform(range(1, GREATEST(LENGTH(text) - 8 + 1, 1) + 1, 4), "
+          "i -> ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 8))::BIGINT), 'min')")
     return f"""
 SELECT doc_id,
        {tokc}::BIGINT AS tok_cnt,

@@ -154,6 +154,15 @@ def scan_candidates(
                 direct = mm.sum(axis=1).astype(np.float64)
 
                 keep = np.ones(len(mm), dtype=bool)
+                if score_floor > 0 and w_pat == 0:
+                    # sound branch-and-bound prune: consistency <= direct and
+                    # text-edit <= L, so the weighted score is at most
+                    # ((w_d + w_c) * direct + w_te * L) / W — offsets whose
+                    # bound can't beat the floor never reach the exact
+                    # Python kernels (pattern scores have no cheap bound, so
+                    # pruning is disabled when w_pat > 0)
+                    bound = ((w_direct + w_cons) * direct + w_te * L) / total_w
+                    keep &= bound > score_floor
                 if fast_skip_cut is not None:
                     # histogram prune: sum over bases of min(gene count,
                     # window count) >= cut (reference fast_skip)
@@ -217,6 +226,7 @@ def similarity_scan(
     fast_skip_cut: float | None = None,
     chunk_size: int = 8192,
     ascending: bool = False,
+    score_floor: float = 0.0,
 ) -> DataFrame:
     """End-to-end flagship scan. Returns per-query top-k candidates with
     reference coordinate semantics: forward rows start=offset+1,
@@ -229,12 +239,17 @@ def similarity_scan(
     max_len_row = queries_df.select(F.max(F.length("gene")).alias("m")).collect()
     overlap = int(max_len_row[0]["m"] or 1) - 1
 
-    chunks = chunk_genome(genome_df, chunk_size, overlap)
-    chunks = chunks.withColumn("chunk_size_", F.lit(chunk_size))
+    # chunks explode out of a tiny genome_df (rows = accessions x strands),
+    # so without an explicit redistribution the whole scan would run in
+    # |genome rows| tasks — repartition by chunk identity to spread the
+    # Python scoring across the cluster
+    chunks = chunk_genome(genome_df, chunk_size, overlap) \
+        .repartition("accession", "strand", "chunk_id") \
+        .withColumn("chunk_size_", F.lit(chunk_size))
 
     cands = scan_candidates(
         chunks, queries_df, weights, patience, continuous_mismatch_limit,
-        pattern_conditions, fast_skip_cut,
+        pattern_conditions, fast_skip_cut, score_floor,
     )
 
     # W2: sliding local-max suppression per (query, accession, strand)
