@@ -86,6 +86,18 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     timings["flagship_scan_1mbp"] = round(time.time() - t0, 3)
 
+    # vectorized ANN production path (BLAS matmul per Arrow batch; the
+    # expression-fold form benches as ann_brute_force above)
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.similarity_search import brute_force_topk_np
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = emb.filter(F.col("vec_id") < 16).select(F.col("vec_id").alias("q_id"), "embedding")
+    t0 = time.time()
+    brute_force_topk_np(emb, qv, k=10).write.format("noop").mode("overwrite").save()
+    timings["ann_brute_force_np"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
