@@ -210,17 +210,21 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
         sh = sh.join(F.broadcast(freq.select("sh")), "sh", "inner")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # carry the per-doc shingle count on every row via a window — it
+    # reuses the partition-by-id shuffle the shingle window already did,
+    # so the two extra "sizes" joins (and their full shingle-pipeline
+    # recomputations) disappear from the plan
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    out = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
         .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

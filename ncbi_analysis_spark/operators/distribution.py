@@ -17,6 +17,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def with_progress_counters(df: DataFrame, name: str = "progress",
+                           success_pred: Column | None = None) -> DataFrame:
+    """A7 success/failure counters (reference running solved/succ/fail
+    tallies, src/analysis/ecocyc_analysis.py:53-111): Spark-native
+    ``observe()`` metrics — read them from the QueryExecutionListener or
+    ``df.observe`` result after an action; no extra pass over the data."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if success_pred is not None:
+        metrics.append(F.sum(success_pred.cast("long")).alias("n_success"))
+    return df.observe(name, *metrics)
+
+
 def value_distribution(
     df: DataFrame,
     key_cols: list[str | Column],

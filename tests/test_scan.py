@@ -116,6 +116,24 @@ def test_chunk_genome_covers_everything(spark):
     assert rebuilt == GENOME
 
 
+def test_scan_ascending_polarity(spark):
+    """W4: ascending=True reproduces the reference's score-negation path
+    (OrderType.Increment) — smallest weighted scores rank first."""
+    genome_df = spark.createDataFrame([("acc", GENOME[:800])], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES[:1], ["name", "gene"])
+    asc = similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=3, candidate_distance=DIST,
+        patience=PATIENCE, chunk_size=512, ascending=True,
+    ).collect()
+    desc = similarity_scan(
+        genome_df, queries_df, WEIGHTS, top_k=3, candidate_distance=DIST,
+        patience=PATIENCE, chunk_size=512,
+    ).collect()
+    assert max(r["weighted_similarity"] for r in asc) <= min(
+        r["weighted_similarity"] for r in desc
+    )
+
+
 def test_fast_skip_prune_keeps_results(spark):
     genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
     queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
