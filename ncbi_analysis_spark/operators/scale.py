@@ -1,0 +1,59 @@
+"""Scale techniques as reusable operators: skew salting and bucketed
+co-located joins (SURVEY.md §4 — the physical tricks a 100 TB deployment
+needs; the reference has no equivalents because it never distributes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skewed keys.
+
+    The left (large, skewed) side gets a random salt in [0, salt);
+    the right side is exploded ``salt`` x with every salt value, so each
+    (key, salt) bucket joins independently — a hot key spreads over
+    ``salt`` reducers instead of melting one. Result set is identical to
+    the plain join (verified by the driver oracle).
+
+    Use when AQE's skew-join splitting isn't enough (e.g. one key is
+    >50% of the data) and the right side is small enough to replicate
+    ``salt`` x. Salt uses ``rand`` — for deterministic task retries Spark
+    re-seeds per task attempt, which is safe because any salt value joins
+    correctly.
+    """
+    lsalt = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalt.join(rsalt, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32,
+                   sort: bool = True) -> None:
+    """Persist a table bucketed (and sorted) by its join key.
+
+    Two tables bucketed by the same key with the same bucket count join
+    with NO exchange and (if sorted) no sort — the co-located join that
+    replaces the reference's in-memory index lookups at cluster scale.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark, left_table: str, right_table: str, on: str,
+                  how: str = "inner") -> DataFrame:
+    """Join two same-bucketed tables (see write_bucketed) — the physical
+    plan contains no Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

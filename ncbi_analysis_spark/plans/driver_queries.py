@@ -426,6 +426,32 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 """
 
 
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (SURVEY §4 scale technique): result must be
+    identical to the plain join — the oracle proves salting changes the
+    physical distribution, never the semantics."""
+    from ncbi_analysis_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", salt=8)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+J_SALTED_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def f2_sequence_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2 sequence scalar ops (reference get_opposite_dna + 1-based
     slicing, src/utils/gene_util.py:1-8, src/utils/ncbi_database.py:153-156)
@@ -959,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_asof_backward": j4_asof_backward,
         "j5_asof_forward": j5_asof_forward,
         "j8_reorder_by_index": j8_reorder_by_index,
+        "j_salted_skew_join": j_salted_skew_join,
         "f2_sequence_ops": f2_sequence_ops,
         "f3_flanks": f3_flanks,
         "p1_header_projection": p1_header_projection,
@@ -998,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "j4_asof_backward": J4_SQL,
         "j5_asof_forward": J5_SQL,
         "j8_reorder_by_index": J8_SQL,
+        "j_salted_skew_join": J_SALTED_SQL,
         "f2_sequence_ops": F2_SQL,
         "f3_flanks": F3_SQL,
         "p1_header_projection": P1_SQL,

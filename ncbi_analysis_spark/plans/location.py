@@ -92,7 +92,7 @@ def locate_matches(
         # case ~4.5k rows) -> global rank + broadcast is fine; the
         # unbounded mode is the scale path.
         ranked = recs.withColumn(
-            "rk", F.row_number().over(Window.orderBy("rec_start")) - 1
+            "__rec_rk", F.row_number().over(Window.orderBy("rec_start")) - 1
         )
         n_recs = ranked.count()
         # idx = first rank with rec_start >= match.start (reference
@@ -100,14 +100,14 @@ def locate_matches(
         idx = (
             m.join(F.broadcast(ranked), F.col("rec_start") >= F.col("start"), "left")
             .groupBy(*m.columns)
-            .agg(F.coalesce(F.min("rk"), F.lit(n_recs - 1)).alias("idx"))
+            .agg(F.coalesce(F.min("__rec_rk"), F.lit(n_recs - 1)).alias("__idx"))
         )
         cand = idx.join(
             F.broadcast(ranked),
-            (F.col("rk") >= F.greatest(F.col("idx") - probe_before, F.lit(0)))
-            & (F.col("rk") < F.least(F.col("idx") + probe_after, F.lit(n_recs))),
+            (F.col("__rec_rk") >= F.greatest(F.col("__idx") - probe_before, F.lit(0)))
+            & (F.col("__rec_rk") < F.least(F.col("__idx") + probe_after, F.lit(n_recs))),
             "inner",
-        ).drop("rk", "idx")
+        ).drop("__rec_rk", "__idx")
         classified = cand.withColumn(
             "status",
             interval_status(F.col("rec_left"), F.col("rec_right"),

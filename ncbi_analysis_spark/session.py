@@ -45,6 +45,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/ncbi-analysis-warehouse"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,101 @@
+"""Full §3.1 reference-workflow integration: GenBank source -> flagship
+scan -> location annotation -> sub-locations -> block sink round-trip.
+
+This is the chain the reference wires through intermediate text files
+(src/1-run_gene_similarity_match.py); here it's one DataFrame flow.
+"""
+
+from __future__ import annotations
+
+import glob
+import random
+import textwrap
+
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.plans.location import consistency_sub_locations, locate_matches
+from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+from ncbi_analysis_spark.similarity.scorers import consistency_render
+from ncbi_analysis_spark.sources import genbank, legacy_blocks, sinks
+
+random.seed(21)
+_DNA = "".join(random.choice("acgt") for _ in range(1200))
+# plant a known motif on the forward strand at position 301 (1-based)
+_MOTIF = "ttgacagctagcta"
+_DNA = _DNA[:300] + _MOTIF + _DNA[300 + len(_MOTIF):]
+
+
+def _genbank_text() -> str:
+    dna_lines = []
+    for i in range(0, len(_DNA), 60):
+        chunk = _DNA[i:i + 60]
+        spaced = " ".join(chunk[j:j + 10] for j in range(0, len(chunk), 10))
+        dna_lines.append(f"   {i + 1:6d} {spaced}")
+    body = "\n".join(dna_lines)
+    return textwrap.dedent("""\
+        LOCUS       NC_E2E               1200 bp  DNA  linear
+        SOURCE      Synthetica testii
+        FEATURES             Location/Qualifiers
+             gene            200..400
+                             /gene="near5"
+             gene            complement(600..800)
+                             /gene="revgene"
+        ORIGIN
+        """) + body + "\n//\n"
+
+
+def test_full_reference_workflow(spark, tmp_path):
+    gb = tmp_path / "e2e.gb"
+    gb.write_text(_genbank_text())
+
+    # S1: GenBank -> genes + genome tables
+    genes = genbank.read_genbank_genes(spark, str(gb))
+    genome = genbank.read_genbank_genome(spark, str(gb))
+    assert genome.collect()[0]["seq"] == _DNA
+    assert {g["gene"] for g in genes.collect()} == {"near5", "revgene"}
+
+    # §3.1 scan: the planted motif must be the top hit for its query
+    queries = spark.createDataFrame([("probe", _MOTIF)], ["name", "gene"])
+    hits = similarity_scan(
+        genome.select("accession", "seq"), queries,
+        {"direct": 1.0, "consistency": 2.0}, top_k=5, candidate_distance=5,
+        patience=2, chunk_size=256,
+    )
+    top = hits.filter(F.col("rk") == 1).collect()[0]
+    assert (top["strand"], top["start"], top["end"]) == ("+", 301, 300 + len(_MOTIF))
+    assert top["weighted_similarity"] == float(len(_MOTIF))
+
+    # J3 tail: annotate against the gene table (inter_records shape)
+    inter = genes.select(
+        F.col("gene").alias("name"),
+        F.when(F.col("strand") == "+", ">").otherwise("<").alias("direction"),
+        "left", "right",
+        F.when(F.col("strand") == "+", F.col("left")).otherwise(F.col("right")).alias("start"),
+    )
+    located = locate_matches(
+        hits.selectExpr("name as match_id", "start", "end", "rk"), inter, bounded=True
+    )
+    top_loc = {r["rk"]: r for r in located.collect() if r["rk"] == 1}
+    # motif 301-314 lies inside gene near5 (200-400) -> cds
+    assert top_loc[1]["label"] == "cds" and top_loc[1]["rec_name"] == "near5"
+
+    # consistency sub-locations on the perfect hit: one run spanning all
+    score, glyph = consistency_render(_MOTIF, _MOTIF, 2)
+    subs = consistency_sub_locations(
+        spark.createDataFrame(
+            [("probe", glyph, int(score), top["start"], top["end"])],
+            ["name", "fmt", "best", "start", "end"],
+        ),
+        "fmt", "best", "start", "end",
+    ).collect()
+    assert len(subs) == 1
+    assert (subs[0]["sub_start"], subs[0]["sub_end"]) == (301, 300 + len(_MOTIF))
+
+    # S13 sink -> S5 legacy reader round-trip
+    out_dir = str(tmp_path / "blocks")
+    sinks.write_match_blocks(hits, out_dir)
+    back = legacy_blocks.read_match_blocks(spark, out_dir + "/part*")
+    assert back.count() == hits.count()
+    assert back.filter(
+        (F.col("start") == 301) & (F.col("direction") == ">")
+    ).count() == 1
