@@ -116,6 +116,40 @@ def test_chunk_genome_covers_everything(spark):
     assert rebuilt == GENOME
 
 
+def test_scan_textedit_weights_match_brute_force(spark):
+    """F5 in the pipeline: text-edit DP with mismatch limit, mixed with
+    direct, must match a brute-force scan using the same kernels."""
+    genome = GENOME[:600]
+    weights = {"direct": 1.0, "text_edit": 1.0}
+    g_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+    q_df = spark.createDataFrame(QUERIES[:1], ["name", "gene"])
+    got = similarity_scan(
+        g_df, q_df, weights, top_k=4, candidate_distance=DIST,
+        patience=PATIENCE, continuous_mismatch_limit=3, chunk_size=256,
+    ).collect()
+
+    name, gene = QUERIES[0]
+    want = []
+    for strand, db in (("+", genome), ("-", revcomp_py(genome))):
+        cands = []
+        for off in range(len(db) - len(gene) + 1):
+            w, _ = weighted_similarity(
+                gene, db[off:off + len(gene)], weights,
+                continuous_mismatch_limit=3,
+            )
+            if w > 0:
+                cands.append((off, w))
+        for off, w in cands:
+            if not any(w2 > w for o2, w2 in cands if abs(o2 - off) <= DIST):
+                want.append((strand, off, w))
+    want.sort(key=lambda c: (-c[2], c[0], c[1]))
+    got_t = sorted(
+        ((r["strand"], r["offset"], r["weighted_similarity"]) for r in got),
+        key=lambda c: (-c[2], c[0], c[1]),
+    )
+    assert got_t == want[:4]
+
+
 def test_scan_ascending_polarity(spark):
     """W4: ascending=True reproduces the reference's score-negation path
     (OrderType.Increment) — smallest weighted scores rank first."""
