@@ -124,6 +124,37 @@ def sessionize(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed stream-stream inner join: each purchase joined to the
+    same user's click events within ``within`` before it. Watermarks on
+    both sides bound the join state (Spark drops buffered rows once the
+    event-time range condition can no longer match)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"))
+    )
+    gap = f"INTERVAL {within}"
+    return p.join(
+        c,
+        F.expr(
+            f"user_id = c_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - {gap}"
+        ),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,

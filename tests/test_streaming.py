@@ -63,6 +63,23 @@ def test_sessionize_stream(spark, stream_dir):
         assert r["n_events"] >= 1
 
 
+def test_stream_stream_join(spark, stream_dir):
+    clicks = sev.read_event_stream(spark, stream_dir).filter(F.col("event_type") == "click")
+    purchases = sev.read_event_stream(spark, stream_dir).filter(F.col("event_type") == "purchase")
+    joined = sev.stream_stream_join(clicks, purchases, within="30 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from ss_join").collect()
+    assert len(rows) > 0
+    for r in rows[:100]:
+        assert r["click_ts"] <= r["purchase_ts"]
+        delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
+        assert 0 <= delta <= 1800
+
+
 def test_streaming_dedup_runs(spark, stream_dir):
     stream = sev.read_event_stream(spark, stream_dir)
     dd = sev.streaming_dedup(stream, ["event_id"])
