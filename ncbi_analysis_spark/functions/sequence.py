@@ -159,6 +159,13 @@ def base_histogram(seq: Column) -> Column:
     )
 
 
+def map_drop_empty(m: Column) -> Column:
+    """P9 null/empty cleanup for open attribute maps (xref etc.): drop
+    entries whose value is null/'' (reference recursive empty-dict drop,
+    src/utils/gene_position_helper.py:68-75)."""
+    return F.map_filter(m, lambda k, v: v.isNotNull() & (v != ""))
+
+
 def alphabet_ok(seq: Column, alphabet: str = "AUCG") -> Column:
     """True iff every char of seq is in ``alphabet`` (reference AUCG filter,
     src/analysis/cluster_match.py:117-131)."""

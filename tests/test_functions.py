@@ -70,6 +70,12 @@ def test_alphabet_and_histogram(spark):
     assert hist["a"] == 2 and hist["t"] == 1
 
 
+def test_map_drop_empty(spark):
+    df = spark.createDataFrame([({"a": "1", "b": "", "c": None},)], ["m"])
+    got = df.select(seqf.map_drop_empty(F.col("m")).alias("m")).collect()[0]["m"]
+    assert got == {"a": "1"}
+
+
 def test_token_counts(spark):
     assert one(spark, textf.token_count(F.col("s")), s="a b  c") == 3
     assert one(spark, textf.token_count(F.col("s")), s="  ") == 0
