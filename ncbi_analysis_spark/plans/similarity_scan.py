@@ -99,6 +99,45 @@ def _match_matrix(gene_arr: np.ndarray, windows: np.ndarray) -> np.ndarray:
     return eq | ct
 
 
+def _consistency_vec(mm: np.ndarray, patience: int) -> np.ndarray:
+    """Consistency scores for every offset at once.
+
+    The reference's patience merge (bridge adjacent runs while the merged
+    span carries <= patience mismatches,
+    src/analysis/similarities/consistency_similarity.py:35-64) is
+    equivalent to: max number of matches in any window containing
+    <= patience mismatches (each bridged gap costs >= 1 mismatch, so
+    <= patience mismatches implies <= patience+1 runs automatically).
+    Computed as an amortized two-pointer sweep vectorized across offsets
+    — O(L) numpy passes instead of a Python loop per offset.
+    Fuzz-verified against the exact kernel (which itself is fuzz-verified
+    against the reference).
+    """
+    n, L = mm.shape
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    rows = np.arange(n)
+    s = np.zeros(n, dtype=np.int64)       # window start per offset
+    zeros_in = np.zeros(n, dtype=np.int64)
+    ones_in = np.zeros(n, dtype=np.int64)
+    best = np.zeros(n, dtype=np.int64)
+    for e in range(L):
+        col = mm[:, e]
+        ones_in += col
+        zeros_in += ~col
+        while True:
+            over = zeros_in > patience
+            if not over.any():
+                break
+            idx = rows[over]
+            head = mm[idx, s[idx]]
+            ones_in[idx] -= head
+            zeros_in[idx] -= ~head
+            s[idx] += 1
+        np.maximum(best, ones_in, out=best)
+    return best.astype(np.float64)
+
+
 def scan_candidates(
     chunks_df: DataFrame,
     queries_df: DataFrame,
@@ -108,6 +147,7 @@ def scan_candidates(
     pattern_conditions: dict | None = None,
     fast_skip_cut: float | None = None,
     score_floor: float = 0.0,
+    suppress_distance: int | None = None,
 ) -> DataFrame:
     """Score every (chunk, query) pair at every offset; emit candidates
     with weighted score > score_floor.
@@ -119,10 +159,7 @@ def scan_candidates(
     at surviving offsets.
     """
     from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
-    from ncbi_analysis_spark.similarity.scorers import (
-        consistency_score,
-        text_edit_score,
-    )
+    from ncbi_analysis_spark.similarity.scorers import text_edit_score
 
     w_direct = float(weights.get("direct", 0.0))
     w_cons = float(weights.get("consistency", 0.0))
@@ -184,13 +221,49 @@ def scan_candidates(
                         pat = MatchPattern(gene, pattern_conditions)
                         pat_cache[gene] = pat
 
+                # exact consistency only at offsets that survived the
+                # branch-and-bound / fast-skip prunes (vectorized across
+                # those offsets) — running it on the full matrix would
+                # throw away the pruning win in score_floor mode
+                cons = np.zeros(len(mm), dtype=np.float64)
+                if w_cons > 0:
+                    kidx = np.nonzero(keep)[0]
+                    if len(kidx):
+                        cons[kidx] = _consistency_vec(mm[kidx], patience)
+
+                if w_te == 0 and w_pat == 0:
+                    # fully vectorized path: no per-offset Python at all
+                    weighted_all = (w_direct * direct + w_cons * cons) / total_w
+                    emit = keep & (weighted_all > score_floor)
+                    if suppress_distance is not None and emit.any():
+                        # chunk-local pre-suppression: an offset strictly
+                        # dominated by a neighbor IN THIS CHUNK (within
+                        # distance) can never survive the global W2
+                        # window, so don't ship it — cross-chunk
+                        # dominance is still checked downstream
+                        d = int(suppress_distance)
+                        w_dom = np.where(emit, weighted_all, -np.inf)
+                        padded = np.concatenate(
+                            (np.full(d, -np.inf), w_dom, np.full(d, -np.inf))
+                        )
+                        local_max = np.lib.stride_tricks.sliding_window_view(
+                            padded, 2 * d + 1
+                        ).max(axis=1)
+                        emit &= w_dom >= local_max
+                    sel = np.nonzero(emit)[0]
+                    base = int(row.base_offset)
+                    out_rows.extend(
+                        (row.name, row.accession, row.strand, base + int(off),
+                         float(weighted_all[off]), float(direct[off]),
+                         float(cons[off]), 0.0, 0.0)
+                        for off in sel
+                    )
+                    continue
+
                 for off in np.nonzero(keep)[0]:
                     win = chunk[off:off + L]
-                    acc = w_direct * direct[off]
-                    s_cons = s_te = s_pat = 0.0
-                    if w_cons > 0:
-                        s_cons = consistency_score(gene, win, patience)
-                        acc += w_cons * s_cons
+                    acc = w_direct * direct[off] + w_cons * cons[off]
+                    s_te = s_pat = 0.0
                     if w_te > 0:
                         s_te = text_edit_score(gene, win, continuous_mismatch_limit)
                         acc += w_te * s_te
@@ -202,7 +275,7 @@ def scan_candidates(
                         out_rows.append((
                             row.name, row.accession, row.strand,
                             int(row.base_offset) + int(off), weighted,
-                            float(direct[off]), s_cons, s_te, s_pat,
+                            float(direct[off]), float(cons[off]), s_te, s_pat,
                         ))
             yield pd.DataFrame(out_rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields])
 
@@ -250,6 +323,7 @@ def similarity_scan(
     cands = scan_candidates(
         chunks, queries_df, weights, patience, continuous_mismatch_limit,
         pattern_conditions, fast_skip_cut, score_floor,
+        suppress_distance=candidate_distance,
     )
 
     # W2: sliding local-max suppression per (query, accession, strand)
