@@ -861,8 +861,15 @@ def f5_textedit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def f7_consistency_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 patience-merged longest-run similarity (pandas UDF; rows-only;
-    src/analysis/similarities/consistency_similarity.py:35-64)."""
+    """F7 patience-merged longest-run similarity (pandas UDF kernel;
+    src/analysis/similarities/consistency_similarity.py:35-64).
+
+    Exact oracle: the patience merge is equivalent to "max match count
+    over any contiguous window carrying <= patience mismatches" (spanning
+    G gap mismatches always consumes exactly G extra run entries, so the
+    reference's patience+1-entry cap IS the mismatch budget) — that form
+    is SQL-expressible with prefix sums, so the independent DuckDB
+    implementation checks the Python kernel bit-for-bit."""
     from ncbi_analysis_spark.similarity.udfs import consistency_similarity_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -872,6 +879,31 @@ def f7_consistency_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "doc_id")
         .select("doc_id", consistency_similarity_udf("sa", "sb", F.lit(2)).alias("consistency_sim"))
     )
+
+
+F7_SQL = """
+WITH p AS (
+  SELECT a.doc_id, substr(LOWER(a.text), 1, 24) AS sa, substr(LOWER(b.text), 1, 24) AS sb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+m AS (
+  SELECT doc_id, list_transform(range(LENGTH(sa)),
+    i -> (CASE WHEN substr(sa, (i+1)::INT, 1) = substr(sb, (i+1)::INT, 1)
+                 OR (substr(sa, (i+1)::INT, 1) = 'c' AND substr(sb, (i+1)::INT, 1) = 't')
+          THEN 1 ELSE 0 END)::BIGINT) AS ml
+  FROM p
+),
+ps AS (
+  SELECT doc_id, ml, list_transform(range(len(ml) + 1),
+    k -> CASE WHEN k = 0 THEN 0::BIGINT ELSE list_reduce(ml[1:k::INT], (a, b) -> a + b) END) AS pre
+  FROM m
+)
+SELECT doc_id, COALESCE(list_max(flatten(list_transform(range(len(ml)),
+  i -> list_transform(range(i + 1, len(ml) + 1),
+    j -> CASE WHEN (j - i) - (pre[(j+1)::INT] - pre[(i+1)::INT]) <= 2
+         THEN pre[(j+1)::INT] - pre[(i+1)::INT] ELSE 0::BIGINT END)))), 0)::DOUBLE AS consistency_sim
+FROM ps
+"""
 
 
 def f9_blat_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,7 +925,14 @@ def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic synthetic genome derived from the documents table:
     chunked both-strand scan -> weighted similarity (direct+consistency)
     -> W2 suppression -> W1 top-k -> reference coordinate mapping.
-    Rows-only check (the scoring kernels are not SQL-expressible)."""
+
+    Exact oracle: with direct+consistency weights both kernels are
+    SQL-expressible (positional match count; max-window-with-<=patience-
+    mismatches via prefix sums), so the ENTIRE pipeline — scoring,
+    suppression, top-k, strand coordinate mapping — is independently
+    re-implemented in DuckDB SQL and hash-compared. The weighted score
+    (direct + 2*cons)/3 is a correctly-rounded double of an exact small
+    integer, hence bit-identical across engines without rounding."""
     from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
 
     d = _t(spark, sf_dir, "documents")
@@ -916,10 +955,80 @@ def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         genome_df, queries_df, {"direct": 1.0, "consistency": 2.0},
         top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
     ).select(
-        "name", "accession", "strand", "offset", "start", "end",
-        F.round("weighted_similarity", 6).alias("weighted_similarity"),
+        "name", "accession", "strand", "offset",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "weighted_similarity",
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+FLAGSHIP_SQL = """
+WITH d AS (
+  SELECT doc_id, translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt') AS h
+  FROM documents WHERE doc_id < 200
+),
+g AS (SELECT string_agg(h, '' ORDER BY doc_id) AS seq FROM d),
+q AS (SELECT 'q' || doc_id::VARCHAR AS name, substr(h, 1, 12) AS gene FROM d WHERE doc_id < 2),
+strands AS (
+  SELECT 'synthetic' AS accession, '+' AS strand, seq, LENGTH(seq)::BIGINT AS db_len FROM g
+  UNION ALL
+  SELECT 'synthetic', '-', reverse(translate(seq, 'acgt', 'tgca')), LENGTH(seq)::BIGINT FROM g
+),
+offs AS (
+  -- doc_id < 200 caps the genome at 200 * 32 = 6400 bases at every scale
+  -- factor, so a static offset range + length filter replaces the
+  -- (unsupported) lateral range
+  SELECT q.name, q.gene, s.accession, s.strand, s.db_len, r.range AS off_,
+         substr(s.seq, (r.range + 1)::INT, 12) AS win
+  FROM q CROSS JOIN strands s CROSS JOIN range(0, 6400) r
+  WHERE r.range <= LENGTH(s.seq) - 12
+),
+win AS (
+  SELECT name, accession, strand, db_len, off_,
+         list_transform(range(12),
+           i -> (CASE WHEN substr(gene, (i+1)::INT, 1) = substr(win, (i+1)::INT, 1)
+                        OR (substr(gene, (i+1)::INT, 1) = 'c'
+                            AND substr(win, (i+1)::INT, 1) = 't')
+                 THEN 1 ELSE 0 END)::BIGINT) AS ml
+  FROM offs
+),
+pre AS (
+  SELECT *, list_transform(range(13),
+    k -> CASE WHEN k = 0 THEN 0::BIGINT ELSE list_reduce(ml[1:k::INT], (a, b) -> a + b) END) AS ps
+  FROM win
+),
+sc AS (
+  SELECT name, accession, strand, db_len, off_,
+         ps[13]::DOUBLE AS direct,
+         COALESCE(list_max(flatten(list_transform(range(12),
+           i -> list_transform(range(i + 1, 13),
+             j -> CASE WHEN (j - i) - (ps[(j+1)::INT] - ps[(i+1)::INT]) <= 2
+                  THEN ps[(j+1)::INT] - ps[(i+1)::INT] ELSE 0::BIGINT END)))), 0)::DOUBLE AS cons
+  FROM pre
+),
+w AS (
+  SELECT name, accession, strand, db_len, off_,
+         (1.0 * direct + 2.0 * cons) / 3.0 AS ws
+  FROM sc
+  WHERE (1.0 * direct + 2.0 * cons) / 3.0 > 0
+),
+sup AS (
+  SELECT *, MAX(ws) OVER (PARTITION BY name, accession, strand ORDER BY off_
+                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mx
+  FROM w
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+             ORDER BY ws DESC, accession, strand, off_) AS rk
+  FROM sup WHERE ws >= mx
+)
+SELECT name, accession, strand, off_::BIGINT AS offset,
+       (CASE WHEN strand = '+' THEN off_ + 1 ELSE db_len - off_ END)::BIGINT AS start,
+       (CASE WHEN strand = '+' THEN off_ + 12 ELSE db_len - off_ - 11 END)::BIGINT AS "end",
+       ws::DOUBLE AS weighted_similarity, rk::BIGINT AS rk
+FROM rk WHERE rk <= 10
+"""
 
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,7 +1109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_distribution": lang_distribution,
         "f6_direct_similarity": f6_direct_similarity,
-        # pandas-UDF scorers: rows-only (no SQL oracle exists for these)
+        # pandas-UDF scorers (f5/f9 rows-only: DP traceback abort and
+        # seed-extend DFS have no SQL form; f7 and the flagship scan have
+        # independent DuckDB reformulations as exact oracles)
         "f5_textedit_similarity": f5_textedit_similarity,
         "f7_consistency_similarity": f7_consistency_similarity,
         "f9_blat_similarity": f9_blat_similarity,
@@ -1040,5 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_dist_sql(),
         "f6_direct_similarity": F6_SQL,
+        "f7_consistency_similarity": F7_SQL,
+        "flagship_similarity_scan": FLAGSHIP_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
     }

@@ -122,3 +122,33 @@ def test_udfs_roundtrip(spark):
     assert row["c"] == 3.0
     assert row["t"] == 4.0
     assert row["t2"] == 4.0
+
+
+def test_consistency_vec_matches_exact_kernel():
+    """The vectorized two-pointer consistency (max matches in any window
+    with <= patience mismatches) must agree with the exact patience-merge
+    kernel at every offset, for every patience."""
+    import random
+
+    import numpy as np
+
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        _consistency_vec,
+        _match_matrix,
+        _np_window_view,
+    )
+    from ncbi_analysis_spark.similarity.scorers import consistency_score
+
+    rnd = random.Random(11)
+    for patience in (0, 1, 2, 4):
+        for _ in range(20):
+            L = rnd.randint(1, 20)
+            chunk = "".join(rnd.choice("acgt") for _ in range(rnd.randint(L, 120)))
+            gene = "".join(rnd.choice("acgt") for _ in range(L))
+            ca = np.frombuffer(chunk.encode(), dtype=np.uint8)
+            ga = np.frombuffer(gene.encode(), dtype=np.uint8)
+            mm = _match_matrix(ga, _np_window_view(ca, L))
+            got = _consistency_vec(mm, patience)
+            exp = [consistency_score(gene, chunk[o:o + L], patience)
+                   for o in range(len(chunk) - L + 1)]
+            assert got.tolist() == exp
