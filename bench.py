@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "dedup_minhash_signature",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "decon_ngram_overlap",
+    "repetition_quality",
     "text_stats",
     "ann_brute_force",
     "ann_ivf",
@@ -59,6 +61,18 @@ def main() -> None:
     qs["q3_top_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     qs["j1_cluster_parts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # warm the Arrow python-worker pool (pandas/numpy imports in each of
+    # the 32 workers) with a tiny scan, so the flagship timing below
+    # measures the pipeline rather than cold interpreter startup
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    warm_g = spark.createDataFrame([("warm", "acgt" * 2500)], ["accession", "seq"])
+    warm_q = spark.createDataFrame([("wq", "acgtacgtacgt")], ["name", "gene"])
+    similarity_scan(
+        warm_g, warm_q, {"direct": 1.0, "consistency": 2.0}, top_k=5,
+        candidate_distance=5, patience=2, chunk_size=512,
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -67,12 +81,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
-    # strands with branch-and-bound floor (the scale configuration;
-    # exact-parity no-floor mode is ~20x slower and is what the reference
-    # does offset-by-offset in pure Python)
+    # strands with branch-and-bound floor (the scale configuration; the
+    # exact no-floor parity mode scores every offset with the vectorized
+    # kernels and runs ~2-3x slower)
     import random
-
-    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
 
     rnd = random.Random(2)
     genome = "".join(rnd.choice("acgt") for _ in range(1_000_000))

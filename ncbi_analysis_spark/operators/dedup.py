@@ -320,3 +320,80 @@ def embedding_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round("cos", 6).alias("cos_sim"))
     )
+
+
+def benchmark_ngram_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Training-data decontamination: per document, how many of its
+    distinct token n-grams appear in ANY benchmark document.
+
+    Returns ``(id_col, n_grams, n_shared, contamination)`` where
+    ``contamination = n_shared / n_grams``.
+
+    Scale: benchmark suites are tiny relative to a 100 TB corpus (millions
+    of n-grams at most), so the distinct benchmark-gram set is broadcast —
+    the corpus side is a map-only semi join plus one aggregation keyed by
+    document id (shared with the totals count, same partitioning). For a
+    benchmark set too large to broadcast, drop the hint and let AQE pick a
+    shuffled semi join on the gram key.
+    """
+    doc_sh = shingle_rows(df, text, id_col, n).distinct()
+    bench_sh = shingle_rows(bench_df, text, id_col, n).select("sh").distinct()
+    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    shared = (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        totals.join(shared, id_col, "left")
+        .na.fill({"n_shared": 0})
+        .withColumn("contamination", F.col("n_shared") / F.col("n_grams"))
+    )
+
+
+def repetition_signals(df: DataFrame, text: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``n_tokens`` — whitespace token count
+    - ``distinct_frac`` — distinct tokens / tokens
+    - ``top_token_frac`` — occurrences of the most frequent token / tokens
+    - ``dup_2gram_frac`` — 1 - distinct 2-grams / total 2-grams
+
+    Repetitious machine-generated text scores low distinct_frac / high
+    top_token_frac / high dup_2gram_frac; used as filter predicates in
+    LLM-corpus curation.
+
+    Scale: explode + two aggregations, both keyed by document id (one
+    shuffle, reused); no Python. All ratios are exact integer divisions in
+    double, so the DuckDB oracle matches bit-for-bit.
+    """
+    from ncbi_analysis_spark.functions.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text))).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_c"),
+    )
+    grams = shingle_rows(df, text, id_col, 2)
+    gram_stats = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_2grams"),
+        F.count_distinct(F.col("sh")).cast("long").alias("n_2distinct"),
+    )
+    return (
+        tok_stats.join(gram_stats, id_col, "inner")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("distinct_frac"),
+            (F.col("top_c") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.lit(1.0) - F.col("n_2distinct") / F.col("n_2grams")).alias("dup_2gram_frac"),
+        )
+    )

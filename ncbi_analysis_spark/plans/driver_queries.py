@@ -606,6 +606,57 @@ WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.01
 """
 
 
+def decon_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: distinct token 3-grams of each
+    corpus document that also occur in a benchmark set (docs with
+    doc_id % 97 == 0 stand in for the benchmark suite). Broadcast
+    semi join on the gram key — the benchmark side is always small."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return dedup.benchmark_ngram_overlap(docs, bench, "text", "doc_id", n=3)
+
+
+DECON_SQL = f"""
+WITH sh AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS sh FROM documents),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+docs AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM docs GROUP BY doc_id),
+shr AS (SELECT d.doc_id, COUNT(*)::BIGINT AS n_shared
+        FROM docs d JOIN bench b USING (sh) GROUP BY d.doc_id)
+SELECT t.doc_id, t.n_grams, COALESCE(s.n_shared, 0)::BIGINT AS n_shared,
+       COALESCE(s.n_shared, 0) / t.n_grams AS contamination
+FROM tot t LEFT JOIN shr s USING (doc_id)
+"""
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (distinct-token fraction, top-token
+    fraction, duplicate-2-gram fraction) — LLM-corpus quality filters."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.repetition_signals(d, "text", "doc_id")
+
+
+_TOKS_SQL = "string_split_regex(TRIM(text), '\\s+')"
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+ts AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_distinct,
+              MAX(c)::BIGINT AS top_c FROM pt GROUP BY 1),
+g2 AS (SELECT doc_id, UNNEST(list_transform(
+         range(GREATEST(len({_TOKS_SQL}) - 2, 0) + 1),
+         i -> array_to_string({_TOKS_SQL}[i+1:i+2], ' '))) AS sh FROM documents),
+gs AS (SELECT doc_id, COUNT(*)::BIGINT AS n_2grams,
+              COUNT(DISTINCT sh)::BIGINT AS n_2distinct FROM g2 GROUP BY 1)
+SELECT ts.doc_id, ts.n_tokens,
+       ts.n_distinct / ts.n_tokens AS distinct_frac,
+       ts.top_c / ts.n_tokens AS top_token_frac,
+       1.0::DOUBLE - gs.n_2distinct / gs.n_2grams AS dup_2gram_frac
+FROM ts JOIN gs USING (doc_id)
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (codegen explode+aggregate form; the
     shuffle-free expression form is functions.text.simhash32)."""
@@ -1104,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_pairs": dedup_embedding_pairs,
+        "decon_ngram_overlap": decon_ngram_overlap,
+        "repetition_quality": repetition_quality,
         "ann_brute_force": ann_brute_force,
         "ann_ivf": ann_ivf,
         "text_stats": text_stats,
@@ -1146,6 +1199,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_pairs": DEDUP_EMB_SQL,
+        "decon_ngram_overlap": DECON_SQL,
+        "repetition_quality": REPETITION_SQL,
         "ann_brute_force": ANN_BF_SQL,
         "ann_ivf": ANN_IVF_SQL,
         "text_stats": _text_stats_sql(),

@@ -158,3 +158,41 @@ def test_embedding_dup_pairs(spark):
     out = dedup.embedding_dup_pairs(df, "v", "id", threshold=0.95)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == {(1, 2)}
+
+
+def test_benchmark_ngram_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),      # grams: "a b c","b c d","c d e"
+         (2, "x y z w")],       # grams: "x y z","y z w"
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "b c d e f")],   # grams: "b c d","c d e","d e f"
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.benchmark_ngram_overlap(docs, bench, "text", "doc_id", n=3).collect()
+    }
+    assert out[1]["n_grams"] == 3 and out[1]["n_shared"] == 2
+    assert out[1]["contamination"] == 2 / 3
+    assert out[2]["n_grams"] == 2 and out[2]["n_shared"] == 0
+    assert out[2]["contamination"] == 0.0
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"),        # tokens 4, distinct 2, top 3; 2-grams: "a a","a a","a b" -> 3 total 2 distinct
+         (2, "p q r s")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in dedup.repetition_signals(docs, "text", "doc_id").collect()
+    }
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["distinct_frac"] == 0.5
+    assert out[1]["top_token_frac"] == 0.75
+    assert out[1]["dup_2gram_frac"] == 1.0 - 2 / 3
+    assert out[2]["distinct_frac"] == 1.0
+    assert out[2]["dup_2gram_frac"] == 0.0
