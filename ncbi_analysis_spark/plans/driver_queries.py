@@ -911,6 +911,69 @@ def f5_textedit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f5b_textedit_noabort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 text-edit DP without the traceback abort — exact oracle.
+
+    The kernel's INF boundary (only dp[0][0]=0) forces every finite
+    alignment to start with the (1,1) diagonal, so the score equals
+    n - (cost(g[0], w[0]) + standard editdist(g[1:], w[1:])) — computed
+    independently in DuckDB as a recursive CTE carrying one DP row per
+    step, with the intra-row dependency removed by the prefix-min
+    identity new[j] = j + min_{k<=j}(base[k] - k)."""
+    from ncbi_analysis_spark.similarity.udfs import text_edit_similarity_udf
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.substring(F.lower("text"), 1, 24).alias("sa"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring(F.lower("text"), 1, 24).alias("sb"))
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            text_edit_similarity_udf("sa", "sb", F.lit(None).cast("int")).alias("textedit_sim"),
+        )
+    )
+
+
+F5B_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id, substr(LOWER(a.text), 1, 24) AS sa, substr(LOWER(b.text), 1, 24) AS sb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+p AS (
+  SELECT doc_id, LENGTH(sa)::BIGINT AS n,
+         substr(sa, 2) AS sa2, substr(sb, 2) AS sb2,
+         CASE WHEN LENGTH(sa) = 0 THEN 0
+              WHEN substr(sa, 1, 1) = substr(sb, 1, 1)
+                OR (substr(sa, 1, 1) = 'c' AND substr(sb, 1, 1) = 't') THEN 0
+              ELSE 1 END::BIGINT AS c0,
+         LENGTH(substr(sa, 2))::BIGINT AS n2, LENGTH(substr(sb, 2))::BIGINT AS m2
+  FROM pairs
+),
+dp AS (
+  SELECT doc_id, n, c0, sa2, sb2, n2, m2, 0 AS i,
+         list_transform(range(m2 + 1), j -> j::BIGINT) AS row
+  FROM p WHERE n > 0
+  UNION ALL
+  SELECT doc_id, n, c0, sa2, sb2, n2, m2, i + 1,
+         list_transform(range(m2 + 1), j -> j + list_min(t.bmk[1:(j+1)::INT]))
+  FROM dp CROSS JOIN LATERAL (
+    SELECT list_transform(range(m2 + 1),
+      k -> CASE WHEN k = 0 THEN (i + 1)::BIGINT
+           ELSE LEAST(row[(k+1)::INT] + 1,
+                      row[k::INT] + CASE WHEN substr(sa2, (i+1)::INT, 1) = substr(sb2, k::INT, 1)
+                                       OR (substr(sa2, (i+1)::INT, 1) = 'c'
+                                           AND substr(sb2, k::INT, 1) = 't')
+                                    THEN 0 ELSE 1 END) END - k) AS bmk
+  ) t
+  WHERE i < n2
+)
+SELECT doc_id, (n - c0 - row[(m2+1)::INT])::DOUBLE AS textedit_sim
+FROM dp WHERE i = n2
+UNION ALL
+SELECT doc_id, 0.0 AS textedit_sim FROM p WHERE n = 0
+"""
+
+
 def f7_consistency_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 patience-merged longest-run similarity (pandas UDF kernel;
     src/analysis/similarities/consistency_similarity.py:35-64).
@@ -957,9 +1020,69 @@ FROM ps
 """
 
 
+def _blat_char_match(gi: int, pos: str) -> str:
+    """SQL predicate: char_match(gene[gi], db[pos]) (0-based positions)."""
+    g = f"substr(gene, {gi} + 1, 1)"
+    d = f"substr(db, ({pos}) + 1, 1)"
+    return f"({g} = {d} OR ({g} = 'c' AND {d} = 't'))"
+
+
+def _blat_first_k(gi: int, base: str, budget: str) -> str:
+    """CASE chain: minimal skip count k (<= budget) such that gene[gi]
+    matches db[base + 1 + k]; a failing earlier WHEN encodes that every
+    skipped position mismatches — exactly the kernel's greedy scan."""
+    whens = []
+    for k in range(3):
+        guard = f"{budget} >= {k} AND " if k > 0 else ""
+        whens.append(f"WHEN {guard}{_blat_char_match(gi, f'{base} + 1 + {k}')} THEN {k}")
+    return "CASE " + " ".join(whens) + " END"
+
+
+def _blat_sql() -> str:
+    """Exact oracle for the greedy blat matcher: the greedy alignment is
+    deterministic (each segment's skip counts are the minimal ones whose
+    skipped positions all mismatch), so the boolean is a CASE-chain
+    computation of the first-segment skips (k1..k3, <=2 total, one
+    zero-skip adjacency required), a cross join over the 8 candidate
+    mid-gap lengths, and the tail skips (s5..s7) per candidate —
+    fuzz-verified 6000/6000 against the Python kernel."""
+    return f"""
+WITH pairs AS (
+  SELECT a.doc_id, substr(LOWER(a.text), 1, 8) AS gene, LOWER(b.text) AS db
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+f1 AS (SELECT *, {_blat_first_k(1, '0', '2')} AS k1 FROM pairs),
+f2 AS (SELECT *, {_blat_first_k(2, '1 + k1', '2 - k1')} AS k2 FROM f1),
+f3 AS (SELECT *, {_blat_first_k(3, '2 + k1 + k2', '2 - k1 - k2')} AS k3 FROM f2),
+fst AS (
+  SELECT *, (4 + k1 + k2 + k3) AS pd0
+  FROM f3
+  WHERE {_blat_char_match(0, '0')} AND k1 IS NOT NULL AND k2 IS NOT NULL
+    AND k3 IS NOT NULL AND (k1 = 0 OR k2 = 0 OR k3 = 0)
+),
+mid AS (
+  SELECT doc_id, gene, db, pd0, r.range AS d
+  FROM fst CROSS JOIN range(3, 11) r
+  WHERE {_blat_char_match(4, 'pd0 + r.range')}
+),
+t5 AS (SELECT *, {_blat_first_k(5, 'pd0 + d', '2')} AS s5 FROM mid),
+t6 AS (SELECT *, {_blat_first_k(6, 'pd0 + d + 1 + s5', '2 - s5')} AS s6 FROM t5),
+t7 AS (SELECT *, {_blat_first_k(7, 'pd0 + d + 2 + s5 + s6', '2 - s5 - s6')} AS s7 FROM t6),
+hit AS (
+  SELECT DISTINCT doc_id FROM t7
+  WHERE s5 IS NOT NULL AND s6 IS NOT NULL AND s7 IS NOT NULL
+    AND (s5 = 0 OR s6 = 0 OR s7 = 0)
+)
+SELECT p.doc_id, (h.doc_id IS NOT NULL) AS blat_matched
+FROM pairs p LEFT JOIN hit h USING (doc_id)
+"""
+
+
 def f9_blat_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 seed-and-extend 8-mer matcher (pandas UDF; rows-only;
-    src/analysis/similarities/blat_similarity.py:58-116)."""
+    """F9 seed-and-extend 8-mer matcher (pandas UDF kernel;
+    src/analysis/similarities/blat_similarity.py:58-116). Exact oracle:
+    see _blat_sql — the greedy search is deterministic and bounded, so it
+    flattens to CASE-chain skip computations in SQL."""
     from ncbi_analysis_spark.similarity.udfs import blat_match_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1166,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seed-extend DFS have no SQL form; f7 and the flagship scan have
         # independent DuckDB reformulations as exact oracles)
         "f5_textedit_similarity": f5_textedit_similarity,
+        "f5b_textedit_noabort": f5b_textedit_noabort,
         "f7_consistency_similarity": f7_consistency_similarity,
         "f9_blat_similarity": f9_blat_similarity,
         "flagship_similarity_scan": flagship_similarity_scan,
@@ -1206,7 +1330,9 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_dist_sql(),
         "f6_direct_similarity": F6_SQL,
+        "f5b_textedit_noabort": F5B_SQL,
         "f7_consistency_similarity": F7_SQL,
+        "f9_blat_similarity": _blat_sql(),
         "flagship_similarity_scan": FLAGSHIP_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
     }
