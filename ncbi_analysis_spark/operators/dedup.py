@@ -343,16 +343,22 @@ def benchmark_ngram_overlap(
     shuffled semi join on the gram key.
     """
     doc_sh = shingle_rows(df, text, id_col, n).distinct()
-    bench_sh = shingle_rows(bench_df, text, id_col, n).select("sh").distinct()
-    totals = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
-    shared = (
-        doc_sh.join(F.broadcast(bench_sh), "sh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    bench_sh = (
+        shingle_rows(bench_df, text, id_col, n)
+        .select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # single corpus pass: mark each distinct gram against the broadcast
+    # benchmark set, then count totals and hits in ONE aggregation that
+    # reuses the shingle stage's doc-id partitioning (no second scan, no
+    # extra shuffle)
     return (
-        totals.join(shared, id_col, "left")
-        .na.fill({"n_shared": 0})
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_shared"),
+        )
         .withColumn("contamination", F.col("n_shared") / F.col("n_grams"))
     )
 
