@@ -57,3 +57,51 @@ def bucketed_join(spark, left_table: str, right_table: str, on: str,
     """Join two same-bucketed tables (see write_bucketed) — the physical
     plan contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic, rerun-stable train/val/test assignment: each row's
+    md5 bucket of its id decides its named split, so the same row lands
+    in the same split on every run, on any cluster, regardless of
+    partitioning — the property random() sampling loses under retries
+    and speculative execution.
+
+    Scale: pure map (no shuffle, no state); the split column is a
+    partition-pruning key when written with ``partitionBy('split')``.
+    """
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    bucket = _hash32(F.col(id_col).cast("string"), salt) % granularity
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(acc * granularity)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "sample",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic content-stable sampling: keep rows whose md5 bucket
+    of the id falls below ``rate`` — reproducible across runs and
+    engines (unlike ``df.sample``, which depends on partition layout)."""
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    bucket = _hash32(F.col(id_col).cast("string"), salt) % granularity
+    return df.filter(bucket < int(rate * granularity))

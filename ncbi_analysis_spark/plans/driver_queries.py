@@ -657,6 +657,39 @@ FROM ts JOIN gs USING (doc_id)
 """
 
 
+def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split + content-stable
+    sampling (operators.scale.hash_split / sample_by_hash): md5-bucket
+    assignment is reproducible across runs, partitionings, and engines —
+    the property random-number sampling loses under task retries."""
+    from ncbi_analysis_spark.operators import scale
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    split = scale.hash_split(d, "doc_id")
+    samp = (
+        scale.sample_by_hash(d, "doc_id", 0.1)
+        .select("doc_id").withColumn("in_sample", F.lit(True))
+    )
+    return (
+        split.join(samp, "doc_id", "left")
+        .select("doc_id", "split", F.coalesce("in_sample", F.lit(False)).alias("in_sample"))
+    )
+
+
+SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS sb,
+         ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS pb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN sb < 980000 THEN 'train' WHEN sb < 990000 THEN 'val' ELSE 'test' END AS split,
+       pb < 100000 AS in_sample
+FROM b
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (codegen explode+aggregate form; the
     shuffle-free expression form is functions.text.simhash32)."""
@@ -1280,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "decon_ngram_overlap": decon_ngram_overlap,
         "repetition_quality": repetition_quality,
+        "corpus_split_sample": corpus_split_sample,
         "ann_brute_force": ann_brute_force,
         "ann_ivf": ann_ivf,
         "text_stats": text_stats,
@@ -1325,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": DEDUP_EMB_SQL,
         "decon_ngram_overlap": DECON_SQL,
         "repetition_quality": REPETITION_SQL,
+        "corpus_split_sample": SPLIT_SQL,
         "ann_brute_force": ANN_BF_SQL,
         "ann_ivf": ANN_IVF_SQL,
         "text_stats": _text_stats_sql(),

@@ -35,3 +35,23 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from ncbi_analysis_spark.operators.scale import hash_split, sample_by_hash
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    # rerun-stable: identical assignment on a differently-partitioned copy
+    out2 = hash_split(df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(out2).count() == 0
+
+    s1 = sample_by_hash(df, "doc_id", 0.2)
+    s2 = sample_by_hash(df.repartition(3), "doc_id", 0.2)
+    assert s1.exceptAll(s2).count() == 0
+    assert abs(s1.count() / 5000 - 0.2) < 0.03
+    # sampling is a pure map: no exchange in the plan
+    assert "Exchange" not in s1._jdf.queryExecution().executedPlan().toString()
