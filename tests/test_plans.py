@@ -1,0 +1,55 @@
+"""Physical-plan regression guards: pushdown, broadcast, and
+partitioning-reuse properties the 100 TB design depends on
+(SCALING.md "Plan audit"). These assert on the executed plan string so
+an innocent-looking refactor can't silently reintroduce a full scan,
+a lost broadcast, or an extra exchange."""
+
+from __future__ import annotations
+
+from ncbi_analysis_spark.plans import driver_queries as dq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = dq.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_date_filter_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q3_top_revenue")
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_decon_single_corpus_scan(spark):
+    plan = _plan(spark, "decon_ngram_overlap")
+    # one corpus scan + one benchmark scan; benchmark grams broadcast
+    assert plan.count("FileScan") == 2
+    assert "BroadcastExchange" in plan
+
+
+def test_decon_agg_reuses_shingle_partitioning(spark):
+    # the distinct + count aggregation stack on the shingle window's
+    # doc_id exchange: exactly one hashpartitioning(doc_id) per scan side
+    plan = _plan(spark, "decon_ngram_overlap")
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2
+
+
+def test_split_sample_is_map_only(spark):
+    from ncbi_analysis_spark.operators.scale import sample_by_hash
+
+    df = sample_by_hash(dq._t(spark, SF, "documents"), "doc_id", 0.5)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_column_pruning(spark):
+    # projecting two columns must not read the wide table
+    df = dq._t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [line for line in plan.splitlines() if "FileScan" in line][0]
+    assert "l_orderkey" in scan and "l_comment" not in scan
