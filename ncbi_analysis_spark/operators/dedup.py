@@ -403,3 +403,52 @@ def repetition_signals(df: DataFrame, text: str, id_col: str) -> DataFrame:
             (F.lit(1.0) - F.col("n_2distinct") / F.col("n_2grams")).alias("dup_2gram_frac"),
         )
     )
+
+
+def char_window_dup_pairs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int = 32,
+    stride: int = 16,
+    max_window_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate detection: document pairs sharing at
+    least one exact ``window``-char substring sampled every ``stride``
+    chars — catches partial copies (quoted passages, boilerplate blocks)
+    that whole-document similarity misses.
+
+    Returns ``(id_a, id_b, n_shared_windows)``.
+
+    Scale: shuffle carries (md5 digest, id) per window — ~len/stride
+    rows per document, independent of window size. ``max_window_freq``
+    caps ultra-common windows (boilerplate headers) exactly like the
+    Jaccard shingle cap — the skew guard for the self-join.
+    """
+    t = F.col(text)
+    n_wins = ((F.length(t) - window) / stride).cast("int") + 1
+    wins = (
+        df.filter(F.length(t) >= window)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_wins - 1),
+                    lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))),
+                )
+            ).alias("wh"),
+        )
+        .distinct()
+    )
+    if max_window_freq is not None:
+        freq = (
+            wins.groupBy("wh").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") <= max_window_freq)
+        )
+        wins = wins.join(F.broadcast(freq.select("wh")), "wh", "inner")
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
+    )

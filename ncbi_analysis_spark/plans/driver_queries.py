@@ -657,6 +657,27 @@ FROM ts JOIN gs USING (doc_id)
 """
 
 
+def dedup_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing >= 1 exact
+    32-char window sampled every 16 chars (catches partial copies that
+    document-level similarity misses)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.char_window_dup_pairs(d, "text", "doc_id", window=32, stride=16)
+
+
+CHAR_WIN_SQL = """
+WITH w AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+    range(((LENGTH(text) - 32) // 16) + 1),
+    i -> md5(substr(text, (i * 16 + 1)::INT, 32))))) AS wh
+  FROM documents WHERE LENGTH(text) >= 32
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared_windows
+FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split + content-stable
     sampling (operators.scale.hash_split / sample_by_hash): md5-bucket
@@ -1313,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dedup_embedding_pairs,
         "decon_ngram_overlap": decon_ngram_overlap,
         "repetition_quality": repetition_quality,
+        "dedup_char_windows": dedup_char_windows,
         "corpus_split_sample": corpus_split_sample,
         "ann_brute_force": ann_brute_force,
         "ann_ivf": ann_ivf,
@@ -1359,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_pairs": DEDUP_EMB_SQL,
         "decon_ngram_overlap": DECON_SQL,
         "repetition_quality": REPETITION_SQL,
+        "dedup_char_windows": CHAR_WIN_SQL,
         "corpus_split_sample": SPLIT_SQL,
         "ann_brute_force": ANN_BF_SQL,
         "ann_ivf": ANN_IVF_SQL,

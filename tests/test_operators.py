@@ -196,3 +196,18 @@ def test_repetition_signals(spark):
     assert out[1]["dup_2gram_frac"] == 1.0 - 2 / 3
     assert out[2]["distinct_frac"] == 1.0
     assert out[2]["dup_2gram_frac"] == 0.0
+
+
+def test_char_window_dup_pairs(spark):
+    shared = "the quick brown fox jumps over the lazy dog again and again 1234"
+    docs = spark.createDataFrame(
+        [(1, shared + " tail one goes here"),
+         (2, "completely different content with no overlap whatsoever at all"),
+         (3, shared + " another distinct tail")],
+        ["doc_id", "text"],
+    )
+    out = dedup.char_window_dup_pairs(docs, "text", "doc_id", window=32, stride=16)
+    rows = {(r["id_a"], r["id_b"]): r["n_shared_windows"] for r in out.collect()}
+    # docs 1 and 3 share the aligned 64-char prefix -> windows at 0/16/32
+    assert rows.get((1, 3), 0) >= 2
+    assert all(p == (1, 3) for p in rows)
