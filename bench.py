@@ -26,6 +26,7 @@ from ncbi_analysis_spark.session import get_spark  # noqa: E402
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q5_local_supplier_volume",
     "a1_priority_distribution",
     "w1_topk_per_group",
     "w2_local_max_suppression",

@@ -144,6 +144,50 @@ LIMIT 10
 """
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join chain (region -> nation -> customer ->
+    orders -> lineitem -> supplier, same-nation constraint) + aggregate.
+
+    Exercises Catalyst join planning at depth: the three dimension sides
+    (region, nation, supplier) broadcast; the orders/lineitem fact join
+    shuffles once on the order key; the region filter prunes before the
+    join fans out."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01")))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def a1_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 group-count + ratio (reference Counter + percent,
     src/analysis/neighbor_analysis.py:138-153)."""
@@ -1310,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "a1_priority_distribution": a1_priority_distribution,
         "w1_topk_per_group": w1_topk_per_group,
         "w2_local_max_suppression": w2_local_max_suppression,
@@ -1357,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
         "a1_priority_distribution": A1_SQL,
         "w1_topk_per_group": W1_SQL,
         "w2_local_max_suppression": W2_SQL,

@@ -53,3 +53,9 @@ def test_scan_column_pruning(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [line for line in plan.splitlines() if "FileScan" in line][0]
     assert "l_orderkey" in scan and "l_comment" not in scan
+
+
+def test_q5_dimension_broadcasts(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # region/nation/supplier (at least) must broadcast, never SMJ at this SF
+    assert plan.count("BroadcastExchange") >= 3
