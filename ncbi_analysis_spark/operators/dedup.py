@@ -215,11 +215,23 @@ def ngram_jaccard_pairs(
     # so the two extra "sizes" joins (and their full shingle-pipeline
     # recomputations) disappear from the plan
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # bucket-explode instead of a self-join: the self-join form computes
+    # the whole shingle pipeline TWICE (Spark's exchange reuse does not
+    # fire across the join aliases); grouping members per shingle and
+    # chaining two explodes generates the same within-bucket pairs from a
+    # single scan, entirely in codegen
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.collect_list(F.struct("id", "n_sh")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+    )
     out = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        pairs.groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("common"),
             F.first(F.col("a.n_sh")).alias("n_a"),
