@@ -219,3 +219,28 @@ def doc_fingerprint(text: Column, k: int = 8, stride: int = 4) -> Column:
     cost cut (the per-gram hash is the hot loop of text_stats).
     """
     return F.array_min(F.transform(char_shingles(text, k, stride), lambda s: _hash32(s)))
+
+
+PII_PATTERNS = {
+    # shared Spark(Java)/DuckDB(RE2) regex subset — no lookaround
+    "email": r"[\w.+-]+@[\w.-]+\.[a-z]{2,}",
+    "ip": r"\b\d{1,3}(\.\d{1,3}){3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII pattern (email/ip/phone)."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder (<EMAIL>, <IP>,
+    <PHONE>) — corpus-scrubbing map, pure codegen, no shuffle."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

@@ -701,6 +701,56 @@ FROM ts JOIN gs USING (doc_id)
 """
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scrubbing (corpus curation): count + redact emails,
+    IPs, and phone numbers with typed placeholders. Pure codegen map —
+    the testdata carries no PII, so deterministic synthetic PII is
+    appended to a doc_id-derived subset inside the query (both engines
+    see identical input)."""
+    d = _t(spark, sf_dir, "documents")
+    t = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" from 10.0."),
+                     (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".5 or 555-123-4567")),
+        )
+        .otherwise(F.col("text"))
+    )
+    return d.select(
+        "doc_id",
+        *textf.pii_counts(t),
+        F.md5(textf.redact_pii(t)).alias("redacted_md5"),
+    )
+
+
+PII_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+              WHEN doc_id % 7 = 1
+              THEN text || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.5 or 555-123-4567'
+              ELSE text END AS tx
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(tx, '[\w.+-]+@[\w.-]+\.[a-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(tx, '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ip,
+       len(regexp_extract_all(tx, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(tx,
+             '[\w.+-]+@[\w.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM t
+"""
+
+
 def dedup_char_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate pairs: documents sharing >= 1 exact
     32-char window sampled every 16 chars (catches partial copies that
@@ -1380,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decon_ngram_overlap": decon_ngram_overlap,
         "repetition_quality": repetition_quality,
         "dedup_char_windows": dedup_char_windows,
+        "pii_scrub": pii_scrub,
         "corpus_split_sample": corpus_split_sample,
         "ann_brute_force": ann_brute_force,
         "ann_ivf": ann_ivf,
@@ -1428,6 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "decon_ngram_overlap": DECON_SQL,
         "repetition_quality": REPETITION_SQL,
         "dedup_char_windows": CHAR_WIN_SQL,
+        "pii_scrub": PII_SQL,
         "corpus_split_sample": SPLIT_SQL,
         "ann_brute_force": ANN_BF_SQL,
         "ann_ivf": ANN_IVF_SQL,

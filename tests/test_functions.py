@@ -112,3 +112,20 @@ def test_vector_math(spark):
         vecf.l2_distance(F.col("a"), F.col("b")).alias("l2"),
     ).collect()[0]
     assert row["d"] == 9.0 and row["c"] == 1.0 and row["l2"] == 0.0
+
+
+def test_pii_scrub(spark):
+    from ncbi_analysis_spark.functions.text import pii_counts, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@test.org and ip 192.168.0.1 and phone 555-867-5309"),
+         (2, "nothing sensitive here")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", *pii_counts(F.col("text")), redact_pii(F.col("text")).alias("red")
+    ).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["red"] == "mail <EMAIL> and ip <IP> and phone <PHONE>"
+    assert out[2]["n_email"] == 0 and out[2]["red"] == "nothing sensitive here"
