@@ -1,0 +1,68 @@
+"""End-to-end training-corpus curation pipeline (the LLM-data-pipeline
+composition the BASELINE.json north star asks for): exact dedup ->
+MinHash-LSH near-dup removal -> repetition-quality filter -> benchmark
+decontamination -> deterministic split assignment.
+
+Every stage is one of the engine's oracled operators, so the WHOLE
+pipeline is independently re-derivable in SQL and hash-checked
+(driver query ``curation_pipeline``).
+
+Scale: stage order is chosen so the expensive stages see the fewest
+rows — exact dedup (digest groupBy) first, then LSH (bounded bucket
+pairs), then the per-doc token statistics, then the broadcast
+decontamination semi-join; the final split is a pure map. No stage
+collects to the driver; docs flow as one DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.operators import dedup as dd
+from ncbi_analysis_spark.operators import scale
+
+
+def curate_corpus(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 4,
+    bands: int = 2,
+    shingle_n: int = 3,
+    min_distinct_frac: float = 0.35,
+    max_top_token_frac: float = 0.15,
+    decon_n: int = 3,
+    max_contamination: float = 0.2,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Returns the surviving documents as ``(id_col, split)``.
+
+    Near-dup removal keeps the smaller id of each LSH-colliding pair
+    (deterministic; connected-component clustering is a heavier offline
+    choice — pairwise drop is the streaming-friendly rule).
+    """
+    # 1. exact dedup (min id per normalized-text hash)
+    ex = dd.exact_dedup(docs, text_col, id_col)
+
+    # 2. near-dup: drop the larger id of every LSH band collision
+    pairs = dd.minhash_lsh_pairs(ex, text_col, id_col, num_perm, bands, shingle_n)
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    ex = ex.join(dups, id_col, "left_anti")
+
+    # 3. repetition-quality filter
+    rep = dd.repetition_signals(ex, text_col, id_col)
+    keep = rep.filter(
+        (F.col("distinct_frac") >= min_distinct_frac)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+    ).select(id_col)
+    ex = ex.join(keep, id_col, "left_semi")
+
+    # 4. decontamination vs the benchmark set
+    decon = dd.benchmark_ngram_overlap(ex, bench_docs, text_col, id_col, decon_n)
+    clean = decon.filter(F.col("contamination") <= max_contamination).select(id_col)
+    ex = ex.join(clean, id_col, "left_semi")
+
+    # 5. deterministic split assignment (pure map)
+    return scale.hash_split(ex.select(id_col), id_col, split_weights).select(id_col, "split")

@@ -701,6 +701,67 @@ FROM ts JOIN gs USING (doc_id)
 """
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (plans/curation.py): exact dedup ->
+    LSH near-dup drop -> repetition-quality filter -> decontamination ->
+    deterministic split. Every stage is an oracled operator, so the whole
+    composition is re-derived in SQL and hash-checked."""
+    from ncbi_analysis_spark.plans.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return curate_corpus(corpus, bench)
+
+
+CURATION_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+s1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM corpus) WHERE rn = 1
+),
+shg AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s1),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM shg),
+bandrows AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM m
+),
+dups AS (SELECT DISTINCT b.doc_id
+         FROM bandrows a JOIN bandrows b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+toks AS (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM s2),
+pt AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+ts AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_distinct,
+              MAX(c)::BIGINT AS top_c FROM pt GROUP BY 1),
+s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN ts USING (doc_id)
+       WHERE ts.n_distinct / ts.n_tokens >= 0.35 AND ts.top_c / ts.n_tokens <= 0.15),
+doc_g AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS sh FROM s3),
+bench_g AS (SELECT DISTINCT UNNEST(list_distinct({_SHINGLES_SQL})) AS sh
+            FROM documents WHERE doc_id % 97 = 0),
+dec AS (SELECT d.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_shared
+        FROM doc_g d LEFT JOIN bench_g b USING (sh) GROUP BY 1),
+s4 AS (SELECT s3.doc_id FROM s3 JOIN dec USING (doc_id)
+       WHERE dec.n_shared / dec.n_grams <= 0.2)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 980000 THEN 'train'
+            WHEN ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM s4
+"""
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII pattern scrubbing (corpus curation): count + redact emails,
     IPs, and phone numbers with typed placeholders. Pure codegen map —
@@ -1431,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": repetition_quality,
         "dedup_char_windows": dedup_char_windows,
         "pii_scrub": pii_scrub,
+        "curation_pipeline": curation_pipeline,
         "corpus_split_sample": corpus_split_sample,
         "ann_brute_force": ann_brute_force,
         "ann_ivf": ann_ivf,
@@ -1480,6 +1542,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_quality": REPETITION_SQL,
         "dedup_char_windows": CHAR_WIN_SQL,
         "pii_scrub": PII_SQL,
+        "curation_pipeline": CURATION_SQL,
         "corpus_split_sample": SPLIT_SQL,
         "ann_brute_force": ANN_BF_SQL,
         "ann_ivf": ANN_IVF_SQL,

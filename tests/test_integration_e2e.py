@@ -99,3 +99,30 @@ def test_full_reference_workflow(spark, tmp_path):
     assert back.filter(
         (F.col("start") == 301) & (F.col("direction") == ">")
     ).count() == 1
+
+
+def test_curation_pipeline_stages_all_bite(spark):
+    """Each curation stage must drop something on data constructed to
+    trigger it, and survivors carry a split assignment."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.plans.curation import curate_corpus
+
+    normal = [
+        (i, " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(20)
+    ]
+    exact_dup = [(100, normal[0][1])]                       # dies in stage 1
+    near_dup = [(101, normal[1][1] + " extra")]             # LSH collision with doc 1
+    repetitive = [(102, "spam " * 30)]                      # dies on repetition stats
+    contaminated = [(103, "bench mark phrase one two three four five six seven")]
+    docs = spark.createDataFrame(normal + exact_dup + near_dup + repetitive + contaminated,
+                                 ["doc_id", "text"])
+    bench = spark.createDataFrame([(900, contaminated[0][1])], ["doc_id", "text"])
+    out = curate_corpus(docs, bench)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 100 not in kept and 101 not in kept and 102 not in kept and 103 not in kept
+    assert 0 in kept or 1 in kept          # originals survive their dup twins
+    assert len(kept) >= 15
+    splits = {r["split"] for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
