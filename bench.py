@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "decon_ngram_overlap",
+    "curation_pipeline",
     "repetition_quality",
     "text_stats",
     "ann_brute_force",
