@@ -84,3 +84,44 @@ def test_cluster_single_row(spark):
     df = spark.createDataFrame([("AA", 7)], ["seq", "no"])
     row = cluster.cluster_by_key(df, F.col("seq"), F.col("no")).collect()[0]
     assert row["cluster_size"] == 1 and row["members"] == "7"
+
+
+def test_decon_empty_benchmark(spark):
+    from ncbi_analysis_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([], "doc_id LONG, text STRING")
+    row = dd.benchmark_ngram_overlap(docs, bench, "text", "doc_id", 3).collect()[0]
+    assert row["n_shared"] == 0 and row["contamination"] == 0.0
+
+
+def test_char_window_dup_short_docs_dropped(spark):
+    from ncbi_analysis_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame([(1, "short"), (2, "short")], ["doc_id", "text"])
+    assert dd.char_window_dup_pairs(docs, "text", "doc_id", window=32).count() == 0
+
+
+def test_curation_empty_corpus(spark):
+    from ncbi_analysis_spark.plans.curation import curate_corpus
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    bench = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    assert curate_corpus(empty, bench).count() == 0
+
+
+def test_hash_split_single_class_weights(spark):
+    from ncbi_analysis_spark.operators.scale import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    rows = hash_split(df, "doc_id", {"all": 1.0}).collect()
+    assert all(r["split"] == "all" for r in rows)
+
+
+def test_pii_redact_null_text(spark):
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([(1, None)], "doc_id LONG, text STRING")
+    assert df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"] is None
