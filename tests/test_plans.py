@@ -59,3 +59,12 @@ def test_q5_dimension_broadcasts(spark):
     plan = _plan(spark, "q5_local_supplier_volume")
     # region/nation/supplier (at least) must broadcast, never SMJ at this SF
     assert plan.count("BroadcastExchange") >= 3
+
+
+def test_flagship_scan_plan_shape(spark):
+    plan = _plan(spark, "flagship_similarity_scan")
+    # query genes broadcast into the chunk cross join; exactly one Python
+    # stage (the Arrow-batched scorer); chunks repartitioned for fan-out
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange hashpartitioning(accession" in plan
