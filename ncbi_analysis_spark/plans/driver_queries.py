@@ -279,6 +279,41 @@ FROM g
 """
 
 
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization (operators.sessions): per user,
+    a >30-minute silence starts a new session; emit per-session start,
+    end, and event count. Batch counterpart of the streaming
+    applyInPandasWithState sessionizer."""
+    from ncbi_analysis_spark.operators import sessions
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tsu")
+    )
+    return sessions.session_stats(
+        ev, ["user_id"], "tsu", gap=1_800_000_000, tiebreak="event_id"
+    )
+
+
+SESSIONS_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+f AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN LAG(tsu) OVER w IS NULL
+                OR tsu - LAG(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+s AS (
+  SELECT user_id, tsu,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM f
+)
+SELECT user_id, session_no, MIN(tsu)::BIGINT AS session_start,
+       MAX(tsu)::BIGINT AS session_end, COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def j1_cluster_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/A2/A3 exact-key clustering (reference O(n^2) seq clustering ->
     hash aggregate, src/analysis/cluster_match.py:83-114)."""
@@ -1470,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_per_group": w1_topk_per_group,
         "w2_local_max_suppression": w2_local_max_suppression,
         "w7_gap_regions": w7_gap_regions,
+        "event_sessions": event_sessions,
         "j1_cluster_parts": j1_cluster_parts,
         "j2_nation_rollup": j2_nation_rollup,
         "p5_semi_join": p5_semi_join,
@@ -1520,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "w1_topk_per_group": W1_SQL,
         "w2_local_max_suppression": W2_SQL,
         "w7_gap_regions": W7_SQL,
+        "event_sessions": SESSIONS_SQL,
         "j1_cluster_parts": J1_SQL,
         "j2_nation_rollup": J2_SQL,
         "p5_semi_join": P5_SQL,

@@ -211,3 +211,17 @@ def test_char_window_dup_pairs(spark):
     # docs 1 and 3 share the aligned 64-char prefix -> windows at 0/16/32
     assert rows.get((1, 3), 0) >= 2
     assert all(p == (1, 3) for p in rows)
+
+
+def test_sessionize_gap_semantics(spark):
+    from ncbi_analysis_spark.operators import sessions
+
+    ev = spark.createDataFrame(
+        [("u", 1, 0), ("u", 2, 100), ("u", 3, 5000), ("u", 4, 5100), ("v", 5, 0)],
+        ["user_id", "event_id", "tsu"],
+    )
+    out = sessions.session_stats(ev, ["user_id"], "tsu", gap=1000, tiebreak="event_id")
+    rows = {(r["user_id"], r["session_no"]): r.asDict() for r in out.collect()}
+    assert rows[("u", 1)]["n_events"] == 2 and rows[("u", 1)]["session_end"] == 100
+    assert rows[("u", 2)]["session_start"] == 5000 and rows[("u", 2)]["n_events"] == 2
+    assert rows[("v", 1)]["n_events"] == 1
