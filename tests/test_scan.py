@@ -182,3 +182,32 @@ def test_fast_skip_prune_keeps_results(spark):
     ).collect()
     key = lambda rows: sorted((r["name"], r["strand"], r["offset"]) for r in rows)  # noqa: E731
     assert key(pruned) == key(full)
+
+
+def test_scan_multi_accession_is_per_accession_union(spark):
+    """Scanning two genomes in one call must equal the union of scanning
+    each alone (per-accession chunking, suppression, and coordinate
+    mapping never mix accessions). Top-k is per (query, accession) rank
+    here, so use a k larger than any single result set."""
+    import random
+
+    rnd = random.Random(42)
+    g1 = "".join(rnd.choice("acgt") for _ in range(700))
+    g2 = "".join(rnd.choice("acgt") for _ in range(1100))
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+
+    def run(rows):
+        df = spark.createDataFrame(rows, ["accession", "seq"])
+        out = similarity_scan(
+            df, queries_df, WEIGHTS, top_k=100000,
+            candidate_distance=DIST, patience=PATIENCE, chunk_size=256,
+        )
+        return {
+            (r["name"], r["accession"], r["strand"], r["offset"],
+             r["start"], r["end"], r["weighted_similarity"])
+            for r in out.collect()
+        }
+
+    both = run([("g1", g1), ("g2", g2)])
+    single = run([("g1", g1)]) | run([("g2", g2)])
+    assert both == single
