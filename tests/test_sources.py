@@ -131,3 +131,36 @@ def test_cluster_block_reader(spark, tmp_path):
     assert r["gene_no"] == "17"
     assert (r["name"], r["start"], r["end"]) == ("NZ_1", 5, 8)
     assert (r["seq_rna"], r["seq_align"], r["seq_target"]) == ("AUCG", "acgu", "ACGU")
+
+
+REF_ECOCYC = "/root/reference/data/rna_analysis/Ecocyc_NC_000913.txt"
+
+
+def test_ecocyc_source_on_real_reference_data(spark):
+    """Load the reference repo's actual Ecocyc table (read-only) and
+    check the invariants its loader establishes
+    (src/utils/ecocyc_data_loader.py:11-96): 4553 records; gene interval
+    per record plus a promoter interval iff promoter_name is set (2643
+    of them); inter_records globally sorted by start."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(REF_ECOCYC):
+        pytest.skip("reference data not present")
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.sources import ecocyc
+
+    recs = ecocyc.read_ecocyc_records(spark, REF_ECOCYC)
+    assert recs.count() == 4553
+    assert recs.filter(F.col("gene") == "thrL").count() == 1
+
+    no_prom = ecocyc.explode_inter_records(recs, output_promoter=False)
+    assert no_prom.count() == 4553
+    with_prom = ecocyc.explode_inter_records(recs, output_promoter=True)
+    assert with_prom.count() == 4553 + 2643
+
+    starts = [r["start"] for r in with_prom.select("start").collect()]
+    assert starts == sorted(starts)
+    assert with_prom.filter(~F.col("is_gene")).count() == 2643
