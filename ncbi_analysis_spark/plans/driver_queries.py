@@ -1432,8 +1432,11 @@ w AS (
   WHERE (1.0 * direct + 2.0 * cons) / 3.0 > 0
 ),
 sup AS (
+  -- candidate_distance=5 -> suppression RADIUS 4: the reference deque
+  -- pops at distance >= keep_size BEFORE comparing, so candidates only
+  -- suppress each other at distance <= candidate_distance - 1
   SELECT *, MAX(ws) OVER (PARTITION BY name, accession, strand ORDER BY off_
-                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS mx
+                          RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS mx
   FROM w
 ),
 rk AS (

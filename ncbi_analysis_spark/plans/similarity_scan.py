@@ -21,6 +21,25 @@ guarantees every offset's full window lives in exactly one chunk (offsets
 in the overlap tail are owned by the next chunk). The scorer is the only
 Python stage (Arrow-batched); everything before/after is codegen + two
 keyed shuffles (suppression, top-k).
+
+Suppression parity notes (reference update_candidate_list,
+src/analysis/gene_similarity_match.py:259-277):
+
+* The deque pops entries at distance >= candidate_distance BEFORE
+  comparing, so two candidates only ever suppress each other at distance
+  <= candidate_distance - 1. All suppression windows here (chunk-local
+  pre-suppression, W2) therefore use radius candidate_distance - 1.
+* OrderType.Increment (ascending=True) negates the weighted score BEFORE
+  the deque (gene_similarity_match.py:188-189), so suppression keeps
+  local minima of the raw score and candidates with raw score >= 0 are
+  all marked should_ignore (negated value <= 0). The raw score is
+  restored for output (gene_similarity_match.py:108-110).
+* Chunk-local pre-suppression is exact: each chunk scores a ``halo`` of
+  radius (candidate_distance - 1) beyond its owned offsets on both
+  sides, so every owned offset sees its complete +-r neighborhood and
+  the local-max decision equals the global one — results are
+  chunk-size-invariant by construction (the halo candidates themselves
+  are emitted only by the chunk that owns them).
 """
 
 from __future__ import annotations
@@ -51,10 +70,17 @@ CANDIDATE_SCHEMA = T.StructType([
 
 
 def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
-                 both_strands: bool = True) -> DataFrame:
-    """(accession, strand, base_offset, chunk_seq) — chunks of
+                 both_strands: bool = True, halo: int = 0) -> DataFrame:
+    """(accession, strand, base_offset, lead_, chunk_seq) — chunks of
     ``chunk_size`` plus an ``overlap`` tail so windows starting in
     [base_offset, base_offset + chunk_size) are fully contained.
+
+    ``halo`` > 0 additionally extends each chunk by ``halo`` scoreable
+    offsets on BOTH sides of the owned range (``lead_`` = number of
+    leading halo offsets actually available, < halo near offset 0). The
+    halo lets the scorer make exact local-suppression decisions for
+    owned offsets without seeing other chunks; halo offsets are never
+    emitted by this chunk.
 
     The reverse strand is the reverse complement sequence, chunked the
     same way in its own coordinate system (reference scans the revcomp
@@ -74,10 +100,14 @@ def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
         )
         .withColumn("base_offset", F.col("chunk_id").cast("long") * chunk_size)
+        .withColumn("lead_",
+                    F.least(F.col("base_offset"), F.lit(halo)).cast("int"))
         .withColumn(
             "chunk_seq",
-            F.substring(F.col("seq"), (F.col("base_offset") + 1).cast("int"),
-                        chunk_size + overlap),
+            F.col("seq").substr(
+                (F.col("base_offset") - F.col("lead_") + 1).cast("int"),
+                (F.col("lead_") + chunk_size + halo + overlap).cast("int"),
+            ),
         )
         .drop("seq")
         .filter(F.length("chunk_seq") > 0)
@@ -148,15 +178,23 @@ def scan_candidates(
     fast_skip_cut: float | None = None,
     score_floor: float = 0.0,
     suppress_distance: int | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Score every (chunk, query) pair at every offset; emit candidates
-    with weighted score > score_floor.
+    whose SIGNED score (negated when ``ascending``, mirroring the
+    reference's OrderType.Increment negate-before-suppress at
+    gene_similarity_match.py:188-189) exceeds ``score_floor``.
 
     Python stage strategy (mirrors the reference's pruning order,
     src/analysis/gene_similarity_match.py:179-201,280-291):
     fast_skip histogram filter (vectorized) -> direct score (vectorized
     match matrix) -> exact consistency / text-edit / pattern kernels only
     at surviving offsets.
+
+    ``suppress_distance`` is the suppression RADIUS (use
+    candidate_distance - 1 for reference deque parity) and requires the
+    chunks to carry a halo of at least that radius (chunk_genome
+    ``halo=``) so the chunk-local suppression decision is exact.
     """
     from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
     from ncbi_analysis_spark.similarity.scorers import text_edit_score
@@ -166,38 +204,55 @@ def scan_candidates(
     w_te = float(weights.get("text_edit", 0.0))
     w_pat = float(weights.get("pattern", 0.0))
     total_w = w_direct + w_cons + w_te + w_pat
-    if total_w <= 0:
-        raise ValueError("at least one similarity weight must be > 0")
+    if total_w == 0:
+        raise ValueError("similarity weights must not sum to zero")
+    sgn = -1.0 if ascending else 1.0
+    # the branch-and-bound prune's upper bound is only valid for
+    # non-negative weights in maximizing (descending) mode
+    can_bound = (not ascending and w_direct >= 0 and w_cons >= 0
+                 and w_te >= 0 and w_pat == 0 and total_w > 0)
 
     pat_cache: dict[str, MatchPattern] = {}
 
     def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows: list[tuple] = []
+            has_lead = "lead_" in pdf.columns
             for row in pdf.itertuples(index=False):
                 gene = row.gene
                 L = len(gene)
                 chunk = row.chunk_seq
+                lead = int(row.lead_) if has_lead else 0
                 limit = len(chunk) - L + 1
-                # offsets in the overlap tail belong to the next chunk
-                owned = min(limit, row.chunk_size_)
-                if owned <= 0:
+                # offsets in the overlap tail belong to the next chunk;
+                # local offsets [lead, owned_end) are owned here
+                owned_end = min(limit, lead + int(row.chunk_size_))
+                if owned_end <= lead:
                     continue
+                vectorized = w_te == 0 and w_pat == 0
+                if vectorized and suppress_distance is not None:
+                    # score the halo too so the local-suppression decision
+                    # for every owned offset sees its full +-d window
+                    lo = 0
+                    hi = min(limit, owned_end + int(suppress_distance))
+                else:
+                    lo, hi = lead, owned_end
                 chunk_a = np.frombuffer(chunk.encode("ascii"), dtype=np.uint8)
                 gene_a = np.frombuffer(gene.encode("ascii"), dtype=np.uint8)
-                windows = _np_window_view(chunk_a, L)[:owned]
+                windows = _np_window_view(chunk_a, L)[lo:hi]
 
                 mm = _match_matrix(gene_a, windows)
                 direct = mm.sum(axis=1).astype(np.float64)
 
                 keep = np.ones(len(mm), dtype=bool)
-                if score_floor > 0 and w_pat == 0:
+                if score_floor > 0 and can_bound:
                     # sound branch-and-bound prune: consistency <= direct and
                     # text-edit <= L, so the weighted score is at most
                     # ((w_d + w_c) * direct + w_te * L) / W — offsets whose
                     # bound can't beat the floor never reach the exact
-                    # Python kernels (pattern scores have no cheap bound, so
-                    # pruning is disabled when w_pat > 0)
+                    # Python kernels (pattern scores have no cheap bound and
+                    # negative/ascending weights break the bound, so pruning
+                    # is disabled there)
                     bound = ((w_direct + w_cons) * direct + w_te * L) / total_w
                     keep &= bound > score_floor
                 if fast_skip_cut is not None:
@@ -211,7 +266,7 @@ def scan_candidates(
                         is_b = (chunk_a == b).astype(np.int32)
                         cs = np.concatenate(([0], np.cumsum(is_b)))
                         win_cnt = cs[L:] - cs[:-L]
-                        same += np.minimum(g_cnt, win_cnt[:owned])
+                        same += np.minimum(g_cnt, win_cnt[lo:hi])
                     keep &= same >= fast_skip_cut
 
                 pat = None
@@ -226,34 +281,40 @@ def scan_candidates(
                 # those offsets) — running it on the full matrix would
                 # throw away the pruning win in score_floor mode
                 cons = np.zeros(len(mm), dtype=np.float64)
-                if w_cons > 0:
+                if w_cons != 0:
                     kidx = np.nonzero(keep)[0]
                     if len(kidx):
                         cons[kidx] = _consistency_vec(mm[kidx], patience)
 
-                if w_te == 0 and w_pat == 0:
+                g0 = int(row.base_offset) - lead + lo  # global offset of local 0
+                if vectorized:
                     # fully vectorized path: no per-offset Python at all
                     weighted_all = (w_direct * direct + w_cons * cons) / total_w
-                    emit = keep & (weighted_all > score_floor)
-                    if suppress_distance is not None and emit.any():
-                        # chunk-local pre-suppression: an offset strictly
-                        # dominated by a neighbor IN THIS CHUNK (within
-                        # distance) can never survive the global W2
-                        # window, so don't ship it — cross-chunk
-                        # dominance is still checked downstream
+                    score_s = sgn * weighted_all
+                    emit = keep & (score_s > score_floor)
+                    if suppress_distance is not None:
+                        # exact local suppression: thanks to the halo, the
+                        # +-d window of every owned offset is fully scored
+                        # here, so "strictly dominated within d" is decided
+                        # against the same candidate set the global W2 pass
+                        # would see — results are chunk-invariant
                         d = int(suppress_distance)
-                        w_dom = np.where(emit, weighted_all, -np.inf)
-                        padded = np.concatenate(
-                            (np.full(d, -np.inf), w_dom, np.full(d, -np.inf))
-                        )
-                        local_max = np.lib.stride_tricks.sliding_window_view(
-                            padded, 2 * d + 1
-                        ).max(axis=1)
-                        emit &= w_dom >= local_max
+                        if d > 0 and emit.any():
+                            w_dom = np.where(emit, score_s, -np.inf)
+                            padded = np.concatenate(
+                                (np.full(d, -np.inf), w_dom, np.full(d, -np.inf))
+                            )
+                            local_max = np.lib.stride_tricks.sliding_window_view(
+                                padded, 2 * d + 1
+                            ).max(axis=1)
+                            emit &= w_dom >= local_max
+                        # halo offsets are scored for the decision only;
+                        # they are owned (and emitted) by their own chunk
+                        loc = lo + np.arange(len(emit))
+                        emit &= (loc >= lead) & (loc < owned_end)
                     sel = np.nonzero(emit)[0]
-                    base = int(row.base_offset)
                     out_rows.extend(
-                        (row.name, row.accession, row.strand, base + int(off),
+                        (row.name, row.accession, row.strand, g0 + int(off),
                          float(weighted_all[off]), float(direct[off]),
                          float(cons[off]), 0.0, 0.0)
                         for off in sel
@@ -261,20 +322,20 @@ def scan_candidates(
                     continue
 
                 for off in np.nonzero(keep)[0]:
-                    win = chunk[off:off + L]
+                    win = chunk[lo + off:lo + off + L]
                     acc = w_direct * direct[off] + w_cons * cons[off]
                     s_te = s_pat = 0.0
-                    if w_te > 0:
+                    if w_te != 0:
                         s_te = text_edit_score(gene, win, continuous_mismatch_limit)
                         acc += w_te * s_te
-                    if w_pat > 0:
+                    if w_pat != 0:
                         s_pat = pattern_score(pat, win)
                         acc += w_pat * s_pat
                     weighted = acc / total_w
-                    if weighted > score_floor:
+                    if sgn * weighted > score_floor:
                         out_rows.append((
                             row.name, row.accession, row.strand,
-                            int(row.base_offset) + int(off), weighted,
+                            g0 + int(off), weighted,
                             float(direct[off]), float(cons[off]), s_te, s_pat,
                         ))
             yield pd.DataFrame(out_rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields])
@@ -307,29 +368,43 @@ def similarity_scan(
     (start > end encodes the strand;
     src/analysis/models/match_candidate.py:16-22).
 
-    ``ascending=True`` reproduces W4 order polarity (smaller-is-better).
+    ``ascending=True`` reproduces W4 order polarity (OrderType.Increment):
+    the weighted score is negated BEFORE suppression and the non-positive
+    drop (gene_similarity_match.py:188-189 negates before
+    update_candidate_list), so suppression keeps local minima and only
+    candidates with raw score < -score_floor survive — with all-positive
+    weights that is the empty set, exactly as the reference behaves.
     """
     max_len_row = queries_df.select(F.max(F.length("gene")).alias("m")).collect()
     overlap = int(max_len_row[0]["m"] or 1) - 1
+
+    # reference deque parity: candidates interact only at distance
+    # <= candidate_distance - 1 (update_candidate_list pops at >= keep_size
+    # before comparing, gene_similarity_match.py:262-265)
+    radius = max(int(candidate_distance) - 1, 0)
 
     # chunks explode out of a tiny genome_df (rows = accessions x strands),
     # so without an explicit redistribution the whole scan would run in
     # |genome rows| tasks — repartition by chunk identity to spread the
     # Python scoring across the cluster
-    chunks = chunk_genome(genome_df, chunk_size, overlap) \
+    chunks = chunk_genome(genome_df, chunk_size, overlap, halo=radius) \
         .repartition("accession", "strand", "chunk_id") \
         .withColumn("chunk_size_", F.lit(chunk_size))
 
     cands = scan_candidates(
         chunks, queries_df, weights, patience, continuous_mismatch_limit,
         pattern_conditions, fast_skip_cut, score_floor,
-        suppress_distance=candidate_distance,
+        suppress_distance=radius, ascending=ascending,
     )
 
-    # W2: sliding local-max suppression per (query, accession, strand)
+    # W2: sliding local-max suppression per (query, accession, strand) on
+    # the SIGNED score (reference negate-before-suppress for Increment)
+    signed = (
+        (-F.col("weighted_similarity")) if ascending
+        else F.col("weighted_similarity")
+    )
     sup = local_max_suppress(
-        cands, ["name", "accession", "strand"], "offset", "weighted_similarity",
-        candidate_distance,
+        cands, ["name", "accession", "strand"], "offset", signed, radius,
     )
 
     # W1: per-query top-k (W4 polarity via ordering direction)

@@ -34,7 +34,12 @@ def revcomp_py(s: str) -> str:
 
 def brute_force():
     """Reference-shaped scan: both strands, all offsets, drop <=0, W2
-    strict-dominance suppression, top-k by weighted desc."""
+    strict-dominance suppression, top-k by weighted desc.
+
+    Suppression radius is DIST - 1: the reference deque
+    (update_candidate_list, gene_similarity_match.py:262-265) pops
+    entries at distance >= candidate_distance BEFORE comparing, so only
+    pairs at distance <= candidate_distance - 1 interact."""
     out = {}
     for name, gene in QUERIES:
         cands = []
@@ -47,7 +52,7 @@ def brute_force():
                     strand_cands.append((off, w))
             for off, w in strand_cands:
                 dominated = any(
-                    w2 > w for o2, w2 in strand_cands if abs(o2 - off) <= DIST
+                    w2 > w for o2, w2 in strand_cands if abs(o2 - off) < DIST
                 )
                 if not dominated:
                     cands.append((strand, off, w))
@@ -140,7 +145,7 @@ def test_scan_textedit_weights_match_brute_force(spark):
             if w > 0:
                 cands.append((off, w))
         for off, w in cands:
-            if not any(w2 > w for o2, w2 in cands if abs(o2 - off) <= DIST):
+            if not any(w2 > w for o2, w2 in cands if abs(o2 - off) < DIST):
                 want.append((strand, off, w))
     want.sort(key=lambda c: (-c[2], c[0], c[1]))
     got_t = sorted(
@@ -150,22 +155,82 @@ def test_scan_textedit_weights_match_brute_force(spark):
     assert got_t == want[:4]
 
 
-def test_scan_ascending_polarity(spark):
-    """W4: ascending=True reproduces the reference's score-negation path
-    (OrderType.Increment) — smallest weighted scores rank first."""
+def test_scan_ascending_all_positive_is_empty(spark):
+    """W4 parity: OrderType.Increment negates the score BEFORE the deque
+    (gene_similarity_match.py:188-189), and candidates whose (negated)
+    score is <= 0 are marked should_ignore — so with all-positive weights
+    the reference emits nothing, and so must we."""
     genome_df = spark.createDataFrame([("acc", GENOME[:800])], ["accession", "seq"])
     queries_df = spark.createDataFrame(QUERIES[:1], ["name", "gene"])
     asc = similarity_scan(
         genome_df, queries_df, WEIGHTS, top_k=3, candidate_distance=DIST,
         patience=PATIENCE, chunk_size=512, ascending=True,
     ).collect()
-    desc = similarity_scan(
-        genome_df, queries_df, WEIGHTS, top_k=3, candidate_distance=DIST,
-        patience=PATIENCE, chunk_size=512,
+    assert asc == []
+
+
+def test_scan_ascending_negate_before_suppress(spark):
+    """W4: ascending=True must suppress on the NEGATED score (keep local
+    minima of the raw score), not merely flip the top-k ordering. Uses a
+    mixed-sign weight set (total weight -1, as the reference's
+    count_similarity allows) so raw scores take both signs:
+    w = (direct - 2*cons) / -1 = 2*cons - direct."""
+    weights = {"direct": 1.0, "consistency": -2.0}
+    genome = GENOME[:800]
+    genome_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES[:1], ["name", "gene"])
+    topk = 6
+    got = similarity_scan(
+        genome_df, queries_df, weights, top_k=topk, candidate_distance=DIST,
+        patience=PATIENCE, chunk_size=256, ascending=True,
     ).collect()
-    assert max(r["weighted_similarity"] for r in asc) <= min(
-        r["weighted_similarity"] for r in desc
+
+    name, gene = QUERIES[0]
+    want = []
+    for strand, db in (("+", genome), ("-", revcomp_py(genome))):
+        cands = []
+        for off in range(len(db) - len(gene) + 1):
+            w, _ = weighted_similarity(gene, db[off:off + len(gene)], weights,
+                                       patience=PATIENCE)
+            if -w > 0:  # reference ignores negated score <= 0
+                cands.append((off, w))
+        for off, w in cands:
+            # suppression on the negated score, radius DIST - 1
+            if not any(-w2 > -w for o2, w2 in cands if abs(o2 - off) < DIST):
+                want.append((strand, off, w))
+    want.sort(key=lambda c: (c[2], c[0], c[1]))  # raw score ASC
+    got_t = sorted(
+        ((r["strand"], r["offset"], r["weighted_similarity"]) for r in got),
+        key=lambda c: (c[2], c[0], c[1]),
     )
+    assert got_t == want[:topk]
+
+
+def test_scan_chunk_invariance_fuzz(spark):
+    """Chunk-boundary regression (round-2 advice): pre-suppression must
+    make the same keep/drop decision a single-chunk scan would — a
+    candidate near a chunk edge can be dominated by, or dominate, a
+    neighbor in the adjacent chunk. The halo makes this exact; many tiny
+    chunks maximize boundary pressure."""
+    rnd = random.Random(7)
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    genome = "".join(rnd.choice("acgt") for _ in range(900))
+    genome_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+
+    def run(csize):
+        out = similarity_scan(
+            genome_df, queries_df, WEIGHTS, top_k=100_000,
+            candidate_distance=5, patience=PATIENCE, chunk_size=csize,
+        )
+        return sorted(
+            (r["name"], r["strand"], r["offset"],
+             round(r["weighted_similarity"], 9))
+            for r in out.collect()
+        )
+
+    whole = run(10**6)
+    for csize in (37, 64, 256):
+        assert run(csize) == whole, f"chunk_size={csize} diverges"
 
 
 def test_fast_skip_prune_keeps_results(spark):
