@@ -29,7 +29,19 @@ def salted_join(
     ``salt`` x. Salt uses ``rand`` — for deterministic task retries Spark
     re-seeds per task attempt, which is safe because any salt value joins
     correctly.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    exploded ``salt`` x, so an outer join would emit every unmatched
+    right row once per salt value. Those joins don't suffer left-side
+    key skew in the same way — use a plain join (with AQE skew handling)
+    instead.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the exploded right side would duplicate unmatched rows "
+            "under right/full outer joins"
+        )
     lsalt = left.withColumn("__salt", (F.rand(42) * salt).cast("int"))
     rsalt = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

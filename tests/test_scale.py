@@ -18,6 +18,25 @@ def test_salted_join_matches_plain(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would replicate unmatched right rows salt x —
+    the operator must refuse rather than silently corrupt."""
+    import pytest
+
+    left = spark.createDataFrame([(0, 1)], ["k", "v"])
+    right = spark.createDataFrame([(0, "a"), (9, "z")], ["k", "tag"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            scale.salted_join(left, right, "k", salt=4, how=how)
+    # left join stays supported and exact: unmatched LEFT rows carry one
+    # salt value each, so they appear exactly once
+    left2 = spark.createDataFrame([(0, 1), (7, 2)], ["k", "v"])
+    got = sorted(map(tuple,
+                     scale.salted_join(left2, right, "k", salt=4, how="left")
+                     .select("k", "v", "tag").collect()))
+    assert got == [(0, 1, "a"), (7, 2, None)]
+
+
 def test_bucketed_join_no_exchange(spark):
     # warehouse dir is set (statically) by get_spark; broadcast disabled so
     # the join would need an exchange if bucketing didn't align partitions
