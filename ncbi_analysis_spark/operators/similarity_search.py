@@ -111,6 +111,77 @@ def brute_force_topk_np(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE MAP: the (small, by IVF
+    contract) centroid table is collected into an array literal and the
+    argmax is a projection — no join, no window, no shuffle anywhere
+    between the corpus scan and whatever consumes the assignment. This is
+    the index-build step; at 100 TB its output is written bucketed by
+    ``c_id`` so searches prune to buckets with no further shuffle.
+
+    Tie-break matches the window form it replaces: highest cosine first,
+    then lowest centroid id (centroids are evaluated in ascending-id
+    order and ``array_position`` takes the FIRST maximum).
+
+    Output: (id_col, __cv [the vector], c_id).
+    """
+    import math
+
+    rows = sorted(
+        centroids.select(F.col(c_id), F.col(vec)).collect(), key=lambda r: r[c_id]
+    )
+    if not rows:
+        raise ValueError("centroids must be non-empty")
+
+    # centroid norms are constants -> computed ONCE on the driver with the
+    # same sequential left-fold the SQL oracle uses (0.0 + x0*x0 + ... is
+    # bit-identical to DuckDB's list_reduce), so per corpus row the score
+    # is a single dot fold per centroid: dot(v, c) / ||c||. Dividing by
+    # ||v|| is skipped — it's a positive per-row constant, so the argmax
+    # (and its first-max tie-break) is unchanged.
+    def _norm(v) -> float:
+        acc = 0.0
+        for x in v:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in r[vec]]) for r in rows
+    ])
+    norm_arr = F.array(*[F.lit(_norm(r[vec])) for r in rows])
+    ids_arr = F.array(*[F.lit(int(r[c_id])).cast("long") for r in rows])
+    cvd = F.transform(F.col("__cv"), lambda x: x.cast("double"))
+    sims = F.zip_with(
+        cent_arr, norm_arr,
+        lambda cv, nc: F.when(nc == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                F.zip_with(F.col("__cvd"), cv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ) / nc
+        ),
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+        .withColumn("__cvd", cvd)
+        .withColumn("__sims", sims)
+        .withColumn(
+            c_id,
+            F.element_at(
+                ids_arr,
+                F.array_position(F.col("__sims"), F.array_max("__sims")).cast("int"),
+            ),
+        )
+        .drop("__sims", "__cvd")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,26 +192,25 @@ def ivf_topk(
     c_id: str = "c_id",
     k: int = 10,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF bucket-pruned top-k: assign corpus rows to nearest centroid,
-    probe the ``nprobe`` nearest centroid buckets per query, exact re-rank
-    inside the probed buckets.
+    """IVF bucket-pruned top-k: assign corpus rows to nearest centroid
+    (map-side argmax, see ivf_assign), probe the ``nprobe`` nearest
+    centroid buckets per query, exact re-rank inside the probed buckets.
 
-    Centroids are small -> broadcast into both assignment joins; the only
-    big shuffle is the bucket-key join, which at scale becomes a
-    co-partitioned (bucketed-table) join with no shuffle at all.
+    Pass ``assigned`` (a prebuilt ivf_assign output) to search an
+    existing index — the production shape, where the index is built once
+    offline and queries pay only probe + re-rank.
+
+    The probe set (queries x nprobe) is tiny -> broadcast into the bucket
+    join, so the corpus side never shuffles before the bucket prune; the
+    only corpus-scale movement is the final per-query top-k window over
+    the ~nprobe/k_centroids fraction of rows that survive the prune.
     """
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
+
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
-
-    assign = (
-        corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
-        .join(F.broadcast(cent), how="cross")
-        .select(id_col, "__cv", c_id, cosine(F.col("__cv"), F.col("__cent")).alias("__sim"))
-    )
-    assign = topk_per_group(assign, [id_col], [F.desc("__sim"), F.asc(c_id)], 1).select(
-        id_col, "__cv", c_id
-    )
-
     probes = (
         queries.select(F.col(q_id), F.col(vec).alias("__qv"))
         .join(F.broadcast(cent), how="cross")
@@ -150,7 +220,7 @@ def ivf_topk(
         q_id, "__qv", c_id
     )
 
-    scored = probes.join(assign, on=c_id, how="inner").select(
+    scored = assigned.join(F.broadcast(probes), on=c_id, how="inner").select(
         q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")

@@ -954,15 +954,21 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
 
 
 def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for 5 query vectors (exact baseline)."""
+    """Brute-force cosine top-10 for 48 query vectors (exact baseline).
+
+    48 queries (vs the 8-centroid IVF variant below) models the realistic
+    ANN regime — query batches larger than the centroid count — so the
+    brute/IVF bench comparison measures the bucket-prune's real effect,
+    not fixed overheads. (Round 1 used 5 queries, under which IVF's
+    8-cosine assignment could never beat a 5-cosine full scan.)"""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    q = e.filter(F.col("vec_id") < 48).select(F.col("vec_id").alias("q_id"), "embedding")
     out = similarity_search.brute_force_topk(e, q, k=10)
     return out.withColumn("rk", F.col("rk").cast("long"))
 
 
 ANN_BF_SQL = f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 48),
 scored AS (
   SELECT q.q_id, e.vec_id, ROUND({_cos_sql('q.qv', 'e.embedding')}, 6) AS cos_sim
   FROM embeddings e CROSS JOIN q
@@ -975,9 +981,12 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF bucket-pruned top-k (centroids = first 8 vectors, nprobe=2)."""
+    """IVF bucket-pruned top-k for the same 48-query batch as
+    ann_brute_force (centroids = first 8 vectors, nprobe=2). Assignment
+    is a map-side argmax over a broadcast centroid literal (ivf_assign) —
+    no corpus shuffle before the bucket prune."""
     e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    q = e.filter(F.col("vec_id") < 48).select(F.col("vec_id").alias("q_id"), "embedding")
     cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
     out = similarity_search.ivf_topk(e, q, cents, k=10, nprobe=2)
     return out.withColumn("rk", F.col("rk").cast("long"))
@@ -986,9 +995,16 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_IVF_SQL = f"""
 WITH cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
 corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 48),
 assign0 AS (
-  SELECT c.vec_id, c.v, ct.c_id, {_cos_sql('c.v', 'ct.cv')} AS sim
+  -- assignment score is dot(v, c) / ||c|| — same formula (and fold
+  -- order) as the Spark map-side argmax in ivf_assign, which skips the
+  -- ||v|| division because a positive per-row constant can't change the
+  -- argmax or its tie-break
+  SELECT c.vec_id, c.v, ct.c_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
   FROM corpus c CROSS JOIN cent ct
 ),
 assign AS (SELECT vec_id, v, c_id FROM (

@@ -61,6 +61,17 @@ def test_q5_dimension_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 3
 
 
+def test_ivf_assignment_is_map_side(spark):
+    """Round-2 fix: nearest-centroid assignment must be a pure projection
+    (broadcast centroid literal + argmax), not a cross join + window —
+    i.e. NO exchange partitioned by the corpus id anywhere, and the
+    bucket join must broadcast the probe side."""
+    plan = _plan(spark, "ann_ivf")
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Exchange hashpartitioning(__cv" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_flagship_scan_plan_shape(spark):
     plan = _plan(spark, "flagship_similarity_scan")
     # query genes broadcast into the chunk cross join; exactly one Python
