@@ -158,12 +158,25 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Returns distinct (id_a, id_b) with id_a < id_b that collide in at
     least one band. Verify with ``ngram_jaccard_pairs`` (or directly
     threshold on signature agreement) downstream.
+
+    Bucket-explode formulation (same pattern as ngram_jaccard_pairs): an
+    aliased self-join would compute the whole signature pipeline TWICE
+    (exchange reuse doesn't fire across join aliases); grouping member
+    ids per (band, band_hash) and chaining two explodes generates the
+    same within-bucket pairs from a single signature scan.
+
+    ``max_band_freq`` caps bucket size: a degenerate band value (e.g.
+    empty-text documents hashing identically) would otherwise produce a
+    quadratic hot bucket; buckets above the cap are dropped (their
+    members are near-identical junk better handled by exact dedup).
+    Set None to disable (oracle/parity runs).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text, id_col, num_perm, shingle_n)
@@ -179,13 +192,17 @@ def minhash_lsh_pairs(
     sig = sigs.select(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
     ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
-    a = sig.alias("a")
-    b = sig.alias("b")
+    buckets = (
+        sig.groupBy("band", "band_hash")
+        .agg(F.collect_list("id").alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    if max_band_freq is not None:
+        buckets = buckets.filter(F.size("members") <= max_band_freq)
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -250,11 +267,17 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_band_freq: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: any pair with Hamming distance
     < ``bands`` over the 32-bit fingerprint shares an identical 8-bit band
     (pigeonhole), so candidates come from cheap equi-joins; the exact
     Hamming filter runs only on candidates.
+
+    Bucket-explode formulation (single fingerprint scan — see
+    minhash_lsh_pairs) with a ``max_band_freq`` hot-bucket cap: a band
+    value shared by a huge cohort (near-constant documents) would
+    otherwise go quadratic. Set None to disable.
     """
     from ncbi_analysis_spark.functions.text import hamming32
 
@@ -272,10 +295,17 @@ def simhash_pairs(
             for i in range(bands)
         ])).alias("b"),
     ).select("id", "fp", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    if max_band_freq is not None:
+        buckets = buckets.filter(F.size("members") <= max_band_freq)
     cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.id") < F.col("b.id")))
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
         .distinct()
@@ -452,15 +482,20 @@ def char_window_dup_pairs(
         )
         .distinct()
     )
+    # bucket-explode (single window scan; see minhash_lsh_pairs) — the
+    # frequency cap becomes a plain size filter on the bucket, replacing
+    # the extra aggregation + broadcast-join-back the self-join form needed
+    buckets = (
+        wins.groupBy("wh")
+        .agg(F.collect_list("id").alias("members"))
+        .filter(F.size("members") > 1)
+    )
     if max_window_freq is not None:
-        freq = (
-            wins.groupBy("wh").agg(F.count(F.lit(1)).alias("f"))
-            .filter(F.col("f") <= max_window_freq)
-        )
-        wins = wins.join(F.broadcast(freq.select("wh")), "wh", "inner")
-    a, b = wins.alias("a"), wins.alias("b")
+        buckets = buckets.filter(F.size("members") <= max_window_freq)
     return (
-        a.join(b, (F.col("a.wh") == F.col("b.wh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("members").alias("id_a"), "members")
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
     )

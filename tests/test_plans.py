@@ -61,6 +61,23 @@ def test_q5_dimension_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 3
 
 
+def test_lsh_pairs_single_signature_scan(spark):
+    """Round-2 fix: the banded pair generators must compute their
+    signature pipeline ONCE (bucket-explode), not twice via an aliased
+    self-join — one FileScan of the corpus in each physical plan."""
+    from ncbi_analysis_spark.operators import dedup
+
+    d = dq._t(spark, SF, "documents")
+    for build in (
+        lambda: dedup.minhash_lsh_pairs(d, "text", "doc_id", num_perm=8, bands=4),
+        lambda: dedup.simhash_pairs(d, "text", "doc_id"),
+        lambda: dedup.char_window_dup_pairs(d, "text", "doc_id", window=32,
+                                            max_window_freq=50),
+    ):
+        plan = build()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1, plan[:2000]
+
+
 def test_ivf_assignment_is_map_side(spark):
     """Round-2 fix: nearest-centroid assignment must be a pure projection
     (broadcast centroid literal + argmax), not a cross join + window —
