@@ -1156,10 +1156,16 @@ FROM p
 
 
 def f5_textedit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F5 text-edit similarity (pandas UDF; rows-only check — the c->t DP
-    with traceback abort is not SQL-expressible; unit-tested against
-    goldens derived by executing the reference,
-    src/analysis/similarities/text_edit_similarity.py:13-48)."""
+    """F5 text-edit similarity WITH the traceback abort (pandas UDF;
+    src/analysis/similarities/text_edit_similarity.py:13-48).
+
+    Exact oracle: the abort is deterministic because the traceback
+    preference order is fixed (diagonal > delete > insert, matching the
+    reference's if/elif chain at text_edit_similarity.py:31-43), so the
+    DuckDB side re-derives the FULL DP table (reference INF=999999
+    boundary; intra-row dependency removed by the prefix-min identity
+    new[j] = j + min_{k<=j}(base[k]-k)) and replays the same traceback
+    with the same mismatch-run counter as a second recursive CTE."""
     from ncbi_analysis_spark.similarity.udfs import text_edit_similarity_udf
 
     d = _t(spark, sf_dir, "documents")
@@ -1169,6 +1175,73 @@ def f5_textedit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "doc_id")
         .select("doc_id", text_edit_similarity_udf("sa", "sb", F.lit(3)).alias("textedit_sim"))
     )
+
+
+_F5_COST = """(CASE WHEN substr(sa, {i}::INT, 1) = substr(sb, {j}::INT, 1)
+                OR (substr(sa, {i}::INT, 1) = 'c' AND substr(sb, {j}::INT, 1) = 't')
+              THEN 0 ELSE 1 END)"""
+
+F5_ABORT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id, substr(LOWER(a.text), 1, 24) AS sa, substr(LOWER(b.text), 1, 24) AS sb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+p AS (SELECT doc_id, sa, sb, LENGTH(sa)::BIGINT AS n FROM pairs),
+-- full c->t edit DP with the reference INF=999999 boundary
+-- (row[k+1] = dp[i][k]); interior cells stay finite so no INF capping
+dpf AS (
+  SELECT doc_id, sa, sb, n, 0 AS i,
+         list_prepend(0::BIGINT, list_transform(range(1, (n+1)::INT), j -> 999999::BIGINT)) AS row
+  FROM p WHERE n > 0
+  UNION ALL
+  SELECT doc_id, sa, sb, n, i + 1,
+         list_prepend(999999::BIGINT,
+           list_transform(range(1, (n+1)::INT), j -> j + list_min(t.bmk[1:j::INT])))
+  FROM dpf CROSS JOIN LATERAL (
+    SELECT list_transform(range(1, (n+1)::INT),
+      k -> LEAST(row[(k+1)::INT] + 1,
+                 row[k::INT] + {_F5_COST.format(i='(i+1)', j='k')}) - k) AS bmk
+  ) t
+  WHERE i < n
+),
+tbl AS (
+  SELECT doc_id, any_value(sa) AS sa, any_value(sb) AS sb, any_value(n) AS n,
+         list(row ORDER BY i) AS rows
+  FROM dpf GROUP BY doc_id
+),
+-- traceback replay: diagonal > delete > insert preference, mismatch-run
+-- reset on a matched diagonal, abort when the run reaches 3
+tb AS (
+  SELECT doc_id, sa, sb, n, rows, n::BIGINT AS i, n::BIGINT AS j,
+         0::BIGINT AS run, FALSE AS aborted
+  FROM tbl
+  UNION ALL
+  SELECT doc_id, sa, sb, n, rows,
+         CASE WHEN c.diag OR c.up THEN i - 1 ELSE i END,
+         CASE WHEN c.diag THEN j - 1 WHEN c.up THEN j ELSE j - 1 END,
+         c.nrun,
+         c.nrun >= 3
+  FROM tb CROSS JOIN LATERAL (
+    SELECT diag, up, cost,
+           CASE WHEN diag AND cost = 0 THEN 0::BIGINT ELSE run + 1 END AS nrun
+    FROM (
+      SELECT
+        {_F5_COST.format(i='i', j='j')} AS cost,
+        (i > 0 AND j > 0 AND rows[(i+1)::INT][(j+1)::INT] = rows[i::INT][j::INT] +
+          {_F5_COST.format(i='i', j='j')}) AS diag,
+        (NOT (i > 0 AND j > 0 AND rows[(i+1)::INT][(j+1)::INT] = rows[i::INT][j::INT] +
+          {_F5_COST.format(i='i', j='j')})
+         AND i > 0 AND rows[(i+1)::INT][(j+1)::INT] = rows[i::INT][(j+1)::INT] + 1) AS up
+    )
+  ) c
+  WHERE (i > 0 OR j > 0) AND NOT aborted
+)
+SELECT doc_id,
+       CASE WHEN aborted THEN 0.0 ELSE (n - rows[(n+1)::INT][(n+1)::INT])::DOUBLE END AS textedit_sim
+FROM tb WHERE aborted OR (i = 0 AND j = 0)
+UNION ALL
+SELECT doc_id, 0.0 AS textedit_sim FROM p WHERE n = 0
+"""
 
 
 def f5b_textedit_noabort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1554,9 +1627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_distribution": lang_distribution,
         "f6_direct_similarity": f6_direct_similarity,
-        # pandas-UDF scorers (f5/f9 rows-only: DP traceback abort and
-        # seed-extend DFS have no SQL form; f7 and the flagship scan have
-        # independent DuckDB reformulations as exact oracles)
+        # pandas-UDF scorers — every one has an independent DuckDB
+        # reformulation as an exact oracle (f5 abort mode replays the DP
+        # traceback in SQL; f7 is the prefix-sum window form; f9 the
+        # CASE-chain greedy; the flagship scan a full-pipeline rebuild)
         "f5_textedit_similarity": f5_textedit_similarity,
         "f5b_textedit_noabort": f5b_textedit_noabort,
         "f7_consistency_similarity": f7_consistency_similarity,
@@ -1605,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _text_stats_sql(),
         "lang_distribution": _lang_dist_sql(),
         "f6_direct_similarity": F6_SQL,
+        "f5_textedit_similarity": F5_ABORT_SQL,
         "f5b_textedit_noabort": F5B_SQL,
         "f7_consistency_similarity": F7_SQL,
         "f9_blat_similarity": _blat_sql(),
