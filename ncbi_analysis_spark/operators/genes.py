@@ -97,3 +97,25 @@ def random_split_triples(targets: DataFrame, value_col: str, seed: int = 42,
     b = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * F.rand(seed + 1))
     return targets.withColumn("v1", a).withColumn("v2", b) \
         .withColumn("v3", 3 * x - F.col("v1") - F.col("v2"))
+
+
+def hash_split_triples(targets: DataFrame, value_col: str, id_col: str,
+                       jitter: float = 0.025, salt: str = "split3") -> DataFrame:
+    """F17, deterministic form: the uniforms come from an md5 hash of the
+    row id instead of ``rand`` — identical semantics (two draws in
+    [(1-j)x, (1+j)x], third = 3x - sum), but rerun-stable under task
+    retries/speculation and bit-reproducible in a DuckDB oracle (the same
+    determinism argument as operators.scale.hash_split vs ``df.sample``).
+    Reference semantics: src/run_random_generate.py:16-25."""
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    x = F.col(value_col).cast("double")
+    lo, hi = 1.0 - jitter, 1.0 + jitter
+
+    def u(i: int) -> Column:
+        return _hash32(F.col(id_col).cast("string"), f"{salt}{i}") / F.lit(4294967296.0)
+
+    a = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * u(1))
+    b = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * u(2))
+    return targets.withColumn("v1", a).withColumn("v2", b) \
+        .withColumn("v3", F.lit(3.0) * x - F.col("v1") - F.col("v2"))

@@ -1637,6 +1637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_blat_similarity": f9_blat_similarity,
         "flagship_similarity_scan": flagship_similarity_scan,
         "multimodal_image_features": multimodal_image_features,
+        # round-2 additions: oracle entries for the previously pytest-only
+        # operators (P3/P4/P6/P9, J7/J9, A7, F8/F10/F11/F13/F16/F17/F18)
+        **_r2().queries_r2(),
     }
 
 
@@ -1685,4 +1688,11 @@ def oracle_sql() -> dict[str, str]:
         "f9_blat_similarity": _blat_sql(),
         "flagship_similarity_scan": FLAGSHIP_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
+        **_r2().oracle_sql_r2(),
     }
+
+
+def _r2():
+    from ncbi_analysis_spark.plans import driver_queries_r2
+
+    return driver_queries_r2

@@ -1,0 +1,872 @@
+"""Round-2 driver queries: exact-oracle entries for operators that round 1
+verified only by pytest (VERDICT r01 "Next round" #2) — P3, P4, P6, P9,
+J7, J9, A7, F8, F10, F11, F13, F16, F17, F18.
+
+Each query derives deterministic inputs from the driver parquet tables
+(never synthesizes its own data files), runs the REAL operator from the
+package, and pairs with an independently-written DuckDB SQL oracle that
+follows the cross-engine determinism rules documented at the top of
+plans/driver_queries.py (md5-derived hashes, sequential folds, raw
+doubles, BIGINT casts).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.plans.driver_queries import _t
+
+# ---------------------------------------------------------------------------
+# P3 — AUCG alphabet filter + offender-character report
+# ---------------------------------------------------------------------------
+
+
+def p3_aucg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 alphabet filter + offender set (pipelines.aucg_filter_report;
+    reference src/analysis/cluster_match.py:117-131) over letter
+    sequences derived from document text."""
+    from ncbi_analysis_spark.plans.pipelines import aucg_filter_report
+
+    d = _t(spark, sf_dir, "documents")
+    elements = d.select(
+        F.col("doc_id").alias("record_no"),
+        F.col("doc_id").cast("string").alias("gene_no"),
+        F.upper(F.substring(F.regexp_replace("text", "[^a-zA-Z]", ""), 1, 20))
+        .alias("seq_target"),
+    ).filter(F.length("seq_target") > 0)
+    rep = aucg_filter_report(elements)
+    return rep.select(
+        "record_no",
+        "seq_target",
+        "aucg_only",
+        F.coalesce(
+            F.array_join(F.array_sort("offending_chars"), ""), F.lit("")
+        ).alias("offenders"),
+    )
+
+
+P3_SQL = """
+WITH e AS (
+  SELECT doc_id AS record_no,
+         upper(substr(regexp_replace(text, '[^a-zA-Z]', '', 'g'), 1, 20)) AS seq_target
+  FROM documents
+)
+SELECT record_no, seq_target,
+       regexp_full_match(seq_target, '[AUCG]+') AS aucg_only,
+       CASE WHEN regexp_full_match(seq_target, '[AUCG]+') THEN ''
+            ELSE list_aggregate(
+                   list_sort(list_distinct(list_filter(
+                     list_transform(range(length(seq_target)),
+                                    i -> substr(seq_target, (i+1)::INT, 1)),
+                     c -> c NOT IN ('A','U','C','G')))),
+                   'string_agg', '')
+       END AS offenders
+FROM e WHERE length(seq_target) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# P4 — ignore-flag filter (relational form of the cluster-block gate)
+# ---------------------------------------------------------------------------
+
+
+def p4_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 ignore-flag predicate (reference cluster_match.py:37-39 keeps
+    only blocks flagged '?' or '!'; parser path covered by
+    tests/test_sources.py — this checks the gate semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    flag = (
+        F.when((F.col("doc_id") * 7) % 5 == 0, "?")
+        .when((F.col("doc_id") * 7) % 5 == 1, "!")
+        .when((F.col("doc_id") * 7) % 5 == 2, "*")
+        .when((F.col("doc_id") * 7) % 5 == 3, "")
+        .otherwise("x")
+    )
+    return (
+        d.select("doc_id", flag.alias("flag"))
+        .filter(F.col("flag").isin("?", "!"))
+    )
+
+
+P4_SQL = """
+SELECT doc_id,
+       CASE (doc_id * 7) % 5 WHEN 0 THEN '?' WHEN 1 THEN '!' WHEN 2 THEN '*'
+                             WHEN 3 THEN '' ELSE 'x' END AS flag
+FROM documents
+WHERE CASE (doc_id * 7) % 5 WHEN 0 THEN '?' WHEN 1 THEN '!' WHEN 2 THEN '*'
+                            WHEN 3 THEN '' ELSE 'x' END IN ('?', '!')
+"""
+
+
+# ---------------------------------------------------------------------------
+# P6 — direction-aware sub-span predicate
+# ---------------------------------------------------------------------------
+
+
+def p6_sub_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 sub-span window filter (plans.location.sub_span_filter;
+    reference gene_location_analysis.py:84-102) over synthetic
+    direction-encoded intervals — reverse rows are the forward geometry
+    mirrored at 2000 so both branches get coverage."""
+    from ncbi_analysis_spark.plans.location import sub_span_filter
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = k % 900 + 100
+    s_f = base - (k % 60) + 15
+    e_f = s_f + (k % 45)
+    fwd = F.col("o_orderkey") % 2 == 0
+    sub = o.select(
+        "o_orderkey",
+        F.when(fwd, base).otherwise(F.lit(2000) - base).alias("gene_start"),
+        F.when(fwd, base + 50).otherwise(F.lit(2000) - base - 50).alias("gene_end"),
+        F.when(fwd, s_f).otherwise(F.lit(2000) - s_f).alias("start"),
+        F.when(fwd, e_f).otherwise(F.lit(2000) - e_f).alias("end"),
+    )
+    return sub_span_filter(sub, span_before=30, span_after=20)
+
+
+P6_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 900 + 100
+              ELSE 2000 - (o_orderkey % 900 + 100) END AS gene_start,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 900 + 100 + 50
+              ELSE 2000 - (o_orderkey % 900 + 100) - 50 END AS gene_end,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN o_orderkey % 900 + 100 - (o_orderkey % 60) + 15
+              ELSE 2000 - (o_orderkey % 900 + 100 - (o_orderkey % 60) + 15) END AS start,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN o_orderkey % 900 + 100 - (o_orderkey % 60) + 15 + (o_orderkey % 45)
+              ELSE 2000 - (o_orderkey % 900 + 100 - (o_orderkey % 60) + 15 + (o_orderkey % 45))
+         END AS "end"
+  FROM orders
+)
+SELECT o_orderkey, gene_start, gene_end, start, "end"
+FROM s
+WHERE CASE WHEN gene_start < gene_end
+           THEN gene_start - 30 <= start AND start <= "end" AND "end" <= gene_start + 20
+           ELSE gene_start + 30 >= start AND start >= "end" AND "end" >= gene_start - 20
+      END
+"""
+
+
+# ---------------------------------------------------------------------------
+# P9 — null/empty attribute-map cleanup
+# ---------------------------------------------------------------------------
+
+
+def p9_map_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 empty-value cleanup (functions.sequence.map_drop_empty;
+    reference recursive empty-dict drop, gene_position_helper.py:68-75)
+    on an attribute map with planted null/empty entries."""
+    from ncbi_analysis_spark.functions.sequence import map_drop_empty
+
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("maybe"), F.when(F.col("c_custkey") % 3 == 0, "").otherwise(F.col("c_name")),
+        F.lit("nul"), F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("v")),
+    )
+    cleaned = map_drop_empty(m)
+    return c.select(
+        "c_custkey",
+        F.array_join(F.array_sort(F.map_keys(cleaned)), ",").alias("kept_keys"),
+        F.element_at(cleaned, "maybe").alias("maybe_val"),
+        F.element_at(cleaned, "nul").alias("nul_val"),
+    )
+
+
+P9_SQL = """
+SELECT c_custkey,
+       concat_ws(',',
+         CASE WHEN c_custkey % 3 <> 0 AND c_name <> '' THEN 'maybe' END,
+         CASE WHEN c_custkey % 2 <> 0 THEN 'nul' END,
+         CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> '' THEN 'seg' END) AS kept_keys,
+       CASE WHEN c_custkey % 3 <> 0 AND c_name <> '' THEN c_name END AS maybe_val,
+       CASE WHEN c_custkey % 2 <> 0 THEN 'v' END AS nul_val
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# J7 — cover-preference range join
+# ---------------------------------------------------------------------------
+
+
+def j7_cover_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 cover-gene preference join (operators.genes.cover_preference_join;
+    reference gene_position_helper.py:18-43,61-66): ranges fan out to all
+    overlapping genes unless some gene covers the whole range."""
+    from ncbi_analysis_spark.operators.genes import cover_preference_join
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    p = _t(spark, sf_dir, "part")
+    ranges = o.select(
+        (F.col("o_orderkey") % 7).alias("ck"),
+        (F.col("o_orderkey") * 37 % 3000).alias("r_left"),
+        (F.col("o_orderkey") * 37 % 3000 + F.col("o_orderkey") % 80 + 5).alias("r_right"),
+    ).distinct()
+    genes = p.select(
+        (F.col("p_partkey") % 7).alias("ck"),
+        F.concat(F.lit("g"), F.col("p_partkey")).alias("gene"),
+        (F.col("p_partkey") * 53 % 3000).alias("left"),
+        (F.col("p_partkey") * 53 % 3000 + F.col("p_partkey") % 120 + 10).alias("right"),
+    )
+    out = cover_preference_join(
+        ranges, genes, on=["ck"], r_left="r_left", r_right="r_right",
+        g_left="left", g_right="right",
+    )
+    return out.select("ck", "r_left", "r_right", "gene", "g_left", "g_right")
+
+
+J7_SQL = """
+WITH r AS (
+  SELECT DISTINCT o_orderkey % 7 AS ck,
+         o_orderkey * 37 % 3000 AS r_left,
+         o_orderkey * 37 % 3000 + o_orderkey % 80 + 5 AS r_right
+  FROM orders WHERE o_orderkey < 1500
+),
+g AS (
+  SELECT p_partkey % 7 AS ck, 'g' || p_partkey::VARCHAR AS gene,
+         p_partkey * 53 % 3000 AS g_left,
+         p_partkey * 53 % 3000 + p_partkey % 120 + 10 AS g_right
+  FROM part
+),
+j AS (
+  SELECT r.ck, r.r_left, r.r_right, g.gene, g.g_left, g.g_right,
+         CASE WHEN g.g_left <= r.r_left AND g.g_right >= r.r_right THEN 1 ELSE 0 END AS covers
+  FROM r JOIN g ON r.ck = g.ck AND r.r_left <= g.g_right AND r.r_right >= g.g_left
+)
+SELECT ck, r_left, r_right, gene, g_left, g_right
+FROM (SELECT *, MAX(covers) OVER (PARTITION BY ck, r_left, r_right) AS mx FROM j)
+WHERE covers = mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# J9 — enrichment joins over snapshot dimension tables
+# ---------------------------------------------------------------------------
+
+
+def j9_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 enrichment joins (plans.pipelines.enrich_genes; reference
+    ecocyc/kegg left joins, src/analysis/ecocyc_analysis.py:68-99,
+    kegg_analysis.py:59-81) against dimension tables derived from
+    nation/region snapshots."""
+    from ncbi_analysis_spark.plans.pipelines import enrich_genes
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    genes = c.select(
+        F.concat(F.lit("g"), (F.col("c_custkey") % 300)).alias("gene")
+    ).distinct()
+    eco = n.select(
+        F.concat(F.lit("g"), (F.col("n_nationkey") * 7)).alias("gene"),
+        F.col("n_name").alias("product"),
+    )
+    kegg = r.select(
+        F.concat(F.lit("g"), (F.col("r_regionkey") * 11)).alias("gene"),
+        F.col("r_name").alias("pathway"),
+    )
+    return enrich_genes(genes, ecocyc_records=eco, kegg_pathways=kegg).select(
+        "gene", "ecocyc_product", "pathway"
+    )
+
+
+J9_SQL = """
+WITH genes AS (SELECT DISTINCT 'g' || (c_custkey % 300)::VARCHAR AS gene FROM customer),
+eco AS (SELECT 'g' || (n_nationkey * 7)::VARCHAR AS gene, n_name AS ecocyc_product FROM nation),
+kegg AS (SELECT 'g' || (r_regionkey * 11)::VARCHAR AS gene, r_name AS pathway FROM region)
+SELECT g.gene, eco.ecocyc_product, kegg.pathway
+FROM genes g LEFT JOIN eco USING (gene) LEFT JOIN kegg USING (gene)
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — success/failure progress counters
+# ---------------------------------------------------------------------------
+
+
+def a7_progress_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 counters (operators.distribution.with_progress_counters;
+    reference running solved/succ tallies, ecocyc_analysis.py:53-111):
+    the observe() node must pass rows through unchanged, and the counter
+    math is verified relationally per priority group."""
+    from ncbi_analysis_spark.operators.distribution import with_progress_counters
+
+    o = _t(spark, sf_dir, "orders")
+    observed = with_progress_counters(
+        o, "a7", success_pred=F.col("o_orderstatus") == "F"
+    )
+    return observed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).cast("long").alias("n_success"),
+    )
+
+
+A7_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_success
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8 — positional-condition pattern similarity
+# ---------------------------------------------------------------------------
+
+_F8_CONDITIONS = {
+    "must": [{"offset": 0, "length": 4}, {"offset": -4, "length": 4}],
+    "optional": [{"offset": 6, "length": 3}],
+}
+
+
+def f8_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 pattern similarity (similarity.pattern.MatchPattern /
+    pattern_score; reference match_pattern.py:6-48,
+    pattern_similarity.py:13-24): fixed positional conditions on an
+    md5-acgt query gene, scored against every document's window.
+
+    The oracle rebuilds the exact regexes in SQL: conditions sorted by
+    offset, each slice c->(c|t)-rewritten, '.+' between non-adjacent
+    blocks, ^/$ anchors when a block touches an end; score = must-length
+    sum (8) plus the optional extra (3) when its pattern also matches."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
+
+    d = _t(spark, sf_dir, "documents")
+    acgt = F.translate(F.md5("text"), "0123456789abcdef", "acgtacgtacgtacgt")
+    gene = d.filter(F.col("doc_id") == 0).select(
+        F.substring(acgt, 1, 16).alias("g")
+    ).collect()[0]["g"]
+    pat = MatchPattern(gene, _F8_CONDITIONS)
+
+    @pandas_udf("double")
+    def score_udf(window: pd.Series) -> pd.Series:
+        return pd.Series([pattern_score(pat, w) for w in window], dtype="float64")
+
+    return d.select(
+        "doc_id", score_udf(F.substring(acgt, 1, 16)).alias("pattern_sim")
+    )
+
+
+F8_SQL = """
+WITH g AS (
+  SELECT substr(translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt'), 1, 16) AS g
+  FROM documents WHERE doc_id = 0
+),
+pats AS (
+  SELECT '^' || replace(substr(g, 1, 4), 'c', '(c|t)') || '.+'
+             || replace(substr(g, 13, 4), 'c', '(c|t)') || '$' AS must_pat,
+         '^' || replace(substr(g, 1, 4), 'c', '(c|t)') || '.+'
+             || replace(substr(g, 7, 3), 'c', '(c|t)') || '.+'
+             || replace(substr(g, 13, 4), 'c', '(c|t)') || '$' AS opt_pat
+  FROM g
+),
+w AS (
+  SELECT doc_id,
+         substr(translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt'), 1, 16) AS w
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN regexp_matches(w, must_pat)
+             THEN 8 + CASE WHEN regexp_matches(w, opt_pat) THEN 3 ELSE 0 END
+             ELSE 0 END)::DOUBLE AS pattern_sim
+FROM w CROSS JOIN pats
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10 — fast_skip histogram prune
+# ---------------------------------------------------------------------------
+
+
+def f10_fast_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 fast_skip base-histogram prune (reference
+    gene_similarity_match.py:280-291): same_count = sum over bases of
+    min(gene count, window count); skip when same_count < cut (9) — the
+    exact predicate the scan's Python stage evaluates, here as pure
+    column expressions on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    acgt = F.translate(F.md5("text"), "0123456789abcdef", "acgtacgtacgtacgt")
+    gene_row = d.filter(F.col("doc_id") == 0).select(
+        F.substring(acgt, 1, 16).alias("g")
+    ).collect()[0]["g"]
+
+    def cnt(col: F.Column, ch: str) -> F.Column:
+        return F.length(col) - F.length(F.regexp_replace(col, ch, ""))
+
+    win = F.substring(acgt, 1, 16)
+    same = None
+    for b in "acgt":
+        g_cnt = gene_row.count(b)
+        term = F.least(F.lit(g_cnt), cnt(win, b))
+        same = term if same is None else same + term
+    return d.select(
+        "doc_id",
+        same.cast("long").alias("same_count"),
+        (same < 9).alias("skipped"),
+    )
+
+
+def _f10_sql() -> str:
+    # the gene is data-derived, so its per-base counts are computed in SQL
+    cnt = "(length({s}) - length(replace({s}, '{b}', '')))"
+    win = "substr(translate(md5(d.text), '0123456789abcdef', 'acgtacgtacgtacgt'), 1, 16)"
+    terms = " + ".join(
+        f"LEAST({cnt.format(s='g.g', b=b)}, {cnt.format(s=win, b=b)})" for b in "acgt"
+    )
+    return f"""
+WITH g AS (
+  SELECT substr(translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt'), 1, 16) AS g
+  FROM documents WHERE doc_id = 0
+)
+SELECT d.doc_id, ({terms})::BIGINT AS same_count, ({terms}) < 9 AS skipped
+FROM documents d CROSS JOIN g
+"""
+
+
+# ---------------------------------------------------------------------------
+# F11 — locus parse
+# ---------------------------------------------------------------------------
+
+
+def f11_locus_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 locus regex parse (functions.sequence.parse_locus; reference
+    gentamycin.py:87-93) on locus strings assembled from order keys."""
+    from ncbi_analysis_spark.functions.sequence import parse_locus
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    lo = k % 10000
+    locus = F.concat(
+        F.lit("NC_"), (k % 5).cast("string"), F.lit(":"),
+        lo.cast("string"), F.lit("-"), (lo + k % 500).cast("string"),
+        F.lit("("), F.when(k % 2 == 0, "+").otherwise("-"), F.lit(")"),
+    )
+    return o.select("o_orderkey", locus.alias("locus"), *parse_locus(locus))
+
+
+F11_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         'NC_' || (o_orderkey % 5)::VARCHAR || ':' || (o_orderkey % 10000)::VARCHAR
+           || '-' || (o_orderkey % 10000 + o_orderkey % 500)::VARCHAR
+           || '(' || (CASE WHEN o_orderkey % 2 = 0 THEN '+' ELSE '-' END) || ')' AS locus
+  FROM orders
+)
+SELECT o_orderkey, locus,
+       regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 1) AS accession,
+       regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 2)::BIGINT AS "left",
+       regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 3)::BIGINT AS "right",
+       regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 4) AS direction
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# F13 — decile direction glyphs
+# ---------------------------------------------------------------------------
+
+
+def f13_direction_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 presentation glyphs (operators.genes.direction_glyphs;
+    reference gene_location_analysis.py:213-240): gene drawn as 10
+    direction chars, deciles >50%-covered by the match become '*'."""
+    from ncbi_analysis_spark.operators.genes import direction_glyphs
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    g_left = k % 1000
+    g_right = g_left + 60 + k % 80       # gene length 61..140
+    m_left = g_left + (k % 120) - 10
+    m_right = m_left + 10 + k % 70
+    strand = F.when(k % 2 == 0, "+").otherwise("-")
+    return o.select(
+        "o_orderkey",
+        g_left.alias("g_left"), g_right.alias("g_right"),
+        m_left.alias("m_left"), m_right.alias("m_right"),
+        strand.alias("strand"),
+        direction_glyphs(m_left, m_right, g_left, g_right, strand).alias("glyphs"),
+    )
+
+
+def _f13_sql() -> str:
+    # decile i: [floor(g_left + glen*i/10), floor(g_left + glen*(i+1)/10) - 1]
+    # (Spark's cast-to-long truncation == floor for these positive values);
+    # '*' when 2 * overlap > decile length
+    pieces = []
+    for i in range(10):
+        dl = f"CAST(floor(g_left + glen * {i} / 10) AS BIGINT)"
+        dr = f"CAST(floor(g_left + glen * {i + 1} / 10) AS BIGINT) - 1"
+        ov = (f"GREATEST(LEAST(m_right, {dr}) - GREATEST(m_left, {dl}) + 1, 0)")
+        pieces.append(
+            f"CASE WHEN ({ov})::DOUBLE * 2 > (({dr}) - ({dl}) + 1)::DOUBLE "
+            f"THEN '*' ELSE arrow END"
+        )
+    concat = " || ".join(pieces)
+    return f"""
+WITH s AS (
+  SELECT o_orderkey,
+         o_orderkey % 1000 AS g_left,
+         o_orderkey % 1000 + 60 + o_orderkey % 80 AS g_right,
+         o_orderkey % 1000 + (o_orderkey % 120) - 10 AS m_left,
+         o_orderkey % 1000 + (o_orderkey % 120) - 10 + 10 + o_orderkey % 70 AS m_right,
+         CASE WHEN o_orderkey % 2 = 0 THEN '+' ELSE '-' END AS strand
+  FROM orders
+),
+w AS (
+  SELECT *, (g_right - g_left + 1)::DOUBLE AS glen,
+         CASE WHEN strand = '+' THEN '>' ELSE '<' END AS arrow
+  FROM s
+)
+SELECT o_orderkey, g_left, g_right, m_left, m_right, strand, {concat} AS glyphs
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# F16 — direction-aware promoter selection
+# ---------------------------------------------------------------------------
+
+
+def f16_promoter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 promoter selection (operators.genes.select_promoter; reference
+    get_target_promoter, gene_promoter_util.py:89-167): nearest promoter
+    at-or-before the gene start on '+', at-or-after on '-', per
+    chromosome — the as-of pattern, DuckDB ASOF JOIN as oracle."""
+    from ncbi_analysis_spark.operators.genes import select_promoter
+
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    genes_tu = p.select(
+        F.concat(F.lit("c"), (F.col("p_partkey") % 3)).alias("chrom"),
+        F.when(F.col("p_partkey") % 2 == 0, "+").otherwise("-").alias("strand"),
+        F.concat(F.lit("g"), F.col("p_partkey")).alias("gene"),
+        (F.col("p_partkey") * 17 % 10000).alias("start"),
+    )
+    promoters = (
+        s.select(
+            F.concat(F.lit("c"), (F.col("s_suppkey") % 3)).alias("chrom"),
+            F.when(F.col("s_suppkey") % 2 == 0, "+").otherwise("-").alias("strand"),
+            (F.col("s_suppkey") * 23 % 10000).alias("pos"),
+            F.concat(F.lit("p"), F.col("s_suppkey")).alias("promoter"),
+        )
+        # dedup per (chrom, strand, pos) so the as-of payload is unique
+        .groupBy("chrom", "strand", "pos")
+        .agg(F.max("promoter").alias("promoter"))
+    )
+    out = select_promoter(genes_tu, promoters, on=["chrom"])
+    return out.select("chrom", "gene", "strand", "start", "promoter", "promoter_pos")
+
+
+F16_SQL = """
+WITH g AS (
+  SELECT 'c' || (p_partkey % 3)::VARCHAR AS chrom,
+         CASE WHEN p_partkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+         'g' || p_partkey::VARCHAR AS gene,
+         p_partkey * 17 % 10000 AS start
+  FROM part
+),
+p AS (
+  SELECT 'c' || (s_suppkey % 3)::VARCHAR AS chrom,
+         CASE WHEN s_suppkey % 2 = 0 THEN '+' ELSE '-' END AS strand,
+         s_suppkey * 23 % 10000 AS pos,
+         MAX('p' || s_suppkey::VARCHAR) AS promoter
+  FROM supplier GROUP BY 1, 2, 3
+)
+SELECT g.chrom, g.gene, g.strand, g.start, p.promoter, p.pos AS promoter_pos
+FROM g ASOF LEFT JOIN p
+  ON g.chrom = p.chrom AND g.strand = p.strand AND g.start >= p.pos
+WHERE g.strand = '+'
+UNION ALL
+SELECT g.chrom, g.gene, g.strand, g.start, p.promoter, p.pos AS promoter_pos
+FROM g ASOF LEFT JOIN p
+  ON g.chrom = p.chrom AND g.strand = p.strand AND g.start <= p.pos
+WHERE g.strand = '-'
+"""
+
+
+# ---------------------------------------------------------------------------
+# F17 — split triples (deterministic hash-uniform variant)
+# ---------------------------------------------------------------------------
+
+
+def f17_split_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 random split triples (operators.genes.hash_split_triples;
+    reference run_random_generate.py:16-25): two uniforms in
+    [(1-j)x, (1+j)x], third = 3x - sum. The md5-derived uniform makes the
+    draw rerun-stable (and cross-engine exact) — the same determinism
+    argument as operators.scale.hash_split vs df.sample."""
+    from ncbi_analysis_spark.operators.genes import hash_split_triples
+
+    o = _t(spark, sf_dir, "orders")
+    return hash_split_triples(
+        o.select("o_orderkey", "o_totalprice"), "o_totalprice", "o_orderkey"
+    ).select("o_orderkey", "v1", "v2", "v3")
+
+
+F17_SQL = """
+-- decimal-point literals parse as DECIMAL in DuckDB; the ::DOUBLE casts
+-- force the same IEEE constants (and the same 1.025-0.975 rounding
+-- error) Spark's double literals produce
+SELECT o_orderkey,
+       o_totalprice * (0.975::DOUBLE + (1.025::DOUBLE - 0.975::DOUBLE) *
+         (('0x' || substr(md5('split31' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0::DOUBLE)) AS v1,
+       o_totalprice * (0.975::DOUBLE + (1.025::DOUBLE - 0.975::DOUBLE) *
+         (('0x' || substr(md5('split32' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+          / 4294967296.0::DOUBLE)) AS v2,
+       3.0::DOUBLE * o_totalprice
+         - o_totalprice * (0.975::DOUBLE + (1.025::DOUBLE - 0.975::DOUBLE) *
+             (('0x' || substr(md5('split31' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0::DOUBLE))
+         - o_totalprice * (0.975::DOUBLE + (1.025::DOUBLE - 0.975::DOUBLE) *
+             (('0x' || substr(md5('split32' || o_orderkey::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0::DOUBLE)) AS v3
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# F18 — map-position parse
+# ---------------------------------------------------------------------------
+
+
+def f18_map_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 '[a -> b]' / '[b <- a]' map-position parse with comma grouping
+    (column form of sources.enrichment.extract_map_position; reference
+    html_parser_util.py:13-23). Input strings are assembled with manual
+    thousands-commas so both engines build identical text."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a = k % 9000 + 500
+    b = a + k % 800
+
+    def fmt(x: F.Column) -> F.Column:
+        return F.when(
+            x >= 1000,
+            F.concat((x / 1000).cast("long").cast("string"), F.lit(","),
+                     F.lpad((x % 1000).cast("string"), 3, "0")),
+        ).otherwise(x.cast("string"))
+
+    text = F.when(
+        k % 2 == 0,
+        F.concat(F.lit("["), fmt(a), F.lit(" -> "), fmt(b), F.lit("]")),
+    ).otherwise(
+        F.concat(F.lit("["), fmt(b), F.lit(" <- "), fmt(a), F.lit("]")),
+    )
+    inner = F.regexp_extract(text, r"\[([^\]]+)\]", 1)
+    fwd = F.instr(inner, "<-") == 0
+    first = F.trim(F.regexp_extract(inner, r"^(.*?)(->|<-)", 1))
+    second = F.trim(F.regexp_extract(inner, r"(->|<-)(.*)$", 2))
+    start = F.regexp_replace(F.when(fwd, first).otherwise(second), ",", "").cast("long")
+    end = F.regexp_replace(F.when(fwd, second).otherwise(first), ",", "").cast("long")
+    return o.select(
+        "o_orderkey", text.alias("pos_text"), start.alias("start"), end.alias("end")
+    )
+
+
+F18_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_orderkey % 9000 + 500 AS a,
+         o_orderkey % 9000 + 500 + o_orderkey % 800 AS b
+  FROM orders
+),
+fmt AS (
+  SELECT o_orderkey, a, b,
+         CASE WHEN a >= 1000
+              THEN CAST(a // 1000 AS VARCHAR) || ',' || lpad((a % 1000)::VARCHAR, 3, '0')
+              ELSE a::VARCHAR END AS fa,
+         CASE WHEN b >= 1000
+              THEN CAST(b // 1000 AS VARCHAR) || ',' || lpad((b % 1000)::VARCHAR, 3, '0')
+              ELSE b::VARCHAR END AS fb
+  FROM s
+),
+t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN '[' || fa || ' -> ' || fb || ']'
+              ELSE '[' || fb || ' <- ' || fa || ']' END AS pos_text
+  FROM fmt
+),
+p AS (
+  SELECT o_orderkey, pos_text,
+         regexp_extract(pos_text, '\\[([^\\]]+)\\]', 1) AS inr
+  FROM t
+)
+SELECT o_orderkey, pos_text,
+       replace(trim(CASE WHEN strpos(inr, '<-') = 0
+                         THEN regexp_extract(inr, '^(.*?)(->|<-)', 1)
+                         ELSE regexp_extract(inr, '(->|<-)(.*)$', 2) END), ',', '')::BIGINT AS start,
+       replace(trim(CASE WHEN strpos(inr, '<-') = 0
+                         THEN regexp_extract(inr, '(->|<-)(.*)$', 2)
+                         ELSE regexp_extract(inr, '^(.*?)(->|<-)', 1) END), ',', '')::BIGINT AS "end"
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1 / S3 — source-reader fixture round-trips
+# ---------------------------------------------------------------------------
+
+_FIXTURES = "/root/repo/tests/fixtures"
+
+
+def s1_genbank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 GenBank flat-file scan round-trip (sources.genbank; reference
+    ncbi_database.py feature parsing): the committed fixture exercises
+    complement locations, join(...) skips, <..> partial markers,
+    repeat_region, degenerate left>=right skip, attribute continuation
+    lines, and VERSION-over-LOCUS accession override. The oracle
+    re-parses the SAME file in DuckDB SQL (read_text + regex + a
+    window associating /attr lines with their feature block)."""
+    from ncbi_analysis_spark.sources.genbank import read_genbank_genes
+
+    g = read_genbank_genes(spark, f"{_FIXTURES}/driver_s1.gb")
+    return g.select("accession", "left", "right", "strand", "gene", "locus_tag")
+
+
+S1_SQL = rf"""
+WITH f AS (
+  SELECT string_split(content, chr(10)) AS ls FROM read_text('{_FIXTURES}/driver_s1.gb')
+),
+lines AS (
+  SELECT ln::BIGINT AS ln, trim(line) AS line
+  FROM (SELECT unnest(ls) AS line, generate_subscripts(ls, 1) AS ln FROM f)
+),
+acc AS (
+  SELECT COALESCE(
+    (SELECT string_split_regex(line, '\s+')[2] FROM lines
+     WHERE line LIKE 'VERSION%' LIMIT 1),
+    (SELECT string_split_regex(line, '\s+')[2] FROM lines
+     WHERE line LIKE 'LOCUS%' LIMIT 1)) AS accession
+),
+origin_ln AS (
+  SELECT MIN(ln) AS o FROM lines WHERE line LIKE 'ORIGIN%'
+),
+feats0 AS (
+  SELECT ln, string_split_regex(line, '\s+')[2] AS loc
+  FROM lines, origin_ln
+  WHERE regexp_full_match(line, '(gene|repeat_region)\s+\S+') AND ln < o
+),
+feats AS (
+  SELECT ln, LEAD(ln) OVER (ORDER BY ln) AS next_ln,
+         regexp_extract(loc, '^(complement\()?<?(\d+)\.\.>?(\d+)\)?$', 2)::BIGINT AS lft,
+         regexp_extract(loc, '^(complement\()?<?(\d+)\.\.>?(\d+)\)?$', 3)::BIGINT AS rgt,
+         CASE WHEN loc LIKE 'complement(%' THEN '-' ELSE '+' END AS strand,
+         regexp_full_match(loc, '(complement\()?<?(\d+)\.\.>?(\d+)\)?') AS loc_ok
+  FROM feats0
+),
+attrs AS (
+  SELECT ln,
+         CASE WHEN line LIKE '/gene=%' THEN trim(substr(line, 7), '"') END AS a_gene,
+         CASE WHEN line LIKE '/locus_tag=%' THEN trim(substr(line, 12), '"') END AS a_tag
+  FROM lines
+  WHERE line LIKE '/gene=%' OR line LIKE '/locus_tag=%'
+)
+SELECT acc.accession, f.lft AS "left", f.rgt AS "right", f.strand,
+       MAX(a.a_gene) AS gene, MAX(a.a_tag) AS locus_tag
+FROM feats f
+CROSS JOIN acc CROSS JOIN origin_ln
+LEFT JOIN attrs a ON a.ln > f.ln AND a.ln < LEAST(COALESCE(f.next_ln, o), o)
+WHERE f.loc_ok AND f.lft < f.rgt
+GROUP BY 1, 2, 3, 4, f.ln
+"""
+
+
+def s3_ecocyc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 Ecocyc TSV scan + interval explode round-trip (sources.ecocyc;
+    reference ecocyc_data_loader.py:11-96): the committed fixture covers
+    promoter/no-promoter rows, reverse-strand intervals (start > end),
+    and ''-to--1 position sentinels. The oracle re-reads the same TSV in
+    DuckDB and re-derives the exploded interval table."""
+    from ncbi_analysis_spark.sources.ecocyc import read_ecocyc
+
+    _, inter = read_ecocyc(
+        spark, f"{_FIXTURES}/driver_s3.tsv", output_promoter=True
+    )
+    return inter
+
+
+S3_SQL = f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{_FIXTURES}/driver_s3.tsv', delim='\t', header=true,
+                         all_varchar=true)
+),
+rec AS (
+  SELECT gene, product,
+         COALESCE(promoter_name, '') AS promoter_name,
+         COALESCE(TRY_CAST(promoter_pos AS BIGINT), -1) AS promoter_pos,
+         COALESCE(TRY_CAST(gene_start_pos AS BIGINT), -1) AS gene_start_pos,
+         COALESCE(TRY_CAST(map_start_pos AS BIGINT), -1) AS map_start_pos,
+         COALESCE(TRY_CAST(map_end_pos AS BIGINT), -1) AS map_end_pos
+  FROM raw
+),
+ex AS (
+  SELECT gene AS name, product, map_start_pos AS start, map_end_pos AS "end",
+         TRUE AS is_gene
+  FROM rec
+  UNION ALL
+  SELECT promoter_name, '', promoter_pos, gene_start_pos, FALSE
+  FROM rec WHERE promoter_name <> ''
+)
+SELECT name, product, start, "end", is_gene,
+       CASE WHEN start < "end" THEN '>' ELSE '<' END AS direction,
+       LEAST(start, "end") AS "left", GREATEST(start, "end") AS "right"
+FROM ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def queries_r2() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "p3_aucg_report": p3_aucg_report,
+        "p4_flag_filter": p4_flag_filter,
+        "p6_sub_span": p6_sub_span,
+        "p9_map_cleanup": p9_map_cleanup,
+        "j7_cover_preference": j7_cover_preference,
+        "j9_enrichment": j9_enrichment,
+        "a7_progress_counters": a7_progress_counters,
+        "f8_pattern_similarity": f8_pattern_similarity,
+        "f10_fast_skip": f10_fast_skip,
+        "f11_locus_parse": f11_locus_parse,
+        "f13_direction_glyphs": f13_direction_glyphs,
+        "f16_promoter_select": f16_promoter_select,
+        "f17_split_triples": f17_split_triples,
+        "f18_map_position": f18_map_position,
+        "s1_genbank_fixture": s1_genbank_fixture,
+        "s3_ecocyc_fixture": s3_ecocyc_fixture,
+    }
+
+
+def oracle_sql_r2() -> dict[str, str]:
+    return {
+        "p3_aucg_report": P3_SQL,
+        "p4_flag_filter": P4_SQL,
+        "p6_sub_span": P6_SQL,
+        "p9_map_cleanup": P9_SQL,
+        "j7_cover_preference": J7_SQL,
+        "j9_enrichment": J9_SQL,
+        "a7_progress_counters": A7_SQL,
+        "f8_pattern_similarity": F8_SQL,
+        "f10_fast_skip": _f10_sql(),
+        "f11_locus_parse": F11_SQL,
+        "f13_direction_glyphs": _f13_sql(),
+        "f16_promoter_select": F16_SQL,
+        "f17_split_triples": F17_SQL,
+        "f18_map_position": F18_SQL,
+        "s1_genbank_fixture": S1_SQL,
+        "s3_ecocyc_fixture": S3_SQL,
+    }
