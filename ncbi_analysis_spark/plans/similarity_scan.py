@@ -435,3 +435,70 @@ def similarity_scan(
         .drop("db_len", "gene_len")
     )
     return out
+
+
+# database chars blat may consume past the anchor beyond the gene length:
+# mid gap (<= mid_limit) + skipped chars in each 4-mer walk (<= end_limit
+# each side); 16 covers the defaults (10 + 2 + 2) with margin
+_RENDER_SLACK = 16
+
+
+def render_candidates(
+    scan_df: DataFrame,
+    genome_df: DataFrame,
+    queries_df: DataFrame,
+    scorers: list[str],
+    patience: int = 2,
+) -> DataFrame:
+    """Attach per-candidate alignment triples (S13; reference
+    render_similarity_for_candidates, gene_similarity_match.py:237-256):
+    for each requested scorer, a ``{scorer}_render`` array<string> column
+    [gene_format, target_format, match_format] from that scorer's
+    rendering_sequence.
+
+    Runs AFTER top-k, so the input is per-query top_k rows — the genome
+    join is a lookup of the scoring-strand window at the candidate
+    offset (substring JVM-side; only the window ships to Python), not a
+    rescan. The reference renders against the same strand the candidate
+    matched on (database = rev_dna_code when is_reverse) and renders
+    text-edit WITHOUT the abort (rendering_sequence walks the full DP
+    table even when scoring aborted to 0).
+    """
+    from ncbi_analysis_spark.similarity.udfs import (
+        blat_render_udf,
+        consistency_render_udf,
+        direct_render_udf,
+        pattern_render_udf,
+        text_edit_render_udf,
+    )
+
+    strands = genome_df.select("accession", F.lit("+").alias("strand"), F.col("seq")).unionByName(
+        genome_df.select("accession", F.lit("-").alias("strand"),
+                         revcomp(F.col("seq")).alias("seq"))
+    )
+    gene_len = F.length("gene")
+    joined = (
+        scan_df.join(F.broadcast(queries_df.select("name", "gene")), "name")
+        .join(strands, ["accession", "strand"])
+        .withColumn(
+            "window_",
+            F.col("seq").substr(F.col("offset") + 1, gene_len + F.lit(_RENDER_SLACK)),
+        )
+        .drop("seq")
+    )
+    out = joined
+    for name in scorers:
+        if name == "direct":
+            col = direct_render_udf(F.col("gene"), F.col("window_"))
+        elif name == "consistency":
+            col = consistency_render_udf(F.col("gene"), F.col("window_"), F.lit(patience))
+        elif name == "text_edit":
+            col = text_edit_render_udf(F.col("gene"), F.col("window_"))
+        elif name == "pattern":
+            col = pattern_render_udf(F.col("gene"), F.col("window_"))
+        elif name == "blat":
+            col = blat_render_udf(F.col("gene"), F.col("window_"), F.lit(0))
+        else:
+            raise ValueError(f"unknown render scorer: {name}")
+        out = out.withColumn(f"{name}_render", col)
+    return out.drop("window_")

@@ -160,6 +160,138 @@ def text_edit_score(
     return score
 
 
+def direct_render(gene: str, window: str) -> tuple[str, str, str]:
+    """Direct-match alignment triple (gene, target, glyphs): '*' where the
+    c->t char rule matches, '.' elsewhere (reference rendering_sequence,
+    src/analysis/similarities/direct_match_similarity.py:8-20)."""
+    n = len(gene)
+    glyphs = "".join("*" if char_match(gene[i], window[i]) else "." for i in range(n))
+    return gene, window[:n], glyphs
+
+
+def pattern_render(gene: str, window: str) -> tuple[str, str, str]:
+    """Pattern-similarity alignment triple — positionally identical to the
+    direct renderer (reference pattern_similarity.py:26-38 duplicates
+    direct_match_similarity's loop)."""
+    return direct_render(gene, window)
+
+
+def consistency_render_triple(gene: str, window: str,
+                              patience: int = 2) -> tuple[str, str, str]:
+    """Consistency alignment triple: the glyph string from
+    consistency_render over (gene, window[:n]) (reference
+    consistency_similarity.py:7-30 emits gene/target verbatim)."""
+    n = len(gene)
+    _, glyphs = consistency_render(gene, window, patience)
+    return gene, window[:n], glyphs
+
+
+def text_edit_render(gene: str, window: str) -> tuple[str, str, str]:
+    """Text-edit alignment triple from the DP traceback (reference
+    rendering_sequence, text_edit_similarity.py:50-80): diagonal steps
+    emit (gene char, target char, '*' on match / '.' on substitution);
+    deletes emit (gene char, '.', '.'); inserts emit ('.', target char,
+    '.'). Traceback preference diagonal > delete > insert — the same
+    deterministic order the scorer's abort walk uses.
+
+    NB the reference renders WITHOUT the abort: rendering_sequence walks
+    the full table even when the scoring walk aborted to 0."""
+    n = len(gene)
+    dp = [[INF] * (n + 1) for _ in range(n + 1)]
+    dp[0][0] = 0
+    for i in range(1, n + 1):
+        ga = gene[i - 1]
+        row, prev = dp[i], dp[i - 1]
+        for j in range(1, n + 1):
+            sub = prev[j - 1] + (0 if char_match(ga, window[j - 1]) else 1)
+            row[j] = min(prev[j] + 1, row[j - 1] + 1, sub)
+    out_g: list[str] = []
+    out_t: list[str] = []
+    out_m: list[str] = []
+    i = j = n
+    while i > 0 or j > 0:
+        ga = gene[i - 1] if i > 0 else "."
+        wb = window[j - 1] if j > 0 else "."
+        if (
+            i > 0 and j > 0
+            and dp[i][j] == dp[i - 1][j - 1] + (0 if char_match(gene[i - 1], window[j - 1]) else 1)
+        ):
+            out_g.append(ga)
+            out_t.append(wb)
+            out_m.append("*" if char_match(gene[i - 1], window[j - 1]) else ".")
+            i, j = i - 1, j - 1
+        elif i > 0 and dp[i][j] == dp[i - 1][j] + 1:
+            out_g.append(ga)
+            out_t.append(".")
+            out_m.append(".")
+            i -= 1
+        elif j > 0 and dp[i][j] == dp[i][j - 1] + 1:
+            out_g.append(".")
+            out_t.append(wb)
+            out_m.append(".")
+            j -= 1
+        else:  # unreachable on a consistent DP table
+            break
+    return "".join(reversed(out_g)), "".join(reversed(out_t)), "".join(reversed(out_m))
+
+
+def blat_render(gene: str, database: str, offset: int,
+                mid_limit: int = 10, end_limit: int = 2) -> tuple[str, str, str] | None:
+    """Blat alignment triple (reference rendering_sequence,
+    blat_similarity.py:12-56): walk the first 4 gene chars forward from
+    ``offset`` (skipped database chars render as gene '-', glyph '.'),
+    walk the last 4 backward from the match end, and fill the middle gap
+    with database chars as gene '-'. Returns None when the seed-extend
+    search found no match (the reference would crash on pos_data_end=None;
+    callers render only matched candidates)."""
+    flag, pos_data_end = blat_score(gene, database, offset, mid_limit, end_limit)
+    if not flag or pos_data_end is None:
+        return None
+    out_g: list[str] = []
+    out_t: list[str] = []
+    out_m: list[str] = []
+    pos_data = offset
+    pos_gene = 0
+    while pos_gene < 4:
+        if not char_match(gene[pos_gene], database[pos_data]):
+            out_g.append("-")
+            out_t.append(database[pos_data])
+            out_m.append(".")
+            pos_data += 1
+        else:
+            out_g.append(gene[pos_gene])
+            out_t.append(database[pos_data])
+            out_m.append("*")
+            pos_gene += 1
+            pos_data += 1
+    rev_g: list[str] = []
+    rev_t: list[str] = []
+    rev_m: list[str] = []
+    rev_pos_gene = 7
+    rev_pos_data = pos_data_end - 1
+    while rev_pos_gene > 3:
+        if not char_match(gene[rev_pos_gene], database[rev_pos_data]):
+            rev_g.append("-")
+            rev_t.append(database[rev_pos_data])
+            rev_m.append(".")
+            rev_pos_data -= 1
+        else:
+            rev_g.append(gene[rev_pos_gene])
+            rev_t.append(database[rev_pos_data])
+            rev_m.append("*")
+            rev_pos_gene -= 1
+            rev_pos_data -= 1
+    while pos_data <= rev_pos_data:
+        out_g.append("-")
+        out_t.append(database[pos_data])
+        out_m.append(".")
+        pos_data += 1
+    out_g.extend(reversed(rev_g))
+    out_t.extend(reversed(rev_t))
+    out_m.extend(reversed(rev_m))
+    return "".join(out_g), "".join(out_t), "".join(out_m)
+
+
 def blat_score(
     gene: str, database: str, offset: int, mid_limit: int = 10, end_limit: int = 2
 ) -> tuple[bool, int | None]:

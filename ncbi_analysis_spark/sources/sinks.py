@@ -55,6 +55,73 @@ def write_match_blocks(df: DataFrame, path: str, mode: str = "overwrite") -> Non
     ).write.mode(mode).text(path)
 
 
+# SimilarityType enum order + reference attribute labels
+# (src/analysis/models/similarity_type.py:5-10; note TextEdit.name.lower()
+# is "textedit", no underscore)
+_SCORER_ORDER = {"text_edit": 0, "direct": 1, "consistency": 2, "pattern": 3, "blat": 4}
+_SCORER_LABEL = {"text_edit": "textedit", "direct": "direct",
+                 "consistency": "consistency", "pattern": "pattern", "blat": "blat"}
+
+
+def write_match_report(
+    df: DataFrame,
+    path: str,
+    scorers: list[str],
+    data_name: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S13 full match report: numbered per-candidate blocks with the
+    per-scorer similarity attributes AND the alignment-render triple per
+    scorer, byte-compatible with the reference report
+    (gene_similarity_match.py:113-155 builds headers name/direction/
+    weighted_similarity/{scorer}_similarity/'original      :', then
+    appends '{scorer}_{gene,target,match}_format' entries from
+    rendering_sequence; blocks are numbered '(i)' per gene file and
+    separated by a blank line).
+
+    ``df`` is the output of ``render_candidates`` — per-query top-k rows
+    carrying ``{scorer}_similarity`` and ``{scorer}_render`` columns —
+    so the window below is keyed by gene name over a bounded report set
+    (the reference emits one numbered file per gene; numbering restarts
+    per name here too).
+    """
+    from pyspark.sql import Window
+
+    ordered = sorted(scorers, key=lambda s: _SCORER_ORDER[s])
+    direction = F.when(F.col("start") <= F.col("end"), F.lit("+")).otherwise(F.lit("-"))
+    src = F.lit(data_name) if data_name is not None else F.col("accession")
+
+    attrs = [
+        F.format_string("name=%s", F.col("name")),
+        F.format_string("direction=%s", direction),
+        F.format_string("weighted_similarity=%.2f", F.col("weighted_similarity")),
+    ]
+    # attribute order follows the configured weights dict (insertion
+    # order == caller's scorer list), as the reference headers do
+    for s in scorers:
+        attrs.append(F.format_string(
+            f"{_SCORER_LABEL[s]}_similarity=%.2f",
+            F.col(f"{_SCORER_LABEL[s]}_similarity")))
+    attrs.append(F.format_string("original      :=%s", F.col("gene")))
+    # render triples follow in SimilarityType enum order (the reference
+    # sorts weighted.items() by enum value before rendering)
+    for s in ordered:
+        r = F.col(f"{s}_render")
+        attrs.append(F.format_string(f"{_SCORER_LABEL[s]}_gene_format   :=%s", r[0]))
+        attrs.append(F.format_string(f"{_SCORER_LABEL[s]}_target_format :=%s", r[1]))
+        attrs.append(F.format_string(f"{_SCORER_LABEL[s]}_match_format  :=%s", r[2]))
+
+    idx = F.row_number().over(
+        Window.partitionBy("name").orderBy(F.desc("weighted_similarity"), F.asc("start"))
+    )
+    block = F.format_string(
+        "(%d)\n>%s/%d-%d\t%s\n",
+        idx, src, F.col("start"), F.col("end"),
+        F.concat_ws(",", *attrs),
+    )
+    df.select(block.alias("value")).write.mode(mode).text(path)
+
+
 def fixed_width_row(cols: list[Column], widths: list[int]) -> Column:
     """S13 fixed-width sample rows (reference src/analysis/cluster_match.py:105-114)."""
     return F.concat(*[
