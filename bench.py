@@ -133,13 +133,63 @@ def main() -> None:
     index.unpersist()
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if sf == 0.1:
+        out.update(_regression_report(timings))
+    print(json.dumps(out))
+
+
+# Per-query self-baseline from BENCH_r01.json (the reference publishes no
+# timing harness, so round 1 is the absolute baseline). The host VM shows
+# variable CPU steal, so a raw >1.5x threshold would flag whole runs on a
+# busy day: a query is only reported as a regression when it is ALSO slow
+# relative to this run's median vs-r01 ratio (i.e. it specifically
+# regressed, not the machine).
+R01_BASELINE = {
+    "q1_pricing_summary": 1.398, "q3_top_revenue": 2.02,
+    "q5_local_supplier_volume": 1.132, "a1_priority_distribution": 0.417,
+    "w1_topk_per_group": 1.536, "w2_local_max_suppression": 0.63,
+    "w7_gap_regions": 1.174, "j1_cluster_parts": 0.254,
+    "j2_nation_rollup": 0.59, "j3_interval_overlap": 1.037,
+    "j4_asof_backward": 1.044, "j5_asof_forward": 0.737,
+    "dedup_exact_groups": 0.422, "dedup_minhash_signature": 1.433,
+    "dedup_simhash": 1.638, "dedup_ngram_jaccard": 3.176,
+    "decon_ngram_overlap": 1.274, "curation_pipeline": 5.225,
+    "repetition_quality": 1.202, "text_stats": 1.924,
+    "flagship_scan_1mbp": 3.068, "ann_brute_force_np": 0.361,
+}
+# ann_brute_force / ann_ivf workloads were deliberately enlarged in round
+# 2 (16->48 probes, realistic index build); their r01 numbers don't
+# compare. ann_ivf_search is new in round 2.
+NON_COMPARABLE = {"ann_brute_force", "ann_ivf", "ann_ivf_search"}
+
+
+def _regression_report(timings: dict[str, float]) -> dict:
+    import statistics
+
+    ratios = {
+        k: t / R01_BASELINE[k]
+        for k, t in timings.items()
+        if k in R01_BASELINE and k not in NON_COMPARABLE
+    }
+    if not ratios:
+        return {}
+    med = statistics.median(ratios.values())
+    regressions = {
+        k: round(r, 2) for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+        if r > 1.5 and r > 1.5 * med
+    }
+    return {
+        "baseline_round": 1,
+        "median_vs_r01": round(med, 2),
+        "regressions": regressions,
+    }
 
 
 if __name__ == "__main__":

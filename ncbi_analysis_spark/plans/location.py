@@ -62,6 +62,7 @@ def locate_matches(
     probe_before: int = 2,
     probe_after: int = 3,
     remain_genes: DataFrame | None = None,
+    max_bounded_records: int = 100_000,
 ) -> DataFrame:
     """Annotate match intervals against annotation intervals.
 
@@ -95,6 +96,15 @@ def locate_matches(
             "__rec_rk", F.row_number().over(Window.orderBy("rec_start")) - 1
         )
         n_recs = ranked.count()
+        if n_recs > max_bounded_records:
+            # the parity mode global-ranks and broadcasts the annotation
+            # table — fail fast instead of silently degrading past
+            # broadcast size (the reference's own table is ~4.5k rows)
+            raise ValueError(
+                f"locate_matches(bounded=True) got {n_recs} annotation rows "
+                f"(> max_bounded_records={max_bounded_records}); use the "
+                "unbounded scale mode (bounded=False) for large tables"
+            )
         # idx = first rank with rec_start >= match.start (reference
         # binary_search_first_le, clamped to len-1)
         idx = (

@@ -6,6 +6,8 @@ a lost broadcast, or an extra exchange."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ncbi_analysis_spark.plans import driver_queries as dq
 
 SF = "/root/testdata/sf0.001"
@@ -96,3 +98,52 @@ def test_flagship_scan_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("MapInPandas") == 1
     assert "Exchange hashpartitioning(accession" in plan
+
+
+def test_binned_interval_join_is_hash_join(spark):
+    """The big x big overlap join must plan as an equi-join on the bin id
+    (SortMergeJoin/ShuffledHashJoin with the range predicate residual),
+    never a BroadcastNestedLoopJoin — at 100 TB a nested-loop overlap
+    join is quadratic."""
+    from ncbi_analysis_spark.operators.intervals import interval_join_binned
+
+    left = dq._t(spark, SF, "lineitem").select(
+        F.col("l_orderkey"), (F.col("l_partkey") * 10).alias("ls"),
+        (F.col("l_partkey") * 10 + 100).alias("le"))
+    right = dq._t(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("rid"), (F.col("l_partkey") * 10).alias("rs"),
+        (F.col("l_partkey") * 10 + 50).alias("re"))
+    # force the big x big regime: no auto-broadcast at this tiny SF
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = interval_join_binned(
+            left, right, "ls", "le", "rs", "re", bin_size=1000,
+        )._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:2000]
+
+
+def test_bounded_locate_guard(spark):
+    """bounded=True is the <=4.5k-row parity mode; past broadcast size it
+    must fail fast, not silently degrade."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.plans.location import locate_matches
+
+    matches = spark.createDataFrame(
+        [(1, 10, 20)], "match_id long, start long, end long")
+    recs = spark.range(0, 50).select(
+        F.concat(F.lit("g"), F.col("id")).alias("name"),
+        F.lit(">").alias("direction"),
+        (F.col("id") * 100).alias("left"),
+        (F.col("id") * 100 + 80).alias("right"),
+        (F.col("id") * 100).alias("start"),
+    )
+    with _pytest.raises(ValueError, match="max_bounded_records"):
+        locate_matches(matches, recs, bounded=True, max_bounded_records=10)
+    # under the cap it still works
+    out = locate_matches(matches, recs, bounded=True, max_bounded_records=1000)
+    assert out.count() >= 1
