@@ -1590,6 +1590,12 @@ FROM h
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # round-2 additions FIRST (oracle entries for P3/P4/P6/P9, J7/J9,
+        # A7, F8/F10/F11/F13/F16/F17/F18, S1/S3): CORRECTNESS_r02 recorded
+        # only the first 50 registry entries — the driver's gate run has a
+        # budget — so the newest/least-recorded queries go at the head of
+        # insertion order to guarantee they land in the driver record.
+        **_r2().queries_r2(),
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1637,14 +1643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_blat_similarity": f9_blat_similarity,
         "flagship_similarity_scan": flagship_similarity_scan,
         "multimodal_image_features": multimodal_image_features,
-        # round-2 additions: oracle entries for the previously pytest-only
-        # operators (P3/P4/P6/P9, J7/J9, A7, F8/F10/F11/F13/F16/F17/F18)
-        **_r2().queries_r2(),
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_r2().oracle_sql_r2(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_local_supplier_volume": Q5_SQL,
@@ -1688,7 +1692,6 @@ def oracle_sql() -> dict[str, str]:
         "f9_blat_similarity": _blat_sql(),
         "flagship_similarity_scan": FLAGSHIP_SQL,
         "multimodal_image_features": MULTIMODAL_SQL,
-        **_r2().oracle_sql_r2(),
     }
 
 
