@@ -63,6 +63,10 @@ def locate_matches(
     probe_after: int = 3,
     remain_genes: DataFrame | None = None,
     max_bounded_records: int = 100_000,
+    on: list[str] | None = None,
+    annotation_mode: str = "auto",
+    broadcast_threshold: int = 2_000_000,
+    bin_size: int = 10_000,
 ) -> DataFrame:
     """Annotate match intervals against annotation intervals.
 
@@ -77,16 +81,37 @@ def locate_matches(
     ``remain_genes`` (P5): if given, a match survives only when some
     overlapped cds gene is in the set (gene_location_analysis.py:32-37,
     195-197) — applied as a semi-join at the end.
+
+    ``on``: equality partition keys present in BOTH inputs (e.g.
+    ``["accession"]`` — one genome per key). At scale these keys are what
+    make the unbounded mode distributed: the nearest-gene as-of windows
+    partition by them and the binned overlap join hashes on them.
+    Omitting ``on`` collapses the as-of windows to a single partition —
+    fine for one genome / parity runs, wrong for a 100 TB corpus.
+
+    ``annotation_mode``: ``"broadcast"`` joins matches against a
+    broadcast annotation table (the common ~4.5k-genes-per-genome case);
+    ``"binned"`` uses the coordinate-binned equi-join
+    (operators.intervals.interval_join_binned) for annotation tables too
+    big to broadcast; ``"auto"`` counts the annotation table and picks
+    (<= ``broadcast_threshold`` rows -> broadcast).
     """
+    keys = list(on) if on else []
     m = matches.withColumn("m_left", F.least("start", "end")) \
                .withColumn("m_right", F.greatest("start", "end"))
 
     recs = inter_records.select(
+        *keys,
         F.col("name").alias("rec_name"), F.col("direction").alias("rec_dir"),
         F.col("left").alias("rec_left"), F.col("right").alias("rec_right"),
         F.col("start").alias("rec_start"),
     )
 
+    if bounded and keys:
+        raise ValueError(
+            "locate_matches(bounded=True) is the single-genome parity mode "
+            "and does not take partition keys; use bounded=False with on=..."
+        )
     if bounded:
         # parity: rank records by start; probe window around the insertion
         # point of match.start. The annotation table is small (genomic
@@ -145,11 +170,31 @@ def locate_matches(
         )
     else:
         # scale path: unbounded overlap join + true nearest via as-of
-        cand = m.join(
-            F.broadcast(recs),
-            (F.col("m_left") <= F.col("rec_right")) & (F.col("m_right") >= F.col("rec_left")),
-            "inner",
-        )
+        if annotation_mode not in ("auto", "broadcast", "binned"):
+            raise ValueError(f"annotation_mode must be auto|broadcast|binned, got {annotation_mode}")
+        mode = annotation_mode
+        if mode == "auto":
+            mode = "broadcast" if inter_records.count() <= broadcast_threshold else "binned"
+
+        if mode == "broadcast":
+            rb_recs = recs
+            for k in keys:
+                rb_recs = rb_recs.withColumnRenamed(k, f"__rk_{k}")
+            cond = (F.col("m_left") <= F.col("rec_right")) & (F.col("m_right") >= F.col("rec_left"))
+            for k in keys:
+                cond = cond & (F.col(k) == F.col(f"__rk_{k}"))
+            cand = m.join(F.broadcast(rb_recs), cond, "inner") \
+                    .drop(*[f"__rk_{k}" for k in keys])
+        else:
+            # annotation table too big to broadcast: coordinate-binned
+            # equi-join — a hash shuffle join on (keys, bin), never a
+            # BroadcastNestedLoopJoin (operators/intervals.py module doc)
+            from ncbi_analysis_spark.operators.intervals import interval_join_binned
+
+            cand = interval_join_binned(
+                m, recs, "m_left", "m_right", "rec_left", "rec_right",
+                bin_size=bin_size, partition_keys=keys,
+            )
         classified = cand.withColumn(
             "status",
             interval_status(F.col("rec_left"), F.col("rec_right"),
@@ -161,16 +206,24 @@ def locate_matches(
 
         from ncbi_analysis_spark.operators.asof import asof_join
 
-        dummy_on: list[str] = []
-        left_b = recs.select(F.col("rec_right").alias("__pos"), F.col("rec_name").alias("__nm"))
-        right_b = recs.select(F.col("rec_left").alias("__pos"), F.col("rec_name").alias("__nm"))
-        with_key = m.withColumn("__all", F.lit(1))
-        lb = left_b.withColumn("__all", F.lit(1))
-        rb = right_b.withColumn("__all", F.lit(1))
-        n_left = asof_join(with_key, lb, ["__all"], "m_left", "__pos", ["__nm"], "backward") \
-            .withColumnRenamed("asof___nm", "left_name").drop("asof_ts")
-        nearest = asof_join(n_left, rb, ["__all"], "m_right", "__pos", ["__nm"], "forward") \
-            .withColumnRenamed("asof___nm", "right_name").drop("asof_ts", "__all")
+        left_b = recs.select(*keys, F.col("rec_right").alias("__pos"), F.col("rec_name").alias("__nm"))
+        right_b = recs.select(*keys, F.col("rec_left").alias("__pos"), F.col("rec_name").alias("__nm"))
+        if keys:
+            # real partition keys: the union-and-window as-of shuffles on
+            # them — one window partition per genome, fully distributed
+            n_left = asof_join(m, left_b, keys, "m_left", "__pos", ["__nm"], "backward") \
+                .withColumnRenamed("asof___nm", "left_name").drop("asof_ts")
+            nearest = asof_join(n_left, right_b, keys, "m_right", "__pos", ["__nm"], "forward") \
+                .withColumnRenamed("asof___nm", "right_name").drop("asof_ts")
+        else:
+            # no key: single window partition — parity/small-data only
+            with_key = m.withColumn("__all", F.lit(1))
+            lb = left_b.withColumn("__all", F.lit(1))
+            rb = right_b.withColumn("__all", F.lit(1))
+            n_left = asof_join(with_key, lb, ["__all"], "m_left", "__pos", ["__nm"], "backward") \
+                .withColumnRenamed("asof___nm", "left_name").drop("asof_ts")
+            nearest = asof_join(n_left, rb, ["__all"], "m_right", "__pos", ["__nm"], "forward") \
+                .withColumnRenamed("asof___nm", "right_name").drop("asof_ts", "__all")
 
     # matches with no labeled overlap -> one inter-genic row
     covered = overlaps.select(*m.columns).distinct()

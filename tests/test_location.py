@@ -56,6 +56,30 @@ def test_remain_gene_semi_filter(spark):
     assert 1 in got and 2 not in got  # only g1 (case-insensitive) survives
 
 
+def test_keyed_locate_nearest_stays_within_accession(spark):
+    """With on=["accession"], inter-genic fallback names must come from
+    the match's OWN genome — a cross-genome bleed would mean the as-of
+    key isn't actually partitioning."""
+    recs = spark.createDataFrame(
+        [
+            ("A", "a1", ">", 100, 200, 100),
+            ("A", "a2", ">", 500, 600, 500),
+            ("B", "b1", ">", 290, 310, 290),  # overlaps A's gap midpoint
+        ],
+        ["accession", "name", "direction", "left", "right", "start"],
+    )
+    m = spark.createDataFrame(
+        [("A", 1, 300, 320), ("B", 2, 100, 150)],
+        ["accession", "match_id", "start", "end"],
+    )
+    out = loc.locate_matches(m, recs, on=["accession"], annotation_mode="broadcast")
+    got = {r["match_id"]: (r["rec_name"], r["label"]) for r in out.collect()}
+    # match 1 sits in A's gap; with the key it must name a1/a2, never b1
+    assert got[1] == ("inter-genic of a1, a2", "inter-genic")
+    # match 2 is left of every B gene: no left neighbor, right is b1
+    assert got[2] == ("inter-genic of None, b1", "inter-genic")
+
+
 def test_consistency_sub_locations(spark):
     score, glyph = consistency_render("acgtacgt", "acgtaaaa", patience=0)
     assert score == 5.0 and glyph.startswith("*****")
