@@ -4,6 +4,13 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Execution is forced with the noop sink (full pipeline runs, nothing is
 collected to the driver).
+
+Each query is timed $SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+reported per-query number is the MINIMUM — round 2 showed 2-3x
+single-run swings on identical code on this host (e.g. dedup_simhash
+1.89s vs 6.24s), so single-shot timings cannot support a regression
+verdict in either direction. The max/min spread per query is emitted as
+"noise" so a reader can judge how steady the host was.
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ import os
 import re
 import sys
 import time
+from collections.abc import Callable
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
@@ -20,6 +28,8 @@ if _REPO not in sys.path:
 
 from ncbi_analysis_spark.plans import driver_queries  # noqa: E402
 from ncbi_analysis_spark.session import get_spark  # noqa: E402
+
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # Headline set: the scan-agg core, window ops, every join family, and the
 # LLM-pipeline ops — each stresses a distinct shuffle/UDF shape.
@@ -49,6 +59,21 @@ BENCH_QUERIES = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_best(thunk: Callable[[], None], n: int = N_RUNS) -> tuple[float, float]:
+    """(min, max/min spread) over n executions of thunk."""
+    runs = []
+    for _ in range(n):
+        t0 = time.time()
+        thunk()
+        runs.append(time.time() - t0)
+    best = min(runs)
+    return round(best, 3), round(max(runs) / best, 2) if best > 0 else 1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,8 +85,8 @@ def main() -> None:
 
     # warmup: exercise codegen/JIT + file index once so timings reflect
     # steady-state executor behavior, not JVM startup
-    qs["q3_top_revenue"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    qs["j1_cluster_parts"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _noop(qs["q3_top_revenue"](spark, sf_dir))
+    _noop(qs["j1_cluster_parts"](spark, sf_dir))
 
     # warm the Arrow python-worker pool (pandas/numpy imports in each of
     # the 32 workers) with a tiny scan, so the flagship timing below
@@ -70,17 +95,16 @@ def main() -> None:
 
     warm_g = spark.createDataFrame([("warm", "acgt" * 2500)], ["accession", "seq"])
     warm_q = spark.createDataFrame([("wq", "acgtacgtacgt")], ["name", "gene"])
-    similarity_scan(
+    _noop(similarity_scan(
         warm_g, warm_q, {"direct": 1.0, "consistency": 2.0}, top_k=5,
         candidate_distance=5, patience=2, chunk_size=512,
-    ).write.format("noop").mode("overwrite").save()
+    ))
 
     timings: dict[str, float] = {}
+    noise: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name], noise[name] = _time_best(lambda: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
     # strands with branch-and-bound floor (the scale configuration; the
@@ -93,12 +117,12 @@ def main() -> None:
     gq = [(f"q{i}", "".join(rnd.choice("acgt") for _ in range(12))) for i in range(2)]
     g_df = spark.createDataFrame([("bench", genome)], ["accession", "seq"])
     q_df = spark.createDataFrame(gq, ["name", "gene"])
-    t0 = time.time()
-    similarity_scan(
-        g_df, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
-        candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
-    ).write.format("noop").mode("overwrite").save()
-    timings["flagship_scan_1mbp"] = round(time.time() - t0, 3)
+    timings["flagship_scan_1mbp"], noise["flagship_scan_1mbp"] = _time_best(
+        lambda: _noop(similarity_scan(
+            g_df, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
+            candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
+        ))
+    )
 
     # vectorized ANN production path (BLAS matmul per Arrow batch; the
     # expression-fold form benches as ann_brute_force above)
@@ -108,9 +132,9 @@ def main() -> None:
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") < 16).select(F.col("vec_id").alias("q_id"), "embedding")
-    t0 = time.time()
-    brute_force_topk_np(emb, qv, k=10).write.format("noop").mode("overwrite").save()
-    timings["ann_brute_force_np"] = round(time.time() - t0, 3)
+    timings["ann_brute_force_np"], noise["ann_brute_force_np"] = _time_best(
+        lambda: _noop(brute_force_topk_np(emb, qv, k=10))
+    )
 
     # IVF production shape: the index (nearest-centroid assignment) is
     # built ONCE offline — at scale it's written bucketed by c_id — and
@@ -126,10 +150,9 @@ def main() -> None:
     )
     index = ivf_assign(emb, cents).persist()
     index.count()
-    t0 = time.time()
-    ivf_topk(emb, q48, cents, k=10, nprobe=2, assigned=index) \
-        .write.format("noop").mode("overwrite").save()
-    timings["ann_ivf_search"] = round(time.time() - t0, 3)
+    timings["ann_ivf_search"], noise["ann_ivf_search"] = _time_best(
+        lambda: _noop(ivf_topk(emb, q48, cents, k=10, nprobe=2, assigned=index))
+    )
     index.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -139,6 +162,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs_per_query": N_RUNS,
+        "aggregation": "min",
+        "noise_max_over_min": noise,
     }
     if sf == 0.1:
         out.update(_regression_report(timings))
@@ -150,7 +176,8 @@ def main() -> None:
 # variable CPU steal, so a raw >1.5x threshold would flag whole runs on a
 # busy day: a query is only reported as a regression when it is ALSO slow
 # relative to this run's median vs-r01 ratio (i.e. it specifically
-# regressed, not the machine).
+# regressed, not the machine). A uniform whole-run slowdown is flagged
+# separately via run_flag when the median itself exceeds 2x.
 R01_BASELINE = {
     "q1_pricing_summary": 1.398, "q3_top_revenue": 2.02,
     "q5_local_supplier_volume": 1.132, "a1_priority_distribution": 0.417,
@@ -166,7 +193,9 @@ R01_BASELINE = {
 }
 # ann_brute_force / ann_ivf workloads were deliberately enlarged in round
 # 2 (16->48 probes, realistic index build); their r01 numbers don't
-# compare. ann_ivf_search is new in round 2.
+# compare. ann_ivf_search is new in round 2. Note the r01 numbers are
+# single-shot; this harness reports min-of-N, so ratios are biased
+# slightly DOWN — a flagged regression is therefore conservative.
 NON_COMPARABLE = {"ann_brute_force", "ann_ivf", "ann_ivf_search"}
 
 
@@ -185,11 +214,20 @@ def _regression_report(timings: dict[str, float]) -> dict:
         k: round(r, 2) for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
         if r > 1.5 and r > 1.5 * med
     }
-    return {
+    report = {
         "baseline_round": 1,
         "median_vs_r01": round(med, 2),
         "regressions": regressions,
     }
+    if med > 2.0:
+        # per-query regression detection is median-normalized, so a
+        # uniform whole-run slowdown (session config change, host) would
+        # otherwise be silently absorbed
+        report["run_flag"] = (
+            f"whole-run median vs r01 is {med:.2f}x (>2.0): either the "
+            "host is degraded or a session-wide change slowed every query"
+        )
+    return report
 
 
 if __name__ == "__main__":

@@ -25,10 +25,32 @@ All hash functions are md5-derived -> bit-identical in the DuckDB oracle.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ncbi_analysis_spark.functions.vectors import cosine
+
+_cap_seq = itertools.count()
+
+
+def _capped(df: DataFrame, size: Column, cap: int, what: str) -> DataFrame:
+    """Drop hot buckets above ``cap`` — observably.
+
+    The dropped bucket/member counts are emitted as ``observe()`` metrics
+    (named ``<what>_cap_<n>``; the counter keeps names unique when one
+    query composes several capped stages), readable from a
+    QueryExecutionListener or the Spark UI. Without this a capped run
+    silently loses near-dup recall on degenerate corpora with no signal
+    that anything was dropped.
+    """
+    name = f"{what}_cap_{next(_cap_seq)}"
+    return df.observe(
+        name,
+        F.coalesce(F.sum((size > cap).cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.when(size > cap, size.cast("long"))), F.lit(0)).alias("dropped_members"),
+    ).filter(size <= cap)
 
 
 def shingle_rows(df: DataFrame, text: str, id_col: str, n: int = 3) -> DataFrame:
@@ -198,7 +220,7 @@ def minhash_lsh_pairs(
         .filter(F.size("members") > 1)
     )
     if max_band_freq is not None:
-        buckets = buckets.filter(F.size("members") <= max_band_freq)
+        buckets = _capped(buckets, F.size("members"), max_band_freq, "minhash_lsh")
     return (
         buckets.select(F.explode("members").alias("id_a"), "members")
         .select("id_a", F.explode("members").alias("id_b"))
@@ -225,7 +247,10 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), "sh"
     ).distinct()
     if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(F.col("f") <= max_shingle_freq)
+        freq = _capped(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")),
+            F.col("f"), max_shingle_freq, "ngram_jaccard",
+        )
         sh = sh.join(F.broadcast(freq.select("sh")), "sh", "inner")
     # carry the per-doc shingle count on every row via a window — it
     # reuses the partition-by-id shuffle the shingle window already did,
@@ -301,7 +326,7 @@ def simhash_pairs(
         .filter(F.size("members") > 1)
     )
     if max_band_freq is not None:
-        buckets = buckets.filter(F.size("members") <= max_band_freq)
+        buckets = _capped(buckets, F.size("members"), max_band_freq, "simhash")
     cand = (
         buckets.select(F.explode("members").alias("a"), "members")
         .select("a", F.explode("members").alias("b"))
@@ -491,7 +516,7 @@ def char_window_dup_pairs(
         .filter(F.size("members") > 1)
     )
     if max_window_freq is not None:
-        buckets = buckets.filter(F.size("members") <= max_window_freq)
+        buckets = _capped(buckets, F.size("members"), max_window_freq, "char_window")
     return (
         buckets.select(F.explode("members").alias("id_a"), "members")
         .select("id_a", F.explode("members").alias("id_b"))

@@ -36,18 +36,31 @@ def curate_corpus(
     decon_n: int = 3,
     max_contamination: float = 0.2,
     split_weights: dict[str, float] | None = None,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Returns the surviving documents as ``(id_col, split)``.
 
     Near-dup removal keeps the smaller id of each LSH-colliding pair
     (deterministic; connected-component clustering is a heavier offline
     choice — pairwise drop is the streaming-friendly rule).
+
+    ``max_band_freq`` is passed straight to
+    :func:`~ncbi_analysis_spark.operators.dedup.minhash_lsh_pairs`. The
+    default is None (no hot-bucket cap) because the pipeline's SQL oracle
+    (driver query ``curation_pipeline``) generates pairs from ALL band
+    buckets — a cap would silently keep near-dups the oracle drops on a
+    corpus with a degenerate bucket. Set it (e.g. 1000) on real 100 TB
+    runs, where a quadratic hot bucket matters more than oracle parity;
+    capped runs emit observe() metrics counting what was dropped.
     """
     # 1. exact dedup (min id per normalized-text hash)
     ex = dd.exact_dedup(docs, text_col, id_col)
 
     # 2. near-dup: drop the larger id of every LSH band collision
-    pairs = dd.minhash_lsh_pairs(ex, text_col, id_col, num_perm, bands, shingle_n)
+    pairs = dd.minhash_lsh_pairs(
+        ex, text_col, id_col, num_perm, bands, shingle_n,
+        max_band_freq=max_band_freq,
+    )
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     ex = ex.join(dups, id_col, "left_anti")
 

@@ -133,6 +133,30 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_band_cap_drops_hot_bucket_observably(spark):
+    """max_band_freq drops a degenerate bucket (identical docs all
+    colliding) and the drop is observable — the plan carries a
+    CollectMetrics node counting dropped buckets/members (ADVICE r02:
+    capped recall loss must not be silent)."""
+    df = spark.createDataFrame(
+        [(i, "same text every time ok") for i in range(6)], ["id", "text"]
+    )
+    uncapped = dedup.minhash_lsh_pairs(df, "text", "id", num_perm=4, bands=2,
+                                       max_band_freq=None)
+    assert uncapped.count() == 15  # 6 choose 2
+    capped = dedup.minhash_lsh_pairs(df, "text", "id", num_perm=4, bands=2,
+                                     max_band_freq=5)
+    assert capped.count() == 0
+    plan = capped._jdf.queryExecution().analyzed().toString()
+    assert "dropped_buckets" in plan and "dropped_members" in plan
+    # two capped stages in one query must not collide on metric names
+    both = capped.unionByName(
+        dedup.simhash_pairs(df, "text", "id", max_band_freq=5)
+        .select("id_a", "id_b")
+    )
+    assert both.count() == 0
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")], ["id", "text"]
