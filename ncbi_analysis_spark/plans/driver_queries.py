@@ -1596,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # budget — so the newest/least-recorded queries go at the head of
         # insertion order to guarantee they land in the driver record.
         **_r2().queries_r2(),
+        **_r3().queries_r3(),
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1649,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_r2().oracle_sql_r2(),
+        **_r3().oracle_sql_r3(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_local_supplier_volume": Q5_SQL,
@@ -1699,3 +1701,9 @@ def _r2():
     from ncbi_analysis_spark.plans import driver_queries_r2
 
     return driver_queries_r2
+
+
+def _r3():
+    from ncbi_analysis_spark.plans import driver_queries_r3
+
+    return driver_queries_r3
