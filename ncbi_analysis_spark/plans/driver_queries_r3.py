@@ -253,6 +253,127 @@ FROM h WHERE len(head) >= 4
 
 
 # ---------------------------------------------------------------------------
+# W4 — ascending-polarity flagship scan
+# ---------------------------------------------------------------------------
+
+
+def w4_ascending_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 ascending order polarity on the flagship scan (reference
+    order_type.py:4-6 OrderType.Increment; gene_similarity_match.py:
+    108-110,188-189 negates the weighted score before the candidate-list
+    update, so suppression keeps local MINIMA and rank is ascending).
+
+    Mixed-sign weights (direct -1, consistency +2) make the weighted
+    score genuinely two-signed, so the ascending survivor set
+    (raw score < 0) is non-trivial — the negate-before-suppress path,
+    ascending suppression, and ascending top-k are all exercised and
+    hash-checked against a full SQL re-derivation (the descending twin
+    is ``flagship_similarity_scan``)."""
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    from ncbi_analysis_spark.plans.driver_queries import _t
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.translate(F.md5(F.col("text")), "0123456789abcdef", "acgtacgtacgtacgt")
+    parts = d.filter(F.col("doc_id") < 120).select(
+        F.struct(F.col("doc_id"), base.alias("h")).alias("s")
+    )
+    genome_df = parts.agg(
+        F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["h"]),
+        ).alias("seq")
+    ).select(F.lit("synthetic").alias("accession"), "seq")
+    queries_df = d.filter(F.col("doc_id") < 2).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("name"),
+        F.substring(base, 1, 12).alias("gene"),
+    )
+    return similarity_scan(
+        genome_df, queries_df, {"direct": -1.0, "consistency": 2.0},
+        top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
+        ascending=True,
+    ).select(
+        "name", "accession", "strand", "offset",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        "weighted_similarity",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+# Same skeleton as FLAGSHIP_SQL (driver_queries.py) with the W4 deltas:
+# ws = (-1*direct + 2*cons)/1, survivors are ws < 0 (the reference drops
+# non-positives AFTER negation), the suppression window keeps local
+# minima, and the rank orders ascending.
+W4_ASC_SQL = """
+WITH d AS (
+  SELECT doc_id, translate(md5(text), '0123456789abcdef', 'acgtacgtacgtacgt') AS h
+  FROM documents WHERE doc_id < 120
+),
+g AS (SELECT string_agg(h, '' ORDER BY doc_id) AS seq FROM d),
+q AS (SELECT 'q' || doc_id::VARCHAR AS name, substr(h, 1, 12) AS gene FROM d WHERE doc_id < 2),
+strands AS (
+  SELECT 'synthetic' AS accession, '+' AS strand, seq, LENGTH(seq)::BIGINT AS db_len FROM g
+  UNION ALL
+  SELECT 'synthetic', '-', reverse(translate(seq, 'acgt', 'tgca')), LENGTH(seq)::BIGINT FROM g
+),
+offs AS (
+  -- doc_id < 120 caps the genome at 120 * 32 = 3840 bases at every scale
+  SELECT q.name, q.gene, s.accession, s.strand, s.db_len, r.range AS off_,
+         substr(s.seq, (r.range + 1)::INT, 12) AS win
+  FROM q CROSS JOIN strands s CROSS JOIN range(0, 3840) r
+  WHERE r.range <= LENGTH(s.seq) - 12
+),
+win AS (
+  SELECT name, accession, strand, db_len, off_,
+         list_transform(range(12),
+           i -> (CASE WHEN substr(gene, (i+1)::INT, 1) = substr(win, (i+1)::INT, 1)
+                        OR (substr(gene, (i+1)::INT, 1) = 'c'
+                            AND substr(win, (i+1)::INT, 1) = 't')
+                 THEN 1 ELSE 0 END)::BIGINT) AS ml
+  FROM offs
+),
+pre AS (
+  SELECT *, list_transform(range(13),
+    k -> CASE WHEN k = 0 THEN 0::BIGINT ELSE list_reduce(ml[1:k::INT], (a, b) -> a + b) END) AS ps
+  FROM win
+),
+sc AS (
+  SELECT name, accession, strand, db_len, off_,
+         ps[13]::DOUBLE AS direct,
+         COALESCE(list_max(flatten(list_transform(range(12),
+           i -> list_transform(range(i + 1, 13),
+             j -> CASE WHEN (j - i) - (ps[(j+1)::INT] - ps[(i+1)::INT]) <= 2
+                  THEN ps[(j+1)::INT] - ps[(i+1)::INT] ELSE 0::BIGINT END)))), 0)::DOUBLE AS cons
+  FROM pre
+),
+w AS (
+  SELECT name, accession, strand, db_len, off_,
+         (-1.0 * direct + 2.0 * cons) / 1.0 AS ws
+  FROM sc
+  WHERE -((-1.0 * direct + 2.0 * cons) / 1.0) > 0
+),
+sup AS (
+  -- ascending polarity: the reference negates before update_candidate_
+  -- list, so the deque keeps local MINIMA of the raw score
+  SELECT *, MIN(ws) OVER (PARTITION BY name, accession, strand ORDER BY off_
+                          RANGE BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS mn
+  FROM w
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY name
+             ORDER BY ws ASC, accession, strand, off_) AS rk
+  FROM sup WHERE ws <= mn
+)
+SELECT name, accession, strand, off_::BIGINT AS offset,
+       (CASE WHEN strand = '+' THEN off_ + 1 ELSE db_len - off_ END)::BIGINT AS start,
+       (CASE WHEN strand = '+' THEN off_ + 12 ELSE db_len - off_ - 11 END)::BIGINT AS "end",
+       ws::DOUBLE AS weighted_similarity, rk::BIGINT AS rk
+FROM rk WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -263,6 +384,7 @@ def queries_r3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_cluster_fixture": s4_cluster_fixture,
         "s5_match_blocks_fixture": s5_match_blocks_fixture,
         "s6_neighbor_blocks_fixture": s6_neighbor_blocks_fixture,
+        "w4_ascending_scan": w4_ascending_scan,
     }
 
 
@@ -272,4 +394,5 @@ def oracle_sql_r3() -> dict[str, str]:
         "s4_cluster_fixture": S4_SQL,
         "s5_match_blocks_fixture": S5_SQL,
         "s6_neighbor_blocks_fixture": S6_SQL,
+        "w4_ascending_scan": W4_ASC_SQL,
     }

@@ -69,6 +69,7 @@ def write_match_report(
     scorers: list[str],
     data_name: str | None = None,
     mode: str = "overwrite",
+    ascending: bool = False,
 ) -> None:
     """S13 full match report: numbered per-candidate blocks with the
     per-scorer similarity attributes AND the alignment-render triple per
@@ -84,6 +85,11 @@ def write_match_report(
     so the window below is keyed by gene name over a bounded report set
     (the reference emits one numbered file per gene; numbering restarts
     per name here too).
+
+    ``ascending`` mirrors ``similarity_scan(ascending=)`` (W4
+    OrderType.Increment): the reference sorts candidates by the NEGATED
+    score, i.e. raw score ascending, so block numbering must follow the
+    same polarity or a mixed-sign ascending report comes out reversed.
     """
     from pyspark.sql import Window
 
@@ -111,8 +117,11 @@ def write_match_report(
         attrs.append(F.format_string(f"{_SCORER_LABEL[s]}_target_format :=%s", r[1]))
         attrs.append(F.format_string(f"{_SCORER_LABEL[s]}_match_format  :=%s", r[2]))
 
+    score_order = (
+        F.asc("weighted_similarity") if ascending else F.desc("weighted_similarity")
+    )
     idx = F.row_number().over(
-        Window.partitionBy("name").orderBy(F.desc("weighted_similarity"), F.asc("start"))
+        Window.partitionBy("name").orderBy(score_order, F.asc("start"))
     )
     block = F.format_string(
         "(%d)\n>%s/%d-%d\t%s\n",

@@ -11,6 +11,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from ncbi_analysis_spark.plans.similarity_scan import render_candidates, similarity_scan
 from ncbi_analysis_spark.similarity.scorers import (
@@ -101,3 +102,42 @@ def test_match_report_roundtrip(spark, rendered, tmp_path):
     assert text.count("(1)\n") == 2
     # blocks are blank-line separated like the reference report
     assert "\n\n(" in text or text.count("\n\n") >= len(back)
+
+
+def _report_scores_in_block_order(out_dir):
+    """(block_idx, weighted_similarity) pairs in file order."""
+    import glob
+    import re
+
+    text = "".join(open(p).read() for p in sorted(glob.glob(out_dir + "/part*")))
+    pairs = []
+    idx = None
+    for line in text.splitlines():
+        if m := re.fullmatch(r"\((\d+)\)", line.strip()):
+            idx = int(m.group(1))
+        elif m := re.search(r"weighted_similarity=(-?\d+\.?\d*)", line):
+            pairs.append((idx, float(m.group(1))))
+    return pairs
+
+
+def test_match_report_ascending_numbering(spark, tmp_path):
+    """W4 polarity in the sink (reference OrderType.Increment sorts by
+    the negated score): ascending=True must number blocks raw-score
+    ascending — with mixed-sign scores the descending numbering would be
+    exactly reversed."""
+    rows = [
+        ("geneA", "acc1", "+", 10, 11, 20, -3.5, "g", 1.0),
+        ("geneA", "acc1", "+", 50, 51, 60, 2.0, "g", 1.0),
+        ("geneA", "acc1", "+", 90, 91, 100, -0.5, "g", 1.0),
+    ]
+    df = spark.createDataFrame(rows, [
+        "name", "accession", "strand", "offset", "start", "end",
+        "weighted_similarity", "gene", "direct_similarity",
+    ]).withColumn("direct_render", F.array(F.col("gene"), F.col("gene"), F.col("gene")))
+    asc_dir, desc_dir = str(tmp_path / "asc"), str(tmp_path / "desc")
+    sinks.write_match_report(df, asc_dir, ["direct"], data_name="d", ascending=True)
+    sinks.write_match_report(df, desc_dir, ["direct"], data_name="d")
+    asc = sorted(_report_scores_in_block_order(asc_dir))
+    desc = sorted(_report_scores_in_block_order(desc_dir))
+    assert [s for _, s in asc] == [-3.5, -0.5, 2.0]       # block 1 = worst raw
+    assert [s for _, s in desc] == [2.0, -0.5, -3.5]      # block 1 = best raw
