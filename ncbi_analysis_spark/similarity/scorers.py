@@ -243,16 +243,25 @@ def blat_render(gene: str, database: str, offset: int,
     walk the last 4 backward from the match end, and fill the middle gap
     with database chars as gene '-'. Returns None when the seed-extend
     search found no match (the reference would crash on pos_data_end=None;
-    callers render only matched candidates)."""
+    callers render only matched candidates) — and also when a walk runs
+    off either end of ``database``: blat_score's extend() reports ok
+    when the database ends before all four tail chars are consumed, so
+    on a truncated render window the replay below could index past the
+    end (IndexError in the UDF) or, in the backward walk, silently read
+    via Python negative indexing. Both are bounds-checked to None
+    instead (ADVICE r02)."""
     flag, pos_data_end = blat_score(gene, database, offset, mid_limit, end_limit)
     if not flag or pos_data_end is None:
         return None
+    n = len(database)
     out_g: list[str] = []
     out_t: list[str] = []
     out_m: list[str] = []
     pos_data = offset
     pos_gene = 0
     while pos_gene < 4:
+        if pos_data >= n:
+            return None
         if not char_match(gene[pos_gene], database[pos_data]):
             out_g.append("-")
             out_t.append(database[pos_data])
@@ -270,6 +279,8 @@ def blat_render(gene: str, database: str, offset: int,
     rev_pos_gene = 7
     rev_pos_data = pos_data_end - 1
     while rev_pos_gene > 3:
+        if rev_pos_data < 0 or rev_pos_data >= n:
+            return None
         if not char_match(gene[rev_pos_gene], database[rev_pos_data]):
             rev_g.append("-")
             rev_t.append(database[rev_pos_data])

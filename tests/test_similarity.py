@@ -79,6 +79,22 @@ def test_blat_anchor_fail():
     assert blat_score("aaaaaaaa", "ttttttttttttttt", 0) == (False, None)
 
 
+def test_blat_render_truncated_window_is_none():
+    """blat_score's extend() reports ok when the database ends before all
+    four tail chars are consumed ('aaaatttag' ends after gene[5]); the
+    render replay's backward walk would then run off the left end of the
+    window (negative Python indexing, then IndexError). The render must
+    return None instead of replaying out of bounds (ADVICE r02)."""
+    from ncbi_analysis_spark.similarity.scorers import blat_render
+
+    gene, db = "aaaaaggg", "aaaatttag"
+    assert blat_score(gene, db, 0) == (True, len(db))  # truncated-ok quirk
+    assert blat_render(gene, db, 0) is None
+    # a complete window still renders
+    full = blat_render("aaaaaaaa", "aaaattta" + "aaaa", 0)
+    assert full is not None and len(full) == 3
+
+
 def test_pattern_c_to_t_rewrite():
     p = MatchPattern("acgtacgtac", {"must": [{"offset": 0, "length": 4}], "optional": []})
     assert p.must_pattern == "^a(c|t)gt.+"
