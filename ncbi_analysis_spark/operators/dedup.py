@@ -348,6 +348,7 @@ def embedding_dup_pairs(
     id_col: str,
     threshold: float = 0.95,
     bucket_planes: int = 0,
+    max_exact_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
@@ -355,8 +356,21 @@ def embedding_dup_pairs(
     fine <= ~10^5 rows). > 0 -> random-hyperplane LSH buckets first: only
     pairs agreeing on all plane signs are compared (recall < 1, the scale
     path; planes derived deterministically from md5 so runs reproduce).
+
+    The exact mode fails fast past ``max_exact_rows`` rather than
+    silently launching a quadratic join (the same guard shape as
+    ``locate_matches(bounded=True)``'s ``max_bounded_records``).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
+    if bucket_planes <= 0:
+        n_rows = base.count()
+        if n_rows > max_exact_rows:
+            raise ValueError(
+                f"embedding_dup_pairs(bucket_planes=0) is the exact all-pairs "
+                f"oracle path and got {n_rows} rows (> max_exact_rows="
+                f"{max_exact_rows}); pass bucket_planes>0 for the LSH scale "
+                "path (or raise max_exact_rows explicitly)"
+            )
     if bucket_planes > 0:
         dim = len(base.first()["v"])
         import hashlib

@@ -85,6 +85,14 @@ def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
     The reverse strand is the reverse complement sequence, chunked the
     same way in its own coordinate system (reference scans the revcomp
     database, src/analysis/gene_similarity_match.py:58-66).
+
+    Scale ceiling: each input row holds one accession's sequence as a
+    single JVM string, so an accession is bounded by the JVM's 2 GiB
+    string/array limit (and practically by executor memory during the
+    substring explode). Real genomes are far below this (~250 MB for the
+    largest human chromosome); for longer single sequences, pre-split
+    the accession into windowed rows upstream and treat each window as
+    its own accession with an offset column.
     """
     strands = genome_df.select("accession", F.lit("+").alias("strand"), F.col("seq"))
     if both_strands:

@@ -184,6 +184,21 @@ def test_embedding_dup_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_exact_mode_guard(spark):
+    """bucket_planes=0 is the oracle all-pairs path; past the row cap it
+    must fail fast instead of silently going quadratic."""
+    import pytest as _pytest
+
+    df = spark.range(0, 20).selectExpr("id", "array(cast(id as double), 1.0) as v")
+    with _pytest.raises(ValueError, match="max_exact_rows"):
+        dedup.embedding_dup_pairs(df, "v", "id", max_exact_rows=10)
+    # under the cap it still works, as does the LSH path above it
+    assert dedup.embedding_dup_pairs(df, "v", "id", max_exact_rows=100).count() >= 0
+    assert dedup.embedding_dup_pairs(
+        df, "v", "id", bucket_planes=2, max_exact_rows=10
+    ).count() >= 0
+
+
 def test_benchmark_ngram_overlap(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"),      # grams: "a b c","b c d","c d e"
