@@ -363,13 +363,15 @@ def embedding_dup_pairs(
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec).alias("v"))
     if bucket_planes <= 0:
-        n_rows = base.count()
-        if n_rows > max_exact_rows:
+        # limit(n+1).count() short-circuits: reads at most max_exact_rows+1
+        # rows even on a 100 TB input, unlike a full count()
+        over = base.select("id").limit(max_exact_rows + 1).count()
+        if over > max_exact_rows:
             raise ValueError(
                 f"embedding_dup_pairs(bucket_planes=0) is the exact all-pairs "
-                f"oracle path and got {n_rows} rows (> max_exact_rows="
-                f"{max_exact_rows}); pass bucket_planes>0 for the LSH scale "
-                "path (or raise max_exact_rows explicitly)"
+                f"oracle path and got > max_exact_rows={max_exact_rows} rows; "
+                "pass bucket_planes>0 for the LSH scale path (or raise "
+                "max_exact_rows explicitly)"
             )
     if bucket_planes > 0:
         dim = len(base.first()["v"])

@@ -374,6 +374,77 @@ FROM rk WHERE rk <= 10
 
 
 # ---------------------------------------------------------------------------
+# S11/S12 — sink round-trip oracles. The Spark side WRITES with the real
+# sink, re-reads its own output with the matching scan, and must
+# reproduce the source table the oracle reads straight from parquet —
+# a lossless-encoding proof for the sink+scan pair, not just a parse
+# test of a hand-written fixture.
+# ---------------------------------------------------------------------------
+
+
+def s11_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 TSV sink round-trip (sinks.write_tsv; reference pandas
+    to_csv(sep='\\t'), src/analysis/gentamycin.py:37-41): customer ->
+    tab-separated text with header -> schema'd CSV read-back. Exercises
+    header emission, tab separation, and lossless bigint/double/string
+    encoding (Java Double.toString round-trips exactly through
+    Double.parseDouble, so c_acctbal must hash-match the parquet
+    original)."""
+    import tempfile
+
+    from ncbi_analysis_spark.sources.sinks import write_tsv
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    out = tempfile.mkdtemp(prefix="s11_tsv_")
+    write_tsv(df, out)
+    schema = ("c_custkey bigint, c_name string, c_nationkey bigint, "
+              "c_acctbal double, c_mktsegment string")
+    return (
+        spark.read.option("sep", "\t").option("header", True)
+        .schema(schema).csv(out)
+    )
+
+
+S11_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+def s12_fasta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 FASTA sink round-trip (sinks.write_fasta -> ``>name/start-end``
+    records, reference cluster_match.py:115-135; read back by
+    sources.fasta.read_fasta_records): a part-derived record table with
+    md5 sequences. The oracle computes the identical records directly in
+    DuckDB (md5 of UTF-8 bytes is engine-independent), so any formatting
+    or parsing loss in the sink/scan pair breaks the hash match."""
+    import tempfile
+
+    from ncbi_analysis_spark.sources.fasta import read_fasta_records
+    from ncbi_analysis_spark.sources.sinks import write_fasta
+
+    df = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("string").alias("name"),
+        F.lit(1).cast("long").alias("start"),
+        F.lit(32).cast("long").alias("end"),
+        F.md5(F.col("p_name").cast("binary")).alias("seq"),
+    )
+    out = tempfile.mkdtemp(prefix="s12_fasta_")
+    write_fasta(df, out)
+    return read_fasta_records(spark, out)
+
+
+S12_SQL = """
+SELECT CAST(p_partkey AS VARCHAR) AS name,
+       CAST(1 AS BIGINT) AS start,
+       CAST(32 AS BIGINT) AS "end",
+       md5(p_name) AS seq
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -385,6 +456,8 @@ def queries_r3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_match_blocks_fixture": s5_match_blocks_fixture,
         "s6_neighbor_blocks_fixture": s6_neighbor_blocks_fixture,
         "w4_ascending_scan": w4_ascending_scan,
+        "s11_tsv_roundtrip": s11_tsv_roundtrip,
+        "s12_fasta_roundtrip": s12_fasta_roundtrip,
     }
 
 
@@ -395,4 +468,6 @@ def oracle_sql_r3() -> dict[str, str]:
         "s5_match_blocks_fixture": S5_SQL,
         "s6_neighbor_blocks_fixture": S6_SQL,
         "w4_ascending_scan": W4_ASC_SQL,
+        "s11_tsv_roundtrip": S11_SQL,
+        "s12_fasta_roundtrip": S12_SQL,
     }

@@ -95,3 +95,50 @@ def fasta_record(name: F.Column, start: F.Column, end: F.Column, seq: F.Column) 
     """S12 FASTA sink record: ``>name/start-end\\nSEQ``
     (reference src/analysis/cluster_match.py:115-135)."""
     return F.format_string(">%s/%s-%s\n%s", name, start, end, seq)
+
+
+RECORD_SCHEMA = T.StructType([
+    T.StructField("name", T.StringType()),
+    T.StructField("start", T.LongType()),
+    T.StructField("end", T.LongType()),
+    T.StructField("seq", T.StringType()),
+])
+
+_REC_HDR_RE = re.compile(r"^>(.*)/(\d+)-(\d+)\s*$")
+
+
+def parse_fasta_records(text: str) -> list[dict]:
+    """Parse the S12 sink format ``>name/start-end`` + sequence lines
+    (the inverse of :func:`fasta_record` /
+    ``sinks.write_fasta``; reference cluster_match.py:115-135 writes it,
+    and its consumers re-read it with the same name/start-end split).
+    Sequence lines between headers are concatenated verbatim."""
+    recs: list[dict] = []
+    cur: dict | None = None
+    seq_lines: list[str] = []
+
+    def flush():
+        if cur is not None:
+            recs.append({**cur, "seq": "".join(seq_lines)})
+
+    for line in text.splitlines():
+        if m := _REC_HDR_RE.match(line):
+            flush()
+            cur = {"name": m.group(1), "start": int(m.group(2)), "end": int(m.group(3))}
+            seq_lines = []
+        elif line.strip() and cur is not None:
+            seq_lines.append(line.strip())
+    flush()
+    return recs
+
+
+def read_fasta_records(spark: SparkSession, path: str) -> DataFrame:
+    """S12-format scan: one row per ``>name/start-end`` record."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend(parse_fasta_records(text))
+            yield pd.DataFrame(rows, columns=[f.name for f in RECORD_SCHEMA.fields])
+
+    return spark.read.text(path, wholetext=True).mapInPandas(gen, RECORD_SCHEMA)

@@ -80,6 +80,30 @@ def test_fasta_reader(spark, tmp_path):
     assert s2["gene"] == "Unknown:AT2" and s2["strand"] == "+"
 
 
+def test_fasta_record_roundtrip(spark, tmp_path):
+    """S12 sink format: write_fasta -> read_fasta_records is lossless,
+    including names containing '/' (greedy name match) and multi-line
+    sequence bodies on the read side."""
+    from ncbi_analysis_spark.sources.sinks import write_fasta
+
+    df = spark.createDataFrame(
+        [("geneA", 1, 16, "acgtacgtacgtacgt"), ("x/y", 40, 12, "ttttcccc")],
+        ["name", "start", "end", "seq"],
+    )
+    out = str(tmp_path / "recs")
+    write_fasta(df, out)
+    back = {r["name"]: r for r in fasta.read_fasta_records(spark, out).collect()}
+    assert (back["geneA"]["start"], back["geneA"]["end"],
+            back["geneA"]["seq"]) == (1, 16, "acgtacgtacgtacgt")
+    # reverse coords and slash-in-name survive
+    assert (back["x/y"]["start"], back["x/y"]["end"], back["x/y"]["seq"]) == (40, 12, "ttttcccc")
+    # hand-wrapped sequence lines concatenate
+    p = tmp_path / "wrapped.fa"
+    p.write_text(">w/1-8\nacgt\nacgt\n")
+    rec = fasta.parse_fasta_records(p.read_text())
+    assert rec == [{"name": "w", "start": 1, "end": 8, "seq": "acgtacgt"}]
+
+
 ECOCYC_TSV = (
     "gene\tproduct\tpromoter_name\tpromoter_pos\tgene_start_pos\tmap_start_pos\tmap_end_pos\n"
     "thrL\tleader\tthrLp\t148\t190\t190\t255\n"
