@@ -1,0 +1,118 @@
+"""Connected components over near-duplicate pair edges.
+
+The pair generators (``dedup.minhash_lsh_pairs`` / ``simhash_pairs`` /
+``ngram_jaccard_pairs`` / ``embedding_dup_pairs``) emit edges; offline
+corpus dedup clusters those edges into components and keeps one
+representative per component (the pairwise smaller-id drop used by
+``plans.curation`` is the streaming-friendly approximation — it can
+over-drop on chains a-b, b-c where the component rule keeps only a).
+
+Algorithm: iterative minimum-label propagation with pointer jumping —
+each round sets ``label(u) <- min(label(u), min neighbor label,
+label(label(u)))``. Plain propagation moves the minimum one hop per
+round (O(diameter) rounds); the pointer-jump join halves the remaining
+distance each round, giving O(log D) convergence, the same asymptotics
+as the large-star/small-star map-reduce formulation with a simpler
+fixpoint test.
+
+Scale posture (100 TB corpus):
+- Every round is two hash joins + one min aggregation, all keyed by
+  node id — ordinary shuffles, no driver-side data.
+- Labels are ``localCheckpoint``-ed each round: an iterative DataFrame
+  loop otherwise doubles its lineage every round and re-executes the
+  whole history at each action (the standard Spark iterative-algorithm
+  discipline; on a cluster use ``checkpoint`` to reliable storage for
+  fault tolerance instead).
+- The fixpoint test is one count on the checkpointed labels per round
+  (a scalar to the driver, not data).
+- Near-dup components are overwhelmingly tiny — the generators cap hot
+  buckets (``max_band_freq``/``max_shingle_freq``) precisely so no
+  quadratic mega-component exists — so rounds ~= log(max diameter),
+  single digits in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node reachable through ``edges`` with the smallest
+    node id in its component.
+
+    Returns ``(id, component)`` for every node appearing in at least
+    one edge (isolated rows never enter the edge list and need no
+    label). Raises if the fixpoint is not reached within ``max_iter``
+    rounds — with pointer jumping that bounds component diameter at
+    ~2**max_iter, so hitting it means the edge set is degenerate.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct() \
+                .withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min label among neighbors
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "v"), "v")
+            .groupBy("u").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("u", "id")
+        )
+        prop = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        # pointer jump: also adopt the current label OF my label
+        parent = prop.select(F.col("id").alias("label"), F.col("label").alias("parent_label"))
+        jumped = (
+            prop.join(parent, "label", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("parent_label", "label")).alias("label"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "the edge set has a pathological component; raise max_iter or "
+        "cap the pair generators' bucket sizes"
+    )
+
+
+def component_dups(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Ids to DROP under component dedup: every member of each
+    component except its smallest id. Returns one ``(id)`` column.
+
+    Compared to the pairwise smaller-id drop, this never removes a
+    whole chain: for edges a-b, b-c the pairwise rule drops b and c;
+    the component rule also drops b and c — but for a-b, b-c with the
+    pairwise rule applied to (b,c) BEFORE (a,b) nothing protects b's
+    survivor role; component dedup always keeps exactly one
+    representative (the min id) per near-dup cluster.
+    """
+    comp = connected_components(edges, id_a, id_b)
+    return comp.filter(F.col("id") != F.col("component")).select("id")

@@ -41,8 +41,12 @@ def curate_corpus(
     """Returns the surviving documents as ``(id_col, split)``.
 
     Near-dup removal keeps the smaller id of each LSH-colliding pair
-    (deterministic; connected-component clustering is a heavier offline
-    choice — pairwise drop is the streaming-friendly rule).
+    (deterministic; pairwise drop is the streaming-friendly rule). The
+    offline-batch alternative — cluster the pair edges into connected
+    components and keep one representative per cluster — is
+    :func:`ncbi_analysis_spark.operators.components.component_dups`
+    (oracle-checked as ``dedup_dup_clusters``); swap it in for ``dups``
+    below when chains a-b-c should keep a single survivor.
 
     ``max_band_freq`` is passed straight to
     :func:`~ncbi_analysis_spark.operators.dedup.minhash_lsh_pairs`. The

@@ -445,6 +445,70 @@ FROM part
 
 
 # ---------------------------------------------------------------------------
+# Connected-component near-dup clustering (offline corpus dedup): LSH
+# pair edges -> min-label components. The Spark side is the iterative
+# pointer-jumping propagation (operators/components.py); the oracle
+# computes the same fixpoint with a DuckDB recursive CTE (min reachable
+# node id per node) over identically-generated pairs — an exact oracle
+# for a genuinely iterative algorithm.
+# ---------------------------------------------------------------------------
+
+
+def dedup_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pair edges over documents, clustered into connected
+    components; each noded doc labeled with its component's smallest
+    doc_id. ``max_band_freq=None`` mirrors the oracle's uncapped bucket
+    pair generation (the cap is a scale knob, off for parity runs)."""
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _shingles_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    return _SHINGLES_SQL
+
+
+def _dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE
+shg AS (SELECT doc_id, {_shingles_sql()} AS sh FROM documents),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM shg),
+bandrows AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM m
+),
+pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bandrows a JOIN bandrows b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+edges AS (SELECT ida AS u, idb AS v FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.v = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -458,6 +522,7 @@ def queries_r3() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_ascending_scan": w4_ascending_scan,
         "s11_tsv_roundtrip": s11_tsv_roundtrip,
         "s12_fasta_roundtrip": s12_fasta_roundtrip,
+        "dedup_dup_clusters": dedup_dup_clusters,
     }
 
 
@@ -470,4 +535,5 @@ def oracle_sql_r3() -> dict[str, str]:
         "w4_ascending_scan": W4_ASC_SQL,
         "s11_tsv_roundtrip": S11_SQL,
         "s12_fasta_roundtrip": S12_SQL,
+        "dedup_dup_clusters": _dup_clusters_sql(),
     }

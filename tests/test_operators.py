@@ -199,6 +199,41 @@ def test_embedding_exact_mode_guard(spark):
     ).count() >= 0
 
 
+def test_connected_components(spark):
+    """Min-label CC with pointer jumping: a diameter-7 path collapses to
+    its min id, disjoint components stay disjoint, and component_dups
+    keeps exactly one representative per cluster."""
+    from ncbi_analysis_spark.operators.components import (
+        component_dups, connected_components)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)] + [(100, 101)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert all(comp[i] == 1 for i in range(1, 9))
+    assert comp[100] == comp[101] == 100
+    assert set(comp) == set(range(1, 9)) | {100, 101}  # isolated ids absent
+    dups = {r["id"] for r in component_dups(edges).collect()}
+    assert dups == set(range(2, 9)) | {101}
+
+
+def test_connected_components_convergence_guard(spark):
+    """A diameter-7 path cannot converge in one round — the guard must
+    raise rather than return wrong labels."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["id_a", "id_b"])
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(edges, max_iter=1)
+    # string ids work too (min is lexicographic)
+    sedges = spark.createDataFrame([("b", "a"), ("b", "c")], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"]
+            for r in connected_components(sedges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_benchmark_ngram_overlap(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"),      # grams: "a b c","b c d","c d e"
