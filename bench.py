@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "dedup_minhash_signature",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_dup_clusters",
     "decon_ngram_overlap",
     "curation_pipeline",
     "repetition_quality",

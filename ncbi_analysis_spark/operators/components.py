@@ -57,6 +57,13 @@ def connected_components(
         .union(edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
     )
+    # The edge set is static across rounds but its lineage (often a full
+    # LSH pair-generation pipeline) is NOT: without materializing it
+    # here, every round's join re-executes that upstream pipeline.
+    # Measured at sf0.1 this checkpoint cut dedup_dup_clusters from
+    # 5.3s to 2.8s min-of-3 (one pair generation instead of one per
+    # round).
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("u").alias("id")).distinct() \
                 .withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
