@@ -234,6 +234,44 @@ def test_connected_components_convergence_guard(spark):
     assert comp == {"a": "a", "b": "a", "c": "a"}
 
 
+def test_connected_components_random_vs_union_find(spark):
+    """300 random edges over 120 nodes (guaranteed multi-node chains and
+    cycles) must produce exactly the labels of a reference union-find."""
+    import random
+
+    from ncbi_analysis_spark.operators.components import connected_components
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+    # union-find roots are not guaranteed minimal; canonicalize to the
+    # min node id per root
+    rep = {}
+    for n, r in want.items():
+        rep.setdefault(r, n)
+        rep[r] = min(rep[r], n)
+    want = {n: rep[r] for n, r in want.items()}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
+
+
 def test_benchmark_ngram_overlap(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"),      # grams: "a b c","b c d","c d e"
