@@ -181,6 +181,127 @@ def test_full_report_roundtrip_parity(spark, tmp_path):
     assert ("near5", "cds") in labels["probe_rev"]
 
 
+def test_full_cluster_neighbor_workflow(spark, tmp_path):
+    """§3.2 chain in one flow (reference run_cluster_neighbor_analysis):
+    S4 fna scan -> J1 clustering -> S12 FASTA sample sink round-trip ->
+    J4/J3 neighbor analysis on the parsed coordinates -> A1
+    distribution. The reference wires these through intermediate text
+    files; here each handoff is a DataFrame and the one text handoff
+    (the sample FASTA) is parsed back and checked for losslessness."""
+    from ncbi_analysis_spark.operators.distribution import value_distribution
+    from ncbi_analysis_spark.plans import pipelines
+    from ncbi_analysis_spark.sources.cluster_blocks import read_cluster_blocks
+    from ncbi_analysis_spark.sources.fasta import read_fasta_records
+
+    elems = read_cluster_blocks(spark, "tests/fixtures/driver_s4.fna", "srp")
+    rows = elems.collect()
+    # the ?/! gate admits blocks 1-2; the 'x' flag and short block are
+    # consumed but rejected
+    assert {r["record_no"] for r in rows} == {1, 2}
+
+    # J1: cluster by upper-cased alignment sequence
+    clusters = pipelines.cluster_sequences(elems.filter(F.col("seq_align").isNotNull()))
+    by_key = {r["seq_key"]: r for r in clusters.collect()}
+    assert all(r["cluster_size"] >= 1 for r in by_key.values())
+
+    # S12 sample sink round-trip for records with real coordinates
+    sample = elems.filter(F.col("start").isNotNull()).select(
+        "name", "start", "end", F.col("seq_align").alias("seq")
+    )
+    out = str(tmp_path / "samples")
+    sinks.write_fasta(sample, out)
+    back = {(r["name"], r["start"], r["end"], r["seq"])
+            for r in read_fasta_records(spark, out).collect()}
+    want = {(r["name"], r["start"], r["end"], r["seq"])
+            for r in sample.collect()}
+    assert back == want and len(back) > 0
+
+    # J4/J3: neighbor analysis of the parsed match coordinates
+    matches = (
+        elems.filter(F.col("start").isNotNull())
+        .select(F.col("name").alias("accession"),
+                F.col("start").alias("left"), F.col("end").alias("right"))
+    )
+    # (block2's align line is the bare continuation — name falls back to
+    # the rna element, coordinates stay null — so only block1 yields a
+    # locatable match, exactly as the reference skips coordinate-less
+    # alignments)
+    assert [tuple(r) for r in matches.collect()] == [("NC_0001", 100, 120)]
+    genes = spark.createDataFrame(
+        [("NC_0001", 10, 50, "+", "gL"), ("NC_0001", 130, 150, "+", "gR"),
+         ("NC_0001", 110, 140, "-", "gO")],
+        ["accession", "left", "right", "strand", "gene"],
+    )
+    nb = {r["accession"]: r
+          for r in pipelines.neighbor_analysis(matches, genes).collect()}
+    # match NC_0001/100-120: gL wholly left, gR wholly right, gO overlaps
+    assert (nb["NC_0001"]["left_gene"], nb["NC_0001"]["right_gene"]) == ("gL", "gR")
+    assert nb["NC_0001"]["overlap_genes"] == "gO"
+
+    # A1: nearest-gene distribution with exact ratios
+    dist = value_distribution(
+        pipelines.neighbor_analysis(matches, genes).select(
+            F.coalesce("left_gene", F.lit("none")).alias("gene"))
+    , ["gene"]).collect()
+    assert {(r["gene"], r["cnt"], r["ratio"]) for r in dist} == {("gL", 1, 1.0)}
+
+
+def test_full_enrichment_workflow(spark, tmp_path):
+    """§3.3 chain (reference run_ecocyc_analysis): snapshot pages ->
+    F15 extractor dims -> J9 enrichment joins -> S11 TSV sink ->
+    schema'd read-back equals the enriched table. The network boundary
+    is the pages DataFrame (ingestion-time snapshots); everything after
+    it is the engine."""
+    from ncbi_analysis_spark.sources import enrichment as enr
+    from ncbi_analysis_spark.sources.sinks import write_tsv
+
+    pages = spark.createDataFrame(
+        [
+            ("alr", "<script>window.location.replace("
+                    "'/gene?orgid=ECOLI&id=EG010');</script>"),
+            ("nuoL", '<a href="/gene?orgid=ECOLI&id=EG001">wrong</a>'
+                     '<a href="/gene?orgid=ECOLI&id=EG002">nuoL</a>'),
+        ],
+        ["key", "page"],
+    )
+    eco = enr.ecocyc_id_dim(pages)
+    assert {(r["gene"], r["ecocyc_id"]) for r in eco.collect()} == {
+        ("alr", "EG010"), ("nuoL", "EG002")
+    }
+
+    go_pages = spark.createDataFrame(
+        [("alr", '<table class="go"><tr><td>molecular_function:</td>'
+                 "<td><table><tr><td>x</td><td><a>GO:0008784</a>"
+                 "<a>GO:0030170</a></td></tr></table></td></tr></table>")],
+        ["key", "page"],
+    )
+    go = enr.go_terms_dim(go_pages)
+    assert {(r["gene"], r["go_category"], r["go_terms"]) for r in go.collect()} \
+        == {("alr", "molecular_function", "GO:0008784,GO:0030170")}
+
+    genes = spark.createDataFrame(
+        [("alr", 10, 50, "+"), ("nuoL", 60, 95, "-"), ("orphan", 100, 120, "+")],
+        ["gene", "left", "right", "strand"],
+    )
+    from ncbi_analysis_spark.plans import pipelines
+    enriched = pipelines.enrich_genes(genes, ecocyc_records=eco, go_terms=go)
+
+    # S11 sink round-trip: the TSV on disk re-reads to the same table
+    out = str(tmp_path / "enriched")
+    write_tsv(enriched, out)
+    schema = ("gene string, left bigint, right bigint, strand string, "
+              "ecocyc_id string, go_category string, go_terms string")
+    back = spark.read.option("sep", "\t").option("header", True) \
+        .schema(schema).csv(out)
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(r) for r in enriched.collect()}
+    assert got == want
+    byg = {r["gene"]: r for r in enriched.collect()}
+    assert byg["orphan"]["ecocyc_id"] is None  # left joins keep unmatched
+    assert byg["alr"]["go_terms"] == "GO:0008784,GO:0030170"
+    assert byg["nuoL"]["go_terms"] is None
+
+
 def test_curation_pipeline_stages_all_bite(spark):
     """Each curation stage must drop something on data constructed to
     trigger it, and survivors carry a split assignment."""
