@@ -193,6 +193,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     assigned: DataFrame | None = None,
+    prefilter_partitions: bool = False,
 ) -> DataFrame:
     """IVF bucket-pruned top-k: assign corpus rows to nearest centroid
     (map-side argmax, see ivf_assign), probe the ``nprobe`` nearest
@@ -200,7 +201,10 @@ def ivf_topk(
 
     Pass ``assigned`` (a prebuilt ivf_assign output) to search an
     existing index — the production shape, where the index is built once
-    offline and queries pay only probe + re-rank.
+    offline and queries pay only probe + re-rank. With an index opened
+    from ``write_ivf_index`` (parquet partitioned by ``c_id``), add
+    ``prefilter_partitions=True`` so unprobed bucket directories are
+    never read (static partition pruning).
 
     The probe set (queries x nprobe) is tiny -> broadcast into the bucket
     join, so the corpus side never shuffles before the bucket prune; the
@@ -220,7 +224,35 @@ def ivf_topk(
         q_id, "__qv", c_id
     )
 
+    if prefilter_partitions:
+        # The union of probed bucket ids is bounded by the centroid count
+        # (tiny by IVF contract), so collecting it is a scalar-sized
+        # driver hop — and the isin filter it produces reaches a
+        # c_id-PARTITIONED index (write_ivf_index) as a static
+        # PartitionFilter: unprobed bucket directories are never read.
+        # Without it the same prune happens only logically (rows dropped
+        # by the broadcast join after being scanned) or via dynamic
+        # partition pruning when the runtime enables it; the explicit
+        # filter makes the physical skip unconditional.
+        probe_ids = [r[c_id] for r in probes.select(c_id).distinct().collect()]
+        assigned = assigned.filter(F.col(c_id).isin(probe_ids))
+
     scored = assigned.join(F.broadcast(probes), on=c_id, how="inner").select(
         q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")
+
+
+def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:
+    """Persist an ivf_assign output partitioned by centroid id: each
+    bucket is its own parquet directory, so a search that probes
+    ``nprobe`` buckets (``ivf_topk(assigned=..., prefilter_partitions=
+    True)``) physically reads only those directories. This is the
+    100 TB index layout — probe cost scales with nprobe/k_centroids of
+    the corpus regardless of total index size."""
+    assigned.write.mode("overwrite").partitionBy(c_id).parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    """Open a write_ivf_index directory for searching."""
+    return spark.read.parquet(path)

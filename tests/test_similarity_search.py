@@ -50,3 +50,36 @@ def test_ivf_recall_vs_exact(spark):
         if r["rk"] == 1:
             by_q[r["q_id"]] = r["vec_id"]
     assert all(by_q[qid] == qid for qid in by_q)
+
+
+def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
+    """write_ivf_index lays buckets out as c_id partitions; a prefiltered
+    search must (a) return exactly the in-memory results, (b) carry a
+    static PartitionFilter on c_id, and (c) physically read only the
+    probed bucket directories."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
+
+    path = str(tmp_path / "ivf_index")
+    ss.write_ivf_index(ss.ivf_assign(e, cents), path)
+    index = ss.read_ivf_index(spark, path)
+
+    mem = ss.ivf_topk(e, q, cents, k=10, nprobe=2).collect()
+    idx = ss.ivf_topk(e, q, cents, k=10, nprobe=2,
+                      assigned=index, prefilter_partitions=True)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "c_id" in plan
+    got = idx.collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in mem}
+
+    # physical layout: one directory per bucket on disk, and a bucket
+    # filter lands in the scan's PartitionFilters (directory-level skip,
+    # not a post-scan row filter — inputFiles() can't show this because
+    # it lists the relation's files pre-pruning)
+    import glob as _glob
+    assert len(_glob.glob(path + "/c_id=*")) == 8
+    two = index.filter(F.col("c_id").isin([0, 1]))
+    plan2 = two._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "IN (0,1)" in plan2
+    assert two.count() == index.count() - index.filter(~F.col("c_id").isin([0, 1])).count()
