@@ -63,6 +63,62 @@ def test_sessionize_stream(spark, stream_dir):
         assert r["n_events"] >= 1
 
 
+def test_sessionize_stream_matches_batch(spark, stream_dir):
+    """Stream/batch equivalence: every session the streaming sessionizer
+    emits must exist identically in the batch sessionizer's output, and
+    every batch session that the watermark provably closes must have
+    been emitted. (The only legitimately missing sessions are each
+    user's final one when the event-time timeout can't fire before the
+    stream ends.)"""
+    from ncbi_analysis_spark.operators.sessions import session_stats
+
+    gap_us = 10 * 60 * 1_000_000
+    wm_us = 60 * 1_000_000
+
+    stream = sev.read_event_stream(spark, stream_dir)
+    sess = sev.sessionize(stream, gap="10 minutes", watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory").queryName("sess_parity")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["s"], r["e"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, unix_micros(session_start) s, "
+            "unix_micros(session_end) e, n_events from sess_parity"
+        ).collect()
+    }
+    assert len(got) > 0
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+    )
+    max_ts_us = batch.agg(F.max("ts_us")).collect()[0][0]
+    stats = session_stats(batch, ["user_id"], "ts_us", gap_us)
+    want_rows = stats.collect()
+    want = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in want_rows}
+
+    # 1. soundness: nothing emitted that batch doesn't agree with
+    assert got <= want, f"streaming emitted non-batch sessions: {sorted(got - want)[:3]}"
+
+    # 2. completeness: sessions the final watermark provably closes
+    last_per_user = {}
+    for r in want_rows:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_no"])
+    guaranteed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in want_rows
+        if r["session_no"] < last_per_user[r["user_id"]]  # closed by a later event
+        or r["session_end"] + gap_us < max_ts_us - wm_us  # closed by timeout
+    }
+    assert guaranteed <= got, f"missing guaranteed sessions: {sorted(guaranteed - got)[:3]}"
+
+
 def test_stream_stream_join(spark, stream_dir):
     clicks = sev.read_event_stream(spark, stream_dir).filter(F.col("event_type") == "click")
     purchases = sev.read_event_stream(spark, stream_dir).filter(F.col("event_type") == "purchase")
