@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "curation_pipeline",
     "repetition_quality",
     "text_stats",
+    "pack_sequences",
+    "tfidf_terms",
     "ann_brute_force",
     "ann_ivf",
 ]

@@ -103,6 +103,35 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def quota_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    quota: int,
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic per-group quota cap: keep at most ``quota`` rows per
+    group, chosen by md5 order of the id (rerun-stable, cluster-layout
+    independent — the domain-balancing step of a corpus mixer, e.g. "at
+    most N pages per registered domain").
+
+    One shuffle on the group key + a bounded sorted pass. Hot groups are
+    the point (that's what the cap is for); the window sort is spill-safe
+    and AQE splits skewed partitions. For quotas ≪ group size a
+    pre-aggregated threshold sketch could cut shuffle volume — not
+    needed until profile says so.
+    """
+    from pyspark.sql import Window
+
+    ordc = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(ordc, F.col(id_col))
+    return (
+        df.withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= quota)
+        .drop("__qrk")
+    )
+
+
 def sample_by_hash(
     df: DataFrame,
     id_col: str,

@@ -1595,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only the first 50 registry entries — the driver's gate run has a
         # budget — so the newest/least-recorded queries go at the head of
         # insertion order to guarantee they land in the driver record.
+        **_r3b().queries_r3b(),
         **_r2().queries_r2(),
         **_r3().queries_r3(),
         "q1_pricing_summary": q1_pricing_summary,
@@ -1649,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        **_r3b().oracle_sql_r3b(),
         **_r2().oracle_sql_r2(),
         **_r3().oracle_sql_r3(),
         "q1_pricing_summary": Q1_SQL,
@@ -1707,3 +1709,9 @@ def _r3():
     from ncbi_analysis_spark.plans import driver_queries_r3
 
     return driver_queries_r3
+
+
+def _r3b():
+    from ncbi_analysis_spark.plans import driver_queries_r3b
+
+    return driver_queries_r3b

@@ -1,0 +1,231 @@
+"""Invariant tests for the round-3b training-pipeline operators:
+sequence packing, quota sampling, TF-IDF top terms, embedding quantize.
+(Exact cross-engine values are covered by the driver oracles; these
+tests pin the structural invariants the oracle can't see.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions import vectors as V
+from ncbi_analysis_spark.operators.packing import pack_fragments, packing_stats
+from ncbi_analysis_spark.operators.scale import quota_sample
+from ncbi_analysis_spark.operators.terms import tfidf_top_terms
+
+
+def _docs(spark, n=80):
+    rows = [(i, " ".join(f"w{j % 7}" for j in range(1 + (i * 13) % 40))) for i in range(n)]
+    rows.append((n, "   "))  # whitespace-only -> 0 tokens, must be dropped
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_pack_fragments_invariants(spark):
+    capacity = 32
+    frags = pack_fragments(_docs(spark), capacity=capacity, n_shards=3).cache()
+    rows = frags.collect()
+    assert rows, "no fragments produced"
+
+    # every doc's fragments are contiguous and cover [0, n_tokens)
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fr in by_doc.items():
+        fr.sort(key=lambda r: r.frag_start)
+        assert fr[0].frag_start == 0
+        assert fr[-1].frag_end == fr[0].n_tokens
+        for a, b in zip(fr, fr[1:]):
+            assert a.frag_end == b.frag_start
+            assert b.bin_id == a.bin_id + 1  # crossing docs advance bins densely
+        assert len({r.shard for r in fr}) == 1  # a doc lives in one shard
+
+    # zero-token doc dropped
+    assert 80 not in by_doc
+
+    # every bin except the last of its shard is exactly full; none overflow
+    fill: dict[tuple, int] = {}
+    last_bin = {}
+    for r in rows:
+        fill[(r.shard, r.bin_id)] = fill.get((r.shard, r.bin_id), 0) + (
+            r.frag_end - r.frag_start
+        )
+        last_bin[r.shard] = max(last_bin.get(r.shard, -1), r.bin_id)
+    for (shard, bin_id), tot in fill.items():
+        if bin_id < last_bin[shard]:
+            assert tot == capacity, (shard, bin_id, tot)
+        else:
+            assert 0 < tot <= capacity
+
+    # fragments within a bin tile it without gaps or overlap
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r.shard, r.bin_id), []).append(r)
+    for (shard, bin_id), fr in by_bin.items():
+        fr.sort(key=lambda r: r.bin_off)
+        assert fr[0].bin_off == 0
+        for a, b in zip(fr, fr[1:]):
+            assert a.bin_off + (a.frag_end - a.frag_start) == b.bin_off
+
+    st = packing_stats(frags, capacity).collect()
+    assert {s.shard for s in st} == {r.shard for r in rows}
+    for s in st:
+        assert 0 < s.fill_ratio <= 1.0
+
+
+def test_pack_fragments_partition_invariant(spark):
+    """Same fragments regardless of input partitioning (md5 order, not
+    physical order)."""
+    d = _docs(spark)
+    a = sorted(map(tuple, pack_fragments(d, capacity=32, n_shards=3).collect()))
+    b = sorted(
+        map(tuple, pack_fragments(d.repartition(7), capacity=32, n_shards=3).collect())
+    )
+    assert a == b
+
+
+def test_pack_fragments_rejects_bad_capacity(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_fragments(_docs(spark), capacity=0)
+
+
+def test_quota_sample_caps_and_is_deterministic(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = quota_sample(df, ["grp"], "id", 7)
+    got = out.groupBy("grp").count().collect()
+    assert all(r["count"] == 7 for r in got) and len(got) == 3
+    # subset of input, stable across partitioning
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, quota_sample(df.repartition(5), ["grp"], "id", 7).collect()))
+    assert a == b
+    assert set(a) <= set(map(tuple, rows))
+    # quota above group size keeps everything
+    assert quota_sample(df, ["grp"], "id", 1000).count() == 100
+
+
+def test_tfidf_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple shared"),
+            (2, "banana shared shared"),
+            (3, "cherry shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rk)
+        # rank is dense from 1 and ordered by (score desc, term)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score, b.term) >= (b.score, a.term)
+    # the doc-unique term always outranks the everywhere-term
+    assert by_doc[1][0].term == "apple"
+    assert by_doc[2][0].term == "banana"
+    assert by_doc[3][0].term == "cherry"
+    # df counts documents, not occurrences
+    shared = [r for r in out if r.term == "shared"]
+    assert shared and all(r.df == 3 for r in shared)
+    apple = [r for r in out if r.term == "apple"][0]
+    assert apple.tf == 3 and apple.df == 1
+
+
+def test_quantize_int8_and_normalize(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, -4.0]),
+            (2, [0.0, 0.0]),
+            (3, [1.0, 0.5, -1.0]),
+        ],
+        ["id", "vec"],
+    )
+    out = df.select(
+        "id",
+        V.quantize_int8(F.col("vec")).alias("q"),
+        V.l2_normalize(F.col("vec")).alias("n"),
+        V.norm(V.l2_normalize(F.col("vec"))).alias("un"),
+    ).collect()
+    byid = {r.id: r for r in out}
+    # max-|x| element maps to ±127; all values within [-127, 127]
+    assert byid[1].q == [95, -127]
+    assert byid[3].q[0] == 127 and byid[3].q[2] == -127
+    assert all(-127 <= v <= 127 for r in out for v in r.q)
+    # zero vector: zero quant, unchanged normalize
+    assert byid[2].q == [0, 0] and byid[2].n == [0.0, 0.0]
+    assert abs(byid[1].un - 1.0) < 1e-12 and abs(byid[3].un - 1.0) < 1e-12
+    assert abs(byid[1].n[0] - 0.6) < 1e-15 and abs(byid[1].n[1] + 0.8) < 1e-15
+
+
+def test_pack_fragments_plan_no_single_partition(spark):
+    """The packing window keys on shard — a real partition key. A global
+    ordered cumsum would show as 'Exchange SinglePartition' (the
+    locate_matches trap from VERDICT r02); guard against regressing."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        pack_fragments(d, capacity=128, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(shard" in plan
+
+
+def test_quantize_normalize_map_only(spark):
+    """Embedding transforms are per-row expressions — no shuffle."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = e.select(
+        V.quantize_int8(F.col("embedding")).alias("q"),
+        V.l2_normalize(F.col("embedding")).alias("n"),
+    )
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pack_fragments_matches_python_reference(spark):
+    """Randomized cross-check against an independent pure-Python packer:
+    same md5 sharding/ordering, simulated stream concat, chunk slicing."""
+    import hashlib
+    import random
+
+    rnd = random.Random(7)
+    docs = [(i, " ".join("t%d" % rnd.randint(0, 9) for _ in range(rnd.randint(0, 70))))
+            for i in range(200)]
+    capacity, n_shards, salt = 48, 5, "pack"
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    expected = set()
+    streams: dict[int, list] = {}
+    for doc_id, text in docs:
+        n_tok = len(text.split())
+        if n_tok == 0:
+            continue
+        shard = h32(salt + str(doc_id)) % n_shards
+        ordk = hashlib.md5((salt + "|" + str(doc_id)).encode()).hexdigest()
+        streams.setdefault(shard, []).append((ordk, doc_id, n_tok))
+    for shard, items in streams.items():
+        pos = 0
+        for _, doc_id, n_tok in sorted(items):
+            start, end = pos, pos + n_tok
+            for b in range(start // capacity, (end - 1) // capacity + 1):
+                lo, hi = max(start, b * capacity), min(end, (b + 1) * capacity)
+                expected.add(
+                    (shard, b, doc_id, n_tok, lo - start, hi - start, lo - b * capacity)
+                )
+            pos = end
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = set(map(tuple, pack_fragments(
+        df, capacity=capacity, n_shards=n_shards, salt=salt).collect()))
+    assert got == expected
+
+
+def test_pack_and_quota_empty_inputs(spark):
+    d = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_fragments(d, capacity=16).count() == 0
+    assert quota_sample(d, ["text"], "doc_id", 3).count() == 0
+    assert tfidf_top_terms(d).count() == 0
