@@ -174,61 +174,67 @@ def main() -> None:
     print(json.dumps(out))
 
 
-# Per-query self-baseline from BENCH_r01.json (the reference publishes no
-# timing harness, so round 1 is the absolute baseline). The host VM shows
-# variable CPU steal, so a raw >1.5x threshold would flag whole runs on a
-# busy day: a query is only reported as a regression when it is ALSO slow
-# relative to this run's median vs-r01 ratio (i.e. it specifically
-# regressed, not the machine). A uniform whole-run slowdown is flagged
-# separately via run_flag when the median itself exceeds 2x.
-R01_BASELINE = {
-    "q1_pricing_summary": 1.398, "q3_top_revenue": 2.02,
-    "q5_local_supplier_volume": 1.132, "a1_priority_distribution": 0.417,
-    "w1_topk_per_group": 1.536, "w2_local_max_suppression": 0.63,
-    "w7_gap_regions": 1.174, "j1_cluster_parts": 0.254,
-    "j2_nation_rollup": 0.59, "j3_interval_overlap": 1.037,
-    "j4_asof_backward": 1.044, "j5_asof_forward": 0.737,
-    "dedup_exact_groups": 0.422, "dedup_minhash_signature": 1.433,
-    "dedup_simhash": 1.638, "dedup_ngram_jaccard": 3.176,
-    "decon_ngram_overlap": 1.274, "curation_pipeline": 5.225,
-    "repetition_quality": 1.202, "text_stats": 1.924,
-    "flagship_scan_1mbp": 3.068, "ann_brute_force_np": 0.361,
-}
-# ann_brute_force / ann_ivf workloads were deliberately enlarged in round
-# 2 (16->48 probes, realistic index build); their r01 numbers don't
-# compare. ann_ivf_search is new in round 2. Note the r01 numbers are
-# single-shot; this harness reports min-of-N, so ratios are biased
+# Per-query self-baseline: (seconds, round the baseline was recorded).
+# Round 1 (BENCH_r01.json, single-shot) is the absolute baseline for the
+# queries that existed then; queries added — or deliberately re-scoped
+# (ann_* workloads were enlarged in round 2) — after r01 are baselined at
+# their BENCH_r03.json minima, the first min-of-3 record, so every bench
+# query has a tracked baseline. r01 numbers are single-shot while this
+# harness reports min-of-N, so ratios vs round-1 baselines are biased
 # slightly DOWN — a flagged regression is therefore conservative.
-NON_COMPARABLE = {"ann_brute_force", "ann_ivf", "ann_ivf_search"}
+#
+# The host VM shows variable CPU steal, so a raw >1.5x threshold would
+# flag whole runs on a busy day: a query is only reported as a regression
+# when it is ALSO slow relative to this run's median ratio (i.e. it
+# specifically regressed, not the machine). A uniform whole-run slowdown
+# is flagged separately via run_flag when the median itself exceeds 2x.
+BASELINE = {
+    "q1_pricing_summary": (1.398, 1), "q3_top_revenue": (2.02, 1),
+    "q5_local_supplier_volume": (1.132, 1), "a1_priority_distribution": (0.417, 1),
+    "w1_topk_per_group": (1.536, 1), "w2_local_max_suppression": (0.63, 1),
+    "w7_gap_regions": (1.174, 1), "j1_cluster_parts": (0.254, 1),
+    "j2_nation_rollup": (0.59, 1), "j3_interval_overlap": (1.037, 1),
+    "j4_asof_backward": (1.044, 1), "j5_asof_forward": (0.737, 1),
+    "dedup_exact_groups": (0.422, 1), "dedup_minhash_signature": (1.433, 1),
+    "dedup_simhash": (1.638, 1), "dedup_ngram_jaccard": (3.176, 1),
+    "decon_ngram_overlap": (1.274, 1), "curation_pipeline": (5.225, 1),
+    "repetition_quality": (1.202, 1), "text_stats": (1.924, 1),
+    "flagship_scan_1mbp": (3.068, 1), "ann_brute_force_np": (0.361, 1),
+    # added/re-scoped after r01 -> r03 min-of-3 minima
+    "dedup_dup_clusters": (2.254, 3), "pack_sequences": (0.357, 3),
+    "tfidf_terms": (0.84, 3), "ann_brute_force": (4.07, 3),
+    "ann_ivf": (2.261, 3), "ann_ivf_search": (1.479, 3),
+}
 
 
 def _regression_report(timings: dict[str, float]) -> dict:
     import statistics
 
-    ratios = {
-        k: t / R01_BASELINE[k]
-        for k, t in timings.items()
-        if k in R01_BASELINE and k not in NON_COMPARABLE
-    }
+    ratios = {k: t / BASELINE[k][0] for k, t in timings.items() if k in BASELINE}
+    missing = sorted(k for k in timings if k not in BASELINE)
     if not ratios:
         return {}
     med = statistics.median(ratios.values())
     regressions = {
-        k: round(r, 2) for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
+        k: {"ratio": round(r, 2), "baseline_round": BASELINE[k][1]}
+        for k, r in sorted(ratios.items(), key=lambda kv: -kv[1])
         if r > 1.5 and r > 1.5 * med
     }
     report = {
-        "baseline_round": 1,
-        "median_vs_r01": round(med, 2),
+        "baseline_rounds": sorted({rnd for _, rnd in BASELINE.values()}),
+        "median_vs_baseline": round(med, 2),
         "regressions": regressions,
+        # every timed query must carry a baseline; non-empty means a new
+        # bench query was added without seeding one
+        "unbaselined": missing,
     }
     if med > 2.0:
         # per-query regression detection is median-normalized, so a
         # uniform whole-run slowdown (session config change, host) would
         # otherwise be silently absorbed
         report["run_flag"] = (
-            f"whole-run median vs r01 is {med:.2f}x (>2.0): either the "
-            "host is degraded or a session-wide change slowed every query"
+            f"whole-run median vs baseline is {med:.2f}x (>2.0): either "
+            "the host is degraded or a session-wide change slowed every query"
         )
     return report
 

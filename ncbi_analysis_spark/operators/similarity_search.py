@@ -117,17 +117,35 @@ def ivf_assign(
     vec: str = "embedding",
     id_col: str = "vec_id",
     c_id: str = "c_id",
+    method: str = "auto",
+    max_expr_centroids: int = 100,
 ) -> DataFrame:
-    """Nearest-centroid assignment as a PURE MAP: the (small, by IVF
-    contract) centroid table is collected into an array literal and the
-    argmax is a projection — no join, no window, no shuffle anywhere
-    between the corpus scan and whatever consumes the assignment. This is
-    the index-build step; at 100 TB its output is written bucketed by
-    ``c_id`` so searches prune to buckets with no further shuffle.
+    """Nearest-centroid assignment as a PURE MAP — no join, no window, no
+    shuffle anywhere between the corpus scan and whatever consumes the
+    assignment. This is the index-build step; at 100 TB its output is
+    written bucketed by ``c_id`` so searches prune to buckets with no
+    further shuffle.
 
-    Tie-break matches the window form it replaces: highest cosine first,
-    then lowest centroid id (centroids are evaluated in ascending-id
-    order and ``array_position`` takes the FIRST maximum).
+    Two physical forms, same logical op:
+
+    - ``method='expr'``: centroids are embedded as plan literals and the
+      argmax is a column expression (sequential left-fold dot product —
+      bit-identical to the DuckDB oracle's ``list_reduce``). Right for
+      small centroid tables; a k x d literal array stops being viable
+      well before k ~ 10^4 (Catalyst plan/codegen size scales with k*d).
+    - ``method='np'``: the centroid matrix is broadcast and each Arrow
+      batch does one BLAS matmul + argmax in ``mapInPandas`` (the
+      ``brute_force_topk_np`` pattern). Plan size is O(1) in k — this is
+      the production path for realistic coarse quantizers (k ~ 10^4-10^5).
+      Scores differ from the expr form only in float-summation order.
+
+    ``method='auto'`` (default) picks ``expr`` up to ``max_expr_centroids``
+    centroids and ``np`` past that, keeping the bit-reproducible form on
+    oracle-sized inputs and the O(1)-plan form at scale.
+
+    Tie-break is identical in both forms: highest score first, then lowest
+    centroid id (centroids are evaluated in ascending-id order and both
+    ``array_position`` and ``np.argmax`` take the FIRST maximum).
 
     Output: (id_col, __cv [the vector], c_id).
     """
@@ -138,6 +156,12 @@ def ivf_assign(
     )
     if not rows:
         raise ValueError("centroids must be non-empty")
+    if method == "auto":
+        method = "expr" if len(rows) <= max_expr_centroids else "np"
+    if method == "np":
+        return _ivf_assign_np(corpus, rows, vec, id_col, c_id)
+    if method != "expr":
+        raise ValueError(f"unknown ivf_assign method: {method!r}")
 
     # centroid norms are constants -> computed ONCE on the driver with the
     # same sequential left-fold the SQL oracle uses (0.0 + x0*x0 + ... is
@@ -180,6 +204,56 @@ def ivf_assign(
         )
         .drop("__sims", "__cvd")
     )
+
+
+def _ivf_assign_np(
+    corpus: DataFrame,
+    rows,
+    vec: str,
+    id_col: str,
+    c_id: str,
+) -> DataFrame:
+    """Broadcast-matrix assignment: one (batch x d) @ (d x k) matmul per
+    Arrow batch, ``np.argmax`` for the first-max tie-break. Plan size is
+    independent of centroid count, so k ~ 10^5 coarse quantizers work
+    where the literal-expression form would blow Catalyst limits.
+
+    Score matches the expr form's contract: dot(v, c) / ||c|| (dividing
+    by ||v|| is skipped — a positive per-row constant never changes the
+    argmax); zero-norm centroids score 0.0 everywhere.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ids = np.array([int(r[c_id]) for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    nz = norms != 0
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, norms, nz))
+
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType([
+        T.StructField(id_col, fields[id_col].dataType),
+        T.StructField("__cv", fields[vec].dataType),
+        T.StructField(c_id, T.LongType()),
+    ])
+
+    def gen(batches):
+        ids_, mat_, norms_, nz_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            sims = c_mat @ mat_.T
+            sims[:, nz_] /= norms_[nz_][None, :]
+            sims[:, ~nz_] = 0.0
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "__cv": pdf[vec], c_id: ids_[best]}
+            )
+
+    return corpus.select(id_col, vec).mapInPandas(gen, schema)
 
 
 def ivf_topk(

@@ -1587,14 +1587,73 @@ FROM h
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
+#
+# The driver's correctness gate records only the FIRST 50 registry entries
+# per round (a count cap, observed in r02 and r03).  With >50 registered
+# queries, whichever entries sit past slot 50 get no fresh driver row that
+# round.  Instead of hand-rotating the ordering every round, ``queries()``
+# and ``oracle_sql()`` sort the registry by staleness: each query's most
+# recent *green* row across the repo's CORRECTNESS_r*.json files, oldest
+# (or never-recorded / previously-failed) first.  After every driver run
+# the ordering self-updates, so no query's newest driver row is ever more
+# than one round older than the freshest — no manual upkeep required.
+
+
+def _last_recorded_round() -> dict[str, int]:
+    """Map query name -> newest round whose CORRECTNESS_r{N}.json holds a
+    fully-green row (rows+schema+hash all true, no err).  Failed or errored
+    rows don't count as evidence, so those queries sort to the front and
+    get retried first."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("err") in (None, "")
+            )
+            if green and rnd > last.get(name, 0):
+                last[name] = rnd
+    return last
+
+
+def _rotate(registry: dict):
+    """Stable-sort a registry dict by (last green driver round, insertion
+    order): never-recorded and stalest entries first, freshest last."""
+    last = _last_recorded_round()
+    items = list(registry.items())
+    order = sorted(range(len(items)), key=lambda i: (last.get(items[i][0], 0), i))
+    return {items[i][0]: items[i][1] for i in order}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _rotate(_queries_in_build_order())
+
+
+def oracle_sql() -> dict[str, str]:
+    return _rotate(_oracle_sql_in_build_order())
+
+
+def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # round-2 additions FIRST (oracle entries for P3/P4/P6/P9, J7/J9,
-        # A7, F8/F10/F11/F13/F16/F17/F18, S1/S3): CORRECTNESS_r02 recorded
-        # only the first 50 registry entries — the driver's gate run has a
-        # budget — so the newest/least-recorded queries go at the head of
-        # insertion order to guarantee they land in the driver record.
         **_r3b().queries_r3b(),
         **_r2().queries_r2(),
         **_r3().queries_r3(),
@@ -1648,7 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
         **_r3b().oracle_sql_r3b(),
         **_r2().oracle_sql_r2(),

@@ -52,6 +52,49 @@ def test_ivf_recall_vs_exact(spark):
     assert all(by_q[qid] == qid for qid in by_q)
 
 
+def test_ivf_assign_np_matches_expr(spark):
+    """The broadcast-numpy assignment must bucket identically to the
+    literal-expression form on the oracle-sized fixture (well-separated
+    scores; both take the first maximum on ties)."""
+    e = _emb(spark)
+    cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
+    expr = ss.ivf_assign(e, cents, method="expr").select("vec_id", "c_id").collect()
+    nump = ss.ivf_assign(e, cents, method="np").select("vec_id", "c_id").collect()
+    assert sorted(map(tuple, expr)) == sorted(map(tuple, nump))
+
+
+def test_ivf_assign_np_scales_past_literal_ceiling(spark):
+    """1,000+ centroids: the literal form would embed k*d plan literals;
+    the np form's plan is O(1) in k. Verify it runs, assigns every row,
+    and agrees with a local numpy argmax."""
+    import numpy as np
+
+    rnd = random.Random(11)
+    dim, k = 16, 1000
+    cent_rows = [(i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(k)]
+    cents = spark.createDataFrame(cent_rows, ["c_id", "embedding"])
+    e = _emb(spark, n=300, dim=dim)
+
+    # auto must pick the np path past max_expr_centroids
+    out = ss.ivf_assign(e, cents, method="auto").select("vec_id", "c_id").collect()
+    assert len(out) == 300
+
+    mat = np.array([v for _, v in cent_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    local = {}
+    for r in e.collect():
+        v = np.array(r["embedding"], dtype=np.float64)
+        local[r["vec_id"]] = int(np.argmax((mat @ v) / norms))
+    assert {r["vec_id"]: r["c_id"] for r in out} == local
+
+    # plan stays O(1) in k: a mapInPandas stage, no k*d literal array
+    plan = (
+        ss.ivf_assign(e, cents, method="np")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+
+
 def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     """write_ivf_index lays buckets out as c_id partitions; a prefiltered
     search must (a) return exactly the in-memory results, (b) carry a
