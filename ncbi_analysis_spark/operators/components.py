@@ -37,6 +37,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame.  Spark has no public API for this — the checkpoint RDD is
+    reachable only through the analyzed ``LogicalRDD`` plan node — so any
+    failure (plan shape change, Connect mode) is swallowed: the blocks
+    then simply live until the context's GC-based cleaner drops them,
+    which is the pre-cleanup behavior."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
@@ -98,9 +111,17 @@ def connected_components(
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
+        # The previous round's label checkpoint is dead once `changed`
+        # has been computed from it; without an explicit unpersist every
+        # round's blocks accrete in the block manager until the session's
+        # GC cleaner runs — harmless over single-digit rounds, real
+        # storage pressure over long chains.
+        _unpersist_checkpoint(labels)
         labels = jumped
         if changed == 0:
+            _unpersist_checkpoint(sym)
             return labels.select("id", F.col("label").alias("component"))
+    _unpersist_checkpoint(sym)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "the edge set has a pathological component; raise max_iter or "

@@ -234,6 +234,26 @@ def test_connected_components_convergence_guard(spark):
     assert comp == {"a": "a", "b": "a", "c": "a"}
 
 
+def test_connected_components_unpersists_superseded_checkpoints(spark):
+    """Each round's localCheckpoint supersedes the previous round's;
+    without explicit unpersists a long chain accretes one cached RDD per
+    round. After the run exactly ONE new persistent RDD may remain (the
+    returned labels — the caller still reads them); the per-round label
+    checkpoints and the edge-set checkpoint must all be freed."""
+    from ncbi_analysis_spark.operators.components import connected_components
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    # diameter-39 path: needs several pointer-jump rounds, so the no-
+    # cleanup behavior would leave >5 checkpoints behind
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    comp = connected_components(edges)
+    assert comp.count() == 41
+    assert n_persistent() - before <= 1
+
+
 def test_connected_components_random_vs_union_find(spark):
     """300 random edges over 120 nodes (guaranteed multi-node chains and
     cycles) must produce exactly the labels of a reference union-find."""
