@@ -88,8 +88,11 @@ def main() -> None:
 
     # warmup: exercise codegen/JIT + file index once so timings reflect
     # steady-state executor behavior, not JVM startup
-    _noop(qs["q3_top_revenue"](spark, sf_dir))
-    _noop(qs["j1_cluster_parts"](spark, sf_dir))
+    for warm in ("q3_top_revenue", "j1_cluster_parts"):
+        try:
+            _noop(qs[warm](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — warmup must never kill the run
+            pass
 
     # warm the Arrow python-worker pool (pandas/numpy imports in each of
     # the 32 workers) with a tiny scan, so the flagship timing below
@@ -105,9 +108,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     noise: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def _run(name: str, thunk: Callable[[], None]) -> None:
+        """Time one query; a failure records an error entry instead of
+        aborting the run (round 4 lost ALL timings to one broken query)."""
+        try:
+            timings[name], noise[name] = _time_best(thunk)
+        except Exception as exc:  # noqa: BLE001 — fault isolation by design
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+
     for name in BENCH_QUERIES:
         fn = qs[name]
-        timings[name], noise[name] = _time_best(lambda: _noop(fn(spark, sf_dir)))
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
     # strands with branch-and-bound floor (the scale configuration; the
@@ -120,12 +133,10 @@ def main() -> None:
     gq = [(f"q{i}", "".join(rnd.choice("acgt") for _ in range(12))) for i in range(2)]
     g_df = spark.createDataFrame([("bench", genome)], ["accession", "seq"])
     q_df = spark.createDataFrame(gq, ["name", "gene"])
-    timings["flagship_scan_1mbp"], noise["flagship_scan_1mbp"] = _time_best(
-        lambda: _noop(similarity_scan(
-            g_df, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
-            candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
-        ))
-    )
+    _run("flagship_scan_1mbp", lambda: _noop(similarity_scan(
+        g_df, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
+        candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
+    )))
 
     # vectorized ANN production path (BLAS matmul per Arrow batch; the
     # expression-fold form benches as ann_brute_force above)
@@ -135,9 +146,7 @@ def main() -> None:
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     qv = emb.filter(F.col("vec_id") < 16).select(F.col("vec_id").alias("q_id"), "embedding")
-    timings["ann_brute_force_np"], noise["ann_brute_force_np"] = _time_best(
-        lambda: _noop(brute_force_topk_np(emb, qv, k=10))
-    )
+    _run("ann_brute_force_np", lambda: _noop(brute_force_topk_np(emb, qv, k=10)))
 
     # IVF production shape: the index (nearest-centroid assignment) is
     # built ONCE offline — at scale it's written bucketed by c_id — and
@@ -151,12 +160,14 @@ def main() -> None:
     q48 = emb.filter(F.col("vec_id") < 48).select(
         F.col("vec_id").alias("q_id"), "embedding"
     )
-    index = ivf_assign(emb, cents).persist()
-    index.count()
-    timings["ann_ivf_search"], noise["ann_ivf_search"] = _time_best(
-        lambda: _noop(ivf_topk(emb, q48, cents, k=10, nprobe=2, assigned=index))
-    )
-    index.unpersist()
+    try:
+        index = ivf_assign(emb, cents).persist()
+        index.count()
+        _run("ann_ivf_search",
+             lambda: _noop(ivf_topk(emb, q48, cents, k=10, nprobe=2, assigned=index)))
+        index.unpersist()
+    except Exception as exc:  # noqa: BLE001 — fault isolation by design
+        errors["ann_ivf_search"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -168,6 +179,7 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "aggregation": "min",
         "noise_max_over_min": noise,
+        "errors": errors,
     }
     if sf == 0.1:
         out.update(_regression_report(timings))

@@ -235,13 +235,15 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index self-join; ``max_shingle_freq`` drops ultra-common
     shingles (skew cap) — at 100 TB a stopword shingle would otherwise
-    create a quadratic hot bucket.
+    create a quadratic hot bucket. The cap is ON by default (matching
+    ``minhash_lsh_pairs``); pass ``None`` explicitly for an exact
+    all-pairs run (the DuckDB oracle comparison does).
     """
     sh = shingle_rows(df, text, id_col, shingle_n).select(
         F.col(id_col).alias("id"), "sh"

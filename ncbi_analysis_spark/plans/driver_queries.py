@@ -47,15 +47,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects by default. Read nanos as long and truncate to microseconds —
-    the same floor(ns/1000) DuckDB applies when reading ns timestamps, so
-    both engines see identical instants."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = _t(spark, sf_dir, "events")
-    if dict(raw.dtypes)["ts"] == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    """events with ``ts`` normalized to TIMESTAMP regardless of the
+    shipped physical layout (see sources.events for the layout history
+    and the DuckDB-equivalence argument)."""
+    from ncbi_analysis_spark.sources.events import read_events
+
+    return read_events(spark, sf_dir)
 
 
 def _dec_sum(col, scale: str = "decimal(18,2)"):
@@ -669,7 +666,11 @@ FROM m
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.01)
+    # max_shingle_freq=None: the DuckDB oracle is uncapped all-pairs, so
+    # the exact run must be too (the library default caps at 1000).
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.01, max_shingle_freq=None
+    )
 
 
 DEDUP_JACCARD_SQL = f"""

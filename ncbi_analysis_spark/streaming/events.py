@@ -19,16 +19,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 def read_event_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """events as a file stream; ``path`` must be a directory (file-stream
-    source requirement). The driver testdata stores TIMESTAMP(NANOS)
-    which Spark's reader rejects; nanos are read as long and truncated to
-    microsecond timestamps (same rule as the batch reader)."""
+    source requirement). ``ts`` is normalized to TIMESTAMP whatever the
+    shipped physical layout — ``withWatermark`` rejects both bigint nanos
+    and TIMESTAMP_NTZ (see sources.events for the layout history)."""
+    from ncbi_analysis_spark.sources.events import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(path))
 
 
 def windowed_event_counts(stream: DataFrame, window: str = "5 minutes",

@@ -166,6 +166,30 @@ def test_ngram_jaccard(spark):
     assert rows == {(1, 2): 1.0}
 
 
+def test_ngram_jaccard_cap_default_on(spark):
+    """The skew cap defaults ON (VERDICT r04 #4): a hot shingle shared by
+    every doc is dropped when its frequency exceeds max_shingle_freq, the
+    drop is observable via the CollectMetrics node, and passing None
+    restores exact all-pairs behavior."""
+    # 8 docs whose ONLY common 3-gram is the hot shingle "a b c"
+    df = spark.createDataFrame(
+        [(i, f"a b c u{i} v{i}") for i in range(8)], ["id", "text"]
+    )
+    exact = dedup.ngram_jaccard_pairs(df, "text", "id", shingle_n=3,
+                                      threshold=0.01, max_shingle_freq=None)
+    assert exact.count() == 28  # 8 choose 2, all joined via the hot shingle
+    capped = dedup.ngram_jaccard_pairs(df, "text", "id", shingle_n=3,
+                                       threshold=0.01, max_shingle_freq=5)
+    assert capped.count() == 0
+    plan = capped._jdf.queryExecution().analyzed().toString()
+    assert "dropped_buckets" in plan and "dropped_members" in plan
+    # the signature default itself must be a finite cap
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard_pairs).parameters[
+        "max_shingle_freq"].default == 1000
+
+
 def test_simhash_near_dup_pairs(spark):
     base = "spark sql window functions are great for analytics " * 3
     near = base.replace("great", "good", 1)

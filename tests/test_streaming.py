@@ -8,6 +8,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from ncbi_analysis_spark.sources.events import read_events
 from ncbi_analysis_spark.streaming import events as sev
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -36,8 +37,7 @@ def test_windowed_counts_match_batch(spark, stream_dir):
     ).collect()
     got = {r["event_type"]: r["n"] for r in got}
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = read_events(spark, SF_DIR)
     want_rows = batch.groupBy("event_type").count().collect()
     want = {r["event_type"]: r["count"] for r in want_rows}
     # append mode drops windows still open past the max event time; allow
@@ -91,11 +91,7 @@ def test_sessionize_stream_matches_batch(spark, stream_dir):
     }
     assert len(got) > 0
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
-    )
+    batch = read_events(spark, SF_DIR).withColumn("ts_us", F.unix_micros("ts"))
     max_ts_us = batch.agg(F.max("ts_us")).collect()[0][0]
     stats = session_stats(batch, ["user_id"], "ts_us", gap_us)
     want_rows = stats.collect()
@@ -134,6 +130,45 @@ def test_stream_stream_join(spark, stream_dir):
         assert r["click_ts"] <= r["purchase_ts"]
         delta = (r["purchase_ts"] - r["click_ts"]).total_seconds()
         assert 0 <= delta <= 1800
+
+
+@pytest.mark.parametrize("layout", ["ntz_us", "ns"])
+def test_event_ts_layouts_normalize(spark, tmp_path, layout):
+    """Both physical ts layouts the driver has shipped (TIMESTAMP_NTZ
+    micros — current — and TIMESTAMP nanos) must normalize to TIMESTAMP
+    through the shared reader, batch AND streaming-with-watermark (round
+    4 regression: the NTZ layout broke unix_micros and withWatermark)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    unit = {"ntz_us": "us", "ns": "ns"}[layout]
+    scale = 1000 if unit == "ns" else 1
+    us = [1_700_000_000_000_000, 1_700_000_060_000_000]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([t * scale for t in us], pa.timestamp(unit)),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+    })
+    d = tmp_path / layout
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    batch = read_events(spark, str(d))
+    assert dict(batch.dtypes)["ts"] == "timestamp"
+    got = sorted(r[0] for r in batch.select(F.unix_micros("ts")).collect())
+    assert got == us
+
+    stream = sev.read_event_stream(spark, str(d))
+    out = sev.windowed_event_counts(stream, window="1 minute", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName(f"layout_{layout}")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    n = spark.sql(f"select sum(cnt) c from layout_{layout}").collect()[0]["c"]
+    assert n >= 1  # the first window closes; the last may stay open
 
 
 def test_streaming_dedup_runs(spark, stream_dir):
