@@ -9,8 +9,10 @@
   their nearest centroid (the coarse quantizer); a query probes only the
   ``nprobe`` closest centroid buckets. At 100 TB the corpus is
   partitioned/bucketed by centroid id so a probe touches ~nprobe/k of the
-  data. Centroids here are taken deterministically (kmeans would be an
-  offline job; the operator contract is bucket-prune + exact re-rank).
+  data. Centroids come from ``train_ivf_centroids`` (a seeded spherical
+  kmeans over a deterministic TakeOrdered sample — the offline index-build
+  job) or are caller-provided; the operator contract is bucket-prune +
+  exact re-rank.
 """
 
 from __future__ import annotations
@@ -315,6 +317,125 @@ def ivf_topk(
         q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")
+
+
+def _kmeans_np(mat, k: int, n_iter: int, seed: int):
+    """Seeded spherical k-means on an in-memory sample (numpy, driver-side).
+
+    Spherical (unit-normalized rows, dot-product assignment, re-normalized
+    means) because the IVF search metric is cosine — euclidean kmeans on
+    unnormalized vectors optimizes the wrong partition. kmeans++ init from
+    a fixed RandomState; fully deterministic given (mat row order, k,
+    n_iter, seed), which is what lets the DuckDB oracle re-derive the
+    exact same centroids (see train_ivf_centroids_local).
+
+    Returns a (k x d) float64 ndarray. Empty clusters keep their previous
+    centroid (deterministic, no re-seeding).
+    """
+    import numpy as np
+
+    X = np.asarray(mat, dtype=np.float64)
+    n = len(X)
+    if n == 0:
+        raise ValueError("kmeans sample is empty")
+    k = min(k, n)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(n))
+    chosen = [first]
+    # kmeans++ on cosine distance 1 - dot (clipped at 0 for fp noise)
+    d = np.maximum(1.0 - Xn @ Xn[first], 0.0)
+    for _ in range(1, k):
+        tot = d.sum()
+        if tot <= 0:
+            nxt = int(rng.randint(n))
+        else:
+            nxt = int(rng.choice(n, p=d / tot))
+        chosen.append(nxt)
+        d = np.minimum(d, np.maximum(1.0 - Xn @ Xn[nxt], 0.0))
+
+    C = Xn[chosen].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                c = Xn[mask].mean(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 0:
+                    C[j] = c / nc
+    return C
+
+
+def _sample_order_key(id_val) -> tuple:
+    """md5-of-string pseudo-random-but-stable ordering key; the local twin
+    of Spark's ``orderBy(md5(cast(id as string)), id)``."""
+    import hashlib
+
+    return (hashlib.md5(str(id_val).encode()).hexdigest(), id_val)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+    sample_cap: int = 65536,
+    n_iter: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Train the IVF coarse quantizer on a deterministic sample — the
+    offline index-build job the ivf_topk docstring promises.
+
+    Scale shape: the sample is the first ``sample_cap`` rows ordered by
+    ``md5(id)`` — a uniform-but-stable pseudo-random order that Spark
+    executes as TakeOrdered (per-partition partial top-k + driver merge,
+    NO full shuffle), so sampling 100k rows out of 100 TB moves only
+    ~sample_cap rows per partition boundary. Training itself is seeded
+    numpy on the driver (a 100k x d matrix is MBs); the output centroid
+    DataFrame feeds ivf_assign / write_ivf_index unchanged.
+
+    Fully deterministic: same corpus + params -> bit-identical centroids,
+    which is what makes the trained-IVF driver query oracle-checkable
+    (train_ivf_centroids_local re-derives the same floats without Spark).
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    C = _kmeans_np([list(r[vec]) for r in rows], k, n_iter, seed)
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        schema=f"{c_id} bigint, {vec} array<double>",
+    )
+
+
+def train_ivf_centroids_local(
+    parquet_path: str,
+    k: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    n_iter: int = 8,
+    seed: int = 0,
+):
+    """Spark-free twin of train_ivf_centroids (pyarrow + numpy): same
+    sample rule, same kernel, bit-identical centroids. Used to embed the
+    trained centroids as literals in the DuckDB oracle SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: _sample_order_key(ids[i]))
+    mat = [vecs[i] for i in order[:sample_cap]]
+    return _kmeans_np(mat, k, n_iter, seed)
 
 
 def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:

@@ -82,6 +82,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # generated oracles (trained-IVF centroid literals) must derive from
+    # the same data the Spark side reads
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as e
     from ncbi_analysis_spark.session import get_spark
 

@@ -52,6 +52,58 @@ def test_ivf_recall_vs_exact(spark):
     assert all(by_q[qid] == qid for qid in by_q)
 
 
+def test_trained_centroids_deterministic_and_spark_free_twin(spark, tmp_path):
+    """train_ivf_centroids is bit-deterministic and its pyarrow twin
+    (used to generate the DuckDB oracle literals) reproduces the exact
+    same centroids from the same parquet."""
+    e = _emb(spark, n=300)
+    a = ss.train_ivf_centroids(e, k=6, sample_cap=256, n_iter=5, seed=3)
+    b = ss.train_ivf_centroids(e, k=6, sample_cap=256, n_iter=5, seed=3)
+    rows_a = sorted((r["c_id"], tuple(r["embedding"])) for r in a.collect())
+    rows_b = sorted((r["c_id"], tuple(r["embedding"])) for r in b.collect())
+    assert rows_a == rows_b
+
+    p = str(tmp_path / "emb.parquet")
+    e.coalesce(1).write.parquet(p)
+    local = ss.train_ivf_centroids_local(p, k=6, sample_cap=256, n_iter=5, seed=3)
+    for (cid, vec), lc in zip(rows_a, local):
+        assert vec == tuple(float(x) for x in lc), f"centroid {cid} differs"
+
+
+def test_trained_ivf_recall_and_bucket_balance(spark):
+    """End-to-end trainer value. Two properties, both load-bearing at
+    100 TB: (1) recall@10 at nprobe=2 clears a floor; (2) the trained
+    quantizer BALANCES buckets — naive first-k-vector centroids leave a
+    dominant hot bucket (which inflates recall by accident but makes
+    probe cost ~ the whole corpus), while kmeans spreads the corpus so
+    nprobe/k bounds the data a probe touches."""
+    e = _emb(spark, n=400)
+    q = e.filter(F.col("vec_id") < 12).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact_sets = {}
+    for r in ss.brute_force_topk(e, q, k=10).collect():
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    trained = ss.train_ivf_centroids(e, k=8, sample_cap=400, n_iter=8, seed=7)
+    hit = total = 0
+    for r in ss.ivf_topk(e, q, trained, k=10, nprobe=2).collect():
+        total += 1
+        hit += r["vec_id"] in exact_sets[r["q_id"]]
+    assert hit / total >= 0.3
+
+    def max_bucket_frac(cents):
+        sizes = [
+            r["n"] for r in ss.ivf_assign(e, cents)
+            .groupBy("c_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+        return max(sizes) / sum(sizes)
+
+    naive = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
+    assert max_bucket_frac(trained) < max_bucket_frac(naive)
+    # and the trained buckets are genuinely bounded: no bucket holds more
+    # than half the corpus (k=8 -> perfectly balanced would be 1/8)
+    assert max_bucket_frac(trained) <= 0.5
+
+
 def test_ivf_assign_np_matches_expr(spark):
     """The broadcast-numpy assignment must bucket identically to the
     literal-expression form on the oracle-sized fixture (well-separated
