@@ -123,14 +123,102 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# S8/S9 enrichment-dimension fixture round-trips (F15 moving from
+# pytest-only to driver-oracled; snapshot-ingestion model, SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+_FIXTURES = "/root/repo/tests/fixtures"
+
+
+def s8_ecocyc_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: Ecocyc gene-search snapshot pages -> (gene, ecocyc_id) dim
+    (sources.enrichment.ecocyc_id_dim; reference EcocycHTMLParser id
+    paths). The committed fixture covers all three extraction paths —
+    redirect script, typeObjectPage script, anchor link (incl. an inner
+    formatting tag and a non-matching sibling anchor) — plus a no-match
+    page yielding a NULL id. The oracle re-derives each path with DuckDB
+    regexes over the same JSONL snapshots."""
+    from ncbi_analysis_spark.sources.enrichment import ecocyc_id_dim
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s8_ecocyc.jsonl")
+    return ecocyc_id_dim(pages.select("key", "page"))
+
+
+S8_SQL = rf"""
+WITH p AS (SELECT key AS gene, page
+           FROM read_ndjson_auto('{_FIXTURES}/driver_s8_ecocyc.jsonl')),
+ex AS (
+  SELECT gene, page,
+    regexp_extract(page, 'window\.location\.replace\(''/gene\?([^'']*)''\)', 1) AS redir,
+    (page LIKE '%typeObjectPage%') AS has_type,
+    regexp_extract(page, 'gene:''([^'']+)''', 1) AS g_script,
+    regexp_extract(page,
+      '<a href="/gene\?orgid=ECOLI&id=([^"&'']*)"[^>]*>(?:<i>)?' || gene || '(?:</i>)?</a>',
+      1) AS link_id
+  FROM p
+)
+SELECT gene,
+  COALESCE(
+    NULLIF(regexp_extract(redir, '(?:^|[&?''"])id=([^&?''"]*)', 1), ''),
+    CASE WHEN has_type THEN NULLIF(g_script, '') END,
+    NULLIF(link_id, '')
+  ) AS ecocyc_id
+FROM ex
+"""
+
+
+def s9_kegg_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: KEGG bfind snapshot pages -> (gene, ko_id, ko_href) dim, one
+    row per KO anchor in the 'KEGG ORTHOLOGY' section only
+    (sources.enrichment.kegg_ko_dim; reference KeggIdHTMLParser). Fixture
+    covers the KEGG GENES and KEGG MGENES terminators (whose anchors must
+    be ignored) and a page with no orthology section (zero rows)."""
+    from ncbi_analysis_spark.sources.enrichment import kegg_ko_dim
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s9_kegg.jsonl")
+    return kegg_ko_dim(pages.select("key", "page"))
+
+
+S9_SQL = rf"""
+WITH p AS (SELECT key AS gene, page
+           FROM read_ndjson_auto('{_FIXTURES}/driver_s9_kegg.jsonl')),
+sect AS (
+  SELECT gene,
+         CASE WHEN strpos(page, 'KEGG ORTHOLOGY') = 0 THEN ''
+              ELSE substr(page, strpos(page, 'KEGG ORTHOLOGY')) END AS s0
+  FROM p
+),
+sect2 AS (
+  SELECT gene,
+         CASE WHEN strpos(s0, 'KEGG GENES') > 0
+                THEN substr(s0, 1, strpos(s0, 'KEGG GENES') - 1)
+              WHEN strpos(s0, 'KEGG MGENES') > 0
+                THEN substr(s0, 1, strpos(s0, 'KEGG MGENES') - 1)
+              ELSE s0 END AS sec
+  FROM sect
+),
+m AS (
+  SELECT gene,
+         regexp_extract_all(sec, '<a href="([^"]*)">(K[^<]*)</a>', 1) AS hrefs,
+         regexp_extract_all(sec, '<a href="([^"]*)">(K[^<]*)</a>', 2) AS kos
+  FROM sect2
+)
+SELECT gene, kos[i] AS ko_id, hrefs[i] AS ko_href
+FROM m, LATERAL (SELECT UNNEST(generate_series(1, len(kos))) AS i) t
+"""
+
+
 def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_trained": ann_ivf_trained,
+        "s8_ecocyc_dim": s8_ecocyc_dim,
+        "s9_kegg_dim": s9_kegg_dim,
     }
 
 
 def oracle_sql_r5() -> dict[str, str]:
-    out = {}
+    out = {"s8_ecocyc_dim": S8_SQL, "s9_kegg_dim": S9_SQL}
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
     except Exception:  # noqa: BLE001 — degrade to the rows-only check

@@ -37,6 +37,44 @@ def test_resize_requires_codec(media):
         mm.resize_images(media, 64, 64)
 
 
+def test_resize_with_injected_numpy_decoder(spark):
+    """End-to-end resize through the real Spark plumbing with a
+    pure-numpy nearest-neighbor codec injected (VERDICT r04 #7): raw
+    images are packed RGB (h x w x 3) bytes; the expected output bytes
+    are asserted exactly against a driver-side reference resize."""
+    import numpy as np
+
+    def raw_rgb(w, h, seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def nn_resize(img, w, h):
+        ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+        xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+        return img[ys][:, xs]
+
+    def decoder(data, meta, w, h):
+        m = dict(meta) if not isinstance(meta, dict) else meta
+        img = np.frombuffer(data, dtype=np.uint8).reshape(
+            int(m["height"]), int(m["width"]), 3
+        )
+        return nn_resize(img, w, h).tobytes()
+
+    imgs = {1: raw_rgb(8, 6, 1), 2: raw_rgb(5, 5, 2)}
+    rows = [
+        (i, "image", a.tobytes(), (a.shape[1], a.shape[0], 3, None, None, "raw"))
+        for i, a in imgs.items()
+    ] + [(9, "audio", b"aud", (None, None, 1, 16000, 10, "wav"))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    out = {r["media_id"]: bytes(r["data"])
+           for r in mm.resize_images(media, 4, 3, decoder=decoder).collect()}
+    assert set(out) == {1, 2}  # audio row filtered out
+    for i, a in imgs.items():
+        assert out[i] == nn_resize(a, 4, 3).tobytes()
+        assert len(out[i]) == 4 * 3 * 3
+
+
 def test_sample_frames_shape(spark, media):
     frames = mm.sample_frames(media, every_ms=1000).collect()
     # 3500ms video at 1fps -> 3 frames; only the video row produces output
