@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "ann_brute_force",
     "ann_ivf",
+    "ann_ivf_trained",
 ]
 
 
@@ -216,6 +217,8 @@ BASELINE = {
     "dedup_dup_clusters": (2.254, 3), "pack_sequences": (0.357, 3),
     "tfidf_terms": (0.84, 3), "ann_brute_force": (4.07, 3),
     "ann_ivf": (2.261, 3), "ann_ivf_search": (1.479, 3),
+    # added in r05 (min-of-3 at introduction)
+    "ann_ivf_trained": (3.405, 5),
 }
 
 
