@@ -146,3 +146,38 @@ def sample_by_hash(
 
     bucket = _hash32(F.col(id_col).cast("string"), salt) % granularity
     return df.filter(bucket < int(rate * granularity))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Train/val/test split keyed by the near-duplicate CLUSTER, not the
+    row: every member of a dup cluster hashes on its component
+    representative, so paraphrases/near-copies can never straddle the
+    train/test boundary (the leakage a row-keyed split permits — a test
+    document whose near-duplicate sits in train is a contaminated eval).
+
+    ``components`` is a ``(id, component)`` frame (the
+    operators.components.connected_components output over any pair
+    generator's edges); rows absent from it are singletons and hash on
+    their own id. Adds ``rep`` (the split key used) and ``split``.
+
+    Scale: one left equi-join against the components table (tiny next to
+    the corpus — only docs that appear in some near-dup pair) + the same
+    pure-map md5 assignment as hash_split; deterministic and
+    retry-stable for the same reasons.
+    """
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("__rep")
+    )
+    with_rep = (
+        df.join(comp, id_col, "left")
+        .withColumn("rep", F.coalesce(F.col("__rep"), F.col(id_col)))
+        .drop("__rep")
+    )
+    return hash_split(with_rep, "rep", weights, salt, granularity)

@@ -209,16 +209,87 @@ FROM m, LATERAL (SELECT UNNEST(generate_series(1, len(kos))) AS i) t
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus split (dedup-aware train/val/test)
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed by the near-dup CLUSTER (MinHash
+    LSH edges -> connected components -> md5 split on the component
+    representative, operators.scale.leakage_safe_split): near-copies can
+    never straddle the train/test boundary. Composes the dup-cluster
+    pipeline with the hash-split rule, both already oracle-checked
+    standalone; this oracle re-derives the composition end-to-end."""
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators import scale
+    from ncbi_analysis_spark.operators.components import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3, max_band_freq=None
+    )
+    comp = connected_components(pairs)
+    return scale.leakage_safe_split(d.select("doc_id"), "doc_id", comp).select(
+        "doc_id", "rep", "split"
+    )
+
+
+def _leakage_split_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    return f"""
+WITH RECURSIVE
+shg AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM shg),
+bandrows AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM m
+),
+prs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        FROM bandrows a JOIN bandrows b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+edges AS (SELECT ida AS u, idb AS v FROM prs
+          UNION SELECT idb, ida FROM prs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.v = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+j AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN comp c USING (doc_id)),
+b AS (SELECT doc_id, rep,
+             ('0x' || substr(md5('split' || rep::VARCHAR), 1, 8))::BIGINT % 1000000 AS sb
+      FROM j)
+SELECT doc_id, rep,
+       CASE WHEN sb < 980000 THEN 'train' WHEN sb < 990000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_ivf_trained": ann_ivf_trained,
         "s8_ecocyc_dim": s8_ecocyc_dim,
         "s9_kegg_dim": s9_kegg_dim,
+        "leakage_safe_split": leakage_safe_split,
     }
 
 
 def oracle_sql_r5() -> dict[str, str]:
-    out = {"s8_ecocyc_dim": S8_SQL, "s9_kegg_dim": S9_SQL}
+    out = {
+        "s8_ecocyc_dim": S8_SQL,
+        "s9_kegg_dim": S9_SQL,
+        "leakage_safe_split": _leakage_split_sql(),
+    }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
     except Exception:  # noqa: BLE001 — degrade to the rows-only check

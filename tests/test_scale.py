@@ -74,3 +74,36 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert abs(s1.count() / 5000 - 0.2) < 0.03
     # sampling is a pure map: no exchange in the plan
     assert "Exchange" not in s1._jdf.queryExecution().executedPlan().toString()
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster must land in the same split;
+    singletons (absent from the components frame) hash on their own id,
+    identical to a plain hash_split."""
+    from ncbi_analysis_spark.operators.scale import hash_split, leakage_safe_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    # clusters: {0..4}, {100,101}, everything else singleton
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(100, 100), (101, 100)],
+        ["id", "component"],
+    )
+    out = leakage_safe_split(df, "doc_id", comp,
+                             {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: (r["rep"], r["split"]) for r in out.collect()}
+    assert len(rows) == 2000
+    assert len({rows[i][1] for i in range(5)}) == 1  # cluster 0..4 together
+    assert rows[100][1] == rows[101][1]
+    assert rows[3][0] == 0 and rows[101][0] == 100
+
+    # singletons match the row-keyed split exactly
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(df, "doc_id",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    for i in (7, 999, 1500):
+        assert rows[i][1] == plain[i]
+
+    # deterministic under repartitioning
+    out2 = leakage_safe_split(df.repartition(7), "doc_id", comp,
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(out2).count() == 0
