@@ -416,6 +416,94 @@ def train_ivf_centroids(
     )
 
 
+def refine_ivf_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 2,
+    vec: str = "embedding",
+    c_id: str = "c_id",
+) -> DataFrame:
+    """Distributed Lloyd refinement of a coarse quantizer over the FULL
+    corpus — the at-scale half of a kmeans||-style pipeline
+    (train_ivf_centroids seeds from a sample; this polishes against all
+    the data the index will actually hold).
+
+    Per iteration, per Arrow batch: one BLAS matmul argmax (broadcast
+    centroid matrix, the _ivf_assign_np shape) + per-centroid partial
+    sums — each batch emits at most k rows of (centroid, count, d-float
+    sum), so the shuffle per iteration is O(batches x k x d) numbers, not
+    the corpus. The k x d aggregate collects to the driver (bytes), new
+    unit-normalized means broadcast back. Empty clusters keep their
+    centroid. Spherical update identical to _kmeans_np (normalized rows,
+    renormalized means), so refined centroids drop into ivf_assign /
+    write_ivf_index unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    rows = sorted(centroids.select(c_id, vec).collect(), key=lambda r: r[c_id])
+    ids = [int(r[c_id]) for r in rows]
+    C = np.array([list(r[vec]) for r in rows], dtype=np.float64)
+
+    schema = T.StructType([
+        T.StructField("j", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+    ])
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(C)
+
+        def gen(batches, _bc=bc):
+            Cb = _bc.value
+            norms = np.linalg.norm(Cb, axis=1)
+            norms[norms == 0] = 1.0
+            Cn = Cb / norms[:, None]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf[vec]), dtype=np.float64)
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0] = 1.0
+                Xn = X / xn[:, None]
+                a = np.argmax(Xn @ Cn.T, axis=1)
+                out = []
+                for j in np.unique(a):
+                    m = a == j
+                    out.append((int(j), int(m.sum()), Xn[m].sum(axis=0).tolist()))
+                yield pd.DataFrame(out, columns=["j", "cnt", "sums"])
+
+        part = corpus.select(vec).mapInPandas(gen, schema)
+        # one pass: per-centroid count + element-wise array sum (the
+        # collect_list holds at most one row per (batch, centroid) —
+        # scalar-scale next to the corpus)
+        d = C.shape[1]
+        zero = F.array(*[F.lit(0.0)] * d)
+        agg = part.groupBy("j").agg(
+            F.sum("cnt").alias("n"),
+            F.aggregate(
+                F.collect_list("sums"), zero,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+        ).collect()
+        bc.destroy()
+        newC = C.copy()
+        for r in agg:
+            if r["n"] > 0:
+                v = np.array(r["s"]) / r["n"]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    newC[r["j"]] = v / nv
+        C = newC
+
+    return spark.createDataFrame(
+        [(ids[j], [float(x) for x in C[j]]) for j in range(len(ids))],
+        schema=f"{c_id} bigint, {vec} array<double>",
+    )
+
+
 def train_ivf_centroids_local(
     parquet_path: str,
     k: int = 8,

@@ -104,6 +104,32 @@ def test_trained_ivf_recall_and_bucket_balance(spark):
     assert max_bucket_frac(trained) <= 0.5
 
 
+def test_refine_centroids_improves_quantization(spark):
+    """Distributed Lloyd refinement over the full corpus must improve
+    (or hold) the spherical kmeans objective — mean max-cosine of each
+    normalized row to its centroid — versus the sample-only seed, and
+    its output must drop into ivf_topk unchanged."""
+    import numpy as np
+
+    e = _emb(spark, n=500)
+    X = np.array([r["embedding"] for r in e.orderBy("vec_id").collect()])
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+
+    def objective(cents_df):
+        C = np.array([r["embedding"] for r in cents_df.orderBy("c_id").collect()])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1)[:, None], 1e-12)
+        return float(np.max(Xn @ Cn.T, axis=1).mean())
+
+    # weak seed: tiny sample so full-data refinement has room to help
+    seed = ss.train_ivf_centroids(e, k=8, sample_cap=32, n_iter=2, seed=11)
+    refined = ss.refine_ivf_centroids(e, seed, n_iter=3)
+    assert objective(refined) >= objective(seed) - 1e-9
+
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ss.ivf_topk(e, q, refined, k=5, nprobe=2).collect()
+    assert len(out) == 25  # 5 queries x top-5
+
+
 def test_ivf_assign_np_matches_expr(spark):
     """The broadcast-numpy assignment must bucket identically to the
     literal-expression form on the oracle-sized fixture (well-separated
