@@ -526,6 +526,282 @@ def train_ivf_centroids_local(
     return _kmeans_np(mat, k, n_iter, seed)
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_euclid(mat, k: int, n_iter: int, seed: int):
+    """Seeded euclidean Lloyd kmeans (kmeans++ init) on an in-memory
+    sample — the subspace-codebook trainer for PQ (subvectors are NOT
+    unit vectors, so the spherical kernel doesn't apply)."""
+    import numpy as np
+
+    X = np.asarray(mat, dtype=np.float64)
+    n = len(X)
+    if n == 0:
+        raise ValueError("kmeans sample is empty")
+    k = min(k, n)
+    rng = np.random.RandomState(seed)
+    first = int(rng.randint(n))
+    chosen = [first]
+    d2 = ((X - X[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = d2.sum()
+        nxt = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.randint(n))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    codewords: int = 256,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    n_iter: int = 8,
+    seed: int = 0,
+):
+    """Train PQ codebooks on the same deterministic md5-ordered sample as
+    train_ivf_centroids: rows are unit-normalized (the search metric is
+    cosine, and normalizing first makes inner product == cosine), split
+    into ``m`` equal subspaces, and each subspace gets its own euclidean
+    kmeans codebook. Returns an (m, codewords, d//m) float64 ndarray —
+    kilobytes, broadcast to every encode/search task.
+
+    Why PQ at 100 TB: a d=768 float32 embedding is 3 KB/row; m=96 8-bit
+    codes are 96 B — a 32x memory cut that lets a whole shard's codes sit
+    in executor RAM for compressed-domain scanning, with exact re-rank
+    only on the short candidate list.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample_cap)
+        .collect()
+    )
+    return _pq_train_mat([list(r[vec]) for r in rows], m, codewords, n_iter, seed)
+
+
+def _pq_train_mat(mat, m: int, codewords: int, n_iter: int, seed: int):
+    """Shared PQ training kernel — both the Spark sampler and the
+    pyarrow twin (oracle-literal generation) call this on the same
+    row-ordered matrix, so codebooks are bit-identical by construction."""
+    import numpy as np
+
+    X = np.asarray(mat, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    d = Xn.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    return np.stack([
+        _kmeans_euclid(Xn[:, i * sub:(i + 1) * sub], codewords, n_iter, seed + i)
+        for i in range(m)
+    ])
+
+
+def train_pq_codebooks_local(
+    parquet_path: str,
+    m: int = 4,
+    codewords: int = 256,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 65536,
+    n_iter: int = 8,
+    seed: int = 0,
+):
+    """Spark-free twin of train_pq_codebooks (same sample rule, same
+    kernel) — generates the codebook literals for the DuckDB oracle."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec])
+    ids = t[id_col].to_pylist()
+    vecs = t[vec].to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: _sample_order_key(ids[i]))
+    return _pq_train_mat([vecs[i] for i in order[:sample_cap]], m, codewords, n_iter, seed)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every row as ``m`` small codes (nearest codeword per
+    subspace, on the unit-normalized vector). Pure map — broadcast
+    codebooks, per-Arrow-batch vectorized distance argmin; output
+    ``(id, codes array<int>)`` is the compressed index (write it
+    partitioned/bucketed like write_ivf_index for bucket-local scans)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = corpus.sparkSession.sparkContext.broadcast(np.asarray(codebooks))
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType([
+        T.StructField(id_col, fields[id_col].dataType),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def gen(batches):
+        B = bc.value
+        m, ncode, sub = B.shape
+        # All dot/norm accumulations below are explicit sequential loops
+        # over dimensions (vectorized across rows) rather than BLAS
+        # matmuls: float64 adds in dimension order are bit-identical to
+        # the DuckDB oracle's list_reduce folds, which is what lets the
+        # PQ candidate set exact-match (the repo's determinism rule).
+        cn2 = np.zeros((m, ncode))
+        for i in range(m):
+            for t in range(sub):
+                cn2[i] += B[i][:, t] * B[i][:, t]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec]), dtype=np.float64)
+            n2 = np.zeros(len(X))
+            for t in range(X.shape[1]):
+                n2 += X[:, t] * X[:, t]
+            norms = np.sqrt(n2)
+            norms[norms == 0] = 1.0
+            Xn = X / norms[:, None]
+            codes = np.empty((len(Xn), m), dtype=np.int64)
+            for i in range(m):
+                Xi = Xn[:, i * sub:(i + 1) * sub]
+                # ||x - c||^2 argmin == (||c||^2 - 2 x.c) argmin
+                acc = np.zeros((len(Xi), ncode))
+                for t in range(sub):
+                    acc += Xi[:, t, None] * B[i][None, :, t]
+                d2 = cn2[i][None, :] - 2.0 * acc
+                codes[:, i] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return corpus.select(id_col, vec).mapInPandas(gen, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    corpus: DataFrame | None = None,
+    k: int = 10,
+    rerank: int = 0,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+) -> DataFrame:
+    """Compressed-domain top-k by asymmetric distance computation (ADC):
+    per query, an m x codewords lookup table of subspace inner products
+    is built once; each row's approximate cosine is m table lookups
+    summed — no float vector is touched during the scan. Per-batch
+    partial top-k keeps only k (or ``rerank``) rows per query per batch
+    (the brute_force_topk_np shape).
+
+    With ``rerank > 0`` and the original ``corpus``, the top-``rerank``
+    PQ candidates per query are re-scored EXACTLY (broadcast semi-join on
+    candidate ids — a k-scale list — then the standard cosine), fixing
+    quantization error where it matters: the final ranking. This is the
+    standard IVF-PQ recall recipe; at 100 TB the exact re-rank touches
+    ~rerank/corpus of the float data.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    take = max(k, rerank)
+    q_rows = queries.select(q_id, vec).collect()
+    q_ids = [r[q_id] for r in q_rows]
+    Q = np.array([r[vec] for r in q_rows], dtype=np.float64)
+    # sequential-fold norms and LUT dots (see pq_encode for why)
+    qn2 = np.zeros(len(Q))
+    for t in range(Q.shape[1]):
+        qn2 += Q[:, t] * Q[:, t]
+    qn = np.sqrt(qn2)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    B = np.asarray(codebooks)
+    m, ncode, sub = B.shape
+    # LUT[q, i, j] = dot(q_sub_i, codeword_ij); approx score = sum_i LUT
+    lut = np.zeros((len(Qn), m, ncode))
+    for i in range(m):
+        Qi = Qn[:, i * sub:(i + 1) * sub]
+        for t in range(sub):
+            lut[:, i, :] += Qi[:, t, None] * B[i][None, :, t]
+    bc = codes.sparkSession.sparkContext.broadcast((q_ids, lut))
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pq_score", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        q_ids_, lut_ = bc.value
+        nq = len(q_ids_)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            # scores[n, q] = sum_i lut[q, i, C[n, i]]
+            scores = np.zeros((len(C), nq))
+            for i in range(m):
+                scores += lut_[:, i, C[:, i]].T
+            out = []
+            for qi, qid in enumerate(q_ids_):
+                col = scores[:, qi]
+                if len(col) > take:
+                    # tie-safe partial selection: keep EVERY row tying the
+                    # take-th score, so the global merge (score desc, id
+                    # asc) sees the same candidate pool the oracle ranks —
+                    # argpartition alone would break boundary ties by
+                    # array position, not by id
+                    thr = np.partition(col, len(col) - take)[len(col) - take]
+                    sel = np.where(col >= thr)[0]
+                else:
+                    sel = np.arange(len(col))
+                # full-precision score: candidate selection must rank on
+                # the exact float64 the oracle computes (rounding here
+                # could flip near-boundary order differently per engine)
+                for ci in sel:
+                    out.append((qid, int(ids[ci]), float(col[ci])))
+            yield pd.DataFrame(out, columns=["q_id", id_col, "pq_score"])
+
+    partial = codes.select(id_col, "codes").mapInPandas(gen, schema)
+    if rerank and corpus is not None:
+        cands = topk_per_group(
+            partial, [q_id], [F.desc("pq_score"), F.asc(id_col)], rerank
+        ).select(q_id, id_col)
+        scored = (
+            corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+            .join(F.broadcast(cands), id_col)
+            .join(F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))), q_id)
+            .select(q_id, id_col,
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"))
+        )
+        return topk_per_group(
+            scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
+        )
+    return topk_per_group(
+        partial, [q_id], [F.desc("pq_score"), F.asc(id_col)], k, rank_col="rk"
+    )
+
+
 def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:
     """Persist an ivf_assign output partitioned by centroid id: each
     bucket is its own parquet directory, so a search that probes

@@ -210,6 +210,133 @@ FROM m, LATERAL (SELECT UNNEST(generate_series(1, len(kos))) AS i) t
 
 
 # ---------------------------------------------------------------------------
+# PQ (product quantization) ANN with exact re-rank
+# ---------------------------------------------------------------------------
+
+_PQ_PARAMS = dict(m=4, codewords=16, sample_cap=2048, n_iter=6, seed=5)
+
+
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-style compressed-domain search: trained subspace codebooks
+    (train_pq_codebooks), corpus encoded to 4 codes/row (pq_encode), ADC
+    lookup-table scan for top-32 candidates, exact cosine re-rank to
+    top-10 (pq_topk). Every float in the candidate path is a sequential
+    fold, so the DuckDB oracle (codebook literals + list_reduce folds)
+    reproduces the candidate set bit-exactly."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf_dir, "embeddings")
+    B = ss.train_pq_codebooks(e, **_PQ_PARAMS)
+    codes = ss.pq_encode(e, B)
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ss.pq_topk(codes, q, B, corpus=e, k=10, rerank=32)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ann_pq_sql() -> str:
+    """Generate the PQ oracle: re-derive the exact codebooks Spark-free,
+    embed them (and their sequentially-accumulated squared norms) as
+    literals, and mirror every fold the kernels perform — normalization,
+    per-subspace argmin encode, LUT build, ADC sum — with list_reduce."""
+    import numpy as np
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        train_pq_codebooks_local,
+    )
+
+    B = train_pq_codebooks_local(
+        f"{_oracle_sf_dir()}/embeddings.parquet", **_PQ_PARAMS
+    )
+    m, ncode, sub = B.shape
+    cn2 = np.zeros((m, ncode))
+    for i in range(m):
+        for t in range(sub):
+            cn2[i] += B[i][:, t] * B[i][:, t]
+
+    cb_lit = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in B[i][j]) + "]"
+            for j in range(ncode)
+        ) + "]"
+        for i in range(m)
+    ) + "]::DOUBLE[][][]"
+    cn2_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in cn2[i]) + "]" for i in range(m)
+    ) + "]::DOUBLE[][]"
+
+    def seqdot(xcol: str, i: int) -> str:
+        # dot of subspace i of the normalized vector with codeword j
+        # (j is the 0-based loop var of the enclosing list_transform)
+        return (
+            f"list_reduce(list_transform(range({sub}), "
+            f"t -> {xcol}[{i * sub} + t + 1] * cb[{i + 1}][j + 1][t + 1]), "
+            "(a, b) -> a + b)"
+        )
+
+    code_cols = ",\n         ".join(
+        f"list_position(d2_{i}, list_aggregate(d2_{i}, 'min')) AS c{i}"
+        for i in range(m)
+    )
+    d2_cols = ",\n         ".join(
+        f"list_transform(range({ncode}), "
+        f"j -> cn2[{i + 1}][j + 1] - 2 * {seqdot('xn', i)}) AS d2_{i}"
+        for i in range(m)
+    )
+    lut_cols = ",\n         ".join(
+        f"list_transform(range({ncode}), j -> {seqdot('qn', i)}) AS lut{i}"
+        for i in range(m)
+    )
+    adc = " + ".join(f"q.lut{i}[c.c{i}]" for i in range(m))
+
+    norm_expr = (
+        "sqrt(list_reduce(list_transform({v}, x -> x::DOUBLE * x::DOUBLE),"
+        " (a, b) -> a + b))"
+    )
+
+    return f"""
+WITH cblit AS (SELECT {cb_lit} AS cb, {cn2_lit} AS cn2),
+c0 AS (SELECT vec_id, embedding AS v,
+              {norm_expr.format(v='embedding')} AS nv
+       FROM embeddings),
+cx AS (SELECT vec_id, v,
+              CASE WHEN nv = 0 THEN list_transform(v, x -> x::DOUBLE)
+                   ELSE list_transform(v, x -> x::DOUBLE / nv) END AS xn
+       FROM c0),
+cd2 AS (SELECT vec_id, v, xn,
+         {d2_cols}
+        FROM cx CROSS JOIN cblit),
+codes AS (SELECT vec_id, v,
+         {code_cols}
+          FROM cd2),
+q0 AS (SELECT vec_id AS q_id, embedding AS qv,
+              {norm_expr.format(v='embedding')} AS nq
+       FROM embeddings WHERE vec_id < 8),
+qx AS (SELECT q_id, qv,
+              CASE WHEN nq = 0 THEN list_transform(qv, x -> x::DOUBLE)
+                   ELSE list_transform(qv, x -> x::DOUBLE / nq) END AS qn
+       FROM q0),
+qlut AS (SELECT q_id, qv,
+         {lut_cols}
+         FROM qx CROSS JOIN cblit),
+scored AS (
+  SELECT q.q_id, c.vec_id, q.qv, c.v, {adc} AS pq_score
+  FROM codes c CROSS JOIN qlut q
+),
+cands AS (SELECT q_id, vec_id, qv, v FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pq_score DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 32),
+rer AS (
+  SELECT q_id, vec_id, ROUND({_cos_sql('qv', 'v')}, 6) AS cos_sim FROM cands
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)::BIGINT AS rk
+  FROM rer
+) WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe corpus split (dedup-aware train/val/test)
 # ---------------------------------------------------------------------------
 
@@ -281,6 +408,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_ecocyc_dim": s8_ecocyc_dim,
         "s9_kegg_dim": s9_kegg_dim,
         "leakage_safe_split": leakage_safe_split,
+        "ann_pq_rerank": ann_pq_rerank,
     }
 
 
@@ -292,6 +420,10 @@ def oracle_sql_r5() -> dict[str, str]:
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
+    except Exception:  # noqa: BLE001 — degrade to the rows-only check
+        pass
+    try:
+        out["ann_pq_rerank"] = _ann_pq_sql()
     except Exception:  # noqa: BLE001 — degrade to the rows-only check
         pass
     return out

@@ -130,6 +130,46 @@ def test_refine_centroids_improves_quantization(spark):
     assert len(out) == 25  # 5 queries x top-5
 
 
+def test_pq_encode_shapes_and_determinism(spark):
+    e = _emb(spark, n=200, dim=16)
+    B = ss.train_pq_codebooks(e, m=4, codewords=32, sample_cap=200, n_iter=5, seed=1)
+    assert B.shape == (4, 32, 4)
+    B2 = ss.train_pq_codebooks(e, m=4, codewords=32, sample_cap=200, n_iter=5, seed=1)
+    assert (B == B2).all()
+    codes = {r["vec_id"]: r["codes"] for r in ss.pq_encode(e, B).collect()}
+    assert len(codes) == 200
+    assert all(len(c) == 4 and all(0 <= x < 32 for x in c) for c in codes.values())
+    again = {r["vec_id"]: r["codes"] for r in ss.pq_encode(e, B).collect()}
+    assert codes == again
+
+
+def test_pq_topk_with_rerank_recall(spark):
+    """Compressed-domain ADC scan + exact re-rank must recover most of
+    the exact top-10 (the IVF-PQ recall recipe); the PQ-only scan must
+    at least put each query's own row in its candidate list."""
+    e = _emb(spark, n=200, dim=16)
+    q = e.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("q_id"), "embedding")
+    B = ss.train_pq_codebooks(e, m=4, codewords=32, sample_cap=200, n_iter=5, seed=1)
+    codes = ss.pq_encode(e, B)
+
+    exact_sets = {}
+    for r in ss.brute_force_topk(e, q, k=10).collect():
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    rr = ss.pq_topk(codes, q, B, corpus=e, k=10, rerank=50).collect()
+    hit = sum(r["vec_id"] in exact_sets[r["q_id"]] for r in rr)
+    assert hit / len(rr) >= 0.6
+    # re-ranked scores are EXACT cosines: rank-1 is the query itself
+    r1 = {r["q_id"]: r["vec_id"] for r in rr if r["rk"] == 1}
+    assert all(r1[qid] == qid for qid in r1)
+
+    pq_only = ss.pq_topk(codes, q, B, k=20).collect()
+    by_q = {}
+    for r in pq_only:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert all(qid in by_q[qid] for qid in by_q)
+
+
 def test_ivf_assign_np_matches_expr(spark):
     """The broadcast-numpy assignment must bucket identically to the
     literal-expression form on the oracle-sized fixture (well-separated
