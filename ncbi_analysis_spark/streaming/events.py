@@ -123,6 +123,101 @@ def sessionize(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
+SUPPRESS_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+_SUPPRESS_STATE = T.StructType([
+    T.StructField("ts_us", T.ArrayType(T.LongType())),
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+    T.StructField("eids", T.ArrayType(T.LongType())),
+    T.StructField("done", T.ArrayType(T.BooleanType())),
+])
+
+
+def suppress_local_max_stream(
+    stream: DataFrame,
+    distance: str = "10 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of operators.suppression.local_max_suppress (W2):
+    per event_type, emit events whose value is the max among all events
+    within ±``distance`` of their event time (ties survive, non-positive
+    values dropped — the batch rule exactly).
+
+    An event is decidable only once the watermark passes ``ts +
+    distance`` (no in-window neighbor can still arrive); decided events
+    stay buffered as neighbor context until ``wm - 2*distance`` then
+    evict, so state per key is bounded by the event rate within a
+    2-distance horizon regardless of stream length.
+    """
+    d_us = int(pd.Timedelta(distance).total_seconds() * 1_000_000)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            ts_l, v_l, id_l, done_l = (list(x) for x in state.get)
+        else:
+            ts_l, v_l, id_l, done_l = [], [], [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t, v, eid in zip(pd.to_datetime(pdf["ts"]), pdf["value"], pdf["event_id"]):
+                    if v is None or not float(v) > 0:
+                        continue
+                    ts_l.append(int(t.value // 1000))
+                    v_l.append(float(v))
+                    id_l.append(int(eid))
+                    done_l.append(False)
+        order = sorted(range(len(ts_l)), key=lambda i: (ts_l[i], id_l[i]))
+        ts_l = [ts_l[i] for i in order]
+        v_l = [v_l[i] for i in order]
+        id_l = [id_l[i] for i in order]
+        done_l = [done_l[i] for i in order]
+
+        out = []
+        n = len(ts_l)
+        for i in range(n):
+            if done_l[i] or ts_l[i] + d_us >= wm_us:
+                continue
+            local_max = max(
+                v_l[j] for j in range(n) if abs(ts_l[j] - ts_l[i]) <= d_us
+            )
+            done_l[i] = True
+            if v_l[i] >= local_max:
+                out.append((etype, id_l[i], pd.Timestamp(ts_l[i], unit="us"), v_l[i]))
+
+        keep = [i for i in range(n) if ts_l[i] >= wm_us - 2 * d_us or not done_l[i]]
+        ts_l = [ts_l[i] for i in keep]
+        v_l = [v_l[i] for i in keep]
+        id_l = [id_l[i] for i in keep]
+        done_l = [done_l[i] for i in keep]
+
+        undecided = [ts_l[i] for i in range(len(ts_l)) if not done_l[i]]
+        if ts_l:
+            state.update((ts_l, v_l, id_l, done_l))
+            if undecided:
+                # fire when the earliest undecided event becomes decidable
+                fire_ms = max(min(undecided) + d_us, wm_us) // 1000 + 1
+                state.setTimeoutTimestamp(fire_ms)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["event_type", "event_id", "ts", "value"])
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, SUPPRESS_SCHEMA, _SUPPRESS_STATE, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     clicks: DataFrame,
     purchases: DataFrame,

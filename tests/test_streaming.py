@@ -132,6 +132,39 @@ def test_stream_stream_join(spark, stream_dir):
         assert 0 <= delta <= 1800
 
 
+def test_suppress_local_max_stream_matches_batch(spark, stream_dir):
+    """Streaming local-max suppression (W2's streaming twin) must agree
+    with the batch RANGE-window operator: every emitted survivor is a
+    batch survivor, and every batch survivor the final watermark provably
+    decides must have been emitted."""
+    from ncbi_analysis_spark.operators.suppression import local_max_suppress
+
+    d_us = 5 * 60 * 1_000_000
+    wm_us = 60 * 1_000_000
+
+    stream = sev.read_event_stream(spark, stream_dir)
+    sup = sev.suppress_local_max_stream(stream, distance="5 minutes",
+                                        watermark="1 minute")
+    q = (
+        sup.writeStream.format("memory").queryName("w2_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r["event_id"] for r in spark.sql("select * from w2_stream").collect()}
+    assert len(got) > 0
+
+    batch = read_events(spark, SF_DIR).withColumn("ts_us", F.unix_micros("ts"))
+    max_ts_us = batch.agg(F.max("ts_us")).collect()[0][0]
+    surv = local_max_suppress(batch, ["event_type"], "ts_us", "value", d_us)
+    want = {(r["event_id"], r["ts_us"]) for r in surv.collect()}
+    want_ids = {i for i, _ in want}
+
+    assert got <= want_ids, f"stream emitted non-survivors: {sorted(got - want_ids)[:5]}"
+    final_wm = max_ts_us - wm_us
+    guaranteed = {i for i, t in want if t + d_us < final_wm}
+    assert guaranteed <= got, f"missing decided survivors: {sorted(guaranteed - got)[:5]}"
+
+
 @pytest.mark.parametrize("layout", ["ntz_us", "ns"])
 def test_event_ts_layouts_normalize(spark, tmp_path, layout):
     """Both physical ts layouts the driver has shipped (TIMESTAMP_NTZ
