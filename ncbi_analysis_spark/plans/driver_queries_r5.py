@@ -337,6 +337,68 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 
 
 # ---------------------------------------------------------------------------
+# Corpus profiling: per-language token-length distribution
+# ---------------------------------------------------------------------------
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts, total tokens, and
+    DISCRETE token-count percentiles (p50/p90/p99 as the value at row
+    ceil(p*n) of the sorted distribution — integer-only index math, so
+    the oracle is bit-exact with no interpolation-float risk). The
+    dataset-card summary a corpus mixer reads before setting quotas."""
+    from pyspark.sql import Window
+
+    from ncbi_analysis_spark.functions import text as textf
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        textf.token_count(F.col("text")).cast("long").alias("tc"),
+    )
+    w = Window.partitionBy("lang").orderBy("tc", "doc_id")
+    n_w = Window.partitionBy("lang")
+    r = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+    )
+
+    def disc(p: int):
+        # ceil(n * p/100) with pure integer arithmetic
+        idx = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(F.when(F.col("rn") == idx, F.col("tc"))).cast("long")
+
+    return r.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("tc").cast("long").alias("total_tokens"),
+        disc(50).alias("p50_tc"),
+        disc(90).alias("p90_tc"),
+        disc(99).alias("p99_tc"),
+        F.max("tc").cast("long").alias("max_tc"),
+    )
+
+
+_TOKC = (
+    "(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(TRIM(text), '\\s+')) END)"
+)
+
+CORPUS_PROFILE_SQL = rf"""
+WITH t AS (SELECT doc_id, lang, {_TOKC}::BIGINT AS tc FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tc, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM t)
+SELECT lang,
+       MAX(n)::BIGINT AS n_docs,
+       SUM(tc)::BIGINT AS total_tokens,
+       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN tc END)::BIGINT AS p50_tc,
+       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN tc END)::BIGINT AS p90_tc,
+       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN tc END)::BIGINT AS p99_tc,
+       MAX(tc)::BIGINT AS max_tc
+FROM r GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe corpus split (dedup-aware train/val/test)
 # ---------------------------------------------------------------------------
 
@@ -409,6 +471,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_kegg_dim": s9_kegg_dim,
         "leakage_safe_split": leakage_safe_split,
         "ann_pq_rerank": ann_pq_rerank,
+        "corpus_profile": corpus_profile,
     }
 
 
@@ -417,6 +480,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "s8_ecocyc_dim": S8_SQL,
         "s9_kegg_dim": S9_SQL,
         "leakage_safe_split": _leakage_split_sql(),
+        "corpus_profile": CORPUS_PROFILE_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
