@@ -448,6 +448,112 @@ def benchmark_ngram_overlap(
     )
 
 
+def _bloom_positions(sh_col: Column, n_bits: int, n_hashes: int) -> Column:
+    """k bit positions per gram: xxhash64 with k salt prefixes, mod the
+    filter size. Computed with the SAME Spark expression on the build and
+    probe sides, so hash consistency is by construction (no Python
+    reimplementation of xxhash64 to drift)."""
+    return F.array(*[
+        F.pmod(F.xxhash64(F.concat(F.lit(f"{h}|"), sh_col)), F.lit(n_bits))
+        for h in range(n_hashes)
+    ])
+
+
+def build_ngram_bloom(
+    bench_df: DataFrame,
+    text: str,
+    id_col: str,
+    n: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+):
+    """Distributed Bloom-filter build over the benchmark set's distinct
+    token n-grams — the decontamination path for benchmark suites too
+    large to broadcast exactly (benchmark_ngram_overlap's broadcast set).
+
+    Build is fully distributed: grams explode to (word, bitmask) rows and
+    a bit_or hash aggregate (map-side combined) produces at most
+    n_bits/64 longs — the only driver-side data is the finished filter
+    (n_bits/8 bytes; 128 KiB for the default 2^20 bits), which then
+    broadcasts to every probe task.
+
+    Returns ``(words ndarray[int64], n_bits, n_hashes)``.
+    """
+    import numpy as np
+
+    sh = shingle_rows(bench_df, text, id_col, n).select("sh").distinct()
+    words = (
+        sh.select(F.explode(_bloom_positions(F.col("sh"), n_bits, n_hashes)).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("m"))
+        .collect()
+    )
+    arr = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in words:
+        arr[r["w"]] = r["m"]
+    return arr, n_bits, n_hashes
+
+
+def bloom_ngram_overlap(
+    df: DataFrame,
+    bloom,
+    text: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Bloom-probed twin of benchmark_ngram_overlap: same output columns
+    ``(id_col, n_grams, n_shared, contamination)``, with ``n_shared``
+    counting grams the filter REPORTS as benchmark members — an upper
+    bound on the true count (no false negatives; FPR set by n_bits/
+    n_hashes vs benchmark cardinality).
+
+    Probe stays almost entirely in codegen: shingles and their k bit
+    positions are Spark expressions; Python is only the membership test —
+    a vectorized numpy gather against the broadcast 128 KiB word array
+    per Arrow batch — then the totals aggregation is the same one-shuffle
+    groupBy as the exact operator.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    arr, n_bits, n_hashes = bloom
+    bc = df.sparkSession.sparkContext.broadcast(arr)
+
+    doc_sh = shingle_rows(df, text, id_col, n).distinct()
+    pos_df = doc_sh.select(
+        F.col(id_col), _bloom_positions(F.col("sh"), n_bits, n_hashes).alias("positions")
+    )
+    id_type = {f.name: f for f in df.schema.fields}[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("hit", T.IntegerType()),
+    ])
+
+    def gen(batches):
+        words = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            P = np.array(list(pdf["positions"]), dtype=np.int64)  # (rows, k)
+            hits = ((words[P >> 6] >> (P & 63)) & 1).all(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "hit": hits.astype(np.int32)})
+
+    return (
+        pos_df.mapInPandas(gen, schema)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("hit").cast("long").alias("n_shared"),
+        )
+        .withColumn("contamination", F.col("n_shared") / F.col("n_grams"))
+    )
+
+
 def repetition_signals(df: DataFrame, text: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 

@@ -190,6 +190,35 @@ def test_ngram_jaccard_cap_default_on(spark):
         "max_shingle_freq"].default == 1000
 
 
+def test_bloom_decon_no_false_negatives_and_low_fpr(spark):
+    """The Bloom probe must report AT LEAST every gram the exact
+    operator finds (no false negatives, per-doc), and on a
+    disjoint-vocabulary corpus its false-positive contamination stays
+    far below any realistic decon threshold."""
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok fine")],
+        ["id", "text"],
+    )
+    # doc 1 shares grams with bench; docs 2-4 use a disjoint vocabulary
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over nothing"), *[
+            (i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(2, 5)
+        ]],
+        ["id", "text"],
+    )
+    bloom = dedup.build_ngram_bloom(bench, "text", "id", n=3, n_bits=1 << 16, n_hashes=4)
+    approx = {r["id"]: r for r in dedup.bloom_ngram_overlap(corpus, bloom, "text", "id").collect()}
+    exact = {r["id"]: r for r in dedup.benchmark_ngram_overlap(corpus, bench, "text", "id").collect()}
+    assert set(approx) == set(exact)
+    for i in exact:
+        assert approx[i]["n_grams"] == exact[i]["n_grams"]
+        assert approx[i]["n_shared"] >= exact[i]["n_shared"]  # no false negatives
+    assert approx[1]["n_shared"] >= 4  # the truly-shared grams
+    fp = sum(approx[i]["n_shared"] for i in (2, 3, 4))
+    total = sum(approx[i]["n_grams"] for i in (2, 3, 4))
+    assert fp / total < 0.05
+
+
 def test_simhash_near_dup_pairs(spark):
     base = "spark sql window functions are great for analytics " * 3
     near = base.replace("great", "good", 1)
