@@ -336,6 +336,49 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
+def s10_pubmed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: PubMed search snapshot pages -> (gene, keyword, count_raw,
+    n_results) literature-count dim (sources.enrichment.pubmed_count_dim;
+    reference run_search_count.py extract_result_info). Fixture covers
+    the span-wrapped count, the no-results page ('0'), a messy value line
+    (raw preserved, numeric parse null), and the marker-less
+    single-result redirect ('1')."""
+    from ncbi_analysis_spark.sources.enrichment import pubmed_count_dim
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s10_pubmed.jsonl")
+    return pubmed_count_dim(pages.select("key", "page"))
+
+
+S10_SQL = rf"""
+WITH p AS (SELECT key, page FROM read_ndjson_auto('{_FIXTURES}/driver_s10_pubmed.jsonl')),
+l AS (SELECT key, unnest(string_split(page, chr(10))) AS line,
+             generate_subscripts(string_split(page, chr(10)), 1) AS ln
+      FROM p),
+mk AS (SELECT key, MIN(ln) AS mln FROM l
+       WHERE trim(line) = '<div class="results-amount">' GROUP BY key),
+vl AS (SELECT l.key, MIN(l.ln) AS vln
+       FROM l JOIN mk ON l.key = mk.key AND l.ln > mk.mln
+       WHERE trim(l.line) != '' GROUP BY l.key),
+v AS (SELECT l.key, trim(l.line) AS value
+      FROM l JOIN vl ON l.key = vl.key AND l.ln = vl.vln),
+raw AS (SELECT p.key,
+          COALESCE(
+            CASE WHEN v.value LIKE '%No results were found%' THEN '0'
+                 ELSE replace(replace(v.value, '<span class="value">', ''),
+                              '</span>', '') END,
+            '1') AS count_raw
+        FROM p LEFT JOIN v ON p.key = v.key)
+SELECT CASE WHEN strpos(key, '|') > 0 THEN substr(key, 1, strpos(key, '|') - 1)
+            ELSE key END AS gene,
+       CASE WHEN strpos(key, '|') > 0 THEN substr(key, strpos(key, '|') + 1)
+            ELSE '' END AS keyword,
+       count_raw,
+       CASE WHEN regexp_full_match(replace(count_raw, ',', ''), '[0-9]+')
+            THEN replace(count_raw, ',', '')::BIGINT END AS n_results
+FROM raw
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus profiling: per-language token-length distribution
 # ---------------------------------------------------------------------------
@@ -472,6 +515,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": leakage_safe_split,
         "ann_pq_rerank": ann_pq_rerank,
         "corpus_profile": corpus_profile,
+        "s10_pubmed_dim": s10_pubmed_dim,
     }
 
 
@@ -481,6 +525,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "s9_kegg_dim": S9_SQL,
         "leakage_safe_split": _leakage_split_sql(),
         "corpus_profile": CORPUS_PROFILE_SQL,
+        "s10_pubmed_dim": S10_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()

@@ -88,6 +88,24 @@ def extract_ecocyc_id(html: str, gene_name: str | None = None) -> str | None:
     return p.found
 
 
+def extract_pubmed_count(html: str) -> str:
+    """S10: result count from a PubMed search page — the line after the
+    ``results-amount`` div marker: 'No results were found' -> "0",
+    otherwise the value with its span tags stripped (comma grouping
+    preserved); pages with no marker are single-result redirects -> "1"
+    (reference run_search_count.py:11-24, line-for-line behavior)."""
+    step = -1
+    for line in html.splitlines():
+        line = line.strip()
+        if line == '<div class="results-amount">':
+            step = 0
+        elif step == 0 and line:
+            if "No results were found" in line:
+                return "0"
+            return line.replace('<span class="value">', "").replace("</span>", "")
+    return "1"
+
+
 def extract_kegg_orthology_ids(html: str) -> dict[str, str]:
     """KO id -> href from the 'KEGG ORTHOLOGY' section of a bfind page
     (reference KeggIdHTMLParser)."""
@@ -333,6 +351,13 @@ GO_DIM_SCHEMA = T.StructType([
     T.StructField("go_terms", T.StringType()),
 ])
 
+PUBMED_DIM_SCHEMA = T.StructType([
+    T.StructField("gene", T.StringType()),
+    T.StructField("keyword", T.StringType()),
+    T.StructField("count_raw", T.StringType()),
+    T.StructField("n_results", T.LongType()),
+])
+
 
 def _map_pages(pages: DataFrame, schema: T.StructType, fn) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,6 +387,23 @@ def kegg_ko_dim(pages: DataFrame) -> DataFrame:
             for ko, href in extract_kegg_orthology_ids(p).items()
         ],
     )
+
+
+def pubmed_count_dim(pages: DataFrame) -> DataFrame:
+    """(key='gene|keyword', page=search html) -> (gene, keyword,
+    count_raw, n_results) — the per-(gene, keyword) literature-count
+    table the reference writes as pubmed_count.tsv (S10). ``n_results``
+    is the comma-stripped integer of count_raw."""
+    def fn(k: str, p: str):
+        gene, _, kw = k.partition("|")
+        raw = extract_pubmed_count(p)
+        digits = raw.replace(",", "")
+        return [{
+            "gene": gene, "keyword": kw, "count_raw": raw,
+            "n_results": int(digits) if digits.isdigit() else None,
+        }]
+
+    return _map_pages(pages, PUBMED_DIM_SCHEMA, fn)
 
 
 def go_terms_dim(pages: DataFrame) -> DataFrame:

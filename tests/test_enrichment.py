@@ -101,3 +101,25 @@ def test_dimension_builders(spark):
     )
     rows = enr.kegg_ko_dim(kegg_pages).collect()
     assert [(r["gene"], r["ko_id"]) for r in rows] == [("alr", "K1")]
+
+
+def test_extract_pubmed_count():
+    marker = '<div class="results-amount">'
+    assert enr.extract_pubmed_count(
+        f"x\n{marker}\n<span class=\"value\">2,041</span>\nresults\n") == "2,041"
+    assert enr.extract_pubmed_count(
+        f"{marker}\n\n No results were found for term.\n") == "0"
+    assert enr.extract_pubmed_count("<html>single article page</html>") == "1"
+    # marker with no following non-empty line -> single-result default
+    assert enr.extract_pubmed_count(f"pre\n{marker}\n\n") == "1"
+
+
+def test_pubmed_count_dim(spark):
+    pages = spark.createDataFrame(
+        [("gyrA|drug",
+          '<div class="results-amount">\n<span class="value">12</span>\n')],
+        ["key", "page"],
+    )
+    r = enr.pubmed_count_dim(pages).collect()[0]
+    assert (r["gene"], r["keyword"], r["count_raw"], r["n_results"]) == (
+        "gyrA", "drug", "12", 12)
