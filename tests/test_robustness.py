@@ -125,3 +125,38 @@ def test_pii_redact_null_text(spark):
 
     df = spark.createDataFrame([(1, None)], "doc_id LONG, text STRING")
     assert df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"] is None
+
+
+def test_round5_ops_on_empty_and_degenerate(spark):
+    from ncbi_analysis_spark.operators import similarity_search as ss
+    from ncbi_analysis_spark.operators.scale import leakage_safe_split
+
+    # leakage split with an empty components frame == plain hash split
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    comp = _empty(spark, "id long, component long")
+    out = leakage_safe_split(docs, "doc_id", comp).collect()
+    assert {r["doc_id"]: r["rep"] for r in out} == {1: 1, 2: 2}
+
+    # PQ over an empty corpus: encode and search both return empty
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 2.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    B = ss.train_pq_codebooks(emb, m=2, codewords=4, sample_cap=8, n_iter=2, seed=0)
+    empty_emb = _empty(spark, "vec_id long, embedding array<double>")
+    assert ss.pq_encode(empty_emb, B).count() == 0
+    q = emb.limit(1).select(F.col("vec_id").alias("q_id"), "embedding")
+    assert ss.pq_topk(ss.pq_encode(empty_emb, B), q, B, k=3).count() == 0
+
+    # refinement over an empty corpus keeps the seed centroids unchanged
+    cents = ss.train_ivf_centroids(emb, k=2, sample_cap=8, n_iter=2, seed=0)
+    refined = ss.refine_ivf_centroids(empty_emb, cents, n_iter=1)
+    a = sorted((r["c_id"], tuple(r["embedding"])) for r in cents.collect())
+    b = sorted((r["c_id"], tuple(r["embedding"])) for r in refined.collect())
+    assert a == b
+
+    # bloom probe on an empty-text doc: the single partial shingle
+    # (documented shingle_rows semantics for size<n) still yields a row
+    bench = spark.createDataFrame([(1, "a b c d")], ["id", "text"])
+    bloom = dedup.build_ngram_bloom(bench, "text", "id", n=3, n_bits=1 << 12)
+    corpus = spark.createDataFrame([(2, "")], ["id", "text"])
+    assert dedup.bloom_ngram_overlap(corpus, bloom, "text", "id").count() == 1
