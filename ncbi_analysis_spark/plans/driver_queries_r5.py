@@ -336,6 +336,36 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
+def s_go_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GO-category dim from gene GO-table snapshot pages
+    (sources.enrichment.go_terms_dim; reference GoHTMLParser): one row
+    per (gene, category) with the linked terms comma-joined — including
+    a category with no linked terms (empty string). The oracle slices
+    the page on the outer label-cell anchor and regex-extracts each
+    block's term anchors."""
+    from ncbi_analysis_spark.sources.enrichment import go_terms_dim
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s_go.jsonl")
+    return go_terms_dim(pages.select("key", "page"))
+
+
+S_GO_SQL = rf"""
+WITH p AS (SELECT key AS gene, page FROM read_ndjson_auto('{_FIXTURES}/driver_s_go.jsonl')),
+blocks AS (
+  SELECT gene, b.blk, b.i
+  FROM p, LATERAL (
+    SELECT UNNEST(string_split(page, '<tr><td class="golabel">')) AS blk,
+           generate_subscripts(string_split(page, '<tr><td class="golabel">'), 1) AS i
+  ) b
+  WHERE b.i > 1
+)
+SELECT gene,
+       rtrim(trim(substr(blk, 1, strpos(blk, '</td>') - 1)), ':') AS go_category,
+       COALESCE(array_to_string(regexp_extract_all(blk, '<a href="#">([^<]*)</a>', 1), ','), '') AS go_terms
+FROM blocks
+"""
+
+
 def s10_pubmed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: PubMed search snapshot pages -> (gene, keyword, count_raw,
     n_results) literature-count dim (sources.enrichment.pubmed_count_dim;
@@ -516,6 +546,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": ann_pq_rerank,
         "corpus_profile": corpus_profile,
         "s10_pubmed_dim": s10_pubmed_dim,
+        "s_go_dim": s_go_dim,
     }
 
 
@@ -526,6 +557,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "leakage_safe_split": _leakage_split_sql(),
         "corpus_profile": CORPUS_PROFILE_SQL,
         "s10_pubmed_dim": S10_SQL,
+        "s_go_dim": S_GO_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
