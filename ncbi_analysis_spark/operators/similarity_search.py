@@ -802,6 +802,115 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 50,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """FAISS-style IVF-PQ search — the full 100 TB ANN shape composed
+    from the audited pieces: coarse bucket prune (ivf_assign + nprobe
+    probes), compressed-domain ADC scoring INSIDE probed buckets only
+    (pq codes, per-query lookup tables), exact cosine re-rank of the
+    short candidate list.
+
+    Cost model at scale: the scan touches ~nprobe/k_centroids of the
+    CODES (m bytes/row, in executor RAM when the index is persisted
+    bucketed by ``c_id``); float vectors are read only for the
+    ~rerank x |queries| re-rank rows via a broadcast semi-join. Pass
+    prebuilt ``assigned``/``codes`` to search a persisted index.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, vec, id_col)
+    index = assigned.select(id_col, c_id).join(codes, id_col)
+
+    # probe selection: identical to ivf_topk
+    cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
+    probes = (
+        queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+        .join(F.broadcast(cent), how="cross")
+        .select(q_id, c_id, cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
+    )
+    probes = topk_per_group(
+        probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe
+    ).select(q_id, c_id)
+
+    # per-query ADC lookup tables (sequential folds, as in pq_topk)
+    q_rows = queries.select(q_id, vec).collect()
+    q_ids = [r[q_id] for r in q_rows]
+    Q = np.array([r[vec] for r in q_rows], dtype=np.float64)
+    qn2 = np.zeros(len(Q))
+    for t in range(Q.shape[1]):
+        qn2 += Q[:, t] * Q[:, t]
+    qn = np.sqrt(qn2)
+    qn[qn == 0] = 1.0
+    Qn = Q / qn[:, None]
+    B = np.asarray(codebooks)
+    m, ncode, sub = B.shape
+    lut = np.zeros((len(Qn), m, ncode))
+    for i in range(m):
+        Qi = Qn[:, i * sub:(i + 1) * sub]
+        for t in range(sub):
+            lut[:, i, :] += Qi[:, t, None] * B[i][None, :, t]
+    qindex = {qid: i for i, qid in enumerate(q_ids)}
+    bc = corpus.sparkSession.sparkContext.broadcast((qindex, lut))
+
+    # bucket-pruned candidate rows: (q_id, id, codes) — only probed
+    # buckets survive the broadcast join, so the ADC scan below sees
+    # ~nprobe/k_centroids of the index
+    cand = index.join(F.broadcast(probes), c_id).select(q_id, id_col, "codes")
+
+    schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("pq_score", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        qindex_, lut_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = pdf[q_id].map(qindex_).to_numpy(dtype=np.int64)
+            scores = np.zeros(len(C))
+            for i in range(m):
+                scores += lut_[qi, i, C[:, i]]
+            yield pd.DataFrame({
+                "q_id": pdf[q_id], id_col: pdf[id_col], "pq_score": scores,
+            })
+
+    scored = cand.mapInPandas(gen, schema)
+    cands = topk_per_group(
+        scored, [q_id], [F.desc("pq_score"), F.asc(id_col)], max(k, rerank)
+    ).select(q_id, id_col)
+    exact = (
+        corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+        .join(F.broadcast(cands), id_col)
+        .join(F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))), q_id)
+        .select(q_id, id_col,
+                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"))
+    )
+    return topk_per_group(
+        exact, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
+    )
+
+
 def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:
     """Persist an ivf_assign output partitioned by centroid id: each
     bucket is its own parquet directory, so a search that probes

@@ -170,6 +170,45 @@ def test_pq_topk_with_rerank_recall(spark):
     assert all(qid in by_q[qid] for qid in by_q)
 
 
+def test_ivf_pq_topk_end_to_end(spark):
+    """The composed IVF-PQ pipeline: candidates only come from probed
+    buckets, the exact re-rank puts each query's own row at rank 1, and
+    recall against brute force clears a floor sensible for
+    bucket-pruned + quantized search."""
+    e = _emb(spark, n=300, dim=16)
+    q = e.filter(F.col("vec_id") < 6).select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = ss.train_ivf_centroids(e, k=6, sample_cap=300, n_iter=5, seed=2)
+    B = ss.train_pq_codebooks(e, m=4, codewords=32, sample_cap=300, n_iter=5, seed=2)
+
+    out = ss.ivf_pq_topk(e, q, cents, B, k=10, nprobe=3, rerank=60).collect()
+    assert len(out) == 60  # 6 queries x 10
+    r1 = {r["q_id"]: r["vec_id"] for r in out if r["rk"] == 1}
+    assert all(r1[qid] == qid for qid in r1)
+
+    # every returned id must live in a bucket its query probed
+    import numpy as np
+
+    assign = {r["vec_id"]: r["c_id"] for r in ss.ivf_assign(e, cents)
+              .select(F.col("vec_id"), "c_id").collect()}
+    C = {r["c_id"]: np.array(r["embedding"]) for r in cents.collect()}
+    qv = {r["q_id"]: np.array(r["embedding"]) for r in q.collect()}
+
+    def probed(qid):
+        v = qv[qid]
+        sims = {cid: float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for cid, c in C.items()}
+        return set(sorted(sims, key=lambda cid: (-sims[cid], cid))[:3])
+
+    for r in out:
+        assert assign[r["vec_id"]] in probed(r["q_id"])
+
+    exact_sets = {}
+    for r in ss.brute_force_topk(e, q, k=10).collect():
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hit = sum(r["vec_id"] in exact_sets[r["q_id"]] for r in out)
+    assert hit / len(out) >= 0.3
+
+
 def test_ivf_assign_np_matches_expr(spark):
     """The broadcast-numpy assignment must bucket identically to the
     literal-expression form on the oracle-sized fixture (well-separated
