@@ -472,6 +472,158 @@ FROM r GROUP BY lang
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ composed ANN (trained quantizers end to end)
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS-shape ANN pipeline, every stage trained and
+    oracle-exact: kmeans coarse quantizer (ann_ivf_trained's params) for
+    the bucket prune, PQ codebooks (ann_pq_rerank's params) for the
+    in-bucket ADC scan, exact cosine re-rank to top-10
+    (operators.similarity_search.ivf_pq_topk)."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ss.train_ivf_centroids(e, **_TRAIN_PARAMS)
+    B = ss.train_pq_codebooks(e, **_PQ_PARAMS)
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ss.ivf_pq_topk(e, q, cents, B, k=10, nprobe=2, rerank=32)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ann_ivf_pq_sql() -> str:
+    """Compose the IVF (centroid literals + argmax assign + probes) and
+    PQ (codebook literals + encode + LUT + ADC) oracle machinery into
+    one SQL: candidates = ADC ranking inside probed buckets, final =
+    exact cosine re-rank. Every float path mirrors the kernels'
+    sequential folds."""
+    import numpy as np
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        train_ivf_centroids_local,
+        train_pq_codebooks_local,
+    )
+
+    path = f"{_oracle_sf_dir()}/embeddings.parquet"
+    C = train_ivf_centroids_local(path, **_TRAIN_PARAMS)
+    B = train_pq_codebooks_local(path, **_PQ_PARAMS)
+    m, ncode, sub = B.shape
+    cn2 = np.zeros((m, ncode))
+    for i in range(m):
+        for t in range(sub):
+            cn2[i] += B[i][:, t] * B[i][:, t]
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(C)
+    )
+    cb_lit = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in B[i][j]) + "]"
+            for j in range(ncode)
+        ) + "]"
+        for i in range(m)
+    ) + "]::DOUBLE[][][]"
+    cn2_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in cn2[i]) + "]" for i in range(m)
+    ) + "]::DOUBLE[][]"
+
+    def seqdot(xcol: str, i: int) -> str:
+        return (
+            f"list_reduce(list_transform(range({sub}), "
+            f"t -> {xcol}[{i * sub} + t + 1] * cb[{i + 1}][j + 1][t + 1]), "
+            "(a, b) -> a + b)"
+        )
+
+    d2_cols = ",\n         ".join(
+        f"list_transform(range({ncode}), "
+        f"j -> cn2[{i + 1}][j + 1] - 2 * {seqdot('xn', i)}) AS d2_{i}"
+        for i in range(m)
+    )
+    code_cols = ",\n         ".join(
+        f"list_position(d2_{i}, list_aggregate(d2_{i}, 'min')) AS c{i}"
+        for i in range(m)
+    )
+    lut_cols = ",\n         ".join(
+        f"list_transform(range({ncode}), j -> {seqdot('qn', i)}) AS lut{i}"
+        for i in range(m)
+    )
+    adc = " + ".join(f"q.lut{i}[c.c{i}]" for i in range(m))
+    norm_expr = (
+        "sqrt(list_reduce(list_transform({v}, x -> x::DOUBLE * x::DOUBLE),"
+        " (a, b) -> a + b))"
+    )
+
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES
+  {cent_rows}
+) AS t(cc_id, cv)),
+cblit AS (SELECT {cb_lit} AS cb, {cn2_lit} AS cn2),
+corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+-- coarse assignment: dot(v, c)/||c|| argmax, first-max tie-break
+assign0 AS (
+  SELECT c.vec_id, ct.cc_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, cc_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cc_id) AS rn FROM assign0
+) WHERE rn = 1),
+-- PQ encode of every corpus row
+cx AS (SELECT vec_id, v,
+              CASE WHEN {norm_expr.format(v='v')} = 0
+                   THEN list_transform(v, x -> x::DOUBLE)
+                   ELSE list_transform(v, x -> x::DOUBLE / {norm_expr.format(v='v')}) END AS xn
+       FROM corpus),
+cd2 AS (SELECT vec_id, v, xn,
+         {d2_cols}
+        FROM cx CROSS JOIN cblit),
+codes AS (SELECT vec_id, v,
+         {code_cols}
+          FROM cd2),
+-- queries: probes + ADC lookup tables
+q0 AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+probe0 AS (
+  SELECT q.q_id, ct.cc_id, {_cos_sql('q.qv', 'ct.cv')} AS sim
+  FROM q0 q CROSS JOIN cent ct
+),
+probes AS (SELECT q_id, cc_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cc_id) AS rn FROM probe0
+) WHERE rn <= 2),
+qx AS (SELECT q_id, qv,
+              CASE WHEN {norm_expr.format(v='qv')} = 0
+                   THEN list_transform(qv, x -> x::DOUBLE)
+                   ELSE list_transform(qv, x -> x::DOUBLE / {norm_expr.format(v='qv')}) END AS qn
+       FROM q0),
+qlut AS (SELECT q_id, qv,
+         {lut_cols}
+         FROM qx CROSS JOIN cblit),
+-- ADC scoring inside probed buckets only
+scored AS (
+  SELECT q.q_id, c.vec_id, q.qv, c.v, {adc} AS pq_score
+  FROM codes c
+  JOIN assign a USING (vec_id)
+  JOIN probes p ON p.cc_id = a.cc_id
+  JOIN qlut q ON q.q_id = p.q_id
+),
+cands AS (SELECT q_id, vec_id, qv, v FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pq_score DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 32),
+rer AS (
+  SELECT q_id, vec_id, ROUND({_cos_sql('qv', 'v')}, 6) AS cos_sim FROM cands
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)::BIGINT AS rk
+  FROM rer
+) WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-safe corpus split (dedup-aware train/val/test)
 # ---------------------------------------------------------------------------
 
@@ -547,6 +699,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": corpus_profile,
         "s10_pubmed_dim": s10_pubmed_dim,
         "s_go_dim": s_go_dim,
+        "ann_ivf_pq": ann_ivf_pq,
     }
 
 
@@ -565,6 +718,10 @@ def oracle_sql_r5() -> dict[str, str]:
         pass
     try:
         out["ann_pq_rerank"] = _ann_pq_sql()
+    except Exception:  # noqa: BLE001 — degrade to the rows-only check
+        pass
+    try:
+        out["ann_ivf_pq"] = _ann_ivf_pq_sql()
     except Exception:  # noqa: BLE001 — degrade to the rows-only check
         pass
     return out
