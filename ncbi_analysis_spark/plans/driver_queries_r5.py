@@ -471,6 +471,45 @@ FROM r GROUP BY lang
 """
 
 
+def corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard sink round-trip: documents + deterministic split
+    -> parquet partitioned by split with bounded records/file
+    (sinks.write_training_shards) -> read back through the partitioned
+    layout -> per-split totals. The oracle recomputes the same totals
+    from the source table with the split rule inlined, so a lossy write,
+    a dropped partition directory, or a split drift all hash-mismatch."""
+    import tempfile
+
+    from ncbi_analysis_spark.operators.scale import hash_split
+    from ncbi_analysis_spark.sources.sinks import write_training_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="shards_")
+    write_training_shards(hash_split(d, "doc_id"), out, ["split"],
+                          max_records_per_file=50)
+    back = spark.read.parquet(out)
+    return back.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+SHARD_ROUNDTRIP_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS sb
+  FROM documents
+)
+SELECT CASE WHEN sb < 980000 THEN 'train' WHEN sb < 990000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(doc_id)::BIGINT AS sum_doc_id,
+       COUNT(DISTINCT lang)::BIGINT AS n_langs
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ composed ANN (trained quantizers end to end)
 # ---------------------------------------------------------------------------
@@ -700,6 +739,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s10_pubmed_dim": s10_pubmed_dim,
         "s_go_dim": s_go_dim,
         "ann_ivf_pq": ann_ivf_pq,
+        "corpus_shard_roundtrip": corpus_shard_roundtrip,
     }
 
 
@@ -711,6 +751,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "corpus_profile": CORPUS_PROFILE_SQL,
         "s10_pubmed_dim": S10_SQL,
         "s_go_dim": S_GO_SQL,
+        "corpus_shard_roundtrip": SHARD_ROUNDTRIP_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()

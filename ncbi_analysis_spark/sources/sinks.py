@@ -26,6 +26,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    max_records_per_file: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus output layout: parquet partitioned by the given
+    columns (split/lang/source — one directory per value, the partition-
+    prune key for downstream consumers) with per-file record bounds.
+
+    ``maxRecordsPerFile`` is the 100 TB knob: without it a skewed
+    upstream task writes one multi-GB shard that straggles every
+    downstream reader; with it shard granularity is independent of the
+    upstream task layout. Combine with a prior
+    ``repartition(partition_cols)`` when many tasks would otherwise each
+    open a file per partition value (the small-files explosion)."""
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_by).parquet(path)
+
+
 def write_fasta(df: DataFrame, path: str, name: str = "name", start: str = "start",
                 end: str = "end", seq: str = "seq", mode: str = "overwrite") -> None:
     """S12: ``>name/start-end\\nSEQ`` records

@@ -107,3 +107,35 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     out2 = leakage_safe_split(df.repartition(7), "doc_id", comp,
                               {"train": 0.8, "val": 0.1, "test": 0.1})
     assert out.exceptAll(out2).count() == 0
+
+
+def test_write_training_shards_layout_and_file_bounds(spark, tmp_path):
+    """Partition directories per split value; maxRecordsPerFile bounds
+    every data file; read-back is lossless."""
+    import glob
+
+    from ncbi_analysis_spark.operators.scale import hash_split
+    from ncbi_analysis_spark.sources.sinks import write_training_shards
+
+    df = hash_split(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.2},
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df.repartition(1), out, ["split"], max_records_per_file=100)
+
+    import os
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=train", "split=val"]
+    for part in ("train", "val"):
+        n = df.filter(F.col("split") == part).count()
+        files = glob.glob(f"{out}/split={part}/*.parquet")
+        assert len(files) >= -(-n // 100)  # ceil: the bound held
+        for f in files:
+            import pyarrow.parquet as pq
+            assert pq.read_metadata(f).num_rows <= 100
+
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select(F.sum("doc_id")).collect()[0][0] == 499500
