@@ -471,6 +471,40 @@ FROM r GROUP BY lang
 """
 
 
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the top-10 heaviest join keys of
+    lineitem.l_suppkey with their share of total rows — the profile that
+    decides whether a key needs salting (operators.scale.salted_join) or
+    AQE skew splitting before a big join. One count aggregation + a
+    global top-k; the total is a driver scalar, not a single-partition
+    window."""
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    li = _t(spark, sf_dir, "lineitem")
+    total = li.count()
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    top = topk_per_group(
+        counts.withColumn("__g", F.lit(1)), ["__g"],
+        [F.desc("cnt"), F.asc("l_suppkey")], 10, rank_col="rk",
+    ).drop("__g")
+    return top.select(
+        "l_suppkey", "cnt",
+        (F.col("cnt") / F.lit(total)).alias("share"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+SKEW_PROFILE_SQL = """
+WITH c AS (SELECT l_suppkey, COUNT(*)::BIGINT AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT COUNT(*)::BIGINT AS total FROM lineitem),
+r AS (SELECT l_suppkey, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)::BIGINT AS rk
+      FROM c)
+SELECT l_suppkey, cnt, cnt / t.total AS share, rk
+FROM r CROSS JOIN t WHERE rk <= 10
+"""
+
+
 def corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard sink round-trip: documents + deterministic split
     -> parquet partitioned by split with bounded records/file
@@ -740,6 +774,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_go_dim": s_go_dim,
         "ann_ivf_pq": ann_ivf_pq,
         "corpus_shard_roundtrip": corpus_shard_roundtrip,
+        "skew_profile": skew_profile,
     }
 
 
@@ -752,6 +787,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "s10_pubmed_dim": S10_SQL,
         "s_go_dim": S_GO_SQL,
         "corpus_shard_roundtrip": SHARD_ROUNDTRIP_SQL,
+        "skew_profile": SKEW_PROFILE_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
