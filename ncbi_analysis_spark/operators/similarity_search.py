@@ -527,6 +527,96 @@ def train_ivf_centroids_local(
 
 
 # ---------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def random_projection_matrix(d_in: int, d_out: int, seed: int = 0):
+    """Seeded Gaussian projection matrix (d_in x d_out), scaled by
+    1/sqrt(d_out) so expected norms are preserved (the JL estimator).
+    Deterministic — the same floats regenerate anywhere, which is what
+    lets the DuckDB oracle embed them as literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((d_in, d_out)) / np.sqrt(d_out)
+
+
+def project_embeddings(
+    corpus: DataFrame,
+    d_out: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+    method: str = "np",
+) -> DataFrame:
+    """JL random projection of an embedding column to ``d_out`` dims —
+    the cheap pre-filter that shrinks ANN/cluster inputs (distances
+    preserved within (1±eps) at d_out ~ 8 ln n / eps^2) and the shuffle
+    bytes of everything downstream by d_out/d_in.
+
+    Pure map, no shuffle. Two physical forms with BIT-IDENTICAL output:
+    ``np`` (default — broadcast matrix, per-Arrow-batch accumulation
+    looping input dims in order) and ``expr`` (fold expressions, stays
+    JVM-side, the DuckDB-oracle twin). Both accumulate in input-dim
+    order in float64, so they and the oracle's list_reduce agree
+    bit-for-bit.
+
+    Output: ``(id_col, proj array<double>)``.
+    """
+    import numpy as np
+
+    first = corpus.select(vec).first()
+    if first is None:
+        d_in = 0
+    else:
+        d_in = len(first[0])
+    R = random_projection_matrix(d_in, d_out, seed)
+
+    if method == "expr":
+        cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.transform(F.col(vec), lambda x: x.cast("double")),
+                    F.array(*[F.lit(float(R[t][j])) for t in range(d_in)]),
+                    lambda x, r: x * r,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(d_out)
+        ]
+        return corpus.select(F.col(id_col), F.array(*cols).alias("proj"))
+    if method != "np":
+        raise ValueError(f"unknown project_embeddings method: {method!r}")
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = corpus.sparkSession.sparkContext.broadcast(R)
+    fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType([
+        T.StructField(id_col, fields[id_col].dataType),
+        T.StructField("proj", T.ArrayType(T.DoubleType())),
+    ])
+
+    def gen(batches):
+        R_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec]), dtype=np.float64)
+            out = np.zeros((len(X), R_.shape[1]))
+            # input-dim-order accumulation: bit-identical to the expr
+            # form's sequential fold (and the oracle's list_reduce)
+            for t in range(R_.shape[0]):
+                out += X[:, t, None] * R_[None, t, :]
+            yield pd.DataFrame({id_col: pdf[id_col], "proj": list(out)})
+
+    return corpus.select(id_col, vec).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ): compressed-domain ANN
 # ---------------------------------------------------------------------------
 

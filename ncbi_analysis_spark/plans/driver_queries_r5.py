@@ -3,13 +3,14 @@ quantizer the round-4 verdict called the one missing piece of the ANN
 story), plus enrichment-dimension fixture round-trips (S8/S9 moving from
 pytest-only to driver-oracled).
 
-Oracle strategy for the trained variant: kmeans is not SQL-expressible,
-but it IS deterministic — the trainer runs on a stable md5-ordered sample
-with a seeded numpy kernel, so ``train_ivf_centroids_local`` (pyarrow, no
-Spark) re-derives bit-identical centroids at oracle-SQL *generation* time
-and embeds them as DOUBLE[] literals in the otherwise-standard IVF SQL.
-Python ``repr`` of a float64 round-trips through DuckDB's decimal parser,
-so the literals are the exact same binary64 values the Spark plan holds.
+Oracle strategy for the trained variants: kmeans/PQ training is not
+SQL-expressible, but it IS deterministic — the trainers run on a stable
+md5-ordered sample with seeded numpy kernels, so the ``*_local`` twins
+(pyarrow, no Spark) re-derive bit-identical model floats at oracle-SQL
+*generation* time and embed them as literals. Literals use the ``_dlit``
+mantissa-x-2^e encoding because DuckDB's decimal parser is off by one
+ulp for ~10% of shortest-repr doubles (measured on this build) — an
+exact BIGINT cast times an exact power of two parses bit-exactly.
 """
 
 from __future__ import annotations
@@ -33,6 +34,22 @@ def _oracle_sf_dir() -> str:
 
 
 _TRAIN_PARAMS = dict(k=8, sample_cap=2048, n_iter=8, seed=7)
+
+
+def _dlit(x) -> str:
+    """DOUBLE literal DuckDB parses bit-exactly. Its decimal parser is
+    off by one ulp for ~10% of shortest-repr doubles (measured), so
+    trained floats are emitted as mantissa x 2^e via frexp — an exact
+    BIGINT->DOUBLE cast times an exact power of two."""
+    import math
+
+    x = float(x)
+    if x == 0.0:
+        return "0.0"
+    if not math.isfinite(x):
+        raise ValueError(f"non-finite literal: {x}")
+    m, e = math.frexp(x)
+    return f"({int(m * (1 << 53))}::DOUBLE * pow(2.0, {e - 53}))"
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +100,7 @@ def _ann_ivf_trained_sql() -> str:
         f"{_oracle_sf_dir()}/embeddings.parquet", **_TRAIN_PARAMS
     )
     rows = ",\n  ".join(
-        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        f"({i}, [{', '.join(_dlit(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(C)
     )
     return f"""
@@ -255,13 +272,13 @@ def _ann_pq_sql() -> str:
 
     cb_lit = "[" + ", ".join(
         "[" + ", ".join(
-            "[" + ", ".join(repr(float(x)) for x in B[i][j]) + "]"
+            "[" + ", ".join(_dlit(x) for x in B[i][j]) + "]"
             for j in range(ncode)
         ) + "]"
         for i in range(m)
     ) + "]::DOUBLE[][][]"
     cn2_lit = "[" + ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in cn2[i]) + "]" for i in range(m)
+        "[" + ", ".join(_dlit(x) for x in cn2[i]) + "]" for i in range(m)
     ) + "]::DOUBLE[][]"
 
     def seqdot(xcol: str, i: int) -> str:
@@ -471,6 +488,50 @@ FROM r GROUP BY lang
 """
 
 
+_PROJ_PARAMS = dict(d_out=16, seed=11)
+
+
+def embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the embeddings table to 16 dims
+    (operators.similarity_search.project_embeddings, numpy path),
+    exploded to (vec_id, j, val) scalars. The oracle embeds the seeded
+    projection matrix as literals and mirrors the input-dim-order fold,
+    so every projected coordinate matches bit-for-bit."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf_dir, "embeddings")
+    proj = ss.project_embeddings(e, **_PROJ_PARAMS)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "val")
+    ).withColumn("j", F.col("j").cast("long"))
+
+
+def _embedding_project_sql() -> str:
+    import pyarrow.parquet as pq
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        random_projection_matrix,
+    )
+
+    t = pq.read_table(f"{_oracle_sf_dir()}/embeddings.parquet",
+                      columns=["embedding"])
+    d_in = len(t["embedding"][0])
+    R = random_projection_matrix(d_in, _PROJ_PARAMS["d_out"], _PROJ_PARAMS["seed"])
+    r_lit = "[" + ", ".join(
+        "[" + ", ".join(_dlit(x) for x in R[t_]) + "]" for t_ in range(d_in)
+    ) + "]::DOUBLE[][]"
+    d_out = _PROJ_PARAMS["d_out"]
+    return f"""
+WITH rlit AS (SELECT {r_lit} AS R)
+SELECT vec_id, j::BIGINT AS j,
+       list_reduce(list_transform(range({d_in}),
+                   t -> embedding[t + 1]::DOUBLE * R[t + 1][j + 1]),
+                   (a, b) -> a + b) AS val
+FROM embeddings CROSS JOIN rlit,
+     LATERAL (SELECT UNNEST(range({d_out})) AS j) idx
+"""
+
+
 def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: the top-10 heaviest join keys of
     lineitem.l_suppkey with their share of total rows — the profile that
@@ -588,18 +649,18 @@ def _ann_ivf_pq_sql() -> str:
             cn2[i] += B[i][:, t] * B[i][:, t]
 
     cent_rows = ",\n  ".join(
-        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        f"({i}, [{', '.join(_dlit(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(C)
     )
     cb_lit = "[" + ", ".join(
         "[" + ", ".join(
-            "[" + ", ".join(repr(float(x)) for x in B[i][j]) + "]"
+            "[" + ", ".join(_dlit(x) for x in B[i][j]) + "]"
             for j in range(ncode)
         ) + "]"
         for i in range(m)
     ) + "]::DOUBLE[][][]"
     cn2_lit = "[" + ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in cn2[i]) + "]" for i in range(m)
+        "[" + ", ".join(_dlit(x) for x in cn2[i]) + "]" for i in range(m)
     ) + "]::DOUBLE[][]"
 
     def seqdot(xcol: str, i: int) -> str:
@@ -775,6 +836,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": ann_ivf_pq,
         "corpus_shard_roundtrip": corpus_shard_roundtrip,
         "skew_profile": skew_profile,
+        "embedding_project": embedding_project,
     }
 
 
@@ -799,6 +861,10 @@ def oracle_sql_r5() -> dict[str, str]:
         pass
     try:
         out["ann_ivf_pq"] = _ann_ivf_pq_sql()
+    except Exception:  # noqa: BLE001 — degrade to the rows-only check
+        pass
+    try:
+        out["embedding_project"] = _embedding_project_sql()
     except Exception:  # noqa: BLE001 — degrade to the rows-only check
         pass
     return out
