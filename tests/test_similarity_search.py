@@ -170,6 +170,22 @@ def test_pq_topk_with_rerank_recall(spark):
     assert all(qid in by_q[qid] for qid in by_q)
 
 
+def test_project_embeddings_paths_bit_identical(spark):
+    """The numpy and expression forms of the JL projection must agree
+    bit-for-bit (both accumulate in input-dim order in float64) — the
+    property the generated DuckDB oracle relies on."""
+    e = _emb(spark, n=100, dim=16)
+    a = sorted((r["vec_id"], tuple(r["proj"])) for r in
+               ss.project_embeddings(e, 4, seed=3, method="np").collect())
+    b = sorted((r["vec_id"], tuple(r["proj"])) for r in
+               ss.project_embeddings(e, 4, seed=3, method="expr").collect())
+    assert a == b
+    # deterministic across runs and repartitioning
+    c = sorted((r["vec_id"], tuple(r["proj"])) for r in
+               ss.project_embeddings(e.repartition(7), 4, seed=3).collect())
+    assert a == c
+
+
 def test_ivf_pq_topk_end_to_end(spark):
     """The composed IVF-PQ pipeline: candidates only come from probed
     buckets, the exact re-rank puts each query's own row at rank 1, and
