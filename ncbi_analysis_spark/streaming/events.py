@@ -218,6 +218,89 @@ def suppress_local_max_stream(
     )
 
 
+TOPK_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("window_start", T.TimestampType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("rk", T.LongType()),
+])
+
+_TOPK_STATE = T.StructType([
+    T.StructField("ws_us", T.ArrayType(T.LongType())),
+    T.StructField("eids", T.ArrayType(T.LongType())),
+    T.StructField("vals", T.ArrayType(T.DoubleType())),
+])
+
+
+def windowed_topk_stream(
+    stream: DataFrame,
+    window: str = "1 hour",
+    k: int = 3,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of W1 per-group top-k, per epoch-aligned tumbling
+    window: when the watermark closes a window, emit that window's top-k
+    events by value per event_type (ties broken by event_id ascending —
+    the batch row_number order exactly).
+
+    State per key is bounded by k x open-windows: candidates are pruned
+    to the window top-k on every batch (top-k merges losslessly, so
+    incremental truncation never changes the final answer).
+    """
+    win_us = int(pd.Timedelta(window).total_seconds() * 1_000_000)
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        cand: dict[int, list[tuple[float, int]]] = {}
+        if state.exists:
+            ws_l, id_l, v_l = state.get
+            for w, i, v in zip(ws_l, id_l, v_l):
+                cand.setdefault(int(w), []).append((float(v), int(i)))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                for t, v, eid in zip(pd.to_datetime(pdf["ts"]), pdf["value"], pdf["event_id"]):
+                    ts_us = int(t.value // 1000)
+                    w = ts_us // win_us * win_us
+                    cand.setdefault(w, []).append((float(v), int(eid)))
+        for w in cand:
+            cand[w] = sorted(cand[w], key=lambda p: (-p[0], p[1]))[:k]
+
+        out = []
+        for w in sorted(cand):
+            if w + win_us <= wm_us:
+                for rk, (v, eid) in enumerate(cand[w], start=1):
+                    out.append((etype, pd.Timestamp(w, unit="us"), eid, v, rk))
+        open_ws = {w: c for w, c in cand.items() if w + win_us > wm_us}
+
+        if open_ws:
+            ws_l, id_l, v_l = [], [], []
+            for w, lst in open_ws.items():
+                for v, eid in lst:
+                    ws_l.append(w)
+                    id_l.append(eid)
+                    v_l.append(v)
+            state.update((ws_l, id_l, v_l))
+            fire_ms = max(min(open_ws) + win_us, wm_us) // 1000 + 1
+            state.setTimeoutTimestamp(fire_ms)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "window_start", "event_id", "value", "rk"]
+            )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn, TOPK_SCHEMA, _TOPK_STATE, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -165,6 +165,48 @@ def test_suppress_local_max_stream_matches_batch(spark, stream_dir):
     assert guaranteed <= got, f"missing decided survivors: {sorted(guaranteed - got)[:5]}"
 
 
+def test_windowed_topk_stream_matches_batch(spark, stream_dir):
+    """Streaming per-window top-k must agree with the batch window +
+    row_number formulation on every window the final watermark closes,
+    and emit nothing the batch form doesn't contain."""
+    stream = sev.read_event_stream(spark, stream_dir)
+    out = sev.windowed_topk_stream(stream, window="30 minutes", k=3,
+                                   watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName("w1_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["s"], r["event_id"], r["rk"])
+        for r in spark.sql(
+            "select event_type, unix_micros(window_start) s, event_id, rk "
+            "from w1_stream"
+        ).collect()
+    }
+    assert len(got) > 0
+
+    from pyspark.sql import Window
+
+    win_us = 30 * 60 * 1_000_000
+    batch = read_events(spark, SF_DIR).withColumn("ts_us", F.unix_micros("ts"))
+    max_ts_us = batch.agg(F.max("ts_us")).collect()[0][0]
+    w = Window.partitionBy("event_type", "ws").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    want_rows = (
+        batch.withColumn("ws", F.expr(f"ts_us div {win_us} * {win_us}"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "ws", "event_id", "rk")
+        .collect()
+    )
+    want = {(r["event_type"], r["ws"], r["event_id"], r["rk"]) for r in want_rows}
+    assert got <= want, f"stream emitted non-batch rows: {sorted(got - want)[:5]}"
+    final_wm = max_ts_us - 60 * 1_000_000
+    guaranteed = {x for x in want if x[1] + win_us <= final_wm}
+    assert guaranteed <= got, f"missing closed windows: {sorted(guaranteed - got)[:5]}"
+
+
 @pytest.mark.parametrize("layout", ["ntz_us", "ns"])
 def test_event_ts_layouts_normalize(spark, tmp_path, layout):
     """Both physical ts layouts the driver has shipped (TIMESTAMP_NTZ
