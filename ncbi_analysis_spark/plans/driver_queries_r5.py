@@ -488,6 +488,63 @@ FROM r GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming through the oracle gate (bounded availableNow run)
+# ---------------------------------------------------------------------------
+
+_stream_q_seq = 0
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming engine, driver-oracle-checked: the
+    events parquet replayed as a file stream through watermarked
+    tumbling-window aggregation (streaming.events.windowed_event_counts)
+    with an availableNow trigger — a bounded run whose emitted set is
+    deterministic (append mode emits exactly the windows the final
+    watermark closes). The oracle recomputes those closed windows
+    relationally: watermark = max event time (ms floor) - delay, window
+    closed iff window_end <= watermark."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_wc_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_wc_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    out = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("ws_us"),
+        "event_type", "cnt", "sum_value",
+    )
+
+
+STREAM_WC_SQL = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events),
+wm AS (SELECT (mt // 1000 - 60000) * 1000 AS wm_us FROM mx),
+w AS (SELECT epoch_us(ts) // 3600000000 * 3600000000 AS ws_us, event_type, value
+      FROM events)
+SELECT ws_us, event_type,
+       COUNT(*)::BIGINT AS cnt,
+       SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+FROM w CROSS JOIN wm
+WHERE ws_us + 3600000000 <= wm_us
+GROUP BY ws_us, event_type
+"""
+
+
 _PROJ_PARAMS = dict(d_out=16, seed=11)
 
 
@@ -837,6 +894,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shard_roundtrip": corpus_shard_roundtrip,
         "skew_profile": skew_profile,
         "embedding_project": embedding_project,
+        "stream_windowed_counts": stream_windowed_counts,
     }
 
 
@@ -850,6 +908,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "s_go_dim": S_GO_SQL,
         "corpus_shard_roundtrip": SHARD_ROUNDTRIP_SQL,
         "skew_profile": SKEW_PROFILE_SQL,
+        "stream_windowed_counts": STREAM_WC_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
