@@ -531,6 +531,45 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup through the oracle gate: the events parquet
+    staged TWICE in the stream directory (a replayed/duplicated feed —
+    the at-least-once delivery case), watermarked dropDuplicates
+    emitting each event exactly once. Oracle: the distinct event set."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        streaming_dedup,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_dd_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_dd_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_b.parquet")
+    stream = read_event_stream(spark, d)
+    dd = streaming_dedup(stream, ["event_id"])
+    q = (
+        dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+STREAM_DD_SQL = """
+SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
+
+
 STREAM_WC_SQL = """
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events),
 wm AS (SELECT (mt // 1000 - 60000) * 1000 AS wm_us FROM mx),
@@ -895,6 +934,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": skew_profile,
         "embedding_project": embedding_project,
         "stream_windowed_counts": stream_windowed_counts,
+        "stream_dedup_replay": stream_dedup_replay,
     }
 
 
@@ -909,6 +949,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "corpus_shard_roundtrip": SHARD_ROUNDTRIP_SQL,
         "skew_profile": SKEW_PROFILE_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
+        "stream_dedup_replay": STREAM_DD_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
