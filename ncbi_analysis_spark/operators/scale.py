@@ -148,6 +148,36 @@ def sample_by_hash(
     return df.filter(bucket < int(rate * granularity))
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Per-group deterministic sampling — the corpus-mixer primitive
+    ("keep 100% of wiki, 30% of web, 5% of common-crawl"): each row's
+    md5 bucket of its id is compared against its GROUP's rate. Same
+    rerun/retry stability as sample_by_hash; pure map, no shuffle;
+    groups absent from ``rates`` get ``default_rate``.
+    """
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    bucket = _hash32(F.col(id_col).cast("string"), salt) % granularity
+    expr = None
+    for g, r in rates.items():
+        thr = F.lit(int(r * granularity))
+        cond = F.col(group_col) == g
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    thr_col = (
+        F.lit(int(default_rate * granularity)) if expr is None
+        else expr.otherwise(F.lit(int(default_rate * granularity)))
+    )
+    return df.filter(bucket < thr_col)
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -628,6 +628,32 @@ FROM embeddings CROSS JOIN rlit,
 """
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixer stratified sampling: keep 100% of src0, 40% of src1,
+    10% of src2, 2% of everything else — per-group md5-bucket rates
+    (operators.scale.stratified_sample), deterministic and retry-stable.
+    Returns the surviving (doc_id, source) rows."""
+    from ncbi_analysis_spark.operators.scale import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.4, "src2": 0.1},
+        "doc_id", default_rate=0.02,
+    )
+
+
+MIXTURE_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS bk
+  FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bk < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 400000
+                       WHEN 'src2' THEN 100000 ELSE 20000 END
+"""
+
+
 def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: the top-10 heaviest join keys of
     lineitem.l_suppkey with their share of total rows — the profile that
@@ -935,6 +961,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": embedding_project,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_replay": stream_dedup_replay,
+        "mixture_sample": mixture_sample,
     }
 
 
@@ -950,6 +977,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "skew_profile": SKEW_PROFILE_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_replay": STREAM_DD_SQL,
+        "mixture_sample": MIXTURE_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
