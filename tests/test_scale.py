@@ -139,3 +139,23 @@ def test_write_training_shards_layout_and_file_bounds(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.select(F.sum("doc_id")).collect()[0][0] == 499500
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    from ncbi_analysis_spark.operators.scale import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)], ["doc_id", "g"]
+    )
+    out = stratified_sample(df, "g", {"a": 1.0, "b": 0.1}, "doc_id")
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts["a"] == 2000  # rate 1.0 keeps everything
+    assert abs(counts.get("b", 0) / 2000 - 0.1) < 0.03
+    # unknown groups get default_rate (0 -> dropped entirely)
+    df2 = spark.createDataFrame([(1, "zzz")], ["doc_id", "g"])
+    assert stratified_sample(df2, "g", {"a": 1.0}, "doc_id").count() == 0
+    # retry/partition stability
+    out2 = stratified_sample(df.repartition(7), "g", {"a": 1.0, "b": 0.1}, "doc_id")
+    assert out.exceptAll(out2).count() == 0
+    # pure map: no exchange
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
