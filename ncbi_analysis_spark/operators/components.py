@@ -23,8 +23,9 @@ Scale posture (100 TB corpus):
   whole history at each action (the standard Spark iterative-algorithm
   discipline; on a cluster use ``checkpoint`` to reliable storage for
   fault tolerance instead).
-- The fixpoint test is one count on the checkpointed labels per round
-  (a scalar to the driver, not data).
+- The fixpoint test is an observe() aggregate riding the checkpoint's
+  own materializing job (a scalar to the driver, no extra join or scan
+  per round).
 - Near-dup components are overwhelmingly tiny — the generators cap hot
   buckets (``max_band_freq``/``max_shingle_freq``) precisely so no
   quadratic mega-component exists — so rounds ~= log(max diameter),
@@ -81,6 +82,8 @@ def connected_components(
                 .withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # min label among neighbors
         nbr = (
@@ -92,6 +95,7 @@ def connected_components(
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
@@ -101,16 +105,20 @@ def connected_components(
             prop.join(parent, "label", "left")
             .select(
                 "id",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("parent_label", "label")).alias("label"),
             )
         )
+        # fixpoint test rides the SAME job as the checkpoint: the old
+        # label is threaded through the round so `changed` is an
+        # observe() aggregate of the materializing action — the previous
+        # formulation paid an extra join + count scan per round
+        obs = Observation()
+        jumped = jumped.observe(
+            obs, F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
+        ).select("id", "label")
         jumped = jumped.localCheckpoint(eager=True)
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = obs.get["n"] or 0
         # The previous round's label checkpoint is dead once `changed`
         # has been computed from it; without an explicit unpersist every
         # round's blocks accrete in the block manager until the session's
