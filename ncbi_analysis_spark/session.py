@@ -44,6 +44,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # explicit scan-split size: with ~4-8 concurrent tasks per
+        # executor core and wide text/media columns, 128 MiB splits keep
+        # a partition's decompressed batch well inside executor memory
+        # at 100 TB; raise only for narrow all-numeric scans
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/ncbi-analysis-warehouse"))
