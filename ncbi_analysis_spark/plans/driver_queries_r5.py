@@ -383,6 +383,39 @@ FROM blocks
 """
 
 
+def s7_nuccore_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: NCBI nuccore viewer snapshot pages -> (accession, uid) dim
+    (sources.enrichment.nuccore_uid_dim; reference
+    data_download_util.read_uid — line-7 meta-tag parse). Fixture covers
+    a uid-bearing page, a page whose line 7 lacks the uid tag (null),
+    and a short redirect page (null)."""
+    from ncbi_analysis_spark.sources.enrichment import nuccore_uid_dim
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s7_nuccore.jsonl")
+    return nuccore_uid_dim(pages.select("key", "page"))
+
+
+S7_SQL = rf"""
+WITH p AS (SELECT key AS accession, page
+           FROM read_ndjson_auto('{_FIXTURES}/driver_s7_nuccore.jsonl')),
+ls AS (SELECT accession, string_split(page, chr(10)) AS lns FROM p),
+ln AS (SELECT accession,
+              CASE WHEN len(lns) >= 7 THEN trim(lns[7]) END AS line7
+       FROM ls),
+f0 AS (SELECT accession, string_split(line7, '/>') AS fr
+       FROM ln WHERE line7 IS NOT NULL),
+fr AS (SELECT accession, trim(UNNEST(fr[1:len(fr)-1])) AS frag FROM f0),
+tok AS (SELECT accession, string_split(frag, ' ') AS ts FROM fr),
+kv AS (SELECT accession,
+              trim(string_split(ts[2], '=')[2], '"') AS name,
+              trim(string_split(ts[3], '=')[2], '"') AS content
+       FROM tok WHERE len(ts) = 3),
+uid AS (SELECT accession, MAX(content) AS uid FROM kv
+        WHERE name = 'ncbi_uidlist' GROUP BY accession)
+SELECT p.accession, uid.uid FROM p LEFT JOIN uid USING (accession)
+"""
+
+
 def s10_pubmed_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: PubMed search snapshot pages -> (gene, keyword, count_raw,
     n_results) literature-count dim (sources.enrichment.pubmed_count_dim;
@@ -953,6 +986,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": leakage_safe_split,
         "ann_pq_rerank": ann_pq_rerank,
         "corpus_profile": corpus_profile,
+        "s7_nuccore_dim": s7_nuccore_dim,
         "s10_pubmed_dim": s10_pubmed_dim,
         "s_go_dim": s_go_dim,
         "ann_ivf_pq": ann_ivf_pq,
@@ -971,6 +1005,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "s9_kegg_dim": S9_SQL,
         "leakage_safe_split": _leakage_split_sql(),
         "corpus_profile": CORPUS_PROFILE_SQL,
+        "s7_nuccore_dim": S7_SQL,
         "s10_pubmed_dim": S10_SQL,
         "s_go_dim": S_GO_SQL,
         "corpus_shard_roundtrip": SHARD_ROUNDTRIP_SQL,

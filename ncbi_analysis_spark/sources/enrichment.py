@@ -88,6 +88,44 @@ def extract_ecocyc_id(html: str, gene_name: str | None = None) -> str | None:
     return p.found
 
 
+def extract_nuccore_uid(html: str) -> str | None:
+    """S7: the nuccore uid from an NCBI viewer page — line 7 of the page
+    holds ``<meta name="..." content="..." />`` tags; split on '/>' (last
+    fragment dropped), parse each tag's name/content, return the
+    ``ncbi_uidlist`` value (reference data_download_util.py:33-40,
+    line-for-line: readlines()[6], split('/>')[:-1], the 3-token
+    meta/name/content split). None when the page is too short or the
+    uid tag is absent."""
+    lines = html.splitlines()
+    if len(lines) < 7:
+        return None
+    dic: dict[str, str] = {}
+    for data in lines[6].strip().split("/>")[:-1]:
+        parts = data.strip().split(" ")
+        if len(parts) != 3:
+            continue
+        _, name, content = parts
+        name, content = [x.strip().split("=")[1].strip('"') for x in (name, content)]
+        dic[name] = content
+    return dic.get("ncbi_uidlist")
+
+
+NUCCORE_DIM_SCHEMA = T.StructType([
+    T.StructField("accession", T.StringType()),
+    T.StructField("uid", T.StringType()),
+])
+
+
+def nuccore_uid_dim(pages: DataFrame) -> DataFrame:
+    """(key=accession, page=viewer html) -> (accession, uid) — the
+    accession->uid resolution table S7's downloader builds before
+    fetching GenBank text (snapshot-ingestion model)."""
+    return _map_pages(
+        pages, NUCCORE_DIM_SCHEMA,
+        lambda k, p: [{"accession": k, "uid": extract_nuccore_uid(p)}],
+    )
+
+
 def extract_pubmed_count(html: str) -> str:
     """S10: result count from a PubMed search page — the line after the
     ``results-amount`` div marker: 'No results were found' -> "0",

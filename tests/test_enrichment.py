@@ -123,3 +123,14 @@ def test_pubmed_count_dim(spark):
     r = enr.pubmed_count_dim(pages).collect()[0]
     assert (r["gene"], r["keyword"], r["count_raw"], r["n_results"]) == (
         "gyrA", "drug", "12", 12)
+
+
+def test_extract_nuccore_uid():
+    good = "\n".join(["<html>", "<head>", "<t>", "<!-- -->", "<l />", "<s>",
+                      '<meta name="ncbi_db" content="nuccore" />'
+                      '<meta name="ncbi_uidlist" content="556503834" />',
+                      "<body>"])
+    assert enr.extract_nuccore_uid(good) == "556503834"
+    assert enr.extract_nuccore_uid("<html><body>short</body></html>") is None
+    no_uid = good.replace('name="ncbi_uidlist"', 'name="other"')
+    assert enr.extract_nuccore_uid(no_uid) is None
