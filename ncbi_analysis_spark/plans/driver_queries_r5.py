@@ -603,6 +603,73 @@ FROM events
 """
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    sessionizer) through the oracle gate: a bounded availableNow run
+    emits (a) every session closed by a later event of the same user and
+    (b) final sessions whose gap timeout the final watermark passes —
+    both relationally derivable, so the emitted set is deterministic and
+    the oracle recomputes it with the gaps-and-islands form plus the
+    timeout filter."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        sessionize,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_sess_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    sess = sessionize(stream, gap="10 minutes", watermark="1 minute")
+    q = (
+        sess.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+        "n_events",
+    )
+
+
+STREAM_SESS_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+mx AS (SELECT MAX(tsu) // 1000 - 60000 AS wm_ms FROM e),
+f AS (
+  SELECT user_id, tsu,
+         CASE WHEN LAG(tsu) OVER w IS NULL
+                OR tsu - LAG(tsu) OVER w > 600000000 THEN 1 ELSE 0 END AS ns
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+s AS (
+  SELECT user_id, tsu,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM f
+),
+agg AS (
+  SELECT user_id, session_no, MIN(tsu)::BIGINT AS s_us,
+         MAX(tsu)::BIGINT AS e_us, COUNT(*)::BIGINT AS n_events
+  FROM s GROUP BY user_id, session_no
+),
+marked AS (
+  SELECT a.*, MAX(session_no) OVER (PARTITION BY user_id) AS max_no
+  FROM agg a
+)
+SELECT user_id, s_us, e_us, n_events
+FROM marked CROSS JOIN mx
+WHERE session_no < max_no OR (e_us // 1000 + 600000) < wm_ms
+"""
+
+
 STREAM_WC_SQL = """
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events),
 wm AS (SELECT (mt // 1000 - 60000) * 1000 AS wm_us FROM mx),
@@ -995,6 +1062,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_project": embedding_project,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_replay": stream_dedup_replay,
+        "stream_sessions": stream_sessions,
         "mixture_sample": mixture_sample,
     }
 
@@ -1012,6 +1080,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "skew_profile": SKEW_PROFILE_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_replay": STREAM_DD_SQL,
+        "stream_sessions": STREAM_SESS_SQL,
         "mixture_sample": MIXTURE_SQL,
     }
     try:
