@@ -670,6 +670,99 @@ WHERE session_no < max_no OR (e_us // 1000 + 600000) < wm_ms
 """
 
 
+def stream_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming W2 local-max suppression through the gate: the bounded
+    run decides exactly the events whose ±distance window the final
+    watermark closes; emitted = batch survivors among the decided set."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        suppress_local_max_stream,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_lm_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_lm_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    out = suppress_local_max_stream(stream, distance="5 minutes",
+                                    watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type", "event_id", F.unix_micros("ts").alias("ts_us"), "value",
+    )
+
+
+STREAM_LM_SQL = """
+WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE value > 0),
+mx AS (SELECT (MAX(ts_us) // 1000 - 60000) * 1000 AS wm_us FROM e),
+m AS (
+  SELECT *, MAX(value) OVER (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN 300000000 PRECEDING AND 300000000 FOLLOWING) AS lm
+  FROM e
+)
+SELECT event_type, event_id, ts_us, value
+FROM m CROSS JOIN mx
+WHERE value >= lm AND ts_us + 300000000 < wm_us
+"""
+
+
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming W1 per-window top-k through the gate: emitted = the
+    top-3 per (event_type, 30-minute window) for every window the final
+    watermark closes."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        windowed_topk_stream,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_tk_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_tk_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    stream = read_event_stream(spark, d)
+    out = windowed_topk_stream(stream, window="30 minutes", k=3,
+                               watermark="1 minute")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "event_type", F.unix_micros("window_start").alias("ws_us"),
+        "event_id", "value", "rk",
+    )
+
+
+STREAM_TK_SQL = """
+WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us, value FROM events),
+mx AS (SELECT (MAX(ts_us) // 1000 - 60000) * 1000 AS wm_us FROM e),
+w AS (SELECT event_type, event_id, value,
+             ts_us // 1800000000 * 1800000000 AS ws_us
+      FROM e),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, ws_us
+                ORDER BY value DESC, event_id)::BIGINT AS rk
+      FROM w)
+SELECT event_type, ws_us, event_id, value, rk
+FROM r CROSS JOIN mx
+WHERE rk <= 3 AND ws_us + 1800000000 <= wm_us
+"""
+
+
 STREAM_WC_SQL = """
 WITH mx AS (SELECT MAX(epoch_us(ts)) AS mt FROM events),
 wm AS (SELECT (mt // 1000 - 60000) * 1000 AS wm_us FROM mx),
@@ -1063,6 +1156,8 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_replay": stream_dedup_replay,
         "stream_sessions": stream_sessions,
+        "stream_local_max": stream_local_max,
+        "stream_window_topk": stream_window_topk,
         "mixture_sample": mixture_sample,
     }
 
@@ -1081,6 +1176,8 @@ def oracle_sql_r5() -> dict[str, str]:
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_replay": STREAM_DD_SQL,
         "stream_sessions": STREAM_SESS_SQL,
+        "stream_local_max": STREAM_LM_SQL,
+        "stream_window_topk": STREAM_TK_SQL,
         "mixture_sample": MIXTURE_SQL,
     }
     try:
