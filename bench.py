@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ann_ivf",
     "ann_ivf_trained",
     "ann_pq_rerank",
+    "stream_windowed_counts",
 ]
 
 
@@ -220,6 +221,7 @@ BASELINE = {
     "ann_ivf": (2.261, 3), "ann_ivf_search": (1.479, 3),
     # added in r05 (min-of-3 at introduction)
     "ann_ivf_trained": (3.405, 5), "ann_pq_rerank": (1.709, 5),
+    "stream_windowed_counts": (2.216, 5),
 }
 
 
