@@ -65,3 +65,45 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+def token_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-rarity quality signals from corpus-wide
+    document frequencies — integer-exact (no log), so the DuckDB oracle
+    matches bit-for-bit:
+
+    - ``n_tok``       distinct lowercased tokens in the document
+    - ``sum_df``      sum of each distinct token's corpus df
+    - ``mean_df``     sum_df / n_tok (double; one exact int division)
+    - ``hapax_frac``  fraction of the doc's distinct tokens that occur
+                      in no other document (df == 1)
+
+    Low mean_df / high hapax_frac flags gibberish or OCR noise; high
+    mean_df flags boilerplate. Scale: one (doc, token)-distinct shuffle
+    + a vocabulary-sized df aggregation joined back (AQE broadcasts it
+    when small), then one doc-keyed aggregation.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tdf"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("tdf").cast("long").alias("sum_df"),
+            F.sum((F.col("tdf") == 1).cast("long")).cast("long").alias("n_hapax"),
+        )
+        .select(
+            id_col, "n_tok", "sum_df",
+            (F.col("sum_df") / F.col("n_tok")).alias("mean_df"),
+            (F.col("n_hapax") / F.col("n_tok")).alias("hapax_frac"),
+        )
+    )

@@ -821,6 +821,34 @@ FROM embeddings CROSS JOIN rlit,
 """
 
 
+def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-rarity quality signals over documents
+    (operators.terms.token_rarity): per-doc distinct-token count, summed
+    corpus df, mean df, and hapax fraction — integer-exact arithmetic
+    end to end."""
+    from ncbi_analysis_spark.operators.terms import token_rarity
+
+    return token_rarity(_t(spark, sf_dir, "documents"))
+
+
+TOKEN_RARITY_SQL = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok != ''
+),
+dfreq AS (SELECT tok, COUNT(*)::BIGINT AS tdf FROM toks GROUP BY tok)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tok,
+       SUM(tdf)::BIGINT AS sum_df,
+       SUM(tdf)::BIGINT / COUNT(*)::BIGINT AS mean_df,
+       SUM(CASE WHEN tdf = 1 THEN 1 ELSE 0 END)::BIGINT / COUNT(*)::BIGINT AS hapax_frac
+FROM toks JOIN dfreq USING (tok)
+GROUP BY doc_id
+"""
+
+
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixer stratified sampling: keep 100% of src0, 40% of src1,
     10% of src2, 2% of everything else — per-group md5-bucket rates
@@ -1159,6 +1187,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_local_max": stream_local_max,
         "stream_window_topk": stream_window_topk,
         "mixture_sample": mixture_sample,
+        "token_rarity": token_rarity_q,
     }
 
 
@@ -1179,6 +1208,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "stream_local_max": STREAM_LM_SQL,
         "stream_window_topk": STREAM_TK_SQL,
         "mixture_sample": MIXTURE_SQL,
+        "token_rarity": TOKEN_RARITY_SQL,
     }
     try:
         out["ann_ivf_trained"] = _ann_ivf_trained_sql()
