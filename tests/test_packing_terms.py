@@ -229,3 +229,19 @@ def test_pack_and_quota_empty_inputs(spark):
     assert pack_fragments(d, capacity=16).count() == 0
     assert quota_sample(d, ["text"], "doc_id", 3).count() == 0
     assert tfidf_top_terms(d).count() == 0
+
+
+def test_token_rarity_hand_computed(spark):
+    from ncbi_analysis_spark.operators.terms import token_rarity
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "alpha zulu")],
+        ["doc_id", "text"],
+    )
+    # df: alpha=3, beta=2, gamma=1, zulu=1
+    out = {r["doc_id"]: r for r in token_rarity(df).collect()}
+    assert out[1]["n_tok"] == 3
+    assert out[1]["sum_df"] == 6 and out[1]["mean_df"] == 2.0
+    assert out[1]["hapax_frac"] == 1 / 3  # gamma
+    assert out[2]["sum_df"] == 5 and out[2]["hapax_frac"] == 0.0
+    assert out[3]["sum_df"] == 4 and out[3]["hapax_frac"] == 0.5  # zulu
