@@ -225,6 +225,31 @@ def test_ivf_pq_topk_end_to_end(spark):
     assert hit / len(out) >= 0.3
 
 
+def test_ivf_pq_with_persisted_index(spark, tmp_path):
+    """The composed search must produce identical results when the
+    assignment and codes come from disk (the production index layout)
+    instead of being rebuilt inline."""
+    e = _emb(spark, n=250, dim=16)
+    q = e.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = ss.train_ivf_centroids(e, k=5, sample_cap=250, n_iter=4, seed=9)
+    B = ss.train_pq_codebooks(e, m=4, codewords=16, sample_cap=250, n_iter=4, seed=9)
+
+    inline = ss.ivf_pq_topk(e, q, cents, B, k=8, nprobe=2, rerank=32).collect()
+
+    idx_path = str(tmp_path / "ivf_index")
+    ss.write_ivf_index(ss.ivf_assign(e, cents), idx_path)
+    codes_path = str(tmp_path / "pq_codes")
+    ss.pq_encode(e, B).write.parquet(codes_path)
+    persisted = ss.ivf_pq_topk(
+        e, q, cents, B, k=8, nprobe=2, rerank=32,
+        assigned=ss.read_ivf_index(spark, idx_path),
+        codes=spark.read.parquet(codes_path),
+    ).collect()
+
+    key = lambda rows: sorted((r["q_id"], r["vec_id"], r["rk"], r["cos_sim"]) for r in rows)  # noqa: E731
+    assert key(inline) == key(persisted)
+
+
 def test_ivf_assign_np_matches_expr(spark):
     """The broadcast-numpy assignment must bucket identically to the
     literal-expression form on the oracle-sized fixture (well-separated
