@@ -670,6 +670,53 @@ WHERE session_no < max_no OR (e_us // 1000 + 600000) < wm_ms
 """
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join through the gate: each
+    purchase joined to the same user's clicks within 30 minutes before
+    it. An inner range join over an availableNow replay emits every
+    qualifying pair (the watermark bounds state, not inner-join
+    emission), so the oracle is the plain relational join."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        read_event_stream,
+        stream_stream_join,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_ssj_{_stream_q_seq}"
+
+    d = tempfile.mkdtemp(prefix="stream_ssj_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    clicks = read_event_stream(spark, d).filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, d).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_join(clicks, purchases, within="30 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "purchase_id",
+        F.unix_micros("purchase_ts").alias("p_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("c_us"),
+    )
+
+
+STREAM_SSJ_SQL = """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, purchase_id, p_us, click_id, c_us
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c_us <= p_us AND c_us >= p_us - 1800000000
+"""
+
+
 def stream_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming W2 local-max suppression through the gate: the bounded
     run decides exactly the events whose ±distance window the final
@@ -1186,6 +1233,7 @@ def queries_r5() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": stream_sessions,
         "stream_local_max": stream_local_max,
         "stream_window_topk": stream_window_topk,
+        "stream_click_purchase_join": stream_click_purchase_join,
         "mixture_sample": mixture_sample,
         "token_rarity": token_rarity_q,
     }
@@ -1207,6 +1255,7 @@ def oracle_sql_r5() -> dict[str, str]:
         "stream_sessions": STREAM_SESS_SQL,
         "stream_local_max": STREAM_LM_SQL,
         "stream_window_topk": STREAM_TK_SQL,
+        "stream_click_purchase_join": STREAM_SSJ_SQL,
         "mixture_sample": MIXTURE_SQL,
         "token_rarity": TOKEN_RARITY_SQL,
     }
