@@ -141,6 +141,23 @@ def main() -> None:
         candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
     )))
 
+    # the reference driver's full scorer mix (all four kernels + pattern
+    # conditions + text-edit abort, src/1-run_gene_similarity_match.py:14-44)
+    # on the same 1 Mbp — exercises the batched text-edit DP and the
+    # vectorized pattern plan; no score floor applies to the pattern path
+    # (its bound is unprunable), so every offset pays the DP
+    full_conds = {
+        "must": [{"offset": 0, "length": 4}, {"offset": -4, "length": 4}],
+        "optional": [{"offset": 4, "length": 1}, {"offset": -5, "length": 1}],
+    }
+    _run("flagship_scan_1mbp_full", lambda: _noop(similarity_scan(
+        g_df, q_df,
+        {"direct": 1.0, "consistency": 1.0, "text_edit": 1.0, "pattern": 1.0},
+        top_k=20, candidate_distance=5, patience=2,
+        continuous_mismatch_limit=10, pattern_conditions=full_conds,
+        chunk_size=65536, score_floor=8.0,
+    )))
+
     # vectorized ANN production path (BLAS matmul per Arrow batch; the
     # expression-fold form benches as ann_brute_force above)
     from pyspark.sql import functions as F

@@ -33,14 +33,26 @@ def asof_join(
     build_ts: str,
     payload: list[str],
     direction: str = "backward",
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """For each probe row, attach the payload of the nearest build row with
     ``build_ts <= probe_ts`` (backward) or ``build_ts >= probe_ts``
     (forward), equal keys ``on``. Emits ``asof_<payload>`` + ``asof_ts``
     (null when no such build row exists).
+
+    ``on`` must be non-empty: with no partition keys the window runs the
+    entire union through ONE task — a silent scale-killer at cluster
+    sizes. Pass ``allow_single_partition=True`` to opt in explicitly for
+    known-small inputs (e.g. a single time series).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if not on and not allow_single_partition:
+        raise ValueError(
+            "asof_join with on=[] degenerates to a single-partition window "
+            "(the whole union sorts in one task); pass partition keys, or "
+            "allow_single_partition=True for known-small inputs"
+        )
 
     p_cols = probe.columns
     pay_aliases = [f"asof_{c}" for c in payload]

@@ -437,6 +437,14 @@ def refine_ivf_centroids(
     centroid. Spherical update identical to _kmeans_np (normalized rows,
     renormalized means), so refined centroids drop into ivf_assign /
     write_ivf_index unchanged.
+
+    Determinism note: the per-centroid fold adds per-batch partial sums
+    in collect_list arrival order, which depends on partitioning and
+    task scheduling — refined centroids are therefore deterministic in
+    VALUE up to float addition order, i.e. not bit-reproducible across
+    runs or repartitionings (unlike the seeded train_ivf_centroids,
+    whose output IS pinned and oracle-checked). Sort the partials by a
+    batch key before folding if bit-reproducibility is ever required.
     """
     import numpy as np
     import pandas as pd

@@ -550,14 +550,19 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_wc_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_wc_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    stream = read_event_stream(spark, d)
-    out = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        stream = read_event_stream(spark, d)
+        out = windowed_event_counts(stream, window="1 hour", watermark="1 minute")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         F.unix_micros("window_start").alias("ws_us"),
         "event_type", "cnt", "sum_value",
@@ -582,15 +587,20 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_dd_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_dd_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_b.parquet")
-    stream = read_event_stream(spark, d)
-    dd = streaming_dedup(stream, ["event_id"])
-    q = (
-        dd.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_a.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events_b.parquet")
+        stream = read_event_stream(spark, d)
+        dd = streaming_dedup(stream, ["event_id"])
+        q = (
+            dd.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "event_id", F.unix_micros("ts").alias("ts_us"),
         "user_id", "event_type", "value",
@@ -624,14 +634,19 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_sess_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_sess_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    stream = read_event_stream(spark, d)
-    sess = sessionize(stream, gap="10 minutes", watermark="1 minute")
-    q = (
-        sess.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        stream = read_event_stream(spark, d)
+        sess = sessionize(stream, gap="10 minutes", watermark="1 minute")
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("s_us"),
@@ -689,15 +704,20 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_ssj_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_ssj_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    clicks = read_event_stream(spark, d).filter(F.col("event_type") == "click")
-    purchases = read_event_stream(spark, d).filter(F.col("event_type") == "purchase")
-    joined = stream_stream_join(clicks, purchases, within="30 minutes")
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        clicks = read_event_stream(spark, d).filter(F.col("event_type") == "click")
+        purchases = read_event_stream(spark, d).filter(F.col("event_type") == "purchase")
+        joined = stream_stream_join(clicks, purchases, within="30 minutes")
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "user_id", "purchase_id",
         F.unix_micros("purchase_ts").alias("p_us"),
@@ -734,15 +754,20 @@ def stream_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_lm_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_lm_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    stream = read_event_stream(spark, d)
-    out = suppress_local_max_stream(stream, distance="5 minutes",
-                                    watermark="1 minute")
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        stream = read_event_stream(spark, d)
+        out = suppress_local_max_stream(stream, distance="5 minutes",
+                                        watermark="1 minute")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "event_type", "event_id", F.unix_micros("ts").alias("ts_us"), "value",
     )
@@ -780,15 +805,20 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"drv_stream_tk_{_stream_q_seq}"
 
     d = tempfile.mkdtemp(prefix="stream_tk_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    stream = read_event_stream(spark, d)
-    out = windowed_topk_stream(stream, window="30 minutes", k=3,
-                               watermark="1 minute")
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination(300)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        stream = read_event_stream(spark, d)
+        out = windowed_topk_stream(stream, window="30 minutes", k=3,
+                                   watermark="1 minute")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+    finally:
+        # bench times each query 5+ times; without cleanup the
+        # staged events copies accumulate under /tmp (r5 advice)
+        shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
         "event_type", F.unix_micros("window_start").alias("ws_us"),
         "event_id", "value", "rk",
@@ -963,13 +993,20 @@ def corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout -> per-split totals. The oracle recomputes the same totals
     from the source table with the split rule inlined, so a lossy write,
     a dropped partition directory, or a split drift all hash-mismatch."""
+    import os
+    import shutil
     import tempfile
 
     from ncbi_analysis_spark.operators.scale import hash_split
     from ncbi_analysis_spark.sources.sinks import write_training_shards
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    out = tempfile.mkdtemp(prefix="shards_")
+    # the returned DataFrame reads this directory lazily, so it can't be
+    # deleted here — reuse ONE fixed staging dir per process instead of a
+    # fresh mkdtemp per call, so repeated bench/gate runs don't accumulate
+    # shard copies under /tmp (r5 advice)
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_shard_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
     write_training_shards(hash_split(d, "doc_id"), out, ["split"],
                           max_records_per_file=50)
     back = spark.read.parquet(out)
@@ -1259,20 +1296,24 @@ def oracle_sql_r5() -> dict[str, str]:
         "mixture_sample": MIXTURE_SQL,
         "token_rarity": TOKEN_RARITY_SQL,
     }
-    try:
-        out["ann_ivf_trained"] = _ann_ivf_trained_sql()
-    except Exception:  # noqa: BLE001 — degrade to the rows-only check
-        pass
-    try:
-        out["ann_pq_rerank"] = _ann_pq_sql()
-    except Exception:  # noqa: BLE001 — degrade to the rows-only check
-        pass
-    try:
-        out["ann_ivf_pq"] = _ann_ivf_pq_sql()
-    except Exception:  # noqa: BLE001 — degrade to the rows-only check
-        pass
-    try:
-        out["embedding_project"] = _embedding_project_sql()
-    except Exception:  # noqa: BLE001 — degrade to the rows-only check
-        pass
+    # generated oracles: a failure degrades that query to the driver's
+    # rows-only check — loudly (r5 advice: a silent downgrade hid which
+    # queries lost exact-match verification)
+    for name, gen in (
+        ("ann_ivf_trained", _ann_ivf_trained_sql),
+        ("ann_pq_rerank", _ann_pq_sql),
+        ("ann_ivf_pq", _ann_ivf_pq_sql),
+        ("embedding_project", _embedding_project_sql),
+    ):
+        try:
+            out[name] = gen()
+        except Exception as exc:  # noqa: BLE001 — degrade to rows-only check
+            import warnings
+
+            warnings.warn(
+                f"oracle SQL generation failed for {name!r} "
+                f"({type(exc).__name__}: {exc}); the driver will record a "
+                "rows-only check instead of the exact-match oracle",
+                stacklevel=2,
+            )
     return out

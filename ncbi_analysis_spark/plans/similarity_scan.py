@@ -204,8 +204,11 @@ def scan_candidates(
     chunks to carry a halo of at least that radius (chunk_genome
     ``halo=``) so the chunk-local suppression decision is exact.
     """
-    from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
-    from ncbi_analysis_spark.similarity.scorers import text_edit_score
+    from ncbi_analysis_spark.similarity.pattern import (
+        MatchPattern,
+        pattern_scores_chunk,
+    )
+    from ncbi_analysis_spark.similarity.scorers import text_edit_scores_batch
 
     w_direct = float(weights.get("direct", 0.0))
     w_cons = float(weights.get("consistency", 0.0))
@@ -215,10 +218,12 @@ def scan_candidates(
     if total_w == 0:
         raise ValueError("similarity weights must not sum to zero")
     sgn = -1.0 if ascending else 1.0
-    # the branch-and-bound prune's upper bound is only valid for
-    # non-negative weights in maximizing (descending) mode
+    # the branch-and-bound prunes' upper bounds are only valid for
+    # non-negative weights in maximizing (descending) mode; the pattern
+    # score is bounded by its best case (must + all optional scores), so
+    # w_pat > 0 no longer disables pruning
     can_bound = (not ascending and w_direct >= 0 and w_cons >= 0
-                 and w_te >= 0 and w_pat == 0 and total_w > 0)
+                 and w_te >= 0 and w_pat >= 0 and total_w > 0)
 
     pat_cache: dict[str, MatchPattern] = {}
 
@@ -237,8 +242,7 @@ def scan_candidates(
                 owned_end = min(limit, lead + int(row.chunk_size_))
                 if owned_end <= lead:
                     continue
-                vectorized = w_te == 0 and w_pat == 0
-                if vectorized and suppress_distance is not None:
+                if suppress_distance is not None:
                     # score the halo too so the local-suppression decision
                     # for every owned offset sees its full +-d window
                     lo = 0
@@ -252,16 +256,27 @@ def scan_candidates(
                 mm = _match_matrix(gene_a, windows)
                 direct = mm.sum(axis=1).astype(np.float64)
 
+                pat = None
+                pat_max = 0.0
+                if w_pat > 0 and pattern_conditions is not None:
+                    pat = pat_cache.get(gene)
+                    if pat is None:
+                        pat = MatchPattern(gene, pattern_conditions)
+                        pat_cache[gene] = pat
+                    pat_max = float(pat.must_score) + sum(
+                        max(float(s), 0.0) for _p, s in pat.option_patterns
+                    )
                 keep = np.ones(len(mm), dtype=bool)
                 if score_floor > 0 and can_bound:
-                    # sound branch-and-bound prune: consistency <= direct and
-                    # text-edit <= L, so the weighted score is at most
-                    # ((w_d + w_c) * direct + w_te * L) / W — offsets whose
-                    # bound can't beat the floor never reach the exact
-                    # Python kernels (pattern scores have no cheap bound and
-                    # negative/ascending weights break the bound, so pruning
-                    # is disabled there)
-                    bound = ((w_direct + w_cons) * direct + w_te * L) / total_w
+                    # sound branch-and-bound prune: consistency <= direct,
+                    # text-edit <= L and pattern <= its best case, so the
+                    # weighted score is at most ((w_d + w_c) * direct +
+                    # w_te * L + w_pat * pat_max) / W — offsets whose bound
+                    # can't beat the floor never reach the exact kernels
+                    # (negative/ascending weights break the bound, so
+                    # pruning is disabled there)
+                    bound = ((w_direct + w_cons) * direct + w_te * L
+                             + w_pat * pat_max) / total_w
                     keep &= bound > score_floor
                 if fast_skip_cut is not None:
                     # histogram prune: sum over bases of min(gene count,
@@ -277,75 +292,65 @@ def scan_candidates(
                         same += np.minimum(g_cnt, win_cnt[lo:hi])
                     keep &= same >= fast_skip_cut
 
-                pat = None
-                if w_pat > 0 and pattern_conditions is not None:
-                    pat = pat_cache.get(gene)
-                    if pat is None:
-                        pat = MatchPattern(gene, pattern_conditions)
-                        pat_cache[gene] = pat
-
-                # exact consistency only at offsets that survived the
-                # branch-and-bound / fast-skip prunes (vectorized across
-                # those offsets) — running it on the full matrix would
-                # throw away the pruning win in score_floor mode
+                # exact kernels, batched across surviving offsets (no
+                # per-offset Python): cheapest first — consistency (numpy
+                # two-pointer sweep) and pattern (sliding-window block
+                # plan) refine the branch-and-bound bound so the O(L^2)
+                # text-edit DP only runs where the exact cheap scores
+                # still allow beating the floor (te <= L is the only
+                # remaining estimate in the refined bound)
+                kidx = np.nonzero(keep)[0]
                 cons = np.zeros(len(mm), dtype=np.float64)
-                if w_cons != 0:
-                    kidx = np.nonzero(keep)[0]
+                if w_cons != 0 and len(kidx):
+                    cons[kidx] = _consistency_vec(mm[kidx], patience)
+                pat_s = np.zeros(len(mm), dtype=np.float64)
+                if w_pat != 0 and pat is not None and len(kidx):
+                    pat_s[kidx] = pattern_scores_chunk(pat, chunk, lo + kidx, L)
+                te = np.zeros(len(mm), dtype=np.float64)
+                if w_te != 0:
+                    if score_floor > 0 and can_bound:
+                        refined = (w_direct * direct + w_cons * cons
+                                   + w_pat * pat_s + w_te * L) / total_w
+                        keep &= refined > score_floor
+                        kidx = np.nonzero(keep)[0]
                     if len(kidx):
-                        cons[kidx] = _consistency_vec(mm[kidx], patience)
+                        te[kidx] = text_edit_scores_batch(
+                            gene_a, windows[kidx], continuous_mismatch_limit
+                        )
 
                 g0 = int(row.base_offset) - lead + lo  # global offset of local 0
-                if vectorized:
-                    # fully vectorized path: no per-offset Python at all
-                    weighted_all = (w_direct * direct + w_cons * cons) / total_w
-                    score_s = sgn * weighted_all
-                    emit = keep & (score_s > score_floor)
-                    if suppress_distance is not None:
-                        # exact local suppression: thanks to the halo, the
-                        # +-d window of every owned offset is fully scored
-                        # here, so "strictly dominated within d" is decided
-                        # against the same candidate set the global W2 pass
-                        # would see — results are chunk-invariant
-                        d = int(suppress_distance)
-                        if d > 0 and emit.any():
-                            w_dom = np.where(emit, score_s, -np.inf)
-                            padded = np.concatenate(
-                                (np.full(d, -np.inf), w_dom, np.full(d, -np.inf))
-                            )
-                            local_max = np.lib.stride_tricks.sliding_window_view(
-                                padded, 2 * d + 1
-                            ).max(axis=1)
-                            emit &= w_dom >= local_max
-                        # halo offsets are scored for the decision only;
-                        # they are owned (and emitted) by their own chunk
-                        loc = lo + np.arange(len(emit))
-                        emit &= (loc >= lead) & (loc < owned_end)
-                    sel = np.nonzero(emit)[0]
-                    out_rows.extend(
-                        (row.name, row.accession, row.strand, g0 + int(off),
-                         float(weighted_all[off]), float(direct[off]),
-                         float(cons[off]), 0.0, 0.0)
-                        for off in sel
-                    )
-                    continue
-
-                for off in np.nonzero(keep)[0]:
-                    win = chunk[lo + off:lo + off + L]
-                    acc = w_direct * direct[off] + w_cons * cons[off]
-                    s_te = s_pat = 0.0
-                    if w_te != 0:
-                        s_te = text_edit_score(gene, win, continuous_mismatch_limit)
-                        acc += w_te * s_te
-                    if w_pat != 0:
-                        s_pat = pattern_score(pat, win)
-                        acc += w_pat * s_pat
-                    weighted = acc / total_w
-                    if sgn * weighted > score_floor:
-                        out_rows.append((
-                            row.name, row.accession, row.strand,
-                            g0 + int(off), weighted,
-                            float(direct[off]), float(cons[off]), s_te, s_pat,
-                        ))
+                weighted_all = (
+                    w_direct * direct + w_cons * cons + w_te * te + w_pat * pat_s
+                ) / total_w
+                score_s = sgn * weighted_all
+                emit = keep & (score_s > score_floor)
+                if suppress_distance is not None:
+                    # exact local suppression: thanks to the halo, the
+                    # +-d window of every owned offset is fully scored
+                    # here, so "strictly dominated within d" is decided
+                    # against the same candidate set the global W2 pass
+                    # would see — results are chunk-invariant
+                    d = int(suppress_distance)
+                    if d > 0 and emit.any():
+                        w_dom = np.where(emit, score_s, -np.inf)
+                        padded = np.concatenate(
+                            (np.full(d, -np.inf), w_dom, np.full(d, -np.inf))
+                        )
+                        local_max = np.lib.stride_tricks.sliding_window_view(
+                            padded, 2 * d + 1
+                        ).max(axis=1)
+                        emit &= w_dom >= local_max
+                    # halo offsets are scored for the decision only;
+                    # they are owned (and emitted) by their own chunk
+                    loc = lo + np.arange(len(emit))
+                    emit &= (loc >= lead) & (loc < owned_end)
+                sel = np.nonzero(emit)[0]
+                out_rows.extend(
+                    (row.name, row.accession, row.strand, g0 + int(off),
+                     float(weighted_all[off]), float(direct[off]),
+                     float(cons[off]), float(te[off]), float(pat_s[off]))
+                    for off in sel
+                )
             yield pd.DataFrame(out_rows, columns=[f.name for f in CANDIDATE_SCHEMA.fields])
 
     if "chunk_size_" not in chunks_df.columns:

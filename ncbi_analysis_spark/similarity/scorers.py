@@ -358,6 +358,131 @@ def blat_score(
     return (flag[0], flag[1]) if flag[0] else (False, None)
 
 
+def _te_forward_batch(gene_a, windows, need_table):
+    """Vectorized forward pass of the text-edit DP across a batch of
+    same-length windows.
+
+    ``windows`` is (B, L) uint8, ``gene_a`` (L,) uint8. Returns
+    (dp[:, L, L], full_table_or_None). The row recurrence
+    row[j] = min(prev[j] + 1, row[j - 1] + 1, prev[j - 1] + cost) has a
+    left-to-right dependency through row[j - 1]; it is resolved without a
+    Python loop over j via the classic scan identity
+    row[j] = min_{j' <= j} (tmp[j'] + (j - j')) with
+    tmp[j] = min(prev[j] + 1, prev[j - 1] + cost), i.e. a cumulative min
+    of (tmp[j] - j) plus j. Boundary semantics match the scalar kernel
+    exactly: dp[0][0] = 0 and every other border cell is INF (the
+    reference DP at src/analysis/similarities/text_edit_similarity.py
+    never fills row/column 0, leaving them effectively infinite)."""
+    import numpy as np
+
+    B, L = windows.shape
+    inf32 = np.int32(INF)
+    dp = None
+    if need_table:
+        dp = np.empty((B, L + 1, L + 1), dtype=np.int32)
+        dp[:, 0, 0] = 0
+        dp[:, 0, 1:] = inf32
+    prev = np.full((B, L + 1), inf32, dtype=np.int32)
+    prev[:, 0] = 0
+    ar = np.arange(L, dtype=np.int32)
+    for i in range(1, L + 1):
+        g = gene_a[i - 1]
+        cost = windows != g
+        if g == ord("c"):
+            cost &= windows != ord("t")
+        cost = cost.astype(np.int32)
+        tmp = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost)
+        row = np.empty_like(prev)
+        row[:, 0] = inf32
+        row[:, 1:] = np.minimum.accumulate(tmp - ar, axis=1) + ar
+        if need_table:
+            dp[:, i, :] = row
+        prev = row
+    return prev[:, L], dp
+
+
+def _te_traceback_abort_batch(gene_a, windows, dp, limit):
+    """Vectorized replay of the scalar traceback (diagonal > delete >
+    insert preference) over a batch; returns a bool mask of windows whose
+    walk hits ``limit`` consecutive non-matching steps (score aborts to
+    0). Each iteration advances every still-active walk by one step, so
+    the loop runs at most 2L times with O(B) gathers per step."""
+    import numpy as np
+
+    B, L = windows.shape
+    stride = L + 1
+    dpf = dp.reshape(B, -1)
+    rows = np.arange(B)
+    i = np.full(B, L, dtype=np.int64)
+    j = np.full(B, L, dtype=np.int64)
+    mism = np.zeros(B, dtype=np.int64)
+    aborted = np.zeros(B, dtype=bool)
+    active = np.ones(B, dtype=bool)
+    for _ in range(2 * L):
+        active &= ((i > 0) | (j > 0)) & ~aborted
+        if not active.any():
+            break
+        idx = rows[active]
+        ii, jj = i[idx], j[idx]
+        cur = dpf[idx, ii * stride + jj]
+        gch = gene_a[np.maximum(ii - 1, 0)]
+        wch = windows[idx, np.maximum(jj - 1, 0)]
+        mat = (gch == wch) | ((gch == ord("c")) & (wch == ord("t")))
+        can = (ii > 0) & (jj > 0)
+        diag = can & (cur == dpf[idx, (ii - 1) * stride + (jj - 1)]
+                      + np.where(mat, 0, 1))
+        up = ~diag & (ii > 0) & (cur == dpf[idx, np.maximum(ii - 1, 0) * stride + jj] + 1)
+        left = ~diag & ~up & (jj > 0) & (cur == dpf[idx, ii * stride + np.maximum(jj - 1, 0)] + 1)
+        stepped = diag | up | left
+        newm = np.where(diag & mat, 0, mism[idx] + 1)
+        newm = np.where(stepped, newm, mism[idx])
+        i[idx] = ii - (diag | up)
+        j[idx] = jj - (diag | left)
+        mism[idx] = newm
+        aborted[idx] |= stepped & (newm >= limit)
+        # a non-consistent DP cell is unreachable; the scalar kernel
+        # breaks out of the walk there, so deactivate without aborting
+        active[idx] &= stepped
+    return aborted
+
+
+def text_edit_scores_batch(
+    gene_a,
+    windows,
+    continuous_mismatch_limit: int | None = None,
+    block_cells: int = 16_000_000,
+):
+    """Batched ``text_edit_score`` (F5): scores every row of ``windows``
+    ((K, L) uint8) against ``gene_a`` ((L,) uint8) at once. Semantics are
+    bit-identical to the scalar kernel above, including the c->t char
+    rule and the traceback abort — fuzz-asserted in
+    tests/test_scorers.py. Work is split into blocks of at most
+    ``block_cells`` DP cells so the stored table (needed only when the
+    mismatch-limit traceback is on) stays a few tens of MB regardless of
+    K and L."""
+    import numpy as np
+
+    K, L = windows.shape
+    out = np.empty(K, dtype=np.float64)
+    if K == 0:
+        return out
+    if L == 0:
+        out.fill(0.0)
+        return out
+    need_table = continuous_mismatch_limit is not None
+    cells = (L + 1) * (L + 1) if need_table else (L + 1)
+    blk = max(1, block_cells // cells)
+    for s in range(0, K, blk):
+        w = windows[s:s + blk]
+        final, dp = _te_forward_batch(gene_a, w, need_table)
+        sc = (L - final).astype(np.float64)
+        if need_table:
+            ab = _te_traceback_abort_batch(gene_a, w, dp, continuous_mismatch_limit)
+            sc[ab] = 0.0
+        out[s:s + len(w)] = sc
+    return out
+
+
 def weighted_similarity(
     gene: str,
     window: str,

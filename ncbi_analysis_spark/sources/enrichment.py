@@ -105,6 +105,11 @@ def extract_nuccore_uid(html: str) -> str | None:
         if len(parts) != 3:
             continue
         _, name, content = parts
+        # malformed fragment lacking '=' (e.g. '<meta name content'):
+        # skip instead of IndexError-ing the whole Spark task — mirrors
+        # the S7 oracle's string_split(...)[2] yielding NULL there
+        if "=" not in name or "=" not in content:
+            continue
         name, content = [x.strip().split("=")[1].strip('"') for x in (name, content)]
         dic[name] = content
     return dic.get("ncbi_uidlist")

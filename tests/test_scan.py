@@ -276,3 +276,53 @@ def test_scan_multi_accession_is_per_accession_union(spark):
     both = run([("g1", g1), ("g2", g2)])
     single = run([("g1", g1)]) | run([("g2", g2)])
     assert both == single
+
+
+def test_scan_full_weight_mix_matches_brute_force(spark):
+    """The reference flagship mix — all four scorers with pattern
+    conditions and the text-edit abort — through the full pipeline, now
+    running on the batched kernels (no per-offset Python)."""
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_score
+
+    genome = GENOME[:700]
+    weights = {"direct": 1.0, "consistency": 1.0, "text_edit": 1.0, "pattern": 1.0}
+    conds = {"must": [{"offset": 0, "length": 3}, {"offset": -3, "length": 3}],
+             "optional": [{"offset": 3, "length": 1}]}
+    g_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+    q_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    topk = 6
+    got = similarity_scan(
+        g_df, q_df, weights, top_k=topk, candidate_distance=DIST,
+        patience=PATIENCE, continuous_mismatch_limit=4,
+        pattern_conditions=conds, chunk_size=128,
+    ).collect()
+
+    want = {}
+    for name, gene in QUERIES:
+        pat = MatchPattern(gene, conds)
+        cands_all = []
+        for strand, db in (("+", genome), ("-", revcomp_py(genome))):
+            cands = []
+            for off in range(len(db) - len(gene) + 1):
+                w, _ = weighted_similarity(
+                    gene, db[off:off + len(gene)], weights, patience=PATIENCE,
+                    continuous_mismatch_limit=4, pattern=pat,
+                )
+                if w > 0:
+                    cands.append((off, w))
+            for off, w in cands:
+                if not any(w2 > w for o2, w2 in cands if abs(o2 - off) < DIST):
+                    cands_all.append((strand, off, w))
+        cands_all.sort(key=lambda c: (-c[2], c[0], c[1]))
+        want[name] = cands_all[:topk]
+
+    got_m = {}
+    for r in got:
+        got_m.setdefault(r["name"], []).append(
+            (r["strand"], r["offset"], r["weighted_similarity"])
+        )
+    for name in got_m:
+        got_m[name].sort(key=lambda c: (-c[2], c[0], c[1]))
+    assert set(got_m) == {n for n, g in QUERIES if want[n]} or set(got_m) <= set(want)
+    for name in want:
+        assert got_m.get(name, []) == want[name], name

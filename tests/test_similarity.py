@@ -168,3 +168,88 @@ def test_consistency_vec_matches_exact_kernel():
             exp = [consistency_score(gene, chunk[o:o + L], patience)
                    for o in range(len(chunk) - L + 1)]
             assert got.tolist() == exp
+
+
+def test_textedit_batch_matches_scalar_kernel():
+    """The batched text-edit DP (numpy recurrence + vectorized traceback)
+    must agree with the scalar kernel at every offset, for every abort
+    limit, including block-split boundaries."""
+    import random
+
+    import numpy as np
+
+    from ncbi_analysis_spark.similarity.scorers import (
+        text_edit_score,
+        text_edit_scores_batch,
+    )
+
+    rnd = random.Random(13)
+    for limit in (None, 1, 2, 3, 5):
+        for _ in range(20):
+            L = rnd.randint(1, 14)
+            gene = "".join(rnd.choice("acgt") for _ in range(L))
+            wins = ["".join(rnd.choice("acgt") for _ in range(L))
+                    for _ in range(rnd.randint(1, 40))]
+            W = np.array([np.frombuffer(w.encode(), np.uint8) for w in wins])
+            g = np.frombuffer(gene.encode(), np.uint8)
+            got = text_edit_scores_batch(
+                g, W, limit, block_cells=rnd.choice([60, 16_000_000])
+            )
+            want = [text_edit_score(gene, w, limit) for w in wins]
+            assert np.allclose(got, want), (gene, limit)
+
+
+def test_pattern_chunk_matches_scalar_kernel():
+    """The vectorized chunk pattern evaluator (block plan + next-match
+    tables) must agree with the per-window regex scorer, on both
+    plan-representable and fallback shapes."""
+    import random
+
+    import numpy as np
+
+    from ncbi_analysis_spark.similarity.pattern import (
+        MatchPattern,
+        pattern_score,
+        pattern_scores_chunk,
+    )
+
+    rnd = random.Random(17)
+    plan_trials = 0
+    for _ in range(120):
+        n = rnd.randint(5, 18)
+        rna = "".join(rnd.choice("acgt") for _ in range(n))
+        conds_m, cur = [], rnd.randint(0, 2)
+        while cur < n and len(conds_m) < 3:
+            length = rnd.randint(1, min(4, n - cur))
+            off = cur if rnd.random() < 0.7 else cur - n
+            conds_m.append({"offset": off, "length": length})
+            cur += length + rnd.choice([0, 0, 1, 2, 3])
+            if rnd.random() < 0.4:
+                break
+        if not conds_m:
+            continue
+        opts = [dict(conds_m[0])] if rnd.random() < 0.5 else []
+        pat = MatchPattern(rna, {"must": conds_m, "optional": opts})
+        if pat._must_plan is not None:
+            plan_trials += 1
+        chunk = "".join(rnd.choice("acgt") for _ in range(rnd.randint(n, 150)))
+        starts = np.arange(0, len(chunk) - n + 1)
+        if len(starts) == 0:
+            continue
+        got = pattern_scores_chunk(pat, chunk, starts, n)
+        want = [pattern_score(pat, chunk[p:p + n]) for p in starts]
+        assert np.allclose(got, want), (rna, conds_m)
+    assert plan_trials > 50  # the vectorized path was actually exercised
+
+
+def test_pattern_chunk_reference_conditions_take_plan_path():
+    """The reference flagship's condition set
+    (src/1-run_gene_similarity_match.py:28-43) must compile to the
+    vectorized plan, not the regex fallback."""
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern
+
+    conds = {"must": [{"offset": 0, "length": 4}, {"offset": -4, "length": 4}],
+             "optional": [{"offset": 4, "length": 1}, {"offset": -5, "length": 1}]}
+    pat = MatchPattern("acgtacgtacgtacgtacgt", conds)
+    assert pat._must_plan is not None
+    assert all(p is not None for p in pat._opt_plans)
