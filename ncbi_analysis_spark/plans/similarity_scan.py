@@ -404,14 +404,30 @@ def similarity_scan(
         .repartition("accession", "strand", "chunk_id") \
         .withColumn("chunk_size_", F.lit(chunk_size))
 
-    cands = scan_candidates(
-        chunks, queries_df, weights, patience, continuous_mismatch_limit,
-        pattern_conditions, fast_skip_cut, score_floor,
-        suppress_distance=radius, ascending=ascending,
+    db_len = genome_df.select("accession", F.length("seq").alias("db_len"))
+    return _suppress_topk_annotate(
+        scan_candidates(
+            chunks, queries_df, weights, patience, continuous_mismatch_limit,
+            pattern_conditions, fast_skip_cut, score_floor,
+            suppress_distance=radius, ascending=ascending,
+        ),
+        queries_df, db_len, top_k, radius, ascending,
     )
 
-    # W2: sliding local-max suppression per (query, accession, strand) on
-    # the SIGNED score (reference negate-before-suppress for Increment)
+
+def _suppress_topk_annotate(
+    cands: DataFrame,
+    queries_df: DataFrame,
+    db_len: DataFrame,
+    top_k: int,
+    radius: int,
+    ascending: bool,
+) -> DataFrame:
+    """Shared scan tail: W2 sliding local-max suppression per (query,
+    accession, strand) on the SIGNED score (reference
+    negate-before-suppress for Increment), W1 per-query top-k (W4
+    polarity via ordering direction), then the reference coordinate
+    mapping against per-accession database lengths."""
     signed = (
         (-F.col("weighted_similarity")) if ascending
         else F.col("weighted_similarity")
@@ -419,8 +435,6 @@ def similarity_scan(
     sup = local_max_suppress(
         cands, ["name", "accession", "strand"], "offset", signed, radius,
     )
-
-    # W1: per-query top-k (W4 polarity via ordering direction)
     order = (
         F.asc("weighted_similarity") if ascending else F.desc("weighted_similarity")
     )
@@ -428,11 +442,8 @@ def similarity_scan(
         sup, ["name"], [order, F.asc("accession"), F.asc("strand"), F.asc("offset")],
         top_k, rank_col="rk",
     )
-
-    # reference coordinate mapping
-    db_len = genome_df.select("accession", F.length("seq").alias("db_len"))
     gene_len = queries_df.select("name", F.length("gene").alias("gene_len"))
-    out = (
+    return (
         top.join(F.broadcast(db_len), "accession")
         .join(F.broadcast(gene_len), "name")
         .withColumn(
@@ -447,7 +458,140 @@ def similarity_scan(
         )
         .drop("db_len", "gene_len")
     )
-    return out
+
+
+def split_genome_windows(genome_df: DataFrame, window_size: int) -> DataFrame:
+    """Ingest-side pre-splitter: one accession row -> fixed-size window
+    rows (accession, window_id, win_offset, seq). This is the upstream
+    form that closes the single-JVM-string ceiling documented on
+    chunk_genome — at ingest a giant accession is emitted as window rows
+    directly (e.g. by a chunked file reader) and NO row ever holds the
+    whole sequence; this helper exists so tests and small pipelines can
+    produce the same layout from an in-memory genome."""
+    n_win = F.greatest(F.ceil(F.length("seq") / window_size), F.lit(1)).cast("int")
+    return (
+        genome_df
+        .select("accession", "seq",
+                F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_id"))
+        .withColumn("win_offset", F.col("window_id").cast("long") * window_size)
+        .withColumn("seq", F.col("seq").substr(
+            (F.col("win_offset") + 1).cast("int"), F.lit(window_size)))
+        .filter(F.length("seq") > 0)
+        .select("accession", "window_id", "win_offset", "seq")
+    )
+
+
+def chunk_genome_from_windows(
+    windows_df: DataFrame, chunk_size: int, overlap: int,
+    both_strands: bool = True, halo: int = 0,
+) -> DataFrame:
+    """``chunk_genome`` over a PRE-SPLIT genome: input rows are
+    (accession, win_offset, seq) windows (split_genome_windows layout, any
+    window sizing); output rows are bit-identical to chunk_genome's on
+    the assembled sequence — same (accession, strand, chunk_id,
+    base_offset, lead_, chunk_seq) — without any operator ever holding a
+    full accession in one JVM string.
+
+    Shape: reverse-strand windows are per-window revcomps at remapped
+    offsets (revcomp of forward span [o, o+l) is reverse-coordinate span
+    [total-o-l, total-o)); each window row explodes to the chunk ids
+    whose [base_offset - lead, base_offset + chunk + halo + overlap) span
+    it intersects (a window meets ~1 + (halo+overlap)/window_size chunks,
+    so the explode is ~1x the data), pieces are sliced JVM-side, and a
+    groupBy(chunk) reassembles them in offset order. One extra shuffle
+    (the regroup) versus the single-string path; every stage is bounded
+    by chunk_size, never by accession length."""
+    totals = windows_df.groupBy("accession").agg(
+        F.sum(F.length("seq")).alias("total_len"))
+    w = windows_df.join(F.broadcast(totals), "accession")
+    fwd = w.select("accession", F.lit("+").alias("strand"), "total_len",
+                   F.col("win_offset").alias("wo"), "seq")
+    sides = fwd
+    if both_strands:
+        rev = w.select(
+            "accession", F.lit("-").alias("strand"), "total_len",
+            (F.col("total_len") - F.col("win_offset") - F.length("seq")).alias("wo"),
+            revcomp(F.col("seq")).alias("seq"),
+        )
+        sides = fwd.unionByName(rev)
+    K = chunk_size
+    tail = halo + overlap
+    n_chunks = F.greatest(F.ceil(F.col("total_len") / K), F.lit(1)).cast("long")
+    # over-approximate the chunk range by one on each side, then filter
+    # on the exact span-overlap predicate (cheap; dodges floor/ceil edge
+    # cases in the bound derivation)
+    c_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((F.col("wo") - F.lit(halo + tail)) / K).cast("long") - 1)
+    c_hi = F.least(
+        n_chunks - 1,
+        F.floor((F.col("wo") + F.length("seq") + F.lit(halo)) / K).cast("long") + 1)
+    pieces = (
+        sides
+        .filter(c_lo <= c_hi)
+        .select("accession", "strand", "total_len", "wo", "seq",
+                F.explode(F.sequence(c_lo, c_hi)).alias("chunk_id"))
+        .withColumn("base_offset", F.col("chunk_id") * K)
+        .withColumn("lead_", F.least(F.col("base_offset"), F.lit(halo)).cast("int"))
+        .withColumn("span_start", F.col("base_offset") - F.col("lead_"))
+        .withColumn("span_end", F.col("base_offset") + K + tail)
+        .filter((F.col("wo") < F.col("span_end"))
+                & (F.col("wo") + F.length("seq") > F.col("span_start")))
+        .withColumn("cut_from", F.greatest(F.col("span_start") - F.col("wo"), F.lit(0)))
+        .withColumn("piece", F.col("seq").substr(
+            (F.col("cut_from") + 1).cast("int"),
+            (F.least(F.col("span_end"), F.col("wo") + F.length("seq"))
+             - F.col("wo") - F.col("cut_from")).cast("int")))
+        .filter(F.length("piece") > 0)
+    )
+    return (
+        pieces
+        .groupBy("accession", "strand", "chunk_id", "base_offset", "lead_")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wo", "piece"))),
+                lambda s: s["piece"],
+            ), "").alias("chunk_seq"))
+        .filter(F.length("chunk_seq") > 0)
+        .withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    )
+
+
+def similarity_scan_windowed(
+    windows_df: DataFrame,
+    queries_df: DataFrame,
+    weights: dict[str, float],
+    top_k: int = 20,
+    candidate_distance: int = 5,
+    patience: int = 2,
+    continuous_mismatch_limit: int | None = None,
+    pattern_conditions: dict | None = None,
+    fast_skip_cut: float | None = None,
+    chunk_size: int = 8192,
+    ascending: bool = False,
+    score_floor: float = 0.0,
+) -> DataFrame:
+    """``similarity_scan`` over a pre-split genome (split_genome_windows
+    layout) — results are identical to the single-row path (pinned in
+    tests/test_scan.py at two chunk sizes); use when an accession is too
+    long for one JVM string (the chunk_genome docstring's ceiling)."""
+    max_len_row = queries_df.select(F.max(F.length("gene")).alias("m")).collect()
+    overlap = int(max_len_row[0]["m"] or 1) - 1
+    radius = max(int(candidate_distance) - 1, 0)
+
+    chunks = chunk_genome_from_windows(windows_df, chunk_size, overlap, halo=radius) \
+        .repartition("accession", "strand", "chunk_id") \
+        .withColumn("chunk_size_", F.lit(chunk_size))
+    db_len = windows_df.groupBy("accession").agg(
+        F.sum(F.length("seq")).alias("db_len"))
+    return _suppress_topk_annotate(
+        scan_candidates(
+            chunks, queries_df, weights, patience, continuous_mismatch_limit,
+            pattern_conditions, fast_skip_cut, score_floor,
+            suppress_distance=radius, ascending=ascending,
+        ),
+        queries_df, db_len, top_k, radius, ascending,
+    )
 
 
 # database chars blat may consume past the anchor beyond the gene length:

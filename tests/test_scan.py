@@ -326,3 +326,64 @@ def test_scan_full_weight_mix_matches_brute_force(spark):
     assert set(got_m) == {n for n, g in QUERIES if want[n]} or set(got_m) <= set(want)
     for name in want:
         assert got_m.get(name, []) == want[name], name
+
+
+def test_chunk_genome_from_windows_matches_single_row(spark):
+    """The pre-split reader path must produce bit-identical chunk rows to
+    chunk_genome on the assembled sequence — including reverse-strand
+    remapping, halo leads and the ragged last window/chunk."""
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        chunk_genome_from_windows,
+        split_genome_windows,
+    )
+
+    genome_df = spark.createDataFrame(
+        [("a1", GENOME), ("a2", GENOME[:733])], ["accession", "seq"]
+    )
+    for window_size in (100, 257):
+        windows = split_genome_windows(genome_df, window_size)
+        for csize, overlap, halo in ((512, 9, 4), (200, 5, 0), (4096, 9, 2)):
+            want = sorted(
+                (r["accession"], r["strand"], r["chunk_id"], r["base_offset"],
+                 r["lead_"], r["chunk_seq"])
+                for r in chunk_genome(genome_df, csize, overlap, halo=halo).collect()
+            )
+            got = sorted(
+                (r["accession"], r["strand"], r["chunk_id"], r["base_offset"],
+                 r["lead_"], r["chunk_seq"])
+                for r in chunk_genome_from_windows(
+                    windows, csize, overlap, halo=halo).collect()
+            )
+            assert got == want, (window_size, csize, overlap, halo)
+
+
+def test_scan_windowed_matches_single_row_path(spark):
+    """Verdict ask #3 done-criterion: scan results on a pre-split
+    accession are hash-identical to the single-row path at two chunk
+    sizes."""
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        similarity_scan_windowed,
+        split_genome_windows,
+    )
+
+    genome_df = spark.createDataFrame([("acc", GENOME)], ["accession", "seq"])
+    queries_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    windows = split_genome_windows(genome_df, 311)
+
+    def key(rows):
+        return sorted(
+            (r["name"], r["accession"], r["strand"], r["offset"],
+             r["start"], r["end"], round(r["weighted_similarity"], 9))
+            for r in rows
+        )
+
+    for csize in (256, 1024):
+        want = similarity_scan(
+            genome_df, queries_df, WEIGHTS, top_k=100_000,
+            candidate_distance=DIST, patience=PATIENCE, chunk_size=csize,
+        ).collect()
+        got = similarity_scan_windowed(
+            windows, queries_df, WEIGHTS, top_k=100_000,
+            candidate_distance=DIST, patience=PATIENCE, chunk_size=csize,
+        ).collect()
+        assert key(got) == key(want), csize
