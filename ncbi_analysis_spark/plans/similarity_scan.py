@@ -90,9 +90,10 @@ def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
     single JVM string, so an accession is bounded by the JVM's 2 GiB
     string/array limit (and practically by executor memory during the
     substring explode). Real genomes are far below this (~250 MB for the
-    largest human chromosome); for longer single sequences, pre-split
-    the accession into windowed rows upstream and treat each window as
-    its own accession with an offset column.
+    largest human chromosome); for longer single sequences use the
+    pre-split path — split_genome_windows /
+    chunk_genome_from_windows / similarity_scan_windowed below — whose
+    stages are bounded by chunk_size, never accession length.
     """
     strands = genome_df.select("accession", F.lit("+").alias("strand"), F.col("seq"))
     if both_strands:

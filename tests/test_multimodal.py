@@ -88,3 +88,98 @@ def test_media_stats_no_decode(spark, media):
     assert stats["image"]["n"] == 2
     assert stats["video"]["avg_duration_ms"] == 3500.0
     assert stats["audio"]["total_bytes"] == len(b"audbytes-4")
+
+
+def test_batch_decoder_matches_per_row(spark, media):
+    """The whole-batch decoder contract (list-in/list-out) must produce
+    output identical to the per-row path (round-5 verdict ask #7)."""
+    def batch_feats(datas, metas):
+        return [mm.deterministic_fake_decoder(d, m) for d, m in zip(datas, metas)]
+
+    per_row = sorted(map(tuple, mm.image_features(media).collect()))
+    batched = sorted(map(tuple, mm.image_features(
+        media, batch_decoder=batch_feats).collect()))
+    assert batched == per_row
+
+
+def test_resize_batch_decoder_matches_per_row(spark):
+    import numpy as np
+
+    def raw_rgb(w, h, seed):
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def one(data, meta, w, h):
+        m = dict(meta) if not isinstance(meta, dict) else meta
+        img = np.frombuffer(data, dtype=np.uint8).reshape(
+            int(m["height"]), int(m["width"]), 3)
+        return img[:h, :w].tobytes()
+
+    def batch(datas, metas, w, h):
+        return [one(d, m, w, h) for d, m in zip(datas, metas)]
+
+    imgs = {1: raw_rgb(8, 6, 3), 2: raw_rgb(6, 7, 4)}
+    rows = [
+        (i, "image", a.tobytes(), (a.shape[1], a.shape[0], 3, None, None, "raw"))
+        for i, a in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    per_row = {r["media_id"]: bytes(r["data"])
+               for r in mm.resize_images(media, 4, 3, decoder=one).collect()}
+    batched = {r["media_id"]: bytes(r["data"])
+               for r in mm.resize_images(media, 4, 3, batch_decoder=batch).collect()}
+    assert batched == per_row and set(per_row) == {1, 2}
+
+
+needs_pil = pytest.mark.skipif(not mm.pil_available(), reason="Pillow not installed")
+
+
+@needs_pil
+def test_pil_image_decoder_real_codec(spark):
+    """Real-codec path (round-5 verdict ask #4): PNG bytes through
+    Pillow — true dimensions, luma and aHash, via the same Spark
+    plumbing as the stub."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def png_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    a = np.zeros((6, 8, 3), dtype=np.uint8)          # black
+    b = np.full((5, 5, 3), 255, dtype=np.uint8)      # white
+    rows = [
+        (1, "image", png_bytes(a), (None, None, 3, None, None, "png")),
+        (2, "image", png_bytes(b), (None, None, 3, None, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           mm.image_features(media, decoder=mm.pil_image_decoder).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (8, 6)
+    assert (out[2]["width"], out[2]["height"]) == (5, 5)
+    assert out[1]["mean_luma"] == 0.0
+    assert out[2]["mean_luma"] == 1.0
+
+
+@needs_pil
+def test_pil_resize_decoder_real_codec(spark):
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def png_bytes(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    a = np.random.RandomState(5).randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", png_bytes(a), (12, 10, 3, None, None, "png"))],
+        mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, 4, 3, decoder=mm.pil_resize_decoder).collect()
+    with Image.open(io.BytesIO(bytes(out[0]["data"]))) as im:
+        assert im.size == (4, 3)
