@@ -158,9 +158,33 @@ def main() -> None:
         chunk_size=65536, score_floor=8.0,
     )))
 
+    # big x big interval overlap via coordinate binning — the 100 TB
+    # shape for J3 (the broadcast path benches inside j3_interval_overlap
+    # above): two 1M-interval sides, 4 chromosome-ish partition keys,
+    # ~2M overlap pairs; no broadcast, no nested-loop join
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.intervals import interval_join_binned
+
+    def _intervals(side: str, id_col: str):
+        start = F.abs(F.hash(F.col("id"), F.lit(side))) % 25_000_000
+        length = F.abs(F.hash(F.col("id"), F.lit(side + "len"))) % 200 + 1
+        return spark.range(1_000_000).select(
+            F.col("id").alias(id_col),
+            (F.abs(F.hash(F.col("id"), F.lit(side + "acc"))) % 4).alias("acc"),
+            start.alias(side[0] + "s"),
+            (start + length).alias(side[0] + "e"),
+        )
+
+    big_l = _intervals("lft", "lid")
+    big_r = _intervals("rgt", "rid")
+    _run("j3_interval_binned_bigbig", lambda: _noop(interval_join_binned(
+        big_l, big_r, "ls", "le", "rs", "re",
+        bin_size=10_000, partition_keys=["acc"],
+    )))
+
     # vectorized ANN production path (BLAS matmul per Arrow batch; the
     # expression-fold form benches as ann_brute_force above)
-    from pyspark.sql import functions as F
 
     from ncbi_analysis_spark.operators.similarity_search import brute_force_topk_np
 

@@ -1655,6 +1655,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_r6().queries_r6(),
         **_r5().queries_r5(),
         **_r3b().queries_r3b(),
         **_r2().queries_r2(),
@@ -1711,6 +1712,7 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
+        **_r6().oracle_sql_r6(),
         **_r5().oracle_sql_r5(),
         **_r3b().oracle_sql_r3b(),
         **_r2().oracle_sql_r2(),
@@ -1771,6 +1773,12 @@ def _r5():
     from ncbi_analysis_spark.plans import driver_queries_r5
 
     return driver_queries_r5
+
+
+def _r6():
+    from ncbi_analysis_spark.plans import driver_queries_r6
+
+    return driver_queries_r6
 
 
 def _r3():
