@@ -263,6 +263,8 @@ BASELINE = {
     # added in r05 (min-of-3 at introduction)
     "ann_ivf_trained": (3.405, 5), "ann_pq_rerank": (1.709, 5),
     "stream_windowed_counts": (2.216, 5),
+    # added in r06 (min-of-3 at introduction)
+    "flagship_scan_1mbp_full": (3.339, 6), "j3_interval_binned_bigbig": (1.331, 6),
 }
 
 

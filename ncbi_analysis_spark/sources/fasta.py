@@ -142,3 +142,92 @@ def read_fasta_records(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in RECORD_SCHEMA.fields])
 
     return spark.read.text(path, wholetext=True).mapInPandas(gen, RECORD_SCHEMA)
+
+
+GENOME_WINDOW_SCHEMA = T.StructType([
+    T.StructField("accession", T.StringType()),
+    T.StructField("window_id", T.IntegerType()),
+    T.StructField("win_offset", T.LongType()),
+    T.StructField("seq", T.StringType()),
+])
+
+
+def iter_fasta_windows(path: str, window_size: int) -> Iterator[tuple]:
+    """Stream one FASTA file as (accession, window_id, win_offset, seq)
+    window tuples with O(window_size) memory — neither the file nor any
+    record's sequence is ever materialized whole. Accession = first
+    whitespace token after '>'; sequence lowercased (the reference
+    lowercases its whole-genome string, src/utils/ncbi_database.py:64)."""
+    acc = None
+    off = 0
+    parts: list[str] = []
+    buffered = 0
+
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if acc is not None and buffered:
+                    yield (acc, off // window_size, off, "".join(parts))
+                acc = line[1:].split()[0] if len(line) > 1 else ""
+                off, parts, buffered = 0, [], 0
+            elif acc is not None:
+                parts.append(line.lower())
+                buffered += len(line)
+                if buffered >= window_size:
+                    buf = "".join(parts)
+                    while len(buf) >= window_size:
+                        yield (acc, off // window_size, off, buf[:window_size])
+                        off += window_size
+                        buf = buf[window_size:]
+                    parts, buffered = ([buf] if buf else []), len(buf)
+    if acc is not None and buffered:
+        yield (acc, off // window_size, off, "".join(parts))
+
+
+def read_fasta_windows(
+    spark: SparkSession,
+    path: str | list[str],
+    window_size: int = 1 << 20,
+    batch_rows: int = 2048,
+) -> DataFrame:
+    """Giant-accession FASTA reader: emits the split_genome_windows
+    layout (accession, window_id, win_offset, seq) directly from FASTA
+    files, for plans.similarity_scan.similarity_scan_windowed /
+    chunk_genome_from_windows.
+
+    Scale shape: parallelism is per FILE (each task streams its files
+    line-by-line; a 100 TB corpus is many files), while MEMORY per task
+    is O(window_size) regardless of accession length — this is the
+    ingest-side half of the giant-accession fix (the single-string
+    reference model at src/utils/ncbi_database.py:64,92-95 holds the
+    whole genome in RAM; the wholetext readers above inherit that
+    ceiling, this reader removes it). FASTA has no record index, so one
+    file parses sequentially by nature; split giant inputs into per-
+    chromosome/per-accession files upstream for intra-genome
+    parallelism."""
+    import glob as _glob
+
+    if isinstance(path, str):
+        paths = sorted(_glob.glob(path)) or [path]
+    else:
+        paths = list(path)
+    files = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(max(len(paths), 1), "path")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in GENOME_WINDOW_SCHEMA.fields]
+        rows: list[tuple] = []
+        for pdf in batches:
+            for p in pdf["path"]:
+                for tup in iter_fasta_windows(p, window_size):
+                    rows.append(tup)
+                    if len(rows) >= batch_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(gen, GENOME_WINDOW_SCHEMA)

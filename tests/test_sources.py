@@ -188,3 +188,52 @@ def test_ecocyc_source_on_real_reference_data(spark):
     starts = [r["start"] for r in with_prom.select("start").collect()]
     assert starts == sorted(starts)
     assert with_prom.filter(~F.col("is_gene")).count() == 2643
+
+
+def test_fasta_windows_reader_matches_in_memory_split(spark, tmp_path):
+    """read_fasta_windows must emit exactly the split_genome_windows
+    layout — bounded-memory streaming, multi-record files, wrapped and
+    mixed-case sequence lines, ragged final windows."""
+    import random
+
+    from ncbi_analysis_spark.plans.similarity_scan import split_genome_windows
+
+    rnd = random.Random(23)
+    g1 = "".join(rnd.choice("acgt") for _ in range(2377))
+    g2 = "".join(rnd.choice("ACGT") for _ in range(991))  # upper -> lowered
+    p = tmp_path / "genome.fa"
+    with open(p, "w") as fh:
+        fh.write(">chr1 Escherichia coli test\n")
+        for i in range(0, len(g1), 70):
+            fh.write(g1[i:i + 70] + "\n")
+        fh.write("\n>chr2\n")
+        for i in range(0, len(g2), 61):
+            fh.write(g2[i:i + 61] + "\n")
+
+    genome_df = spark.createDataFrame(
+        [("chr1", g1), ("chr2", g2.lower())], ["accession", "seq"])
+    for wsize in (256, 1000):
+        want = sorted(map(tuple, split_genome_windows(genome_df, wsize).collect()))
+        got = sorted(map(tuple, fasta.read_fasta_windows(
+            spark, str(p), window_size=wsize).collect()))
+        assert got == want, wsize
+
+
+def test_fasta_windows_streaming_is_bounded(tmp_path):
+    """The per-file iterator never buffers more than ~window_size chars:
+    feed a record 50x the window and check every yielded window except
+    the last is exactly window_size, offsets are contiguous, and the
+    reassembly equals the input."""
+    import random
+
+    rnd = random.Random(29)
+    g = "".join(rnd.choice("acgt") for _ in range(50 * 64 + 17))
+    p = tmp_path / "big.fa"
+    with open(p, "w") as fh:
+        fh.write(">acc\n")
+        for i in range(0, len(g), 80):
+            fh.write(g[i:i + 80] + "\n")
+    wins = list(fasta.iter_fasta_windows(str(p), 64))
+    assert [w[2] for w in wins] == list(range(0, len(g), 64))
+    assert all(len(w[3]) == 64 for w in wins[:-1])
+    assert "".join(w[3] for w in wins) == g
