@@ -1428,21 +1428,12 @@ def f9_blat_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship genomic scan pipeline (SURVEY.md §3.1/§7.3) on a
-    deterministic synthetic genome derived from the documents table:
-    chunked both-strand scan -> weighted similarity (direct+consistency)
-    -> W2 suppression -> W1 top-k -> reference coordinate mapping.
-
-    Exact oracle: with direct+consistency weights both kernels are
-    SQL-expressible (positional match count; max-window-with-<=patience-
-    mismatches via prefix sums), so the ENTIRE pipeline — scoring,
-    suppression, top-k, strand coordinate mapping — is independently
-    re-implemented in DuckDB SQL and hash-compared. The weighted score
-    (direct + 2*cons)/3 is a correctly-rounded double of an exact small
-    integer, hence bit-identical across engines without rounding."""
-    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
-
+def synthetic_genome_and_queries(spark: SparkSession, sf_dir: str):
+    """(genome_df, queries_df) for the flagship oracle workload: md5 hex
+    of each document's text mapped to the acgt alphabet, concatenated in
+    doc_id order (deterministic at every scale factor; doc_id < 200 caps
+    the genome at 6400 bases). Shared by flagship_similarity_scan and
+    the r6 windowed twin so both stay pinned to FLAGSHIP_SQL."""
     d = _t(spark, sf_dir, "documents")
     # md5 hex -> acgt alphabet, concatenated in doc_id order
     base = F.translate(F.md5(F.col("text")), "0123456789abcdef", "acgtacgtacgtacgt")
@@ -1459,16 +1450,40 @@ def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("q"), F.col("doc_id")).alias("name"),
         F.substring(base, 1, 12).alias("gene"),
     )
-    return similarity_scan(
-        genome_df, queries_df, {"direct": 1.0, "consistency": 2.0},
-        top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
-    ).select(
+    return genome_df, queries_df
+
+
+def flagship_select(scan_df: DataFrame) -> DataFrame:
+    """Project a similarity_scan result to the FLAGSHIP_SQL column set."""
+    return scan_df.select(
         "name", "accession", "strand", "offset",
         F.col("start").cast("long").alias("start"),
         F.col("end").cast("long").alias("end"),
         "weighted_similarity",
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+def flagship_similarity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship genomic scan pipeline (SURVEY.md §3.1/§7.3) on a
+    deterministic synthetic genome derived from the documents table:
+    chunked both-strand scan -> weighted similarity (direct+consistency)
+    -> W2 suppression -> W1 top-k -> reference coordinate mapping.
+
+    Exact oracle: with direct+consistency weights both kernels are
+    SQL-expressible (positional match count; max-window-with-<=patience-
+    mismatches via prefix sums), so the ENTIRE pipeline — scoring,
+    suppression, top-k, strand coordinate mapping — is independently
+    re-implemented in DuckDB SQL and hash-compared. The weighted score
+    (direct + 2*cons)/3 is a correctly-rounded double of an exact small
+    integer, hence bit-identical across engines without rounding."""
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    genome_df, queries_df = synthetic_genome_and_queries(spark, sf_dir)
+    return flagship_select(similarity_scan(
+        genome_df, queries_df, {"direct": 1.0, "consistency": 2.0},
+        top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
+    ))
 
 
 FLAGSHIP_SQL = """

@@ -160,3 +160,43 @@ def test_round5_ops_on_empty_and_degenerate(spark):
     bloom = dedup.build_ngram_bloom(bench, "text", "id", n=3, n_bits=1 << 12)
     corpus = spark.createDataFrame([(2, "")], ["id", "text"])
     assert dedup.bloom_ngram_overlap(corpus, bloom, "text", "id").count() == 1
+
+
+def test_windowed_scan_edges(spark, tmp_path):
+    """New r6 paths on degenerate inputs: empty window set, single tiny
+    window shorter than a chunk, FASTA file with no records."""
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        chunk_genome_from_windows,
+        similarity_scan_windowed,
+    )
+    from ncbi_analysis_spark.sources.fasta import read_fasta_windows
+
+    empty = _empty(spark, "accession string, window_id int, win_offset long, seq string")
+    q = spark.createDataFrame([("q1", "acgt")], ["name", "gene"])
+    assert chunk_genome_from_windows(empty, 64, 3).count() == 0
+    assert similarity_scan_windowed(empty, q, {"direct": 1.0}).count() == 0
+
+    tiny = spark.createDataFrame([("a", 0, 0, "ac")],
+                                 ["accession", "window_id", "win_offset", "seq"])
+    rows = chunk_genome_from_windows(tiny, 64, 3, halo=2).collect()
+    assert {(r["strand"], r["chunk_seq"]) for r in rows} == {("+", "ac"), ("-", "gt")}
+
+    p = tmp_path / "empty.fa"
+    p.write_text("; no records here\n")
+    assert read_fasta_windows(spark, str(p), window_size=16).count() == 0
+
+
+def test_batched_kernels_degenerate_shapes():
+    """Zero offsets / length-1 genes through the batched kernels."""
+    import numpy as np
+
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern, pattern_scores_chunk
+    from ncbi_analysis_spark.similarity.scorers import text_edit_scores_batch
+
+    g = np.frombuffer(b"a", dtype=np.uint8)
+    assert text_edit_scores_batch(g, np.empty((0, 1), np.uint8), 2).tolist() == []
+    assert text_edit_scores_batch(
+        g, np.frombuffer(b"t", np.uint8).reshape(1, 1), None).tolist() == [0.0]
+    pat = MatchPattern("a", {"must": [{"offset": 0, "length": 1}]})
+    assert pattern_scores_chunk(pat, "ta", np.array([], dtype=np.int64), 1).tolist() == []
+    assert pattern_scores_chunk(pat, "ta", np.array([0, 1]), 1).tolist() == [0.0, 1.0]
