@@ -107,3 +107,79 @@ def token_rarity(
             (F.col("n_hapax") / F.col("n_tok")).alias("hapax_frac"),
         )
     )
+
+
+def char_ngrams(df: DataFrame, n: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ngram) — every lowercased char n-gram occurrence
+    (with multiplicity) of each document, as a pure Column-expression
+    explode (sequence of start positions -> substr), no Python UDF.
+    Documents shorter than ``n`` contribute no rows."""
+    t = F.lower(F.col(text_col))
+    starts = F.when(
+        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__t"),
+        F.explode(starts).alias("__s"),
+    ).select("doc_id", F.col("__t").substr(F.col("__s"), F.lit(n)).alias("ngram"))
+
+
+def char_ngram_lm(df: DataFrame, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", min_count: int = 1) -> DataFrame:
+    """Char-n-gram language model as a count table (ngram, cnt) over the
+    corpus — the CCNet-style quality-model shape (train on a reference
+    corpus, score candidate documents). ``min_count`` drops rare grams
+    so scoring treats them as out-of-vocabulary. Vocabulary is bounded
+    by alphabet^n (tiny next to the corpus), so the model broadcasts.
+
+    Scale: one explode + one map-side-combined hash agg keyed by ngram."""
+    return (
+        char_ngrams(df, n, text_col, id_col)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def ngram_lm_score(df: DataFrame, lm: DataFrame, n: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document LM quality signals against a trained char-n-gram
+    model: ``n_grams`` (total n-gram occurrences), ``oov`` (occurrences
+    of grams absent from the model), ``sum_prob`` (sum of each in-vocab
+    gram's corpus probability cnt/total) and ``mean_prob``. Low
+    mean_prob / high oov flags text unlike the training corpus
+    (gibberish, wrong language, OCR noise); anomalously high mean_prob
+    flags boilerplate.
+
+    Determinism (oracle-gate contract): every gram probability shares
+    the one denominator ``total``, so the per-doc probability mass is
+    summed as the exact INTEGER numerator and divided once —
+    sum(cnt_i/total) == sum(cnt_i)/total with zero float aggregation
+    (stronger than the decimal trick; no rounding anywhere until the
+    final correctly-rounded IEEE divisions, identical in any engine).
+    ``ln`` is never computed (same rational-not-log stance as
+    tfidf_top_terms). Scale: docs-side explode joins a BROADCAST model
+    (alphabet^n rows); one doc-keyed aggregation."""
+    total_df = lm.agg(F.sum("cnt").cast("long").alias("__total"))
+    grams = char_ngrams(df, n, text_col, id_col)
+    return (
+        grams
+        .join(F.broadcast(lm), "ngram", "left")
+        .crossJoin(F.broadcast(total_df))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("cnt").isNull().cast("long")).cast("long").alias("oov"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__num"),
+            F.first("__total").alias("__tot"),
+        )
+        .select(
+            "doc_id", "n_grams", "oov",
+            (F.col("__num").cast("double") / F.col("__tot").cast("double"))
+            .alias("sum_prob"),
+            (F.col("__num").cast("double") / F.col("__tot").cast("double")
+             / F.col("n_grams")).alias("mean_prob"),
+        )
+    )

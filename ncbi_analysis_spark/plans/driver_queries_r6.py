@@ -40,9 +40,52 @@ def flagship_windowed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring, self-trained on the corpus
+    (train on a reference corpus in production): char-trigram counts with
+    min_count=2 (singletons are OOV), then per-document occurrence /
+    OOV / probability-mass signals. Exactness: the shared denominator
+    makes the probability mass an exact integer numerator over total
+    (one final IEEE division, no ln, no float aggregation), so the
+    DuckDB re-derivation hash-matches bit-for-bit."""
+    from ncbi_analysis_spark.operators.terms import char_ngram_lm, ngram_lm_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = char_ngram_lm(d, n=3, min_count=2)
+    return ngram_lm_score(d, lm, n=3).orderBy("doc_id").select(
+        "doc_id", "n_grams", "oov", "sum_prob", "mean_prob",
+    )
+
+
+NGRAM_LM_SQL = """
+WITH g0 AS (
+  SELECT doc_id, lower(text) AS tx,
+         unnest(range(1, greatest(length(lower(text)) - 1, 1))) AS s
+  FROM documents
+),
+g AS (SELECT doc_id, substr(tx, s::INT, 3) AS ngram FROM g0),
+lm AS (
+  SELECT ngram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY 1
+  HAVING COUNT(*) >= 2
+),
+tot AS (SELECT SUM(cnt)::BIGINT AS total FROM lm)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_grams,
+       COUNT(*) FILTER (WHERE lm.cnt IS NULL)::BIGINT AS oov,
+       COALESCE(SUM(lm.cnt), 0)::BIGINT::DOUBLE / ANY_VALUE(tot.total)::DOUBLE
+         AS sum_prob,
+       COALESCE(SUM(lm.cnt), 0)::BIGINT::DOUBLE / ANY_VALUE(tot.total)::DOUBLE
+         / COUNT(*) AS mean_prob
+FROM g LEFT JOIN lm USING (ngram) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def queries_r6() -> dict:
     return {
         "flagship_windowed_scan": flagship_windowed_scan,
+        "ngram_lm_quality": ngram_lm_quality,
     }
 
 
@@ -51,4 +94,5 @@ def oracle_sql_r6() -> dict[str, str]:
 
     return {
         "flagship_windowed_scan": FLAGSHIP_SQL,
+        "ngram_lm_quality": NGRAM_LM_SQL,
     }

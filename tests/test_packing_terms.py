@@ -245,3 +245,43 @@ def test_token_rarity_hand_computed(spark):
     assert out[1]["hapax_frac"] == 1 / 3  # gamma
     assert out[2]["sum_df"] == 5 and out[2]["hapax_frac"] == 0.0
     assert out[3]["sum_df"] == 4 and out[3]["hapax_frac"] == 0.5  # zulu
+
+
+def test_char_ngram_lm_and_score(spark):
+    """Char-trigram LM counts and per-doc scoring against a hand-computed
+    model, including OOV handling and the exact shared-denominator
+    probability mass."""
+    from ncbi_analysis_spark.operators.terms import (
+        char_ngram_lm,
+        char_ngrams,
+        ngram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "abcabc"), (2, "abcd")], ["doc_id", "text"])
+    # trigram occurrences: abc x2(d1) +1(d2), bca 1, cab 1, bcd 1
+    lm = {r["ngram"]: r["cnt"] for r in char_ngram_lm(train, n=3).collect()}
+    assert lm == {"abc": 3, "bca": 1, "cab": 1, "bcd": 1}
+    assert char_ngram_lm(train, n=3, min_count=2).count() == 1  # only abc
+
+    # short docs contribute nothing
+    assert char_ngrams(spark.createDataFrame([(9, "ab")], ["doc_id", "text"]),
+                       n=3).count() == 0
+
+    lm_df = char_ngram_lm(train, n=3)  # total = 6
+    test = spark.createDataFrame([(10, "abcx"), (11, "zzzz")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_lm_score(test, lm_df, n=3).collect()}
+    # doc 10: grams abc(3), bcx(oov) -> n=2, oov=1, sum=3/6
+    assert (out[10]["n_grams"], out[10]["oov"]) == (2, 1)
+    assert out[10]["sum_prob"] == 3 / 6
+    assert out[10]["mean_prob"] == 3 / 6 / 2
+    # doc 11: all OOV -> sum_prob exactly 0
+    assert (out[11]["n_grams"], out[11]["oov"], out[11]["sum_prob"]) == (2, 2, 0.0)
+
+
+def test_ngram_lm_case_folding(spark):
+    from ncbi_analysis_spark.operators.terms import char_ngram_lm
+
+    df = spark.createDataFrame([(1, "AbCaBc")], ["doc_id", "text"])
+    lm = {r["ngram"]: r["cnt"] for r in char_ngram_lm(df, n=3).collect()}
+    assert lm == {"abc": 2, "bca": 1, "cab": 1}
