@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_stats",
     "pack_sequences",
     "tfidf_terms",
+    "ngram_lm_quality",
     "ann_brute_force",
     "ann_ivf",
     "ann_ivf_trained",
@@ -265,6 +266,7 @@ BASELINE = {
     "stream_windowed_counts": (2.216, 5),
     # added in r06 (min-of-3 at introduction)
     "flagship_scan_1mbp_full": (3.339, 6), "j3_interval_binned_bigbig": (1.331, 6),
+    "ngram_lm_quality": (2.059, 6),
 }
 
 

@@ -119,11 +119,14 @@ def char_ngrams(df: DataFrame, n: int = 3, text_col: str = "text",
     starts = F.when(
         F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # slice INSIDE the transform so the explode emits n-char grams, not
+    # rows that each drag the whole document text to the substr
+    # (measured 2.6x on the sf0.1 self-train+score query)
+    grams = F.transform(starts, lambda i: t.substr(i, F.lit(n)))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        t.alias("__t"),
-        F.explode(starts).alias("__s"),
-    ).select("doc_id", F.col("__t").substr(F.col("__s"), F.lit(n)).alias("ngram"))
+        F.explode(grams).alias("ngram"),
+    )
 
 
 def char_ngram_lm(df: DataFrame, n: int = 3, text_col: str = "text",

@@ -48,9 +48,18 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the probability mass an exact integer numerator over total
     (one final IEEE division, no ln, no float aggregation), so the
     DuckDB re-derivation hash-matches bit-for-bit."""
+    from pyspark.sql import functions as F
+
     from ncbi_analysis_spark.operators.terms import char_ngram_lm, ngram_lm_score
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf parquet is one file -> one input split; hash-spread the docs
+    # so the 300x gram explode parallelizes (the operators stay pure: at
+    # corpus scale the input is naturally multi-split and an extra
+    # full-corpus shuffle would be wrong). The explicit numeric count is
+    # required: a bare repartition(col) is AQE-coalesced back to one
+    # partition on these few MB, re-serializing the explode
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     lm = char_ngram_lm(d, n=3, min_count=2)
     return ngram_lm_score(d, lm, n=3).orderBy("doc_id").select(
         "doc_id", "n_grams", "oov", "sum_prob", "mean_prob",
