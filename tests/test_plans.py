@@ -221,3 +221,34 @@ def test_locate_matches_binned_annotation_join(spark):
         (r["match_id"], r["rec_name"], r["label"]) for r in ref.collect()
     )
     assert rows_binned == rows_bcast
+
+
+def test_windowed_chunk_assembly_one_data_shuffle(spark):
+    """chunk_genome_from_windows (r6): the per-accession totals must
+    BROADCAST into the window rows and the only data-sized exchange is
+    the chunk regroup — no sort-merge join of windows against totals,
+    no extra exchange between the explode and the regroup."""
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        chunk_genome_from_windows,
+        split_genome_windows,
+    )
+
+    g = spark.createDataFrame([("a", "acgt" * 600)], ["accession", "seq"])
+    w = split_genome_windows(g, 128)
+    plan = chunk_genome_from_windows(w, 256, 9, halo=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # totals join
+    # regroup exchanges (one per strand branch of the union at most);
+    # everything else is broadcast or the tiny totals aggregation
+    regroups = plan.count("Exchange hashpartitioning(accession")
+    assert regroups <= 3, plan[:1500]
+    assert "ObjectHashAggregate" in plan  # map-side partial collect_list
+
+
+def test_ngram_lm_model_broadcasts(spark):
+    """ngram_lm_score (r6): the LM join must broadcast the model
+    (alphabet^n rows), never shuffle the gram stream against it."""
+    plan = _plan(spark, "ngram_lm_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
