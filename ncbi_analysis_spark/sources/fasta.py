@@ -152,18 +152,22 @@ GENOME_WINDOW_SCHEMA = T.StructType([
 ])
 
 
-def iter_fasta_windows(path: str, window_size: int) -> Iterator[tuple]:
+def iter_fasta_windows(path: str, window_size: int, opener=open) -> Iterator[tuple]:
     """Stream one FASTA file as (accession, window_id, win_offset, seq)
     window tuples with O(window_size) memory — neither the file nor any
     record's sequence is ever materialized whole. Accession = first
     whitespace token after '>'; sequence lowercased (the reference
-    lowercases its whole-genome string, src/utils/ncbi_database.py:64)."""
+    lowercases its whole-genome string, src/utils/ncbi_database.py:64).
+
+    ``opener`` is any ``path -> line-iterable context manager`` (default
+    builtin ``open``; pass ``fsspec.open``-style adapters for
+    HDFS/S3/GCS paths on a cluster)."""
     acc = None
     off = 0
     parts: list[str] = []
     buffered = 0
 
-    with open(path) as fh:
+    with opener(path) as fh:
         for line in fh:
             line = line.strip()
             if not line:
@@ -192,6 +196,7 @@ def read_fasta_windows(
     path: str | list[str],
     window_size: int = 1 << 20,
     batch_rows: int = 2048,
+    opener=open,
 ) -> DataFrame:
     """Giant-accession FASTA reader: emits the split_genome_windows
     layout (accession, window_id, win_offset, seq) directly from FASTA
@@ -222,7 +227,7 @@ def read_fasta_windows(
         rows: list[tuple] = []
         for pdf in batches:
             for p in pdf["path"]:
-                for tup in iter_fasta_windows(p, window_size):
+                for tup in iter_fasta_windows(p, window_size, opener):
                     rows.append(tup)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
