@@ -387,3 +387,75 @@ def test_scan_windowed_matches_single_row_path(spark):
             candidate_distance=DIST, patience=PATIENCE, chunk_size=csize,
         ).collect()
         assert key(got) == key(want), csize
+
+
+def test_scan_full_mix_with_floor_matches_brute_force(spark):
+    """score_floor > 0 with ALL four kernels: the staged branch-and-bound
+    (pat_max bound, then exact-cheap-scores refined bound before the DP)
+    must drop nothing the brute force keeps."""
+    from ncbi_analysis_spark.similarity.pattern import MatchPattern
+
+    genome = GENOME[:900]
+    weights = {"direct": 1.0, "consistency": 1.0, "text_edit": 1.0, "pattern": 1.0}
+    conds = {"must": [{"offset": 0, "length": 2}],
+             "optional": [{"offset": -2, "length": 2}]}
+    floor = 6.0
+    g_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+    q_df = spark.createDataFrame(QUERIES, ["name", "gene"])
+    got = similarity_scan(
+        g_df, q_df, weights, top_k=100_000, candidate_distance=DIST,
+        patience=PATIENCE, continuous_mismatch_limit=4,
+        pattern_conditions=conds, chunk_size=192, score_floor=floor,
+    ).collect()
+
+    want = []
+    for name, gene in QUERIES:
+        pat = MatchPattern(gene, conds)
+        for strand, db in (("+", genome), ("-", revcomp_py(genome))):
+            cands = []
+            for off in range(len(db) - len(gene) + 1):
+                w, _ = weighted_similarity(
+                    gene, db[off:off + len(gene)], weights, patience=PATIENCE,
+                    continuous_mismatch_limit=4, pattern=pat,
+                )
+                if w > floor:
+                    cands.append((off, w))
+            for off, w in cands:
+                if not any(w2 > w for o2, w2 in cands if abs(o2 - off) < DIST):
+                    want.append((name, strand, off, round(w, 9)))
+    got_t = sorted((r["name"], r["strand"], r["offset"],
+                    round(r["weighted_similarity"], 9)) for r in got)
+    assert got_t == sorted(want)
+
+
+def test_scan_ascending_with_textedit_weights(spark):
+    """W4 polarity through the unified batched path: mixed-sign weights
+    including text_edit, ascending=True — suppression must act on the
+    negated score with the DP values included."""
+    weights = {"direct": 1.0, "text_edit": -2.0}
+    genome = GENOME[:500]
+    g_df = spark.createDataFrame([("acc", genome)], ["accession", "seq"])
+    q_df = spark.createDataFrame(QUERIES[:1], ["name", "gene"])
+    topk = 5
+    got = similarity_scan(
+        g_df, q_df, weights, top_k=topk, candidate_distance=DIST,
+        patience=PATIENCE, continuous_mismatch_limit=3, chunk_size=128,
+        ascending=True,
+    ).collect()
+
+    name, gene = QUERIES[0]
+    want = []
+    for strand, db in (("+", genome), ("-", revcomp_py(genome))):
+        cands = []
+        for off in range(len(db) - len(gene) + 1):
+            w, _ = weighted_similarity(gene, db[off:off + len(gene)], weights,
+                                       continuous_mismatch_limit=3)
+            if -w > 0:
+                cands.append((off, w))
+        for off, w in cands:
+            if not any(-w2 > -w for o2, w2 in cands if abs(o2 - off) < DIST):
+                want.append((strand, off, w))
+    want.sort(key=lambda c: (c[2], c[0], c[1]))
+    got_t = sorted(((r["strand"], r["offset"], r["weighted_similarity"])
+                    for r in got), key=lambda c: (c[2], c[0], c[1]))
+    assert got_t == want[:topk]
