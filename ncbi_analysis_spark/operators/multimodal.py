@@ -86,8 +86,9 @@ def pil_image_decoder(data: bytes, meta: dict) -> dict:
 
     with Image.open(io.BytesIO(data)) as im:
         width, height = im.size
-        gray = np.asarray(im.convert("L"), dtype=np.float64)
-        small = np.asarray(im.convert("L").resize((8, 8)), dtype=np.float64)
+        g = im.convert("L")
+        gray = np.asarray(g, dtype=np.float64)
+        small = np.asarray(g.resize((8, 8)), dtype=np.float64)
     bits = (small >= small.mean()).flatten()
     phash = 0
     for b in bits:
@@ -141,6 +142,13 @@ def image_features(
             ] if len(pdf) else []
             if batch_decoder is not None:
                 feats_list = batch_decoder(list(pdf["data"]), metas)
+                if len(feats_list) != len(pdf):
+                    # zip would silently truncate/misalign rows otherwise
+                    raise ValueError(
+                        f"batch_decoder returned {len(feats_list)} feature "
+                        f"dicts for {len(pdf)} rows; the contract is "
+                        "list-in/list-out with 1:1 positional alignment"
+                    )
             else:
                 feats_list = [decoder(d, m) for d, m in zip(pdf["data"], metas)]
             out = [

@@ -558,7 +558,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -596,7 +599,10 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -642,7 +648,10 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             sess.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -713,7 +722,10 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -763,7 +775,10 @@ def stream_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -814,7 +829,10 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # bounded run overran the timeout: stop the query BEFORE
+            # the staged source dir is removed underneath it
+            q.stop()
     finally:
         # bench times each query 5+ times; without cleanup the
         # staged events copies accumulate under /tmp (r5 advice)
@@ -1002,10 +1020,14 @@ def corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     # the returned DataFrame reads this directory lazily, so it can't be
-    # deleted here — reuse ONE fixed staging dir per process instead of a
-    # fresh mkdtemp per call, so repeated bench/gate runs don't accumulate
-    # shard copies under /tmp (r5 advice)
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_shard_roundtrip")
+    # deleted here — reuse ONE staging dir per PROCESS instead of a fresh
+    # mkdtemp per call, so repeated bench/gate runs don't accumulate shard
+    # copies under /tmp (r5 advice). The pid suffix keeps concurrent
+    # processes (bench + gate on one host) from deleting each other's
+    # staged shards out from under the lazy read.
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_shard_roundtrip_{os.getpid()}"
+    )
     shutil.rmtree(out, ignore_errors=True)
     write_training_shards(hash_split(d, "doc_id"), out, ["split"],
                           max_records_per_file=50)

@@ -219,8 +219,11 @@ def read_fasta_windows(
         paths = sorted(_glob.glob(path)) or [path]
     else:
         paths = list(path)
+    # round-robin, NOT hash-by-path: hashing collides ~1/e of N files
+    # into shared tasks and leaves others empty, breaking the one-file-
+    # per-task parallelism this reader promises
     files = spark.createDataFrame([(p,) for p in paths], "path string") \
-        .repartition(max(len(paths), 1), "path")
+        .repartition(max(len(paths), 1))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in GENOME_WINDOW_SCHEMA.fields]

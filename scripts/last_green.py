@@ -61,6 +61,7 @@ def main() -> None:
     stale_only = "--stale-only" in sys.argv
 
     rows = []
+    n_fresh = 0
     for name in registry:
         g = green.get(name)
         c = checked.get(name)
@@ -72,18 +73,17 @@ def main() -> None:
             status = f"r{g} (stale)"
         else:
             status = f"r{g}"
-        if stale_only and status == f"r{g}":
-            continue
+            n_fresh += 1  # counted BEFORE the stale-only filter
+            if stale_only:
+                continue
         rows.append((name, status))
 
     width = max((len(n) for n, _ in rows), default=0)
     for name, status in rows:
         print(f"{name:<{width}}  {status}")
-    n_fresh = sum(1 for _, s in rows if s == f"r{newest}")
     print(
         f"\n{len(registry)} queries; newest round r{newest}; "
         f"{n_fresh} fresh, {len(registry) - n_fresh} stale/unchecked"
-        + (" (shown)" if not stale_only else "")
     )
 
 
