@@ -159,6 +159,20 @@ def main() -> None:
         chunk_size=65536, score_floor=8.0,
     )))
 
+    # the same 1 Mbp scan through the pre-split window layout (the
+    # giant-accession path): tracks the window->chunk regroup overhead
+    # against flagship_scan_1mbp (~2% at introduction)
+    from ncbi_analysis_spark.plans.similarity_scan import (
+        similarity_scan_windowed,
+        split_genome_windows,
+    )
+
+    g_windows = split_genome_windows(g_df, 1 << 16)
+    _run("flagship_windowed_1mbp", lambda: _noop(similarity_scan_windowed(
+        g_windows, q_df, {"direct": 1.0, "consistency": 2.0}, top_k=20,
+        candidate_distance=5, patience=2, chunk_size=65536, score_floor=8.0,
+    )))
+
     # big x big interval overlap via coordinate binning — the 100 TB
     # shape for J3 (the broadcast path benches inside j3_interval_overlap
     # above): two 1M-interval sides, 4 chromosome-ish partition keys,
@@ -266,7 +280,7 @@ BASELINE = {
     "stream_windowed_counts": (2.216, 5),
     # added in r06 (min-of-3 at introduction)
     "flagship_scan_1mbp_full": (3.339, 6), "j3_interval_binned_bigbig": (1.331, 6),
-    "ngram_lm_quality": (2.059, 6),
+    "ngram_lm_quality": (2.059, 6), "flagship_windowed_1mbp": (2.283, 6),
 }
 
 
