@@ -91,17 +91,92 @@ ORDER BY doc_id
 """
 
 
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN path through the exact-match gate (was
+    pytest-only): ivf_assign -> write_ivf_index (parquet partitioned by
+    c_id) -> read_ivf_index -> ivf_topk(assigned=...,
+    prefilter_partitions=True), so probing physically reads only the
+    probed bucket directories. Same workload as ann_ivf, hence shares
+    ANN_IVF_SQL — a drift between the persisted layout and the inline
+    path hash-mismatches here."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 48).select(F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
+    # per-PID staging (not a fresh mkdtemp per call): repeat runs reuse
+    # one dir, concurrent processes don't clobber each other's lazily
+    # read index (same pattern as corpus_shard_roundtrip)
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_ivf_index(ivf_assign(e, cents), path)
+    index = read_ivf_index(spark, path)
+    out = ivf_topk(e, q, cents, k=10, nprobe=2, assigned=index,
+                   prefilter_partitions=True)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def j3b_interval_overlap_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3's BROADCAST mode through the gate on the same workload as the
+    binned j3_interval_overlap (which shares its J3_SQL oracle): proves
+    broadcast == binned on driver data, not just on the pytest fixture.
+    The small side here is the same orders-window table — at real scale
+    this mode is for annotation-table-sized right sides."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import intervals
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("s"),
+        (F.unix_date(F.col("o_orderdate").cast("date")) + 30).cast("long").alias("e"),
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("o_orderkey_b"),
+        F.col("o_custkey").alias("__r_cust"),
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    joined = intervals.interval_join_broadcast(
+        o, right, "s", "e", "sb", "eb",
+        extra_cond=F.col("o_custkey") == F.col("__r_cust"),
+    ).filter(F.col("o_orderkey") < F.col("o_orderkey_b"))
+    out = intervals.classify_overlaps(joined, "s", "e", "sb", "eb")
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderkey_b",
+        F.col("overlap_len").cast("long").alias("overlap_days"), "relation",
+    )
+
+
 def queries_r6() -> dict:
     return {
         "flagship_windowed_scan": flagship_windowed_scan,
         "ngram_lm_quality": ngram_lm_quality,
+        "ann_ivf_persisted": ann_ivf_persisted,
+        "j3b_interval_overlap_broadcast": j3b_interval_overlap_broadcast,
     }
 
 
 def oracle_sql_r6() -> dict[str, str]:
-    from ncbi_analysis_spark.plans.driver_queries import FLAGSHIP_SQL
+    from ncbi_analysis_spark.plans.driver_queries import (
+        ANN_IVF_SQL,
+        FLAGSHIP_SQL,
+        J3_SQL,
+    )
 
     return {
         "flagship_windowed_scan": FLAGSHIP_SQL,
         "ngram_lm_quality": NGRAM_LM_SQL,
+        "ann_ivf_persisted": ANN_IVF_SQL,
+        "j3b_interval_overlap_broadcast": J3_SQL,
     }
