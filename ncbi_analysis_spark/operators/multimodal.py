@@ -44,6 +44,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("phash64", T.LongType()),
 ])
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
@@ -62,6 +71,100 @@ def deterministic_fake_decoder(data: bytes, meta: dict) -> dict:
         "mean_luma": h[2] / 255.0,
         "phash64": int.from_bytes(h[:8], "big", signed=True),
     }
+
+
+def deterministic_fake_audio_decoder(data: bytes, meta: dict) -> dict:
+    """STUB audio decode: stable pseudo-features from md5(bytes), same
+    contract as ``wave_audio_decoder``. Metadata sample_rate/duration win
+    when present; otherwise both derive from the hash so the DuckDB
+    oracle can replay the exact arithmetic."""
+    h = hashlib.md5(data or b"").digest()
+    rate = int(meta.get("sample_rate") or (8000, 16000, 44100)[h[0] % 3])
+    duration_ms = int(meta.get("duration_ms")
+                      or int.from_bytes(h[1:4], "big") % 600_000 + 1)
+    return {
+        "sample_rate": rate,
+        "duration_ms": duration_ms,
+        "n_samples": rate * duration_ms // 1000,
+        "rms": h[8] / 255.0,
+        "peak": h[10] / 255.0,
+    }
+
+
+def wave_audio_decoder(data: bytes, meta: dict) -> dict:
+    """REAL audio decoder implementing the ``audio_features`` decoder
+    contract for RIFF/WAV payloads via the stdlib ``wave`` module + numpy
+    (no third-party codec needed, so this path runs everywhere): actual
+    header parse, PCM sample decode, RMS and peak amplitude normalized
+    to [0, 1]. Compressed formats (mp3/flac) need an ffmpeg/torchaudio
+    decoder with the same (bytes, meta) -> dict contract."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data)) as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return {
+        "sample_rate": int(rate),
+        "duration_ms": int(n * 1000 // rate) if rate else 0,
+        "n_samples": int(len(samples)),
+        "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
+    }
+
+
+def audio_features(
+    media: DataFrame,
+    decoder: Callable[[bytes, dict], dict] = deterministic_fake_audio_decoder,
+    batch_decoder: Callable[[list, list], list] | None = None,
+) -> DataFrame:
+    """Decode + feature-extract audio rows via mapInPandas — the audio
+    twin of ``image_features`` (same batch shape, same per-row vs
+    whole-batch decoder contracts, same scale notes). Real WAV decode is
+    built in (``wave_audio_decoder``); the md5 stub stays the default so
+    the oracle can verify the Arrow round-trip bit-exactly."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                dict(m) if m is not None else {} for m in pdf["meta"]
+            ] if len(pdf) else []
+            if batch_decoder is not None:
+                feats_list = batch_decoder(list(pdf["data"]), metas)
+                if len(feats_list) != len(pdf):
+                    raise ValueError(
+                        f"batch_decoder returned {len(feats_list)} feature "
+                        f"dicts for {len(pdf)} rows; the contract is "
+                        "list-in/list-out with 1:1 positional alignment"
+                    )
+            else:
+                feats_list = [decoder(d, m) for d, m in zip(pdf["data"], metas)]
+            out = [
+                {
+                    "media_id": mid,
+                    "sample_rate": feats["sample_rate"],
+                    "duration_ms": feats["duration_ms"],
+                    "n_samples": feats["n_samples"],
+                    "rms": feats["rms"],
+                    "peak": feats["peak"],
+                }
+                for mid, feats in zip(pdf["media_id"], feats_list)
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    auds = media.filter(F.col("kind") == "audio").select("media_id", "data", "meta")
+    return auds.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
 
 
 def pil_available() -> bool:

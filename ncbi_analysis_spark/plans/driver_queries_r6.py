@@ -158,12 +158,101 @@ def j3b_interval_overlap_broadcast(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_image_features: documents' bytes as
+    opaque audio payloads -> mapInPandas decode -> per-media features.
+    The md5 stub decoder keeps the oracle exact (real WAV decode is
+    operators/multimodal.py::wave_audio_decoder, pytest-covered with
+    synthesized PCM — stdlib wave, no optional dependency)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+    out = mm.audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "duration_ms", "n_samples",
+        F.round("rms", 6).alias("rms"), F.round("peak", 6).alias("peak"),
+    )
+
+
+# md5-hex byte k (0-based) = substr(hx, 2k+1, 2); mirrors
+# deterministic_fake_audio_decoder byte-for-byte.
+MULTIMODAL_AUDIO_SQL = """
+WITH h AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+f AS (
+  SELECT media_id,
+         (CASE ('0x' || substr(hx, 1, 2))::INT % 3
+               WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS sample_rate,
+         (('0x' || substr(hx, 3, 6))::BIGINT % 600000 + 1) AS duration_ms,
+         ('0x' || substr(hx, 17, 2))::INT AS b8,
+         ('0x' || substr(hx, 21, 2))::INT AS b10
+  FROM h
+)
+SELECT media_id, sample_rate::INT AS sample_rate, duration_ms::BIGINT AS duration_ms,
+       ((sample_rate::BIGINT * duration_ms) // 1000)::BIGINT AS n_samples,
+       ROUND(b8 / 255.0, 6) AS rms,
+       ROUND(b10 / 255.0, 6) AS peak
+FROM f
+"""
+
+
+def dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup survivorship: MinHash-LSH edges ->
+    connected components -> keep each cluster's smallest doc_id (and
+    every un-clustered doc), i.e. the filter step a training pipeline
+    actually runs after near-dup detection. Same edge generation as
+    dedup_dup_clusters; the kept set is documents anti-joined against
+    the non-canonical cluster members."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import component_dups
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    )
+    losers = component_dups(pairs).select(F.col("id").alias("doc_id"))
+    return d.join(losers, "doc_id", "left_anti") \
+        .select("doc_id", "lang", "source", "n_chars")
+
+
+def _keep_one_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r3 import _dup_clusters_sql
+
+    # reuse the recursive-CTE component fixpoint; survivors are docs that
+    # are not a non-canonical member of any cluster
+    comp = _dup_clusters_sql().strip().rstrip()
+    return f"""
+WITH comp AS ({comp})
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+"""
+
+
 def queries_r6() -> dict:
     return {
         "flagship_windowed_scan": flagship_windowed_scan,
         "ngram_lm_quality": ngram_lm_quality,
         "ann_ivf_persisted": ann_ivf_persisted,
         "j3b_interval_overlap_broadcast": j3b_interval_overlap_broadcast,
+        "multimodal_audio_features": multimodal_audio_features,
+        "dedup_keep_one": dedup_keep_one,
     }
 
 
@@ -179,4 +268,6 @@ def oracle_sql_r6() -> dict[str, str]:
         "ngram_lm_quality": NGRAM_LM_SQL,
         "ann_ivf_persisted": ANN_IVF_SQL,
         "j3b_interval_overlap_broadcast": J3_SQL,
+        "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
+        "dedup_keep_one": _keep_one_sql(),
     }

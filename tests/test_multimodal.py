@@ -131,6 +131,69 @@ def test_resize_batch_decoder_matches_per_row(spark):
     assert batched == per_row and set(per_row) == {1, 2}
 
 
+def test_audio_features_stub_deterministic(spark, media):
+    out = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert set(out) == {4}  # only the audio row
+    # meta sample_rate/duration win; rms/peak derive from md5(bytes)
+    assert out[4]["sample_rate"] == 16000
+    assert out[4]["duration_ms"] == 2000
+    assert out[4]["n_samples"] == 16000 * 2000 // 1000
+    h = hashlib.md5(b"audbytes-4").digest()
+    assert out[4]["rms"] == h[8] / 255.0
+    assert out[4]["peak"] == h[10] / 255.0
+
+
+def _wav_bytes(samples, rate, width):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def test_wave_audio_decoder_real_pcm(spark):
+    """Real audio decode through the Spark plumbing — stdlib wave, no
+    optional dependency: a ±16384 16-bit square wave has peak = rms =
+    0.5 exactly, and an 8-bit constant-192 signal decodes to
+    (192-128)/128 = 0.5."""
+    import numpy as np
+
+    sq = (np.tile([16384, -16384], 400)).astype("<i2")  # 800 frames @ 8 kHz
+    u8 = np.full(441, 192, dtype=np.uint8)              # 441 frames @ 44.1 kHz
+    rows = [
+        (1, "audio", _wav_bytes(sq.tobytes(), 8000, 2),
+         (None, None, 1, None, None, "wav")),
+        (2, "audio", _wav_bytes(u8.tobytes(), 44100, 1),
+         (None, None, 1, None, None, "wav")),
+        (3, "image", b"img", (2, 2, 3, None, None, "png")),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           mm.audio_features(media, decoder=mm.wave_audio_decoder).collect()}
+    assert set(out) == {1, 2}  # image row filtered out
+    assert (out[1]["sample_rate"], out[1]["n_samples"]) == (8000, 800)
+    assert out[1]["duration_ms"] == 100
+    assert out[1]["rms"] == out[1]["peak"] == 0.5
+    assert (out[2]["sample_rate"], out[2]["n_samples"]) == (44100, 441)
+    assert out[2]["rms"] == out[2]["peak"] == 0.5
+
+
+def test_audio_batch_decoder_matches_per_row(spark, media):
+    def batch_feats(datas, metas):
+        return [mm.deterministic_fake_audio_decoder(d, m)
+                for d, m in zip(datas, metas)]
+
+    per_row = sorted(map(tuple, mm.audio_features(media).collect()))
+    batched = sorted(map(tuple, mm.audio_features(
+        media, batch_decoder=batch_feats).collect()))
+    assert batched == per_row and len(per_row) == 1
+
+
 needs_pil = pytest.mark.skipif(not mm.pil_available(), reason="Pillow not installed")
 
 
