@@ -399,10 +399,18 @@ def similarity_scan(
 
     # chunks explode out of a tiny genome_df (rows = accessions x strands),
     # so without an explicit redistribution the whole scan would run in
-    # |genome rows| tasks — repartition by chunk identity to spread the
-    # Python scoring across the cluster
+    # |genome rows| tasks. The count must be EXPLICIT and NUMERIC:
+    # a bare repartition(cols) is AQE-coalesced by BYTES (1 MiB min
+    # partition), and chunk text is tiny relative to its O(len x L)
+    # Python scoring cost — measured at 1 Mbp, byte-based coalescing
+    # funneled all 32 chunks into ONE task, serializing the whole scorer
+    # stage. Round-robin into defaultParallelism tasks (exact balance;
+    # hash-by-chunk-id collides ~1/e of chunks into shared tasks).
+    # Placement does not affect results: scoring is per-chunk pure, and
+    # suppression/top-k re-shuffle by their own keys downstream.
+    n_tasks = genome_df.sparkSession.sparkContext.defaultParallelism
     chunks = chunk_genome(genome_df, chunk_size, overlap, halo=radius) \
-        .repartition("accession", "strand", "chunk_id") \
+        .repartition(max(n_tasks, 1)) \
         .withColumn("chunk_size_", F.lit(chunk_size))
 
     db_len = genome_df.select("accession", F.length("seq").alias("db_len"))
@@ -580,8 +588,12 @@ def similarity_scan_windowed(
     overlap = int(max_len_row[0]["m"] or 1) - 1
     radius = max(int(candidate_distance) - 1, 0)
 
+    # numeric round-robin for the same reason as similarity_scan: the
+    # regroup's groupBy output is byte-coalesced by AQE, and chunk bytes
+    # say nothing about chunk scoring cost
+    n_tasks = windows_df.sparkSession.sparkContext.defaultParallelism
     chunks = chunk_genome_from_windows(windows_df, chunk_size, overlap, halo=radius) \
-        .repartition("accession", "strand", "chunk_id") \
+        .repartition(max(n_tasks, 1)) \
         .withColumn("chunk_size_", F.lit(chunk_size))
     db_len = windows_df.groupBy("accession").agg(
         F.sum(F.length("seq")).alias("db_len"))

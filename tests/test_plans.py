@@ -94,10 +94,30 @@ def test_ivf_assignment_is_map_side(spark):
 def test_flagship_scan_plan_shape(spark):
     plan = _plan(spark, "flagship_similarity_scan")
     # query genes broadcast into the chunk cross join; exactly one Python
-    # stage (the Arrow-batched scorer); chunks repartitioned for fan-out
+    # stage (the Arrow-batched scorer); chunks spread by an explicit
+    # NUMERIC round-robin (AQE byte-coalescing must not apply — chunk
+    # bytes say nothing about chunk scoring cost)
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("MapInPandas") == 1
-    assert "Exchange hashpartitioning(accession" in plan
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_flagship_scorer_input_actually_spreads(spark):
+    """Runtime guard for the AQE funnel: with >= 8 chunks on a 1-row
+    genome, the scorer-input repartition must land chunks in MULTIPLE
+    tasks at execution time (byte-based AQE coalescing once funneled all
+    chunks into ONE task, serializing the whole Python scoring stage)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.plans.similarity_scan import chunk_genome
+
+    g = spark.createDataFrame([("acc", "acgt" * 4096)], ["accession", "seq"])
+    n = spark.sparkContext.defaultParallelism
+    chunks = chunk_genome(g, 1024, 11, halo=4).repartition(max(n, 1))
+    pids = chunks.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    n_chunks = sum(r["count"] for r in pids)
+    assert n_chunks >= 8
+    assert len(pids) >= min(n_chunks, n) // 2  # spread, not funneled
 
 
 def test_binned_interval_join_is_hash_join(spark):
