@@ -27,30 +27,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MARKERS = ("CartesianProduct", "BroadcastNestedLoopJoin", "Exchange SinglePartition")
 
-# query -> set of markers that are expected and justified (comments say why).
+# query -> set of markers that are expected and justified (comments say
+# why). Audited empirically at sf0.01: the registry shows ZERO
+# CartesianProduct and ZERO static single-partition exchanges; every
+# BroadcastNestedLoopJoin below is a deliberate broadcast-small-side
+# cross join, which plans as BNLJ by definition (no equi-keys).
+#
+# Note on Exchange SinglePartition: under AQE the static formatted plan
+# rarely materializes one (partition counts are decided at runtime), so
+# this audit only catches statically-planned funnels. The runtime
+# complement is tests/test_plans.py::
+# test_flagship_scorer_input_actually_spreads, which guards the one
+# place a runtime byte-coalesce funnel was actually observed (and
+# fixed): CPU-dense Arrow stages need an explicit numeric repartition.
 EXPECTED: dict[str, set[str]] = {
-    # Non-equi range predicates over a broadcast side: BNLJ is the point
-    # of the broadcast interval-join mode (small annotation side).
-    "j3_interval_overlap": {"BroadcastNestedLoopJoin"},
-    "j3b_interval_overlap_broadcast": {"BroadcastNestedLoopJoin"},
-    # Bounded-fixture parity queries: a global rank/order over a
-    # known-small literal or fixture table (driver-side parity harness,
-    # not a scale path — the scale twin is the keyed/binned mode).
-    "j7_cover_preference": {"Exchange SinglePartition"},
-    "j8_reorder_by_index": {"Exchange SinglePartition"},
-    "f13_direction_glyphs": {"Exchange SinglePartition"},
-    "f16_promoter_select": {"Exchange SinglePartition"},
-    "f17_split_triples": {"Exchange SinglePartition"},
-    # Scalar global aggregates (partial agg upstream, one tiny row out)
-    # or a final small-result global sort in a fixture/report query.
-    "a7_progress_counters": {"Exchange SinglePartition"},
-    "s4_cluster_fixture": {"Exchange SinglePartition"},
-    "ngram_lm_quality": {"Exchange SinglePartition"},
-    "corpus_profile": {"Exchange SinglePartition"},
-    "skew_profile": {"Exchange SinglePartition"},
-    "dedup_char_windows": {"Exchange SinglePartition"},
-    "decon_ngram_overlap": {"Exchange SinglePartition"},
-    "stream_click_purchase_join": {"Exchange SinglePartition"},
+    # Flagship scans: query genes broadcast against every genome chunk
+    # (the intended shape — queries are small by problem construction).
+    "flagship_similarity_scan": {"BroadcastNestedLoopJoin"},
+    "flagship_windowed_scan": {"BroadcastNestedLoopJoin"},
+    "w4_ascending_scan": {"BroadcastNestedLoopJoin"},
+    # ANN: the bounded query set broadcast against every vector batch.
+    "ann_brute_force": {"BroadcastNestedLoopJoin"},
+    "ann_ivf": {"BroadcastNestedLoopJoin"},
+    "ann_ivf_pq": {"BroadcastNestedLoopJoin"},
+    "ann_ivf_trained": {"BroadcastNestedLoopJoin"},
+    # Hyperplane-LSH bucketing: the tiny random-plane matrix broadcast
+    # against the corpus.
+    "dedup_embedding_pairs": {"BroadcastNestedLoopJoin"},
+    # Broadcast of a scalar/model small side (LM total, corpus doc
+    # count) — one-row cross joins.
+    "ngram_lm_quality": {"BroadcastNestedLoopJoin"},
+    "tfidf_terms": {"BroadcastNestedLoopJoin"},
 }
 
 
