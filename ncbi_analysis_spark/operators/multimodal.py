@@ -96,13 +96,22 @@ def wave_audio_decoder(data: bytes, meta: dict) -> dict:
     contract for RIFF/WAV payloads via the stdlib ``wave`` module + numpy
     (no third-party codec needed, so this path runs everywhere): actual
     header parse, PCM sample decode, RMS and peak amplitude normalized
-    to [0, 1]. Compressed formats (mp3/flac) need an ffmpeg/torchaudio
-    decoder with the same (bytes, meta) -> dict contract."""
+    to [0, 1]. ``n_samples`` is the FRAME count (so n_samples ==
+    sample_rate * duration_ms / 1000 holds for any channel count, same
+    invariant as the stub); rms/peak are computed over all channels.
+    Compressed formats (mp3/flac) need an ffmpeg/torchaudio decoder with
+    the same (bytes, meta) -> dict contract."""
     import io
     import wave
 
     import numpy as np
 
+    if not data:
+        raise ValueError(
+            "wave_audio_decoder got an empty/NULL audio payload; filter "
+            "null media rows upstream (the md5 stub tolerates them, a "
+            "real codec cannot)"
+        )
     with wave.open(io.BytesIO(data)) as w:
         rate = w.getframerate()
         n = w.getnframes()
@@ -119,10 +128,49 @@ def wave_audio_decoder(data: bytes, meta: dict) -> dict:
     return {
         "sample_rate": int(rate),
         "duration_ms": int(n * 1000 // rate) if rate else 0,
-        "n_samples": int(len(samples)),
+        "n_samples": int(n),
         "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
         "peak": float(np.max(np.abs(samples))) if len(samples) else 0.0,
     }
+
+
+def _decode_features_map(
+    media: DataFrame,
+    kind: str,
+    schema: T.StructType,
+    decoder: Callable[[bytes, dict], dict],
+    batch_decoder: Callable[[list, list], list] | None,
+) -> DataFrame:
+    """Shared decode->features mapInPandas body for image/audio (one
+    Arrow pass; per-row ``decoder`` or whole-batch ``batch_decoder``
+    taking (list[bytes], list[meta dict]) -> list[feature dict])."""
+    field_names = [f.name for f in schema.fields]
+    feat_fields = [n for n in field_names if n != "media_id"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                dict(m) if m is not None else {} for m in pdf["meta"]
+            ] if len(pdf) else []
+            if batch_decoder is not None:
+                feats_list = batch_decoder(list(pdf["data"]), metas)
+                if len(feats_list) != len(pdf):
+                    # zip would silently truncate/misalign rows otherwise
+                    raise ValueError(
+                        f"batch_decoder returned {len(feats_list)} feature "
+                        f"dicts for {len(pdf)} rows; the contract is "
+                        "list-in/list-out with 1:1 positional alignment"
+                    )
+            else:
+                feats_list = [decoder(d, m) for d, m in zip(pdf["data"], metas)]
+            out = [
+                {"media_id": mid, **{k: feats[k] for k in feat_fields}}
+                for mid, feats in zip(pdf["media_id"], feats_list)
+            ]
+            yield pd.DataFrame(out, columns=field_names)
+
+    rows = media.filter(F.col("kind") == kind).select("media_id", "data", "meta")
+    return rows.mapInPandas(gen, schema)
 
 
 def audio_features(
@@ -135,36 +183,8 @@ def audio_features(
     whole-batch decoder contracts, same scale notes). Real WAV decode is
     built in (``wave_audio_decoder``); the md5 stub stays the default so
     the oracle can verify the Arrow round-trip bit-exactly."""
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [
-                dict(m) if m is not None else {} for m in pdf["meta"]
-            ] if len(pdf) else []
-            if batch_decoder is not None:
-                feats_list = batch_decoder(list(pdf["data"]), metas)
-                if len(feats_list) != len(pdf):
-                    raise ValueError(
-                        f"batch_decoder returned {len(feats_list)} feature "
-                        f"dicts for {len(pdf)} rows; the contract is "
-                        "list-in/list-out with 1:1 positional alignment"
-                    )
-            else:
-                feats_list = [decoder(d, m) for d, m in zip(pdf["data"], metas)]
-            out = [
-                {
-                    "media_id": mid,
-                    "sample_rate": feats["sample_rate"],
-                    "duration_ms": feats["duration_ms"],
-                    "n_samples": feats["n_samples"],
-                    "rms": feats["rms"],
-                    "peak": feats["peak"],
-                }
-                for mid, feats in zip(pdf["media_id"], feats_list)
-            ]
-            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
-
-    auds = media.filter(F.col("kind") == "audio").select("media_id", "data", "meta")
-    return auds.mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+    return _decode_features_map(
+        media, "audio", AUDIO_FEATURES_SCHEMA, decoder, batch_decoder)
 
 
 def pil_available() -> bool:
@@ -238,36 +258,8 @@ def image_features(
     vectorize across a batch (GPU decode, batched JPEG turbo), which
     skips the per-row Python loop entirely.
     """
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [
-                dict(m) if m is not None else {} for m in pdf["meta"]
-            ] if len(pdf) else []
-            if batch_decoder is not None:
-                feats_list = batch_decoder(list(pdf["data"]), metas)
-                if len(feats_list) != len(pdf):
-                    # zip would silently truncate/misalign rows otherwise
-                    raise ValueError(
-                        f"batch_decoder returned {len(feats_list)} feature "
-                        f"dicts for {len(pdf)} rows; the contract is "
-                        "list-in/list-out with 1:1 positional alignment"
-                    )
-            else:
-                feats_list = [decoder(d, m) for d, m in zip(pdf["data"], metas)]
-            out = [
-                {
-                    "media_id": mid,
-                    "width": feats["width"],
-                    "height": feats["height"],
-                    "mean_luma": feats["mean_luma"],
-                    "phash64": feats["phash64"],
-                }
-                for mid, feats in zip(pdf["media_id"], feats_list)
-            ]
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
-
-    imgs = media.filter(F.col("kind") == "image").select("media_id", "data", "meta")
-    return imgs.mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
+    return _decode_features_map(
+        media, "image", IMAGE_FEATURES_SCHEMA, decoder, batch_decoder)
 
 
 def resize_images(media: DataFrame, width: int, height: int,

@@ -237,7 +237,7 @@ def _keep_one_sql() -> str:
 
     # reuse the recursive-CTE component fixpoint; survivors are docs that
     # are not a non-canonical member of any cluster
-    comp = _dup_clusters_sql().strip().rstrip()
+    comp = _dup_clusters_sql().strip()
     return f"""
 WITH comp AS ({comp})
 SELECT doc_id, lang, source, n_chars FROM documents

@@ -362,6 +362,19 @@ def scan_candidates(
     )
 
 
+def _scorer_parallelism(spark) -> int:
+    """Task count for the CPU-dense scorer stage: the larger of
+    defaultParallelism and spark.sql.shuffle.partitions. On
+    dynamic-allocation clusters defaultParallelism reflects only the
+    executors registered at plan-build time (possibly a handful at
+    submit), which would re-serialize the stage the numeric repartition
+    exists to spread; shuffle.partitions is the deploy-time statement of
+    intended shuffle width and serves as the floor."""
+    sc = spark.sparkContext
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(sc.defaultParallelism, shuffle, 1)
+
+
 def similarity_scan(
     genome_df: DataFrame,
     queries_df: DataFrame,
@@ -408,9 +421,8 @@ def similarity_scan(
     # hash-by-chunk-id collides ~1/e of chunks into shared tasks).
     # Placement does not affect results: scoring is per-chunk pure, and
     # suppression/top-k re-shuffle by their own keys downstream.
-    n_tasks = genome_df.sparkSession.sparkContext.defaultParallelism
     chunks = chunk_genome(genome_df, chunk_size, overlap, halo=radius) \
-        .repartition(max(n_tasks, 1)) \
+        .repartition(_scorer_parallelism(genome_df.sparkSession)) \
         .withColumn("chunk_size_", F.lit(chunk_size))
 
     db_len = genome_df.select("accession", F.length("seq").alias("db_len"))
@@ -591,9 +603,8 @@ def similarity_scan_windowed(
     # numeric round-robin for the same reason as similarity_scan: the
     # regroup's groupBy output is byte-coalesced by AQE, and chunk bytes
     # say nothing about chunk scoring cost
-    n_tasks = windows_df.sparkSession.sparkContext.defaultParallelism
     chunks = chunk_genome_from_windows(windows_df, chunk_size, overlap, halo=radius) \
-        .repartition(max(n_tasks, 1)) \
+        .repartition(_scorer_parallelism(windows_df.sparkSession)) \
         .withColumn("chunk_size_", F.lit(chunk_size))
     db_len = windows_df.groupBy("accession").agg(
         F.sum(F.length("seq")).alias("db_len"))

@@ -70,11 +70,17 @@ def plan_string(df) -> str:
         return jqe.toString()
 
 
-def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, set[str]]:
+def audit(
+    spark, sf_dir: str, names: list[str] | None = None,
+    errors: dict[str, str] | None = None,
+) -> dict[str, set[str]]:
     """Return {query: set(markers found)} for every requested query.
-    Queries whose *construction* executes side work (stream_* staging,
-    sink round-trips, persisted-index builds) are skipped: their plan is
-    the final read, not the pipeline, so a marker scan is meaningless."""
+    Construction failures are recorded in ``errors`` (if given) so
+    callers can FAIL on them — a query that errors out of the audit must
+    not silently escape the marker/staleness gates. Queries whose
+    *construction* executes side work (stream_* staging, sink
+    round-trips, persisted-index builds) are skipped: their plan is the
+    final read, not the pipeline, so a marker scan is meaningless."""
     from ncbi_analysis_spark.plans import driver_queries
 
     skip_prefixes = ("stream_",)
@@ -90,7 +96,10 @@ def audit(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, set[s
         try:
             plan = plan_string(fn(spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — audit must cover the rest
-            print(f"ERR  {name}: {type(exc).__name__}: {str(exc).splitlines()[0][:160]}")
+            msg = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+            print(f"ERR  {name}: {msg}")
+            if errors is not None:
+                errors[name] = msg
             continue
         found = {m for m in MARKERS if m in plan}
         out[name] = found
@@ -104,7 +113,8 @@ def main() -> None:
     names = sys.argv[2:] or None
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    results = audit(spark, sf_dir, names)
+    errors: dict[str, str] = {}
+    results = audit(spark, sf_dir, names, errors=errors)
     unexplained: dict[str, set[str]] = {}
     for name in sorted(results):
         found = results[name]
@@ -120,10 +130,11 @@ def main() -> None:
         for n, allowed in EXPECTED.items()
         if n in results and allowed - results[n]
     }
-    print(f"\n{len(results)} audited, {len(unexplained)} with unexplained markers")
+    print(f"\n{len(results)} audited, {len(unexplained)} with unexplained markers, "
+          f"{len(errors)} construction errors")
     if stale:
         print(f"stale expectations (marker no longer present): {stale}")
-    sys.exit(1 if unexplained else 0)
+    sys.exit(1 if (unexplained or errors) else 0)
 
 
 if __name__ == "__main__":

@@ -183,6 +183,37 @@ def test_wave_audio_decoder_real_pcm(spark):
     assert out[2]["rms"] == out[2]["peak"] == 0.5
 
 
+def test_wave_audio_decoder_stereo_counts_frames(spark):
+    """n_samples must be the FRAME count, not interleaved values: a
+    stereo WAV with 400 frames has 800 samples on disk but n_samples ==
+    400, keeping n_samples == sample_rate * duration_ms / 1000 for any
+    channel count."""
+    import io
+    import wave
+
+    import numpy as np
+
+    inter = np.tile([16384, -16384], 400).astype("<i2")  # 400 stereo frames
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    out = mm.wave_audio_decoder(buf.getvalue(), {})
+    assert out["n_samples"] == 400
+    assert out["duration_ms"] == 50
+    assert out["n_samples"] == out["sample_rate"] * out["duration_ms"] // 1000
+    assert out["rms"] == out["peak"] == 0.5
+
+
+def test_wave_audio_decoder_rejects_null_payload():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL audio payload"):
+        mm.wave_audio_decoder(b"", {})
+
+
 def test_audio_batch_decoder_matches_per_row(spark, media):
     def batch_feats(datas, metas):
         return [mm.deterministic_fake_audio_decoder(d, m)

@@ -15,7 +15,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_no_unexplained_plan_markers(spark):
-    results = audit(spark, SF_DIR)
+    errors: dict[str, str] = {}
+    results = audit(spark, SF_DIR, errors=errors)
+    assert errors == {}  # a construction failure must not escape the gate
     assert len(results) >= 80  # the audit actually covered the registry
     unexplained = {
         name: sorted(found - EXPECTED.get(name, set()))
