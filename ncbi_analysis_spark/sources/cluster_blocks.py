@@ -33,10 +33,16 @@ ELEMENT_SCHEMA = T.StructType([
 
 def _parse_seq_line(elem: dict, line: str) -> None:
     s = line.strip()
-    if not s[-1].isdigit():  # continuation line: bare sequence
+    toks = re.split(r"\s+", s)
+    # a well-formed coordinate line is `name start seq... end`; anything
+    # else (bare sequence, or a corrupt line that happens to end in a
+    # digit) is treated as sequence continuation — a malformed line must
+    # degrade, not raise inside a Spark task
+    if not s or not s[-1].isdigit() or len(toks) < 2 \
+            or not toks[1].lstrip("-").isdigit() \
+            or not toks[-1].lstrip("-").isdigit():
         elem["seq"] = elem.get("seq", "") + s
         return
-    toks = re.split(r"\s+", s)
     elem.setdefault("name", toks[0])
     elem.setdefault("start", int(toks[1]))
     elem["end"] = int(toks[-1])

@@ -32,15 +32,29 @@ _ID_SCRIPT = re.compile(r"window\.location\.replace\('/gene\?([^']*)'\)")
 _GENE_SCRIPT = re.compile(r"gene:'([^']+)'")
 
 
-def extract_map_position(text: str) -> tuple[int, int]:
+def extract_map_position(text: str) -> tuple[int | None, int | None]:
     """F18: ``[a -> b]`` / ``[b <- a]`` with comma grouping -> (start, end)
-    (reference html_parser_util.py:13-23)."""
-    inner = text[text.index("[") + 1:text.index("]")]
+    (reference html_parser_util.py:13-23). Malformed fragments (missing
+    brackets, no arrow, non-numeric bounds) yield (None, None) rather
+    than raising — inside a Spark task an exception kills the job while
+    the DuckDB oracle's regexp extraction yields NULL for the same
+    input, a latent engine/oracle divergence (same class as the r5
+    extract_nuccore_uid finding)."""
+    lo, hi = text.find("["), text.find("]")
+    if lo == -1 or hi == -1 or hi < lo:
+        return None, None
+    inner = text[lo + 1:hi]
     if "<-" in inner:
-        end, start = inner.split("<-")
+        end, _, start = inner.partition("<-")
+    elif "->" in inner:
+        start, _, end = inner.partition("->")
     else:
-        start, end = inner.split("->")
-    return int(start.replace(",", "").strip()), int(end.replace(",", "").strip())
+        return None, None
+    try:
+        return (int(start.replace(",", "").strip()),
+                int(end.replace(",", "").strip()))
+    except ValueError:
+        return None, None
 
 
 def extract_ecocyc_id(html: str, gene_name: str | None = None) -> str | None:

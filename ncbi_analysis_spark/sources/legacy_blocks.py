@@ -84,9 +84,13 @@ def parse_neighbor_blocks(text: str) -> list[dict]:
         head = re.split(r"\s+", lines[0])
         if len(head) < 4:
             continue
+        try:
+            left, right = int(head[2]), int(head[3])
+        except ValueError:  # corrupt head line: skip the block, keep the task
+            continue
         row = {
             "name": head[0], "direction": head[1],
-            "left": int(head[2]), "right": int(head[3]),
+            "left": left, "right": right,
             "source": None, "nearest_gene": None,
         }
         for ln in lines[1:]:
