@@ -1,0 +1,183 @@
+"""Batch randomized property tests: Column expressions vs independent
+pure-Python references.
+
+Each test generates hundreds of seeded-random inputs, evaluates the
+engine's Column expression in ONE Spark job, and compares every row
+against a from-scratch Python model written here (not a re-import of
+engine code) — the SQL-oracle idea applied at the function level, in
+directions the fixture-based unit tests don't reach (arbitrary lengths,
+empty strings, out-of-range coordinates, negative values).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.functions import sequence as seqf
+from ncbi_analysis_spark.functions import vectors as vecf
+
+# reference get_opposite_dna map (src/utils/gene_util.py:1-8): DNA-style
+# a<->t / c<->g, case preserved, anything else (u, n, ...) untouched
+_COMP = {"a": "t", "t": "a", "c": "g", "g": "c",
+         "A": "T", "T": "A", "C": "G", "G": "C"}
+
+
+def _py_revcomp(s: str) -> str:
+    return "".join(_COMP.get(ch, ch) for ch in reversed(s))
+
+
+def _rand_seqs(n=400, seed=29):
+    rnd = random.Random(seed)
+    out = []
+    for _ in range(n):
+        length = rnd.choice([0, 1, 2, rnd.randrange(3, 80)])
+        out.append("".join(rnd.choice("aucgn") for _ in range(length)))
+    return out
+
+
+def test_revcomp_matches_python_model_and_involutes(spark):
+    seqs = _rand_seqs()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(seqs)], ["i", "s"])
+    rows = df.select(
+        "i", seqf.revcomp(F.col("s")).alias("rc"),
+        seqf.revcomp(seqf.revcomp(F.col("s"))).alias("rcrc"), "s",
+    ).collect()
+    assert len(rows) == len(seqs)
+    for r in rows:
+        assert r["rc"] == _py_revcomp(seqs[r["i"]])
+        # the a<->t / c<->g map is symmetric, so revcomp is an involution
+        assert r["rcrc"] == seqs[r["i"]]
+
+
+def test_strand_seq_matches_python_model(spark):
+    """extract_strand_seq over random coordinates INCLUDING degenerate
+    spans: forward start<=end is the 1-based inclusive substring,
+    reverse start>end is the revcomp of [end, start]."""
+    rnd = random.Random(31)
+    cases = []
+    for i in range(400):
+        s = "".join(rnd.choice("aucg") for _ in range(rnd.randrange(1, 60)))
+        a = rnd.randrange(1, len(s) + 1)
+        b = rnd.randrange(1, len(s) + 1)
+        cases.append((i, s, a, b))
+    df = spark.createDataFrame(cases, ["i", "s", "a", "b"])
+    rows = df.select(
+        "i", seqf.extract_strand_seq(F.col("s"), F.col("a"), F.col("b")).alias("x"),
+    ).collect()
+    for r in rows:
+        _, s, a, b = cases[r["i"]]
+        if a <= b:
+            expect = s[a - 1:b]
+        else:
+            expect = _py_revcomp(s[b - 1:a])
+        assert r["x"] == expect, (s, a, b, r["x"], expect)
+
+
+def test_flanks_match_python_model(spark):
+    """upstream/downstream flanks at random coordinates incl. spans
+    touching the sequence edges (flank shorter than the limit)."""
+    rnd = random.Random(37)
+    cases = []
+    for i in range(400):
+        s = "".join(rnd.choice("aucg") for _ in range(rnd.randrange(1, 50)))
+        start = rnd.randrange(1, len(s) + 1)
+        end = rnd.randrange(start, len(s) + 1)
+        lim = rnd.randrange(0, 12)
+        cases.append((i, s, start, end, lim))
+    df = spark.createDataFrame(cases, ["i", "s", "start", "end", "lim"])
+    rows = df.select(
+        "i",
+        seqf.upstream_flank(F.col("s"), F.col("start"), F.col("lim")).alias("up"),
+        seqf.downstream_flank(F.col("s"), F.col("end"), F.col("lim")).alias("dn"),
+    ).collect()
+    for r in rows:
+        _, s, start, end, lim = cases[r["i"]]
+        assert r["up"] == s[max(start - 1 - lim, 0):start - 1], (s, start, lim, r["up"])
+        assert r["dn"] == s[end:end + lim], (s, end, lim, r["dn"])
+
+
+def test_overlap_size_matches_interval_model(spark):
+    """overlap_size across random (incl. negative / inverted / disjoint)
+    inclusive intervals == max(0, min(r) - max(l) + 1)."""
+    rnd = random.Random(41)
+    cases = [(i, rnd.randrange(-20, 50), rnd.randrange(-20, 50),
+              rnd.randrange(-20, 50), rnd.randrange(-20, 50)) for i in range(600)]
+    df = spark.createDataFrame(cases, ["i", "al", "ar", "bl", "br"])
+    rows = df.select(
+        "i", seqf.overlap_size(F.col("al"), F.col("ar"),
+                               F.col("bl"), F.col("br")).alias("ov"),
+    ).collect()
+    for r in rows:
+        _, al, ar, bl, br = cases[r["i"]]
+        assert r["ov"] == max(0, min(ar, br) - max(al, bl) + 1)
+
+
+def test_vector_ops_match_numpy(spark):
+    import numpy as np
+
+    rnd = random.Random(43)
+    cases = []
+    for i in range(300):
+        d = rnd.choice([1, 2, 3, 8])
+        v = [rnd.uniform(-2, 2) for _ in range(d)]
+        w = [rnd.uniform(-2, 2) for _ in range(d)]
+        cases.append((i, v, w))
+    df = spark.createDataFrame(cases, ["i", "v", "w"])
+    rows = df.select(
+        "i",
+        vecf.dot(F.col("v"), F.col("w")).alias("dot"),
+        vecf.norm(F.col("v")).alias("norm"),
+        vecf.l2_normalize(F.col("v")).alias("unit"),
+        vecf.quantize_int8(F.col("v")).alias("q"),
+    ).collect()
+    for r in rows:
+        _, v, w = cases[r["i"]]
+        va, wa = np.array(v), np.array(w)
+        assert math.isclose(r["dot"], float(va @ wa), rel_tol=1e-9, abs_tol=1e-12)
+        assert math.isclose(r["norm"], float(np.linalg.norm(va)), rel_tol=1e-9)
+        nv = np.linalg.norm(va)
+        if nv > 0:
+            assert math.isclose(
+                float(np.linalg.norm(np.array(r["unit"]))), 1.0, rel_tol=1e-9)
+        # int8 quantization: every slot in [-127, 127], max |v| slot hits
+        # +-127, and dequantized values stay within one step of the input
+        q = np.array(r["q"], dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        m = np.abs(va).max()
+        if m > 0:
+            assert np.abs(q).max() == 127
+            deq = q * (m / 127.0)
+            assert np.abs(deq - va).max() <= m / 127.0 + 1e-9
+
+
+def test_scorer_bounds_and_known_identities():
+    """Driver-side scalar kernels: score bounds and hand-derivable
+    identities over random strings (the batched kernels are pinned to
+    these scalars elsewhere; this pins the scalars to the math)."""
+    from ncbi_analysis_spark.similarity.scorers import (
+        consistency_score,
+        direct_score,
+        text_edit_score,
+    )
+
+    rnd = random.Random(47)
+    for _ in range(300):
+        n = rnd.randrange(1, 14)
+        g = "".join(rnd.choice("acgt") for _ in range(n))
+        w = "".join(rnd.choice("acgt") for _ in range(n))
+        d = direct_score(g, w)
+        c = consistency_score(g, w, patience=2)
+        t = text_edit_score(g, w)
+        assert 0 <= d <= n and 0 <= c <= n and t <= n
+        # identical strings score n everywhere (c->t rule is a superset
+        # of equality); consistency never beats the match count
+        assert direct_score(g, g) == consistency_score(g, g) == n
+        assert text_edit_score(g, g) == n
+        assert c <= n and d <= n
+        # text-edit is at least matches - edits >= direct - but bounded
+        # below by -n; direct counts per-position rule matches exactly
+        assert d == sum(
+            1 for a, b in zip(g, w) if a == b or (a == "c" and b == "t"))
