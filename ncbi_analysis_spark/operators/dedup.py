@@ -616,19 +616,30 @@ def char_window_dup_pairs(
     caps ultra-common windows (boilerplate headers) exactly like the
     Jaccard shingle cap — the skew guard for the self-join.
     """
+    from ncbi_analysis_spark.functions.text import ascii_fast_grams
+
     t = F.col(text)
-    n_wins = ((F.length(t) - window) / stride).cast("int") + 1
+
+    def n_wins(length_col):
+        return ((length_col - window) / stride).cast("int") + 1
+
+    # md5 over the raw UTF-8 bytes equals md5 over the string, so the
+    # ASCII byte fast path (linear; see ascii_fast_grams) needs no
+    # decode step here
+    hashes = ascii_fast_grams(
+        t,
+        F.transform(
+            F.sequence(F.lit(0), n_wins(F.length(t)) - 1),
+            lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))),
+        ),
+        lambda tb: F.transform(
+            F.sequence(F.lit(0), n_wins(F.octet_length(t)) - 1),
+            lambda i: F.md5(tb.substr(i * stride + 1, F.lit(window))),
+        ),
+    )
     wins = (
         df.filter(F.length(t) >= window)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_wins - 1),
-                    lambda i: F.md5(t.substr(i * stride + 1, F.lit(window))),
-                )
-            ).alias("wh"),
-        )
+        .select(F.col(id_col).alias("id"), F.explode(hashes).alias("wh"))
         .distinct()
     )
     # bucket-explode (single window scan; see minhash_lsh_pairs) — the

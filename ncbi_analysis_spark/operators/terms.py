@@ -115,14 +115,27 @@ def char_ngrams(df: DataFrame, n: int = 3, text_col: str = "text",
     (with multiplicity) of each document, as a pure Column-expression
     explode (sequence of start positions -> substr), no Python UDF.
     Documents shorter than ``n`` contribute no rows."""
+    from ncbi_analysis_spark.functions.text import ascii_fast_grams
+
     t = F.lower(F.col(text_col))
-    starts = F.when(
-        F.length(t) >= n, F.sequence(F.lit(1), F.length(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
+
+    def starts(length_col):
+        return F.when(
+            length_col >= n, F.sequence(F.lit(1), length_col - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+
     # slice INSIDE the transform so the explode emits n-char grams, not
     # rows that each drag the whole document text to the substr
-    # (measured 2.6x on the sf0.1 self-train+score query)
-    grams = F.transform(starts, lambda i: t.substr(i, F.lit(n)))
+    # (measured 2.6x on the sf0.1 self-train+score query); byte-sliced
+    # on ASCII rows so gram extraction is linear, not O(L²) per doc
+    grams = ascii_fast_grams(
+        t,
+        F.transform(starts(F.length(t)), lambda i: t.substr(i, F.lit(n))),
+        lambda tb: F.transform(
+            starts(F.octet_length(t)),
+            lambda i: F.decode(tb.substr(i, F.lit(n)), "UTF-8"),
+        ),
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(grams).alias("ngram"),

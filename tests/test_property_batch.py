@@ -153,6 +153,32 @@ def test_vector_ops_match_numpy(spark):
             assert np.abs(deq - va).max() <= m / 127.0 + 1e-9
 
 
+def test_char_gram_byte_fast_path_matches_char_semantics(spark):
+    """ascii_fast_grams: the ASCII byte-sliced path and the non-ASCII
+    char-substr fallback must both equal pure-Python char slicing —
+    multibyte codepoints are never split."""
+    from ncbi_analysis_spark.functions.text import char_shingles
+    from ncbi_analysis_spark.operators.terms import char_ngrams
+
+    texts = ["abcdefghij", "ab", "", "héllo wörld ünïcode",
+             "日本語テキスト", "mixed ascii préfix", "a" * 300]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    for r in df.select("t", char_shingles(F.col("t"), 4, 2).alias("sh")).collect():
+        t = r["t"]
+        expect = [t[i:i + 4] for i in range(0, max(len(t) - 3, 1), 2)] if t else [""]
+        assert r["sh"] == expect, (t, r["sh"], expect)
+
+    d2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = sorted((r["doc_id"], r["ngram"]) for r in char_ngrams(d2, 3).collect())
+    exp = sorted(
+        (i, t.lower()[j:j + 3])
+        for i, t in enumerate(texts) if len(t) >= 3
+        for j in range(len(t) - 2)
+    )
+    assert got == exp
+
+
 def test_scorer_bounds_and_known_identities():
     """Driver-side scalar kernels: score bounds and hand-derivable
     identities over random strings (the batched kernels are pinned to
