@@ -667,9 +667,15 @@ def render_candidates(
         text_edit_render_udf,
     )
 
-    strands = genome_df.select("accession", F.lit("+").alias("strand"), F.col("seq")).unionByName(
+    # byte form for the same reason as chunk_genome: a string substr at
+    # a mid-genome offset is an O(offset) codepoint scan per rendered
+    # row; byte slicing is O(window). The encode happens once per strand
+    # row, below the join.
+    strands = genome_df.select(
+        "accession", F.lit("+").alias("strand"),
+        F.encode(F.col("seq"), "UTF-8").alias("seq_b")).unionByName(
         genome_df.select("accession", F.lit("-").alias("strand"),
-                         revcomp(F.col("seq")).alias("seq"))
+                         F.encode(revcomp(F.col("seq")), "UTF-8").alias("seq_b"))
     )
     gene_len = F.length("gene")
     joined = (
@@ -677,9 +683,11 @@ def render_candidates(
         .join(strands, ["accession", "strand"])
         .withColumn(
             "window_",
-            F.col("seq").substr(F.col("offset") + 1, gene_len + F.lit(_RENDER_SLACK)),
+            F.decode(F.col("seq_b").substr(
+                (F.col("offset") + 1).cast("int"),
+                gene_len + F.lit(_RENDER_SLACK)), "UTF-8"),
         )
-        .drop("seq")
+        .drop("seq_b")
     )
     out = joined
     for name in scorers:
