@@ -51,6 +51,26 @@ def extract_strand_seq(seq: Column, start: Column, end: Column) -> Column:
     return F.when(start <= end, fwd).otherwise(rev)
 
 
+def subseq_1based_bytes(seq_b: Column, left: Column, right: Column) -> Column:
+    """``subseq_1based`` over a pre-encoded UTF-8 binary column. String
+    ``substring`` is an O(position) codepoint scan on the JVM, so
+    slicing genes out of a whole-genome string costs O(genome) per row;
+    byte slicing is O(slice). Byte == char offsets because genomic
+    alphabets are ASCII — encode the genome ONCE (e.g. on the broadcast
+    side of a join) and slice rows from the bytes."""
+    return F.decode(
+        seq_b.substr(left.cast("int"), (right - left + 1).cast("int")), "UTF-8")
+
+
+def extract_strand_seq_bytes(seq_b: Column, start: Column, end: Column) -> Column:
+    """Byte-sliced ``extract_strand_seq`` (see subseq_1based_bytes); the
+    revcomp runs on the extracted window, never the whole genome."""
+    fwd = subseq_1based_bytes(seq_b, start, end)
+    rev = F.reverse(F.translate(
+        subseq_1based_bytes(seq_b, end, start), "acgtACGT", "tgcaTGCA"))
+    return F.when(start <= end, fwd).otherwise(rev)
+
+
 def upstream_flank(seq: Column, start: Column, limit: Column | int) -> Column:
     """``seq[start-limit-1 : start-1]`` — the ``limit`` bases before a gene.
 

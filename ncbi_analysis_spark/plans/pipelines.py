@@ -11,11 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ncbi_analysis_spark.functions.sequence import (
-    downstream_flank,
-    extract_strand_seq,
-    upstream_flank,
-)
+from ncbi_analysis_spark.functions.sequence import extract_strand_seq_bytes
 from ncbi_analysis_spark.operators.asof import nearest_neighbors
 from ncbi_analysis_spark.operators.cluster import cluster_by_key
 from ncbi_analysis_spark.operators.distribution import value_distribution
@@ -89,19 +85,25 @@ def extract_gene_sequences(query_names: DataFrame, genes: DataFrame,
     per matching segment) + strand-aware sequence slice; unmatched names
     are reported via an anti-join flag
     (reference src/analysis/gene_extract.py:40-82)."""
+    # genome pre-encoded to bytes ONCE on the broadcast side: a string
+    # slice at a gene coordinate is an O(position) codepoint scan, so
+    # per-gene extraction from the genome string would cost
+    # O(genes x genome); the byte slice is O(gene length) per row
     hits = (
         query_names.join(F.broadcast(genes), "gene", "inner")
-        .join(F.broadcast(genome.select("accession", "seq")), "accession")
+        .join(F.broadcast(genome.select(
+            "accession", F.encode(F.col("seq"), "UTF-8").alias("seq_b"))),
+            "accession")
         .withColumn(
             "sequence",
             F.when(
                 F.col("strand") == "+",
-                extract_strand_seq(F.col("seq"), F.col("left"), F.col("right")),
+                extract_strand_seq_bytes(F.col("seq_b"), F.col("left"), F.col("right")),
             ).otherwise(
-                extract_strand_seq(F.col("seq"), F.col("right"), F.col("left"))
+                extract_strand_seq_bytes(F.col("seq_b"), F.col("right"), F.col("left"))
             ),
         )
-        .drop("seq")
+        .drop("seq_b")
     )
     missing = query_names.join(F.broadcast(genes), "gene", "left_anti").select(
         "gene", F.lit("not found").alias("status")
@@ -114,13 +116,20 @@ def flanking_regions(query_names: DataFrame, genes: DataFrame, genome: DataFrame
     """'Gene stream' analysis (F3): up/downstream flanking regions,
     swapped + revcomp'd on the minus strand (the reference's misleadingly
     named GeneStreamAnalysis, src/analysis/gene_stream_analysis.py:30-45)."""
-    from ncbi_analysis_spark.functions.sequence import revcomp
+    from ncbi_analysis_spark.functions.sequence import revcomp, subseq_1based_bytes
 
-    up = upstream_flank(F.col("seq"), F.col("left"), limit)
-    down = downstream_flank(F.col("seq"), F.col("right"), limit)
+    # byte-sliced against the once-encoded broadcast genome (same
+    # O(position)-substr reasoning as extract_gene_sequences); the
+    # clamp-at-sequence-start mirrors upstream_flank
+    sb = F.col("seq_b")
+    up = subseq_1based_bytes(
+        sb, F.greatest(F.col("left") - limit, F.lit(1)), F.col("left") - 1)
+    down = subseq_1based_bytes(sb, F.col("right") + 1, F.col("right") + limit)
     return (
         query_names.join(F.broadcast(genes), "gene", "inner")
-        .join(F.broadcast(genome.select("accession", "seq")), "accession")
+        .join(F.broadcast(genome.select(
+            "accession", F.encode(F.col("seq"), "UTF-8").alias("seq_b"))),
+            "accession")
         .withColumn("upstream", F.when(F.col("strand") == "+", up).otherwise(revcomp(down)))
         .withColumn("downstream", F.when(F.col("strand") == "+", down).otherwise(revcomp(up)))
         .select("gene", "accession", "left", "right", "strand", "upstream", "downstream")
