@@ -103,6 +103,37 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global training order (the "baked shuffle" of an LLM
+    data pipeline): ``shard`` = md5 bucket of the id, ``pos`` = md5
+    order within the shard. Readers consume shards in index order and
+    rows in ``pos`` order, giving a well-mixed global order that is
+    IDENTICAL on every run, cluster layout, and engine — the property
+    ``orderBy(rand())`` loses under retries, and a global
+    ``row_number()`` cannot provide without a single-partition sort.
+
+    Scale: one shuffle on the shard key + a keyed window sort; no
+    global sort anywhere. Write with ``partitionBy('shard')`` sorted by
+    ``pos`` for sequential training reads.
+    """
+    from pyspark.sql import Window
+
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    shard = (_hash32(F.col(id_col).cast("string"), salt) % n_shards).cast("int")
+    ordc = F.md5(F.concat(F.lit(salt + "#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(ordc, F.col(id_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_cols: list[str],

@@ -245,6 +245,31 @@ WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
 """
 
 
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: md5-bucketed shard + md5
+    row order within shard (operators/scale.py::deterministic_shuffle)
+    — the reproducible "baked shuffle" every training pipeline needs.
+    One shuffle + keyed window, no global sort."""
+    from ncbi_analysis_spark.operators.scale import deterministic_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_shuffle(d, "doc_id", n_shards=8) \
+        .select("doc_id", "shard", "pos")
+
+
+CORPUS_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('shuffle' || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INT
+           AS shard,
+         md5('shuffle#' || doc_id::VARCHAR) AS ord
+  FROM documents)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
 def queries_r6() -> dict:
     return {
         "flagship_windowed_scan": flagship_windowed_scan,
@@ -253,6 +278,7 @@ def queries_r6() -> dict:
         "j3b_interval_overlap_broadcast": j3b_interval_overlap_broadcast,
         "multimodal_audio_features": multimodal_audio_features,
         "dedup_keep_one": dedup_keep_one,
+        "corpus_shuffle_shards": corpus_shuffle_shards,
     }
 
 
@@ -270,4 +296,5 @@ def oracle_sql_r6() -> dict[str, str]:
         "j3b_interval_overlap_broadcast": J3_SQL,
         "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
         "dedup_keep_one": _keep_one_sql(),
+        "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
     }

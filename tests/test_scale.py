@@ -159,3 +159,26 @@ def test_stratified_sample_rates_and_stability(spark):
     assert out.exceptAll(out2).count() == 0
     # pure map: no exchange
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_deterministic_shuffle_stable_and_contiguous(spark):
+    """deterministic_shuffle: (shard, pos) must be identical across
+    partition layouts (layout independence is the whole point), shards
+    within range, and pos a contiguous 1..N_shard numbering."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.scale import deterministic_shuffle
+
+    d1 = spark.range(500).select(F.col("id").alias("doc_id"))
+    d2 = d1.repartition(7)  # different layout, same rows
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shuffle(d1, "doc_id", 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shuffle(d2, "doc_id", 8).collect()}
+    assert a == b and len(a) == 500
+    assert all(0 <= s < 8 for s, _ in a.values())
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} not contiguous"
