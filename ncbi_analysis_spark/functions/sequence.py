@@ -47,8 +47,24 @@ def extract_strand_seq(seq: Column, start: Column, end: Column) -> Column:
     [end..start]. Reference: src/analysis/gene_extract.py:57-82.
     """
     fwd = subseq_1based(seq, start, end)
-    rev = F.reverse(F.translate(subseq_1based(seq, end, start), "acgtACGT", "tgcaTGCA"))
+    rev = revcomp(subseq_1based(seq, end, start))
     return F.when(start <= end, fwd).otherwise(rev)
+
+
+def encode_ascii_checked(seq: Column, context: Column | str) -> Column:
+    """UTF-8 bytes of ``seq``, raising a labeled task error when the
+    value contains non-ASCII characters. Guards every byte-sliced genome
+    path: byte offsets silently corrupt slices on multibyte codepoints
+    (replacement chars, shifted coordinates), so corrupt input must fail
+    loudly with the offending key, not degrade. ``context`` names the
+    row in the error (e.g. the accession column)."""
+    ctx = F.col(context) if isinstance(context, str) else context
+    return F.when(
+        F.octet_length(seq) == F.length(seq), F.encode(seq, "UTF-8")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("non-ASCII character in sequence (byte-sliced genome paths "
+              "require the ASCII genomic alphabet): "), ctx.cast("string"),
+    )).cast("binary"))
 
 
 def subseq_1based_bytes(seq_b: Column, left: Column, right: Column) -> Column:
@@ -66,9 +82,21 @@ def extract_strand_seq_bytes(seq_b: Column, start: Column, end: Column) -> Colum
     """Byte-sliced ``extract_strand_seq`` (see subseq_1based_bytes); the
     revcomp runs on the extracted window, never the whole genome."""
     fwd = subseq_1based_bytes(seq_b, start, end)
-    rev = F.reverse(F.translate(
-        subseq_1based_bytes(seq_b, end, start), "acgtACGT", "tgcaTGCA"))
+    rev = revcomp(subseq_1based_bytes(seq_b, end, start))
     return F.when(start <= end, fwd).otherwise(rev)
+
+
+def upstream_flank_bytes(seq_b: Column, start: Column, limit: Column | int) -> Column:
+    """Byte-sliced ``upstream_flank`` (same clamp-at-start semantics)."""
+    limit = F.lit(limit) if isinstance(limit, int) else limit
+    lo = F.greatest(start - limit, F.lit(1))
+    return subseq_1based_bytes(seq_b, lo, start - 1)
+
+
+def downstream_flank_bytes(seq_b: Column, end: Column, limit: Column | int) -> Column:
+    """Byte-sliced ``downstream_flank``."""
+    limit = F.lit(limit) if isinstance(limit, int) else limit
+    return subseq_1based_bytes(seq_b, end + 1, end + limit)
 
 
 def upstream_flank(seq: Column, start: Column, limit: Column | int) -> Column:

@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ncbi_analysis_spark.functions.sequence import extract_strand_seq_bytes
+from ncbi_analysis_spark.functions.sequence import (
+    downstream_flank_bytes,
+    encode_ascii_checked,
+    extract_strand_seq_bytes,
+    upstream_flank_bytes,
+)
 from ncbi_analysis_spark.operators.asof import nearest_neighbors
 from ncbi_analysis_spark.operators.cluster import cluster_by_key
 from ncbi_analysis_spark.operators.distribution import value_distribution
@@ -92,7 +97,8 @@ def extract_gene_sequences(query_names: DataFrame, genes: DataFrame,
     hits = (
         query_names.join(F.broadcast(genes), "gene", "inner")
         .join(F.broadcast(genome.select(
-            "accession", F.encode(F.col("seq"), "UTF-8").alias("seq_b"))),
+            "accession",
+            encode_ascii_checked(F.col("seq"), "accession").alias("seq_b"))),
             "accession")
         .withColumn(
             "sequence",
@@ -116,19 +122,18 @@ def flanking_regions(query_names: DataFrame, genes: DataFrame, genome: DataFrame
     """'Gene stream' analysis (F3): up/downstream flanking regions,
     swapped + revcomp'd on the minus strand (the reference's misleadingly
     named GeneStreamAnalysis, src/analysis/gene_stream_analysis.py:30-45)."""
-    from ncbi_analysis_spark.functions.sequence import revcomp, subseq_1based_bytes
+    from ncbi_analysis_spark.functions.sequence import revcomp
 
     # byte-sliced against the once-encoded broadcast genome (same
-    # O(position)-substr reasoning as extract_gene_sequences); the
-    # clamp-at-sequence-start mirrors upstream_flank
+    # O(position)-substr reasoning as extract_gene_sequences)
     sb = F.col("seq_b")
-    up = subseq_1based_bytes(
-        sb, F.greatest(F.col("left") - limit, F.lit(1)), F.col("left") - 1)
-    down = subseq_1based_bytes(sb, F.col("right") + 1, F.col("right") + limit)
+    up = upstream_flank_bytes(sb, F.col("left"), limit)
+    down = downstream_flank_bytes(sb, F.col("right"), limit)
     return (
         query_names.join(F.broadcast(genes), "gene", "inner")
         .join(F.broadcast(genome.select(
-            "accession", F.encode(F.col("seq"), "UTF-8").alias("seq_b"))),
+            "accession",
+            encode_ascii_checked(F.col("seq"), "accession").alias("seq_b"))),
             "accession")
         .withColumn("upstream", F.when(F.col("strand") == "+", up).otherwise(revcomp(down)))
         .withColumn("downstream", F.when(F.col("strand") == "+", down).otherwise(revcomp(up)))

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ncbi_analysis_spark.functions.sequence import revcomp
+from ncbi_analysis_spark.functions.sequence import encode_ascii_checked, revcomp
 from ncbi_analysis_spark.operators.suppression import local_max_suppress
 from ncbi_analysis_spark.operators.topk import topk_per_group
 
@@ -106,12 +106,12 @@ def chunk_genome(genome_df: DataFrame, chunk_size: int, overlap: int,
     # attribute, like the revcomp).
     strands = genome_df.select(
         "accession", F.lit("+").alias("strand"),
-        F.encode(F.col("seq"), "UTF-8").alias("seq_b"))
+        encode_ascii_checked(F.col("seq"), "accession").alias("seq_b"))
     if both_strands:
         strands = strands.unionByName(
             genome_df.select(
                 "accession", F.lit("-").alias("strand"),
-                F.encode(revcomp(F.col("seq")), "UTF-8").alias("seq_b"))
+                encode_ascii_checked(revcomp(F.col("seq")), "accession").alias("seq_b"))
         )
     n_chunks = F.greatest(F.ceil(F.length("seq_b") / chunk_size), F.lit(1)).cast("int")
     return (
@@ -506,7 +506,8 @@ def split_genome_windows(genome_df: DataFrame, window_size: int) -> DataFrame:
     n_win = F.greatest(F.ceil(F.length("seq") / window_size), F.lit(1)).cast("int")
     return (
         genome_df
-        .select("accession", F.encode(F.col("seq"), "UTF-8").alias("seq_b"),
+        .select("accession",
+                encode_ascii_checked(F.col("seq"), "accession").alias("seq_b"),
                 F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_id"))
         .withColumn("win_offset", F.col("window_id").cast("long") * window_size)
         .withColumn("seq", F.decode(F.col("seq_b").substr(
@@ -673,9 +674,10 @@ def render_candidates(
     # row, below the join.
     strands = genome_df.select(
         "accession", F.lit("+").alias("strand"),
-        F.encode(F.col("seq"), "UTF-8").alias("seq_b")).unionByName(
-        genome_df.select("accession", F.lit("-").alias("strand"),
-                         F.encode(revcomp(F.col("seq")), "UTF-8").alias("seq_b"))
+        encode_ascii_checked(F.col("seq"), "accession").alias("seq_b")).unionByName(
+        genome_df.select(
+            "accession", F.lit("-").alias("strand"),
+            encode_ascii_checked(revcomp(F.col("seq")), "accession").alias("seq_b"))
     )
     gene_len = F.length("gene")
     joined = (

@@ -38,14 +38,18 @@ def _parse_seq_line(elem: dict, line: str) -> None:
     # else (bare sequence, or a corrupt line that happens to end in a
     # digit) is treated as sequence continuation — a malformed line must
     # degrade, not raise inside a Spark task
-    if not s or not s[-1].isdigit() or len(toks) < 2 \
-            or not toks[1].lstrip("-").isdigit() \
-            or not toks[-1].lstrip("-").isdigit():
+    if not s or not s[-1].isdigit() or len(toks) < 2:
+        elem["seq"] = elem.get("seq", "") + s
+        return
+    try:  # int() is the authority — isdigit() passes unicode digits and
+        # misses '--5', both of which int() rejects
+        start, end = int(toks[1]), int(toks[-1])
+    except ValueError:
         elem["seq"] = elem.get("seq", "") + s
         return
     elem.setdefault("name", toks[0])
-    elem.setdefault("start", int(toks[1]))
-    elem["end"] = int(toks[-1])
+    elem.setdefault("start", start)
+    elem["end"] = end
     elem["seq"] = elem.get("seq", "") + " ".join(toks[2:-1])
 
 

@@ -40,8 +40,10 @@ def extract_map_position(text: str) -> tuple[int | None, int | None]:
     the DuckDB oracle's regexp extraction yields NULL for the same
     input, a latent engine/oracle divergence (same class as the r5
     extract_nuccore_uid finding)."""
-    lo, hi = text.find("["), text.find("]")
-    if lo == -1 or hi == -1 or hi < lo:
+    lo = text.find("[")
+    hi = text.find("]", lo + 1)  # first ']' AFTER the '[' — a stray
+    # earlier ']' must not mask a well-formed pair later in the text
+    if lo == -1 or hi == -1:
         return None, None
     inner = text[lo + 1:hi]
     if "<-" in inner:

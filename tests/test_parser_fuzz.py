@@ -118,6 +118,8 @@ def test_cluster_seq_line_corruption_degrades():
         ">>\nA\nB\n(1) ?\n16s5",          # one token ending in a digit
         ">>\nA\nB\n(1) ?\n16s x 5",       # non-numeric start token
         ">>\nA\nB\n(1) ?\n16s 1 acgt x9",  # non-numeric end token
+        ">>\nA\nB\n(1) ?\n16s --5 acgt 9",  # isdigit-passing, int-failing
+        ">>\nA\nB\n(1) ?\n16s ² acgt 9",  # unicode digit: int() rejects
     ):
         parse_cluster_blocks(bad, "16s")
 
@@ -135,6 +137,8 @@ def test_map_position_malformed_returns_none():
     # well-formed still parses, both arrow directions
     assert en.extract_map_position("x [3,806,107 -> 3,808,770] y") == (3806107, 3808770)
     assert en.extract_map_position("[3,808,770 <- 3,806,107]") == (3806107, 3808770)
+    # a stray ']' BEFORE the bracket pair must not mask it
+    assert en.extract_map_position("a] b [1,000 -> 2,000] c") == (1000, 2000)
 
 
 def test_map_position_never_raises():

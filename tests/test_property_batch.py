@@ -153,6 +153,23 @@ def test_vector_ops_match_numpy(spark):
             assert np.abs(deq - va).max() <= m / 127.0 + 1e-9
 
 
+def test_non_ascii_genome_fails_loudly(spark):
+    """Byte-sliced genome paths must raise a labeled error on non-ASCII
+    sequences (silent byte-offset corruption is the failure mode being
+    guarded), and the error names the offending accession."""
+    import pytest
+
+    from ncbi_analysis_spark.plans.similarity_scan import chunk_genome
+
+    bad = spark.createDataFrame(
+        [("okacc", "acgtacgt"), ("badacc", "acgt acgt")],
+        ["accession", "seq"])
+    ok = bad.filter(F.col("accession") == "okacc")
+    assert chunk_genome(ok, 4, 2).count() > 0
+    with pytest.raises(Exception, match="badacc"):
+        chunk_genome(bad, 4, 2).count()
+
+
 def test_char_gram_byte_fast_path_matches_char_semantics(spark):
     """ascii_fast_grams: the ASCII byte-sliced path and the non-ASCII
     char-substr fallback must both equal pure-Python char slicing —
