@@ -270,6 +270,57 @@ FROM h
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the exact-match gate — completes the
+    image/audio/video modality triple (operators/multimodal.py::
+    sample_frames; reference has no video path, this is an LLM-pipeline
+    extension). Documents' bytes stand in as opaque video payloads with
+    a deterministic duration (n_chars * 37 ms); the stub extractor emits
+    frame = md5(data || str(ts_ms)) so the per-frame explode shape, the
+    1-row-minimum rule, and the frame bytes are all DuckDB-re-derivable.
+    A real codec plugs in via ``extractor=`` / PIL adapters without
+    changing the plan shape."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("n_chars").cast("long") * 37).alias("duration_ms"),
+            F.lit("mp4").alias("format"),
+        ).alias("meta"),
+    )
+    frames = mm.sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    )
+
+
+# mirrors the stub extractor byte-for-byte: frame bytes are
+# md5(utf8(text) || str(ts_ms)), compared as lowercase hex
+MULTIMODAL_FRAME_SQL = """
+WITH f AS (
+  SELECT doc_id AS media_id, text,
+         greatest((n_chars * 37) // 1000, 1) AS nf
+  FROM documents),
+fr AS (SELECT media_id, text, unnest(range(0, nf)) AS i FROM f)
+SELECT media_id,
+       i::INT AS frame_idx,
+       (i * 1000)::BIGINT AS ts_ms,
+       md5(text || (i * 1000)::VARCHAR) AS frame_md5
+FROM fr
+"""
+
+
 def queries_r6() -> dict:
     return {
         "flagship_windowed_scan": flagship_windowed_scan,
@@ -279,6 +330,7 @@ def queries_r6() -> dict:
         "multimodal_audio_features": multimodal_audio_features,
         "dedup_keep_one": dedup_keep_one,
         "corpus_shuffle_shards": corpus_shuffle_shards,
+        "multimodal_frame_sample": multimodal_frame_sample,
     }
 
 
@@ -297,4 +349,5 @@ def oracle_sql_r6() -> dict[str, str]:
         "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
         "dedup_keep_one": _keep_one_sql(),
         "corpus_shuffle_shards": CORPUS_SHUFFLE_SQL,
+        "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     }
