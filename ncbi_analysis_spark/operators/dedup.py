@@ -659,3 +659,101 @@ def char_window_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_windows"))
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: every distinct line occurring
+    in at least ``min_docs`` distinct documents, with its spread.
+
+    Returns ``(line, n_docs)``.
+
+    Scale: explode lines -> two-phase distinct count keyed by line (one
+    shuffle; map-side partial aggregation collapses each document's
+    repeats of a line before the exchange). The output is tiny relative
+    to the corpus — it is the *repeated* subset.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text), re.escape(sep), -1)).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count_distinct("__id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet/Gopher-style line-level boilerplate removal: drop every line
+    that appears in >= ``min_docs`` distinct documents anywhere in the
+    corpus, and reassemble each document from its surviving lines in
+    original order. The classic pre-training cleanup for navigation
+    chrome, cookie banners and license headers (no reference analog —
+    LLM-pipeline extension; the reference's nearest idea is the
+    ignore-flag row filter, src/analysis/gene_location_analysis.py).
+
+    Returns ``(id_col, text, n_lines, n_removed)`` — one row per input
+    document; a fully-boilerplate document survives with ``text = ''``.
+
+    Scale: three shuffles, all on bounded-width keys — (1) line-keyed
+    count-distinct (map-side combined), (2) the lines←boilerplate join is
+    keyed by the line itself; hot lines are exactly the boilerplate being
+    dropped, so the skewed rows exit before the rebuild, (3) doc-keyed
+    rebuild via sort_array(collect_list) — per-document state only, no
+    global sort, no window. Line values shuffle at most twice; use
+    ``boilerplate_lines`` + a broadcast anti-join instead when the
+    boilerplate set is known-small.
+    """
+    import re
+
+    pat = re.escape(sep)
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text), pat, -1)).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("__id").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            (F.size(F.split(F.col(text), pat, -1))).cast("long").alias("__n_lines"),
+        )
+        .join(rebuilt, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__clean"), F.lit("")).alias(text),
+            F.col("__n_lines").alias("n_lines"),
+            (F.col("__n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
