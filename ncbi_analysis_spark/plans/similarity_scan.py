@@ -520,6 +520,7 @@ def split_genome_windows(genome_df: DataFrame, window_size: int) -> DataFrame:
 def chunk_genome_from_windows(
     windows_df: DataFrame, chunk_size: int, overlap: int,
     both_strands: bool = True, halo: int = 0,
+    totals_df: DataFrame | None = None,
 ) -> DataFrame:
     """``chunk_genome`` over a PRE-SPLIT genome: input rows are
     (accession, win_offset, seq) windows (split_genome_windows layout, any
@@ -536,9 +537,14 @@ def chunk_genome_from_windows(
     so the explode is ~1x the data), pieces are sliced JVM-side, and a
     groupBy(chunk) reassembles them in offset order. One extra shuffle
     (the regroup) versus the single-string path; every stage is bounded
-    by chunk_size, never by accession length."""
-    totals = windows_df.groupBy("accession").agg(
-        F.sum(F.length("seq")).alias("total_len"))
+    by chunk_size, never by accession length.
+
+    ``totals_df`` (accession, total_len) lets a caller that already
+    aggregated per-accession lengths share that scan instead of paying a
+    second full pass over the window corpus (similarity_scan_windowed
+    reuses its db_len aggregate here)."""
+    totals = totals_df if totals_df is not None else windows_df.groupBy(
+        "accession").agg(F.sum(F.length("seq")).alias("total_len"))
     w = windows_df.join(F.broadcast(totals), "accession")
     fwd = w.select("accession", F.lit("+").alias("strand"), "total_len",
                    F.col("win_offset").alias("wo"), "seq")
@@ -615,14 +621,19 @@ def similarity_scan_windowed(
     overlap = int(max_len_row[0]["m"] or 1) - 1
     radius = max(int(candidate_distance) - 1, 0)
 
+    # one per-accession length aggregate feeds BOTH the chunk regroup
+    # (broadcast totals) and the top-k annotation (db_len) — the naive
+    # form scanned the whole window corpus twice for the same sums
+    totals = windows_df.groupBy("accession").agg(
+        F.sum(F.length("seq")).alias("total_len"))
     # numeric round-robin for the same reason as similarity_scan: the
     # regroup's groupBy output is byte-coalesced by AQE, and chunk bytes
     # say nothing about chunk scoring cost
-    chunks = chunk_genome_from_windows(windows_df, chunk_size, overlap, halo=radius) \
+    chunks = chunk_genome_from_windows(windows_df, chunk_size, overlap,
+                                       halo=radius, totals_df=totals) \
         .repartition(_scorer_parallelism(windows_df.sparkSession)) \
         .withColumn("chunk_size_", F.lit(chunk_size))
-    db_len = windows_df.groupBy("accession").agg(
-        F.sum(F.length("seq")).alias("db_len"))
+    db_len = totals.select("accession", F.col("total_len").alias("db_len"))
     return _suppress_topk_annotate(
         scan_candidates(
             chunks, queries_df, weights, patience, continuous_mismatch_limit,
