@@ -126,6 +126,13 @@ def main() -> None:
         fn = qs[name]
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
+    # staged round-7 registry entries bench ahead of registration so
+    # their baselines are seeded before the driver ever times them
+    from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
+
+    for name, fn in queries_r7().items():
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
     # strands with branch-and-bound floor (the scale configuration; the
     # exact no-floor parity mode scores every offset with the vectorized
@@ -281,6 +288,7 @@ BASELINE = {
     # added in r06 (min-of-3 at introduction)
     "flagship_scan_1mbp_full": (3.339, 6), "j3_interval_binned_bigbig": (1.331, 6),
     "ngram_lm_quality": (2.059, 6), "flagship_windowed_1mbp": (2.283, 6),
+    "boilerplate_scrub": (0.63, 6),
 }
 
 
