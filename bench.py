@@ -287,7 +287,12 @@ BASELINE = {
     "stream_windowed_counts": (2.216, 5),
     # added in r06 (min-of-3 at introduction)
     "flagship_scan_1mbp_full": (3.339, 6), "j3_interval_binned_bigbig": (1.331, 6),
-    "ngram_lm_quality": (2.059, 6), "flagship_windowed_1mbp": (2.283, 6),
+    "ngram_lm_quality": (2.059, 6),
+    # reseeded within r6: the first seed (2.283) was a noise-lucky
+    # window that measured the windowed path BELOW the single-row path
+    # it wraps, so quiet runs kept false-flagging; 2.6 = quiet-run
+    # single-row (~2.35) + the measured ~5-15% regroup overhead
+    "flagship_windowed_1mbp": (2.6, 6),
     "boilerplate_scrub": (0.63, 6),
 }
 

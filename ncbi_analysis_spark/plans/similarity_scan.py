@@ -546,16 +546,24 @@ def chunk_genome_from_windows(
     totals = totals_df if totals_df is not None else windows_df.groupBy(
         "accession").agg(F.sum(F.length("seq")).alias("total_len"))
     w = windows_df.join(F.broadcast(totals), "accession")
-    fwd = w.select("accession", F.lit("+").alias("strand"), "total_len",
-                   F.col("win_offset").alias("wo"), "seq")
-    sides = fwd
-    if both_strands:
-        rev = w.select(
-            "accession", F.lit("-").alias("strand"), "total_len",
-            (F.col("total_len") - F.col("win_offset") - F.length("seq")).alias("wo"),
-            revcomp(F.col("seq")).alias("seq"),
+    # strand fan-out is an explode over the ONE window scan, not a
+    # union of two branches — a union duplicates the source scan (and
+    # the totals broadcast subtree) in the physical plan, reading the
+    # whole window corpus twice; the conditional revcomp only evaluates
+    # on '-' rows
+    strands = [F.lit("+"), F.lit("-")] if both_strands else [F.lit("+")]
+    is_fwd = F.col("strand") == "+"
+    sides = (
+        w.select("accession", "total_len", "win_offset", "seq",
+                 F.explode(F.array(*strands)).alias("strand"))
+        .select(
+            "accession", "strand", "total_len",
+            F.when(is_fwd, F.col("win_offset"))
+            .otherwise(F.col("total_len") - F.col("win_offset") - F.length("seq"))
+            .alias("wo"),
+            F.when(is_fwd, F.col("seq")).otherwise(revcomp(F.col("seq"))).alias("seq"),
         )
-        sides = fwd.unionByName(rev)
+    )
     K = chunk_size
     tail = halo + overlap
     n_chunks = F.greatest(F.ceil(F.col("total_len") / K), F.lit(1)).cast("long")
@@ -622,10 +630,17 @@ def similarity_scan_windowed(
     radius = max(int(candidate_distance) - 1, 0)
 
     # one per-accession length aggregate feeds BOTH the chunk regroup
-    # (broadcast totals) and the top-k annotation (db_len) — the naive
-    # form scanned the whole window corpus twice for the same sums
+    # (broadcast totals) and the top-k annotation (db_len). Sharing the
+    # lazy DataFrame alone does NOT share the computation — Spark
+    # expands each reference into its own aggregation subtree (verified:
+    # three sum(length(seq)) HashAggregates, zero ReusedExchange) — so
+    # the tiny per-accession table is localCheckpoint'ed: one scan of
+    # the window corpus computes it, every plan reference reads the
+    # persisted RDD. Same executor-storage caveat as
+    # operators/components.py: a lost executor fails the job instead of
+    # recomputing lineage.
     totals = windows_df.groupBy("accession").agg(
-        F.sum(F.length("seq")).alias("total_len"))
+        F.sum(F.length("seq")).alias("total_len")).localCheckpoint(eager=False)
     # numeric round-robin for the same reason as similarity_scan: the
     # regroup's groupBy output is byte-coalesced by AQE, and chunk bytes
     # say nothing about chunk scoring cost

@@ -71,8 +71,11 @@ def main() -> None:
         print("\nsf0.01 -> sf0.1 growth (10x rows):")
         for name in names:
             a, b = results[name].get(0.01), results[name].get(0.1)
-            if a and b:
-                print(f"  {name}: {a} -> {b} s  ({b / a:.1f}x wall)")
+            if a is not None and b is not None:
+                # sub-5ms minima round to 0.0 — report without a ratio
+                # rather than dividing by zero or silently skipping
+                ratio = f"({b / a:.1f}x wall)" if a > 0 else "(sf0.01 under timer resolution)"
+                print(f"  {name}: {a} -> {b} s  {ratio}")
 
 
 if __name__ == "__main__":

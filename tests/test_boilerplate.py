@@ -5,10 +5,12 @@ sorted-column / sorted-row exact-value comparison at sf0.001."""
 
 from __future__ import annotations
 
+import importlib.util
+import os
+
 import duckdb
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from ncbi_analysis_spark.operators.dedup import (
     boilerplate_lines,
@@ -17,15 +19,15 @@ from ncbi_analysis_spark.operators.dedup import (
 
 SF_DIR = "/root/testdata/sf0.001"
 
-
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        if str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+# reuse the oracle harness's own canonicalizer — a local re-implementation
+# could drift from what the driver-mimicking gate actually compares
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "check_oracle.py"),
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+_canon = _co.canon
 
 
 @pytest.fixture()
