@@ -64,13 +64,70 @@ FROM n LEFT JOIN r USING (doc_id)
 """
 
 
+def multimodal_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media rollup (operators/multimodal.py::media_stats)
+    through the gate: per-kind counts, payload bytes, and typed-meta
+    averages WITHOUT decoding — the layout claim being checked is that
+    cheap stats never touch the binary column (column pruning drops it
+    at the scan). Exactness: counts and byte totals are integer sums;
+    the averages are an exact long sum over ints with one final IEEE
+    division on both engines."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    is_img = F.col("kind") == "image"
+    media = d.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"), "n_chars",
+    ).select(
+        "media_id", "kind", "data",
+        F.struct(
+            F.when(is_img, (F.col("n_chars") % 640 + 1).cast("int"))
+            .alias("width"),
+            F.when(is_img, (F.col("n_chars") % 480 + 1).cast("int"))
+            .alias("height"),
+            F.lit(None).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.when(~is_img, (F.col("n_chars").cast("long") * 37))
+            .alias("duration_ms"),
+            F.lit("mixed").alias("format"),
+        ).alias("meta"),
+    )
+    return mm.media_stats(media)
+
+
+MEDIA_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text))::BIGINT AS nbytes,
+         CASE WHEN doc_id % 3 = 0 THEN (n_chars % 640 + 1)::INT END AS width,
+         CASE WHEN doc_id % 3 != 0 THEN (n_chars::BIGINT * 37) END AS duration_ms
+  FROM documents)
+SELECT kind, COUNT(*)::BIGINT AS n, SUM(nbytes)::BIGINT AS total_bytes,
+       (SUM(width)::BIGINT::DOUBLE / COUNT(width)) AS avg_width,
+       (SUM(duration_ms)::BIGINT::DOUBLE / COUNT(duration_ms)) AS avg_duration_ms
+FROM m GROUP BY kind
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
+        "multimodal_media_stats": multimodal_media_stats,
     }
 
 
 def oracle_sql_r7() -> dict[str, str]:
     return {
         "boilerplate_scrub": BOILERPLATE_SQL,
+        "multimodal_media_stats": MEDIA_STATS_SQL,
     }

@@ -94,3 +94,27 @@ def test_staged_r7_boilerplate_scrub_duckdb_parity(spark):
     # the scrub must actually remove something on the fixture corpus
     assert (got["n_removed"] > 0).any()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_all_staged_r7_queries_duckdb_parity(spark):
+    """Every staged round-7 entry must already clear the exact-match bar
+    the driver will apply at registration — same comparator as
+    scripts/check_oracle.py, no weaker check for staged queries."""
+    from ncbi_analysis_spark.plans.driver_queries_r7 import (
+        oracle_sql_r7,
+        queries_r7,
+    )
+
+    qs, oracles = queries_r7(), oracle_sql_r7()
+    assert set(qs) == set(oracles)
+    con = duckdb.connect()
+    for t in _co.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    for name, fn in qs.items():
+        got = fn(spark, SF_DIR).toPandas()
+        want = con.sql(oracles[name]).df()
+        issues = _co.compare(name, got, want)
+        assert not issues, f"{name}: {issues}"
+        assert len(got) > 0, name
