@@ -118,3 +118,40 @@ def test_all_staged_r7_queries_duckdb_parity(spark):
         issues = _co.compare(name, got, want)
         assert not issues, f"{name}: {issues}"
         assert len(got) > 0, name
+
+
+def test_remove_repeated_lines_matches_python_model(spark):
+    """Randomized corpora vs a from-scratch Python model: small vocab of
+    lines (so cross-document repeats actually occur), random separators
+    appearing inside line text is impossible by construction, empty
+    lines and empty documents included."""
+    import random
+
+    rnd = random.Random(47)
+    vocab = ["alpha", "beta beta", "COOKIE", "", "x", "longer line txt"]
+    for trial, (sep, min_docs) in enumerate([("\n", 2), ("|", 3), ("\n", 2)]):
+        docs = []
+        for i in range(40):
+            n = rnd.choice([1, 1, 2, 3, 5, 8])
+            docs.append((i, sep.join(rnd.choice(vocab) for _ in range(n))))
+
+        # model: line -> set of docs; survivors rejoined in order
+        from collections import defaultdict
+        spread = defaultdict(set)
+        for i, t in docs:
+            for ln in t.split(sep):
+                spread[ln].add(i)
+        boiler = {ln for ln, s in spread.items() if len(s) >= min_docs}
+        want = {}
+        for i, t in docs:
+            lines = t.split(sep)
+            kept = [ln for ln in lines if ln not in boiler]
+            want[i] = (sep.join(kept), len(lines), len(lines) - len(kept))
+
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = remove_repeated_lines(df, "text", "doc_id",
+                                    sep=sep, min_docs=min_docs).collect()
+        assert len(got) == len(docs), trial
+        for r in got:
+            assert (r["text"], r["n_lines"], r["n_removed"]) == want[r["doc_id"]], (
+                trial, r["doc_id"])
