@@ -152,8 +152,10 @@ def main() -> None:
     # the reference driver's full scorer mix (all four kernels + pattern
     # conditions + text-edit abort, src/1-run_gene_similarity_match.py:14-44)
     # on the same 1 Mbp — exercises the batched text-edit DP and the
-    # vectorized pattern plan; no score floor applies to the pattern path
-    # (its bound is unprunable), so every offset pays the DP
+    # vectorized pattern plan. The staged branch-and-bound applies: the
+    # pattern score is bounded by must+optional totals and a second
+    # prune with the exact cheap scores gates the O(L^2) DP, so with
+    # score_floor=8 most offsets never reach the text-edit kernel
     full_conds = {
         "must": [{"offset": 0, "length": 4}, {"offset": -4, "length": 4}],
         "optional": [{"offset": 4, "length": 1}, {"offset": -5, "length": 1}],

@@ -697,6 +697,7 @@ def remove_repeated_lines(
     id_col: str,
     sep: str = "\n",
     min_docs: int = 2,
+    protect_empty: bool = True,
 ) -> DataFrame:
     """CCNet/Gopher-style line-level boilerplate removal: drop every line
     that appears in >= ``min_docs`` distinct documents anywhere in the
@@ -708,6 +709,13 @@ def remove_repeated_lines(
 
     Returns ``(id_col, text, n_lines, n_removed)`` — one row per input
     document; a fully-boilerplate document survives with ``text = ''``.
+
+    ``protect_empty`` (default on) exempts the empty line from removal:
+    in any realistic corpus the blank line trivially clears ``min_docs``
+    and removing it would collapse EVERY paragraph boundary corpus-wide
+    ('para1\\n\\npara2' -> 'para1\\npara2'), breaking downstream
+    paragraph-aware chunkers. Pass ``protect_empty=False`` to treat
+    blank lines like any other line.
 
     Scale: three shuffles, all on bounded-width keys — (1) line-keyed
     count-distinct (map-side combined), (2) the lines←boilerplate join is
@@ -731,6 +739,8 @@ def remove_repeated_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("line")
     )
+    if protect_empty:
+        boiler = boiler.filter(F.col("line") != "")
     kept = lines.join(boiler, "line", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.array_join(

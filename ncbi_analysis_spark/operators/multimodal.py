@@ -65,9 +65,12 @@ def deterministic_fake_decoder(data: bytes, meta: dict) -> dict:
     """STUB decode: derives stable pseudo-features from md5(bytes).
     Replace with a real codec in production (see module doc)."""
     h = hashlib.md5(data or b"").digest()
+    # explicit None checks, not `or`: a legitimate 0 in metadata must
+    # win over the hash-derived pseudo-value
+    w_meta, h_meta = meta.get("width"), meta.get("height")
     return {
-        "width": int(meta.get("width") or (h[0] % 64) + 1),
-        "height": int(meta.get("height") or (h[1] % 64) + 1),
+        "width": int(w_meta if w_meta is not None else (h[0] % 64) + 1),
+        "height": int(h_meta if h_meta is not None else (h[1] % 64) + 1),
         "mean_luma": h[2] / 255.0,
         "phash64": int.from_bytes(h[:8], "big", signed=True),
     }
@@ -79,9 +82,13 @@ def deterministic_fake_audio_decoder(data: bytes, meta: dict) -> dict:
     when present; otherwise both derive from the hash so the DuckDB
     oracle can replay the exact arithmetic."""
     h = hashlib.md5(data or b"").digest()
-    rate = int(meta.get("sample_rate") or (8000, 16000, 44100)[h[0] % 3])
-    duration_ms = int(meta.get("duration_ms")
-                      or int.from_bytes(h[1:4], "big") % 600_000 + 1)
+    # explicit None checks, not `or`: duration_ms=0 (empty clip) is a
+    # legitimate metadata value and must not be replaced by a fabricated
+    # 1..600000 ms duration
+    r_meta, d_meta = meta.get("sample_rate"), meta.get("duration_ms")
+    rate = int(r_meta if r_meta is not None else (8000, 16000, 44100)[h[0] % 3])
+    duration_ms = int(d_meta if d_meta is not None
+                      else int.from_bytes(h[1:4], "big") % 600_000 + 1)
     return {
         "sample_rate": rate,
         "duration_ms": duration_ms,
@@ -96,9 +103,12 @@ def wave_audio_decoder(data: bytes, meta: dict) -> dict:
     contract for RIFF/WAV payloads via the stdlib ``wave`` module + numpy
     (no third-party codec needed, so this path runs everywhere): actual
     header parse, PCM sample decode, RMS and peak amplitude normalized
-    to [0, 1]. ``n_samples`` is the FRAME count (so n_samples ==
-    sample_rate * duration_ms / 1000 holds for any channel count, same
-    invariant as the stub); rms/peak are computed over all channels.
+    to [0, 1]. ``n_samples`` is the exact FRAME count for any channel
+    count; ``duration_ms`` is the truncated ``frames * 1000 // rate``,
+    so ``n_samples >= sample_rate * duration_ms / 1000`` with equality
+    only when the frame count is a whole number of milliseconds (the
+    stub's equality is exact because it derives n_samples FROM the
+    duration); rms/peak are computed over all channels.
     Compressed formats (mp3/flac) need an ffmpeg/torchaudio decoder with
     the same (bytes, meta) -> dict contract."""
     import io
@@ -287,6 +297,17 @@ def resize_images(media: DataFrame, width: int, height: int,
             if batch_decoder is not None:
                 data = batch_decoder(list(pdf["data"]), list(pdf["meta"]),
                                      width, height)
+                data = list(data)
+                if len(data) != len(pdf):
+                    # same 1:1 contract check as _decode_features_map —
+                    # fail with the contract named, not an opaque
+                    # DataFrame-construction error (and never let a
+                    # mis-indexed Series realign rows silently)
+                    raise ValueError(
+                        f"batch_decoder returned {len(data)} payloads "
+                        f"for {len(pdf)} rows; the contract is "
+                        "list-in/list-out with 1:1 positional alignment"
+                    )
             else:
                 data = [decoder(d, m, width, height)
                         for d, m in zip(pdf["data"], pdf["meta"])]

@@ -1644,6 +1644,10 @@ def _last_recorded_round() -> dict[str, int]:
             green = (
                 rec.get("rows_match") is True
                 and rec.get("schema_match") is True
+                # rows-only checks have no hash oracle (absent/None is
+                # fine) but an explicit hash failure is NOT green — it
+                # must sort to the front for a retry, not hide
+                and rec.get("hash_match") is not False
                 and rec.get("err") in (None, "")
             )
             if green and rnd > last.get(name, 0):

@@ -527,6 +527,26 @@ FROM r GROUP BY lang
 
 _stream_q_seq = 0
 
+_staging_seq: dict[str, int] = {}
+
+
+def _staging_dir(base: str) -> str:
+    """Bounded per-process staging-dir rotation: returns a fresh
+    ``{tmp}/{base}_{pid}_{seq}`` and reclaims the seq-2 slot. Keeps at
+    most two dirs per (base, process) — no unbounded /tmp growth across
+    repeated bench/gate runs (r5 advice) — while a lazy DataFrame still
+    holding the PREVIOUS call's directory keeps reading valid files
+    (the in-process rebuild hazard a single shared dir had)."""
+    import shutil
+    import tempfile
+
+    seq = _staging_seq.get(base, 0) + 1
+    _staging_seq[base] = seq
+    root = tempfile.gettempdir()
+    shutil.rmtree(os.path.join(root, f"{base}_{os.getpid()}_{seq - 2}"),
+                  ignore_errors=True)
+    return os.path.join(root, f"{base}_{os.getpid()}_{seq}")
+
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL Structured Streaming engine, driver-oracle-checked: the
@@ -1011,24 +1031,18 @@ def corpus_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout -> per-split totals. The oracle recomputes the same totals
     from the source table with the split rule inlined, so a lossy write,
     a dropped partition directory, or a split drift all hash-mismatch."""
-    import os
-    import shutil
-    import tempfile
-
     from ncbi_analysis_spark.operators.scale import hash_split
     from ncbi_analysis_spark.sources.sinks import write_training_shards
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     # the returned DataFrame reads this directory lazily, so it can't be
-    # deleted here — reuse ONE staging dir per PROCESS instead of a fresh
-    # mkdtemp per call, so repeated bench/gate runs don't accumulate shard
-    # copies under /tmp (r5 advice). The pid suffix keeps concurrent
-    # processes (bench + gate on one host) from deleting each other's
-    # staged shards out from under the lazy read.
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_shard_roundtrip_{os.getpid()}"
-    )
-    shutil.rmtree(out, ignore_errors=True)
+    # deleted here — staging dirs rotate through a bounded two-slot
+    # window per process (_staging_dir): repeated bench/gate runs don't
+    # accumulate copies under /tmp (r5 advice), concurrent processes
+    # can't clobber each other (pid suffix), and a DataFrame held from
+    # the PREVIOUS call in this process still reads its own slot — only
+    # the call before that is reclaimed.
+    out = _staging_dir("spark_graft_shard_roundtrip")
     write_training_shards(hash_split(d, "doc_id"), out, ["split"],
                           max_records_per_file=50)
     back = spark.read.parquet(out)

@@ -99,10 +99,6 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed bucket directories. Same workload as ann_ivf, hence shares
     ANN_IVF_SQL — a drift between the persisted layout and the inline
     path hash-mismatches here."""
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from ncbi_analysis_spark.operators.similarity_search import (
@@ -111,15 +107,16 @@ def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_ivf_index,
         write_ivf_index,
     )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 48).select(F.col("vec_id").alias("q_id"), "embedding")
     cents = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("c_id"), "embedding")
-    # per-PID staging (not a fresh mkdtemp per call): repeat runs reuse
-    # one dir, concurrent processes don't clobber each other's lazily
-    # read index (same pattern as corpus_shard_roundtrip)
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_index_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    # bounded two-slot staging rotation (same pattern as
+    # corpus_shard_roundtrip): no /tmp accumulation across runs, no
+    # cross-process clobbering, and a lazily-read index from the
+    # previous in-process call stays valid
+    path = _staging_dir("spark_graft_ivf_index")
     write_ivf_index(ivf_assign(e, cents), path)
     index = read_ivf_index(spark, path)
     out = ivf_topk(e, q, cents, k=10, nprobe=2, assigned=index,

@@ -51,7 +51,8 @@ WITH d AS (
 l AS (
   SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS line
   FROM (SELECT doc_id, string_split(tx, chr(10)) AS arr FROM d)),
-b AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+b AS (SELECT line FROM l GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 2 AND line != ''),
 k AS (SELECT doc_id, pos, line FROM l ANTI JOIN b USING (line)),
 r AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,

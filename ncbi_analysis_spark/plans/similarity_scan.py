@@ -383,7 +383,13 @@ def _scorer_parallelism(spark) -> int:
     exists to spread; shuffle.partitions is the deploy-time statement of
     intended shuffle width and serves as the floor."""
     sc = spark.sparkContext
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        # platforms may set a non-numeric value (e.g. "auto" under
+        # auto-optimized shuffle) — fall back to registered parallelism
+        # rather than failing every scan at plan build
+        shuffle = 0
     return max(sc.defaultParallelism, shuffle, 1)
 
 

@@ -43,6 +43,9 @@ def last_green_rounds(repo: str) -> tuple[dict[str, int], dict[str, int]]:
             ok = (
                 rec.get("rows_match") is True
                 and rec.get("schema_match") is True
+                # rows-only checks carry no hash_match; an explicit False
+                # is an exact-match failure and must NOT read as green
+                and rec.get("hash_match") is not False
                 and rec.get("err") in (None, "")
             )
             if ok and rnd > green.get(name, 0):

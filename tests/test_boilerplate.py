@@ -129,7 +129,8 @@ def test_remove_repeated_lines_matches_python_model(spark):
 
     rnd = random.Random(47)
     vocab = ["alpha", "beta beta", "COOKIE", "", "x", "longer line txt"]
-    for trial, (sep, min_docs) in enumerate([("\n", 2), ("|", 3), ("\n", 2)]):
+    trials = [("\n", 2, True), ("|", 3, True), ("\n", 2, False)]
+    for trial, (sep, min_docs, protect_empty) in enumerate(trials):
         docs = []
         for i in range(40):
             n = rnd.choice([1, 1, 2, 3, 5, 8])
@@ -141,7 +142,8 @@ def test_remove_repeated_lines_matches_python_model(spark):
         for i, t in docs:
             for ln in t.split(sep):
                 spread[ln].add(i)
-        boiler = {ln for ln, s in spread.items() if len(s) >= min_docs}
+        boiler = {ln for ln, s in spread.items() if len(s) >= min_docs
+                  and not (protect_empty and ln == "")}
         want = {}
         for i, t in docs:
             lines = t.split(sep)
@@ -149,9 +151,25 @@ def test_remove_repeated_lines_matches_python_model(spark):
             want[i] = (sep.join(kept), len(lines), len(lines) - len(kept))
 
         df = spark.createDataFrame(docs, ["doc_id", "text"])
-        got = remove_repeated_lines(df, "text", "doc_id",
-                                    sep=sep, min_docs=min_docs).collect()
+        got = remove_repeated_lines(df, "text", "doc_id", sep=sep,
+                                    min_docs=min_docs,
+                                    protect_empty=protect_empty).collect()
         assert len(got) == len(docs), trial
         for r in got:
             assert (r["text"], r["n_lines"], r["n_removed"]) == want[r["doc_id"]], (
                 trial, r["doc_id"])
+
+
+def test_remove_repeated_lines_protects_blank_lines(spark):
+    rows = [(0, "para one\n\nBOILER"), (1, "para two\n\nBOILER")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           remove_repeated_lines(df, "text", "doc_id", min_docs=2).collect()}
+    # the blank paragraph separator occurs in both docs but survives;
+    # only the real boilerplate line is removed
+    assert out[0] == "para one\n"
+    assert out[1] == "para two\n"
+    off = {r["doc_id"]: r["text"] for r in
+           remove_repeated_lines(df, "text", "doc_id", min_docs=2,
+                                 protect_empty=False).collect()}
+    assert off[0] == "para one"

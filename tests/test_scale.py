@@ -182,3 +182,22 @@ def test_deterministic_shuffle_stable_and_contiguous(spark):
         by_shard.setdefault(s, []).append(p)
     for s, ps in by_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} not contiguous"
+
+
+def test_staging_dir_rotation_keeps_previous_call_readable(spark):
+    """The in-process rebuild hazard (r6 review): a lazy DataFrame held
+    from the PREVIOUS corpus_shard_roundtrip call must still read its
+    staged files after the next call re-stages — the two-slot rotation
+    reclaims only the call before that."""
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        corpus_shard_roundtrip,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df1 = corpus_shard_roundtrip(spark, sf)
+    df2 = corpus_shard_roundtrip(spark, sf)
+    # execute df1 AFTER df2's staging ran — with a single shared dir
+    # this raised FileNotFound / read df2's files
+    a = sorted(map(tuple, df1.collect()))
+    b = sorted(map(tuple, df2.collect()))
+    assert a == b and len(a) > 0
