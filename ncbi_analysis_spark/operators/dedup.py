@@ -163,6 +163,39 @@ def exact_dedup(df: DataFrame, text: str, id_col: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
+def exact_dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text: str,
+    ref_text: str | None = None,
+) -> DataFrame:
+    """Incremental-crawl dedup: drop every row of ``new_df`` whose
+    normalized text already exists in ``ref_df`` (the previously
+    ingested corpus, or a precomputed 1-column ``__ref_hash`` digest
+    table — pass that instead of re-hashing the full corpus each
+    increment). The within-batch dedup step is separate by design
+    (``exact_dedup`` on the survivors) so callers control keep-order.
+
+    Scale: anti join keyed on the md5 digest — shuffle carries 32-char
+    hashes from the smaller (new) side; for a large reference the digest
+    table should be the persisted artifact, bucketed by ``__ref_hash``
+    so each increment co-locates with zero reference shuffle. For
+    probabilistic pre-filtering at extreme scale, compose with the Bloom
+    path (``build_ngram_bloom``) upstream.
+    """
+    ref_hashes = (
+        ref_df.select(F.col("__ref_hash"))
+        if "__ref_hash" in ref_df.columns
+        else ref_df.select(
+            F.md5(normalize_text(F.col(ref_text or text))).alias("__ref_hash"))
+    ).distinct()
+    return new_df.join(
+        ref_hashes,
+        F.md5(normalize_text(F.col(text))) == F.col("__ref_hash"),
+        "left_anti",
+    )
+
+
 def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
     """Duplicate-group report: (text_hash, dup_count, min_id) for groups
     with more than one member."""

@@ -173,3 +173,25 @@ def test_remove_repeated_lines_protects_blank_lines(spark):
            remove_repeated_lines(df, "text", "doc_id", min_docs=2,
                                  protect_empty=False).collect()}
     assert off[0] == "para one"
+
+
+def test_exact_dedup_against_reference(spark):
+    from ncbi_analysis_spark.operators.dedup import exact_dedup_against
+
+    ref = spark.createDataFrame(
+        [(100, "Seen Before"), (101, "also   seen")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(0, "seen before"),          # normalized match -> dropped
+         (1, "ALSO SEEN"),            # case/space-insensitive -> dropped
+         (2, "genuinely new")],
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in
+                  exact_dedup_against(new, ref, "text").collect())
+    assert kept == [2]
+    # digest-table form: same result without reference text in play
+    from pyspark.sql import functions as F
+    from ncbi_analysis_spark.operators.dedup import normalize_text
+    digests = ref.select(F.md5(normalize_text(F.col("text"))).alias("__ref_hash"))
+    kept2 = sorted(r["doc_id"] for r in
+                   exact_dedup_against(new, digests, "text").collect())
+    assert kept2 == [2]
