@@ -440,6 +440,163 @@ def embedding_dup_pairs(
     )
 
 
+def _semantic_pairs_np(side: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster cosine pairs, BLAS form: one ``applyInPandas``
+    group per cluster, rows sorted by id, unit-normalized matrix, and a
+    BLOCKED gram product (block x full — peak extra memory is
+    ``block_rows x n_cluster`` doubles, not ``n^2``) emitting upper-
+    triangle hits. Zero vectors normalize to zero rows, so their cosine
+    is 0 against everything — identical to ``functions.vectors.cosine``
+    for any threshold > 0."""
+
+    def gen(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        n = np.linalg.norm(M, axis=1)
+        nz = n > 0
+        M[nz] = M[nz] / n[nz, None]
+        out_a: list = []
+        out_b: list = []
+        B = 1024
+        for i0 in range(0, len(ids), B):
+            S = M[i0:i0 + B] @ M.T
+            ii, jj = np.nonzero(S >= threshold)
+            gi = ii + i0
+            m = jj > gi  # strict upper triangle, ids ascend with position
+            out_a.append(ids[gi[m]])
+            out_b.append(ids[jj[m]])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+        })
+
+    return side.groupBy("c_id").applyInPandas(gen, "id_a long, id_b long")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    max_cluster_rows: int | None = 100_000,
+    pair_method: str = "auto",
+    max_expr_rows: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column, bucketed by a
+    trained k-means quantizer so the pairwise step never goes all-pairs.
+
+    Steps (all composition of existing primitives):
+
+    1. nearest-centroid assignment (``similarity_search.ivf_assign`` — a
+       pure map, no shuffle);
+    2. cosine pairs ``>= threshold`` WITHIN each cluster only (one
+       shuffle keyed by ``c_id``; k clusters of ~n/k rows make this
+       tractable where corpus-wide all-pairs is not);
+    3. connected components over those edges
+       (``components.connected_components``, pointer-jump min-label);
+    4. per component keep the member LEAST similar to its centroid (the
+       paper's keep-the-outlier rule — survivors preserve diversity),
+       ties broken by smallest id.
+
+    Returns every input row labeled:
+    ``(id_col, c_id, cent_sim, component, keep)`` — ``component`` is
+    NULL for rows with no near-duplicate (which are always kept),
+    ``cent_sim`` is rounded to 6 places for display while the keep
+    decision orders on the exact double.
+
+    Scale posture: assignment is map-only; the pair stage is one c_id
+    shuffle; ``max_cluster_rows`` observably drops degenerate clusters
+    (``_capped`` — same knob family as ``max_band_freq``) so a
+    mega-cluster can't go quadratic; rows of capped-out clusters are
+    still labeled (kept, component NULL). Components is O(log D) rounds
+    of keyed joins.
+
+    ``pair_method`` picks the pair stage's physical form (the
+    ``ivf_assign`` expr/np pattern):
+
+    - ``'expr'``: self-join + sequential-left-fold cosine with
+      PRE-COMPUTED per-row norms (same doubles as folding per pair —
+      ``norm(a)`` is one value however often it's evaluated), bit-
+      identical to the DuckDB oracle's ``list_reduce`` (see
+      ``plans.driver_queries_r7``). The oracle form.
+    - ``'np'``: per-cluster blocked BLAS gram matrix in
+      ``applyInPandas`` — two orders of magnitude faster on wide
+      clusters; edge membership can differ from expr only for pairs
+      whose cosine sits within float-summation-order distance of the
+      threshold (the ``brute_force_topk_np`` caveat). The scale form.
+    - ``'auto'`` (default): expr up to ``max_expr_rows`` input rows (one
+      extra bounded ``limit().count()`` scan to decide), np past it —
+      oracle-sized runs stay bit-reproducible, big runs get BLAS.
+    """
+    from ncbi_analysis_spark.operators.components import connected_components
+    from ncbi_analysis_spark.operators.similarity_search import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec=vec, id_col=id_col)
+    cents = centroids.select(F.col("c_id"), F.col(vec).alias("__cent"))
+    labeled = assigned.join(F.broadcast(cents), "c_id").withColumn(
+        "__cent_sim", cosine(F.col("__cv"), F.col("__cent"))
+    )
+
+    side = labeled.select(
+        "c_id", F.col(id_col).alias("id"), F.col("__cv").alias("v")
+    )
+    if max_cluster_rows is not None:
+        sizes = side.groupBy("c_id").agg(F.count("*").alias("__n"))
+        ok = _capped(sizes, F.col("__n"), max_cluster_rows, "semdedup")
+        # k clusters at most -> the surviving-cluster list broadcasts
+        side = side.join(F.broadcast(ok.select("c_id")), "c_id")
+
+    if pair_method == "auto":
+        over = side.select("id").limit(max_expr_rows + 1).count()
+        pair_method = "expr" if over <= max_expr_rows else "np"
+    if pair_method == "np":
+        pairs = _semantic_pairs_np(side, float(threshold))
+    elif pair_method == "expr":
+        from ncbi_analysis_spark.functions.vectors import dot, norm
+
+        # norms once per ROW, not once per pair — same doubles either way
+        s = side.withColumn("nrm", norm(F.col("v")))
+        a, b = s.alias("a"), s.alias("b")
+        cos = F.when(
+            (F.col("a.nrm") == 0) | (F.col("b.nrm") == 0), F.lit(0.0)
+        ).otherwise(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+        )
+        pairs = (
+            a.join(b, (F.col("a.c_id") == F.col("b.c_id")) & (F.col("a.id") < F.col("b.id")))
+            .withColumn("__cos", cos)
+            .filter(F.col("__cos") >= F.lit(float(threshold)))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        )
+    else:
+        raise ValueError(f"unknown pair_method: {pair_method!r}")
+
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    out = labeled.join(comp, id_col, "left")
+    # COALESCE(component, id) gives every no-dup row its own singleton
+    # window partition instead of one giant NULL partition (a component
+    # id is the min MEMBER id of a multi-row component, so it can never
+    # collide with a singleton's own id — ids are unique)
+    w = Window.partitionBy(
+        F.coalesce(F.col("component"), F.col(id_col))
+    ).orderBy(F.col("__cent_sim").asc(), F.col(id_col).asc())
+    return out.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col,
+        "c_id",
+        F.round("__cent_sim", 6).alias("cent_sim"),
+        "component",
+        "keep",
+    )
+
+
 def benchmark_ngram_overlap(
     df: DataFrame,
     bench_df: DataFrame,

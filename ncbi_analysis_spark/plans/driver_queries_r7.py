@@ -120,10 +120,169 @@ FROM m GROUP BY kind
 """
 
 
+_SEM_THRESHOLD = 0.4  # the embeddings fixture's near-dup band (same as
+# dedup_embedding_pairs); the canonical SemDeDup eps would be ~1 - 0.05
+
+
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (operators/dedup.py::semantic_dedup;
+    Abbas et al. 2023): trained k-means buckets (the ann_ivf_trained
+    quantizer, same params), within-cluster cosine edges, connected
+    components, keep-the-outlier survivor per component. Every row comes
+    back labeled (c_id, cent_sim, component, keep). ``max_cluster_rows=
+    None`` mirrors the oracle's uncapped pair generation (the cap is a
+    scale knob, off for parity runs — same stance as
+    dedup_dup_clusters). ``pair_method='auto'`` keeps the bit-exact expr
+    pair stage at gate scale (sf0.01, 500 rows) and switches to the
+    blocked-BLAS form past ``max_expr_rows`` — the sf0.1 bench times the
+    production path, the sf0.01 gate checks the oracle twin."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import similarity_search as ss
+    from ncbi_analysis_spark.operators.dedup import semantic_dedup
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _TRAIN_PARAMS
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ss.train_ivf_centroids(e, **_TRAIN_PARAMS)
+    return semantic_dedup(
+        e, "embedding", "vec_id", cents,
+        threshold=_SEM_THRESHOLD, max_cluster_rows=None,
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    """Generated oracle: centroid literals re-derived Spark-free
+    (bit-identical — driver_queries_r5 module docstring has the
+    determinism argument), the ivf_assign argmax fold-mirrored, cosine
+    edges within clusters, recursive-CTE components, and the
+    keep-the-outlier window on the EXACT cent_sim double (rounding only
+    in the outer projection)."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        train_ivf_centroids_local,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _DOT,
+        _TRAIN_PARAMS,
+        _cos_sql,
+        _dlit,
+        _oracle_sf_dir,
+    )
+
+    C = train_ivf_centroids_local(
+        f"{_oracle_sf_dir()}/embeddings.parquet", **_TRAIN_PARAMS
+    )
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(_dlit(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(C)
+    )
+    return f"""
+WITH RECURSIVE cent AS (SELECT * FROM (VALUES
+  {rows}
+) AS t(c_id, cv)),
+corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+assign0 AS (
+  -- dot(v, c) / ||c|| — ivf_assign's map-side argmax fold (the ||v||
+  -- division is skipped on both sides: a positive per-row constant
+  -- can't change the argmax or its tie-break)
+  SELECT c.vec_id, c.v, ct.c_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+  FROM assign0
+) WHERE rn = 1),
+sims AS (
+  SELECT a.vec_id, a.v, a.c_id, {_cos_sql('a.v', 'ct.cv')} AS cent_sim
+  FROM assign a JOIN cent ct USING (c_id)
+),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM assign a JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {_dlit(_SEM_THRESHOLD)}
+),
+edges AS (SELECT ida AS u, idb AS w FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.w = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT s.vec_id, s.c_id, s.cent_sim, c.component
+  FROM sims s LEFT JOIN comp c ON s.vec_id = c.id
+)
+SELECT vec_id, c_id, ROUND(cent_sim, 6) AS cent_sim, component, keep FROM (
+  SELECT vec_id, c_id, cent_sim, component,
+         (ROW_NUMBER() OVER (PARTITION BY COALESCE(component, vec_id)
+                             ORDER BY cent_sim ASC, vec_id ASC) = 1) AS keep
+  FROM lab
+)
+"""
+
+
+_stream_q_seq = 0
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/events.py::enrich_stream)
+    through the gate: the events file-stream left-joined to the customer
+    dimension (broadcast — map-side per micro-batch, zero shuffle), the
+    stateless lookup pattern every streaming pipeline starts with. A
+    bounded availableNow run over a static copy emits exactly the
+    relational join, so the oracle is the plain SQL join."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.streaming.events import (
+        enrich_stream,
+        read_event_stream,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_enrich_{_stream_q_seq}"
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    d = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        stream = read_event_stream(spark, d)
+        out = enrich_stream(stream, dim, on="user_id", how="left")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value", "c_name", "c_mktsegment",
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT e.event_id, epoch_us(e.ts) AS ts_us, e.user_id, e.event_type,
+       e.value, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
         "multimodal_media_stats": multimodal_media_stats,
+        "semantic_dedup_prune": semantic_dedup_prune,
+        "stream_static_enrich": stream_static_enrich,
     }
 
 
@@ -131,4 +290,6 @@ def oracle_sql_r7() -> dict[str, str]:
     return {
         "boilerplate_scrub": BOILERPLATE_SQL,
         "multimodal_media_stats": MEDIA_STATS_SQL,
+        "semantic_dedup_prune": _semantic_dedup_sql(),
+        "stream_static_enrich": STREAM_ENRICH_SQL,
     }

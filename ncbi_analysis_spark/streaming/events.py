@@ -332,6 +332,39 @@ def stream_stream_join(
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the stateless dimension-lookup
+    pattern (every micro-batch joins against the static side; no
+    watermark, no state store, late data impossible to mis-enrich
+    because the dim is time-invariant within the run).
+
+    ``broadcast_dim=True`` (default) hints the static side broadcast,
+    which is right for the classic small-dim lookup: each executor joins
+    map-side, zero shuffle per micro-batch. For a dim too large to
+    broadcast set it False — Spark then shuffles each micro-batch
+    against the (cached) dim; on a real cluster, pre-bucket the dim on
+    the join key so only the stream side moves.
+
+    Supported stream-side ``how``: inner and left (stream-static joins
+    cannot be right/full from the stream's perspective — Spark would
+    need to know which dim rows NEVER match, which an unbounded stream
+    cannot decide).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"stream-static join supports inner/left from the stream side, "
+            f"got {how!r}"
+        )
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,

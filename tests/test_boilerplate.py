@@ -105,7 +105,14 @@ def test_all_staged_r7_queries_duckdb_parity(spark):
         queries_r7,
     )
 
-    qs, oracles = queries_r7(), oracle_sql_r7()
+    # trained-literal oracles (semantic_dedup_prune) must re-derive their
+    # model floats from the SAME corpus the Spark side trains on — the
+    # driver's check_oracle harness exports this env var for exactly that
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    try:
+        qs, oracles = queries_r7(), oracle_sql_r7()
+    finally:
+        del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
     assert set(qs) == set(oracles)
     con = duckdb.connect()
     for t in _co.TABLES:

@@ -456,3 +456,97 @@ def test_sessionize_gap_semantics(spark):
     assert rows[("u", 1)]["n_events"] == 2 and rows[("u", 1)]["session_end"] == 100
     assert rows[("u", 2)]["session_start"] == 5000 and rows[("u", 2)]["n_events"] == 2
     assert rows[("v", 1)]["n_events"] == 1
+
+
+def _sem_centroids(spark):
+    # two obvious cluster directions in 2-d
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        schema="c_id bigint, v array<double>",
+    )
+
+
+def test_semantic_dedup_keep_outlier(spark):
+    """SemDeDup keep rule: within a near-dup component the survivor is
+    the member LEAST similar to its centroid (diversity-preserving),
+    ties by smallest id; rows with no near-dup always keep."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),      # cluster 0, cent_sim = 1.0
+            (2, [0.999, 0.04]),   # cluster 0, near-dup of 1, farther out
+            (3, [0.0, 1.0]),      # cluster 1, no dup
+        ],
+        schema="id bigint, v array<float>",
+    )
+    out = {r["id"]: r.asDict() for r in dedup.semantic_dedup(
+        df, "v", "id", _sem_centroids(spark), threshold=0.95
+    ).collect()}
+    assert len(out) == 3
+    # 1 and 2 form one component labeled by the min member id
+    assert out[1]["component"] == 1 and out[2]["component"] == 1
+    # 2 is the outlier (lower cent_sim) -> kept; 1 dropped
+    assert out[2]["keep"] and not out[1]["keep"]
+    assert out[2]["cent_sim"] < out[1]["cent_sim"]
+    # the singleton keeps, component NULL
+    assert out[3]["keep"] and out[3]["component"] is None
+
+
+def test_semantic_dedup_edges_stay_within_clusters(spark):
+    """Identical-direction vectors assigned to DIFFERENT centroids are
+    never paired: the pair join is cluster-bucketed by construction."""
+    df = spark.createDataFrame(
+        [(3, [0.7, 0.7142]), (4, [0.7142, 0.7])],
+        schema="id bigint, v array<float>",
+    )
+    out = {r["id"]: r.asDict() for r in dedup.semantic_dedup(
+        df, "v", "id", _sem_centroids(spark), threshold=0.99
+    ).collect()}
+    # 3 -> centroid 1 (y-leaning), 4 -> centroid 0 (x-leaning): despite
+    # cosine(3,4) ~ 0.9996 >= 0.99 they are in different buckets -> no edge
+    assert out[3]["c_id"] != out[4]["c_id"]
+    assert out[3]["component"] is None and out[4]["component"] is None
+    assert out[3]["keep"] and out[4]["keep"]
+
+
+def test_semantic_dedup_cluster_cap(spark):
+    """max_cluster_rows drops over-cap clusters from PAIRING only — the
+    rows still come back labeled and kept (observable via _capped)."""
+    rows = [(i, [1.0, 0.001 * i]) for i in range(5)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, schema="id bigint, v array<float>")
+    cents = _sem_centroids(spark)
+    capped = {r["id"]: r.asDict() for r in dedup.semantic_dedup(
+        df, "v", "id", cents, threshold=0.9, max_cluster_rows=3
+    ).collect()}
+    assert len(capped) == 6
+    # the 5-row cluster is over the cap: no components, everyone kept
+    assert all(r["component"] is None and r["keep"] for r in capped.values())
+    uncapped = dedup.semantic_dedup(
+        df, "v", "id", cents, threshold=0.9, max_cluster_rows=None
+    ).toPandas()
+    assert uncapped["component"].notna().sum() == 5
+    assert int(uncapped["keep"].sum()) == 2  # one survivor + the singleton
+
+
+def test_semantic_dedup_np_pairs_match_expr(spark):
+    """The blocked-BLAS pair stage must produce the same edge set (and
+    therefore identical labels) as the expr fold on well-separated
+    cosines — fixture sims are nowhere near the float-order boundary."""
+    import random
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append((i, [base[0] + rnd.uniform(-0.02, 0.02),
+                         base[1] + rnd.uniform(-0.02, 0.02)]))
+    df = spark.createDataFrame(rows, schema="id bigint, v array<float>")
+    cents = _sem_centroids(spark)
+    kw = dict(threshold=0.999, max_cluster_rows=None)
+    expr = dedup.semantic_dedup(df, "v", "id", cents, pair_method="expr", **kw).toPandas()
+    npp = dedup.semantic_dedup(df, "v", "id", cents, pair_method="np", **kw).toPandas()
+    key = ["id", "c_id", "component", "keep"]
+    a = expr[key].sort_values("id").reset_index(drop=True)
+    b = npp[key].sort_values("id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert expr["component"].notna().sum() > 0  # the edges actually exist

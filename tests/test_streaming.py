@@ -256,3 +256,35 @@ def test_streaming_dedup_runs(spark, stream_dir):
     q.awaitTermination(120)
     n = spark.sql("select count(*) c from dedup_out").collect()[0]["c"]
     assert n == 1000  # sf0.001 events are unique by event_id
+
+
+def test_enrich_stream_matches_batch(spark, stream_dir):
+    """Stream-static left enrichment over a bounded run equals the batch
+    join; unmatched stream rows survive with NULL dim columns."""
+    # fixture user_ids span 0..14; stop the dim at 8 so the left side
+    # has genuinely unmatched rows to keep
+    dim = spark.createDataFrame(
+        [(u, f"user-{u}") for u in range(0, 8)], ["user_id", "uname"]
+    )
+    stream = sev.read_event_stream(spark, stream_dir)
+    out = sev.enrich_stream(stream, dim, on="user_id", how="left")
+    sev.run_to_memory(
+        out.select("event_id", "user_id", "uname"), "t_enrich_stream"
+    )
+    got = {r["event_id"]: r["uname"] for r in spark.table("t_enrich_stream").collect()}
+    batch = read_events(spark, f"{SF_DIR}/events.parquet").join(
+        dim, "user_id", "left"
+    )
+    want = {r["event_id"]: r["uname"] for r in
+            batch.select("event_id", "uname").collect()}
+    assert got == want and len(got) > 0
+    # user_ids 8..14 exist in the fixture -> the left side must show NULLs
+    assert any(v is None for v in got.values())
+    assert any(v is not None for v in got.values())
+
+
+def test_enrich_stream_rejects_dim_side_outer(spark, stream_dir):
+    dim = spark.createDataFrame([(1, "x")], ["user_id", "uname"])
+    stream = sev.read_event_stream(spark, stream_dir)
+    with pytest.raises(ValueError, match="inner/left"):
+        sev.enrich_stream(stream, dim, on="user_id", how="full")
