@@ -199,3 +199,170 @@ def ngram_lm_score(df: DataFrame, lm: DataFrame, n: int = 3,
              / F.col("n_grams")).alias("mean_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (data selection for language models)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_features(df: DataFrame, text: str, id_col: str,
+                   n_buckets: int, ngram_max: int) -> DataFrame:
+    """Hashed word-n-gram feature rows ``(id_col, bucket)`` — one row per
+    n-gram occurrence for every n in 1..ngram_max, bucketed by the
+    cross-engine md5 hash. Inherits ``shingle_rows`` partial-shingle
+    semantics: a doc with fewer than n tokens contributes its full token
+    run once per n (so a 1-token doc counts that token at every n)."""
+    from ncbi_analysis_spark.functions.text import _hash32
+    from ncbi_analysis_spark.operators.dedup import shingle_rows
+
+    parts = [shingle_rows(df, text, id_col, n) for n in range(1, ngram_max + 1)]
+    feats = parts[0]
+    for p in parts[1:]:
+        feats = feats.unionByName(p)
+    return feats.select(
+        id_col, F.pmod(_hash32(F.col("sh")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def dsir_logratios(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text: str,
+    id_col: str,
+    n_buckets: int = 8192,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """DSIR bucket log-ratio weights (Xie et al. 2023, arXiv:2302.03169:
+    Data Selection for Language Models via Importance Resampling).
+
+    Hashed-n-gram bag models for the target and raw corpora; per bucket,
+    ``w = ln((t_b + 1)/(T + B)) - ln((r_b + 1)/(R + B))`` (add-one
+    smoothing). A document's importance is then the sum of ``count * w``
+    over its feature buckets (``dsir_score``) — high for documents whose
+    n-gram distribution looks like the target, low for raw-typical ones;
+    resample the corpus by these weights to shift it toward the target.
+
+    Scale: the two count aggregations are map-side-combined hash aggs
+    keyed by bucket (≤ ``n_buckets`` groups), so only two bounded
+    ``n_buckets``-row vectors ever reach the driver (the
+    ``train_ivf_centroids`` bounded-collect pattern). The log-ratio math
+    runs ONCE, in driver CPython — which is what lets the oracle twin
+    (`dsir_logratios_local`) re-derive bit-identical weight literals.
+    Returns all ``n_buckets`` rows ``(bucket, w)`` (never-seen buckets
+    get the pure-smoothing weight) so scoring never drops a feature.
+    """
+    import math
+
+    def counts(d: DataFrame) -> tuple[dict, int]:
+        rows = (
+            _dsir_features(d, text, id_col, n_buckets, ngram_max)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        per = {r["bucket"]: r["c"] for r in rows}
+        return per, sum(per.values())
+
+    t, T = counts(target_df)
+    r, R = counts(raw_df)
+    B = n_buckets
+    out = [
+        (b, math.log((t.get(b, 0) + 1) / (T + B)) - math.log((r.get(b, 0) + 1) / (R + B)))
+        for b in range(B)
+    ]
+    return target_df.sparkSession.createDataFrame(out, schema="bucket bigint, w double")
+
+
+def dsir_score(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    weights: DataFrame,
+    n_buckets: int = 8192,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """Per-document DSIR importance: ``logw = Σ_b count_b · w_b`` over
+    the document's hashed-n-gram buckets. Returns
+    ``(id_col, n_feats, logw)`` with ``logw`` rounded to 6 for display —
+    the sum itself folds the per-bucket terms in ASCENDING bucket order
+    (sort_array + sequential aggregate), so the double is deterministic
+    and a DuckDB oracle (list_sort + list_reduce with the same weight
+    literals) reproduces it bit-exactly.
+
+    Scale: one (id, bucket) hash agg, a broadcast join against the
+    ``n_buckets``-row weight table, one agg back to id. Everything
+    map-side-combinable; no driver data beyond the weight table.
+    """
+    feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
+    per = feats.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    j = per.join(F.broadcast(weights), "bucket").select(
+        id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
+    )
+    folded = j.groupBy(id_col).agg(
+        F.sum("c").alias("n_feats"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__logw"),
+    )
+    return folded.select(id_col, "n_feats", F.round("__logw", 6).alias("logw"))
+
+
+def dsir_logratios_local(
+    parquet_path: str,
+    text: str = "text",
+    target_pred=None,
+    n_buckets: int = 8192,
+    ngram_max: int = 2,
+):
+    """Spark-free twin of ``dsir_logratios`` for oracle-literal
+    generation (the ``train_ivf_centroids_local`` pattern): pyarrow
+    read, pure-Python tokenization mirroring ``functions.text.tokens``
+    (trim + split on ``\\s+``; empty text yields the single empty
+    token, exactly like Spark's and DuckDB's regex split), md5-prefix
+    bucketing, and the SAME CPython ``math.log`` the operator runs on
+    the driver — identical integer counts in, bit-identical weight
+    doubles out. ``target_pred(row_dict) -> bool`` selects the target
+    subset; raw is the whole table."""
+    import hashlib
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path).to_pylist()
+
+    def grams(s: str) -> list[str]:
+        toks = re.split(r"\s+", s.strip())
+        out = []
+        for n in range(1, ngram_max + 1):
+            if len(toks) >= n:
+                out += [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                out.append(" ".join(toks))
+        return out
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    def counts(rows) -> tuple[dict, int]:
+        per: dict = {}
+        tot = 0
+        for row in rows:
+            for g in grams(row[text] or ""):
+                b = bucket(g)
+                per[b] = per.get(b, 0) + 1
+                tot += 1
+        return per, tot
+
+    t, T = counts([r for r in tbl if target_pred is None or target_pred(r)])
+    r, R = counts(tbl)
+    B = n_buckets
+    return [
+        (b, math.log((t.get(b, 0) + 1) / (T + B)) - math.log((r.get(b, 0) + 1) / (R + B)))
+        for b in range(B)
+    ]

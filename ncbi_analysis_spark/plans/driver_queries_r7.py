@@ -224,6 +224,74 @@ SELECT vec_id, c_id, ROUND(cent_sim, 6) AS cent_sim, component, keep FROM (
 """
 
 
+_DSIR_PARAMS = dict(n_buckets=1024, ngram_max=2)
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring end-to-end (operators/terms.py::
+    dsir_logratios + dsir_score; Xie et al. 2023): hashed-bigram bag
+    models with the English subset as target and the full corpus as raw,
+    every document scored with its target-vs-raw log importance. The
+    weights are computed once in driver CPython from two bounded
+    1024-bucket count vectors, so the oracle twin re-derives them
+    bit-identically and the per-doc bucket-ordered fold hash-matches."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = d.filter(F.col("lang") == "en")
+    w = dsir_logratios(target, d, "text", "doc_id", **_DSIR_PARAMS)
+    return dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS)
+
+
+def _dsir_sql() -> str:
+    """Generated oracle: weight literals from the Spark-free twin
+    (pyarrow counts + the same CPython log), features re-derived with
+    the engine-mirrored tokenizer/md5-bucket idioms, and the per-doc
+    fold as list_sort + 0.0-seeded list_reduce — the exact double the
+    Spark sort_array + aggregate fold produces."""
+    from ncbi_analysis_spark.operators.terms import dsir_logratios_local
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _dlit,
+        _oracle_sf_dir,
+    )
+
+    B = _DSIR_PARAMS["n_buckets"]
+    W = dsir_logratios_local(
+        f"{_oracle_sf_dir()}/documents.parquet",
+        target_pred=lambda r: r["lang"] == "en",
+        **_DSIR_PARAMS,
+    )
+    rows = ",\n  ".join(f"({b}, {_dlit(w)})" for b, w in W)
+    return rf"""
+WITH tk AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents),
+f1 AS (SELECT doc_id, UNNEST(t) AS g FROM tk),
+f2 AS (SELECT doc_id,
+              UNNEST(list_transform(range(GREATEST(len(t) - 2, 0) + 1),
+                     i -> array_to_string(t[i+1:i+2], ' '))) AS g
+       FROM tk),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS bucket
+  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+),
+per AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+        FROM feats GROUP BY doc_id, bucket),
+w AS (SELECT * FROM (VALUES
+  {rows}
+) AS t(bucket, w)),
+j AS (SELECT doc_id, bucket, c, c * w AS term FROM per JOIN w USING (bucket))
+SELECT doc_id, SUM(c)::BIGINT AS n_feats,
+       ROUND(list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(list_sort(list({{'b': bucket, 't': term}})),
+                          s -> s.t)),
+         (a, b) -> a + b), 6) AS logw
+FROM j GROUP BY doc_id
+"""
+
+
 _stream_q_seq = 0
 
 
@@ -283,6 +351,7 @@ def queries_r7() -> dict:
         "multimodal_media_stats": multimodal_media_stats,
         "semantic_dedup_prune": semantic_dedup_prune,
         "stream_static_enrich": stream_static_enrich,
+        "dsir_importance": dsir_importance,
     }
 
 
@@ -292,4 +361,5 @@ def oracle_sql_r7() -> dict[str, str]:
         "multimodal_media_stats": MEDIA_STATS_SQL,
         "semantic_dedup_prune": _semantic_dedup_sql(),
         "stream_static_enrich": STREAM_ENRICH_SQL,
+        "dsir_importance": _dsir_sql(),
     }

@@ -285,3 +285,43 @@ def test_ngram_lm_case_folding(spark):
     df = spark.createDataFrame([(1, "AbCaBc")], ["doc_id", "text"])
     lm = {r["ngram"]: r["cnt"] for r in char_ngram_lm(df, n=3).collect()}
     assert lm == {"abc": 2, "bca": 1, "cab": 1}
+
+
+def test_dsir_importance_direction_and_determinism(spark):
+    """DSIR (hashed-n-gram importance weights): documents drawn from the
+    target distribution must outscore raw-typical ones, the weight table
+    covers every bucket, and the bucket-ordered fold is partition-layout
+    invariant."""
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+
+    target_rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    other_rows = [(100 + i, "lorem ipsum dolor sit amet consectetur") for i in range(10)]
+    corpus = spark.createDataFrame(target_rows + other_rows, ["doc_id", "text"])
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    w = dsir_logratios(target, corpus, "text", "doc_id", n_buckets=256, ngram_max=2)
+    assert w.count() == 256
+    scored = {r["doc_id"]: r["logw"] for r in
+              dsir_score(corpus, "text", "doc_id", w,
+                         n_buckets=256, ngram_max=2).collect()}
+    assert len(scored) == 20
+    # every target-like doc beats every raw-only doc
+    assert min(scored[i] for i in range(10)) > max(scored[100 + i] for i in range(10))
+    # layout invariance: the fold sorts buckets, so repartitioning the
+    # corpus cannot move a single bit of the score
+    re_scored = {r["doc_id"]: r["logw"] for r in
+                 dsir_score(corpus.repartition(7), "text", "doc_id", w,
+                            n_buckets=256, ngram_max=2).collect()}
+    assert scored == re_scored
+
+
+def test_dsir_partial_shingle_semantics(spark):
+    """A 1-token document contributes its token at every n (the
+    shingle_rows partial rule) — n_feats counts it ngram_max times."""
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+
+    docs = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+    w = dsir_logratios(docs, docs, "text", "doc_id", n_buckets=64, ngram_max=2)
+    out = dsir_score(docs, "text", "doc_id", w, n_buckets=64, ngram_max=2).collect()
+    assert out[0]["n_feats"] == 2
+    # target == raw -> every bucket weight is 0 -> the score is exactly 0
+    assert out[0]["logw"] == 0.0
