@@ -488,6 +488,7 @@ def semantic_dedup(
     max_cluster_rows: int | None = 100_000,
     pair_method: str = "auto",
     max_expr_rows: int = 1000,
+    assign_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column, bucketed by a
@@ -535,11 +536,19 @@ def semantic_dedup(
     - ``'auto'`` (default): expr up to ``max_expr_rows`` input rows (one
       extra bounded ``limit().count()`` scan to decide), np past it —
       oracle-sized runs stay bit-reproducible, big runs get BLAS.
+
+    ``assign_method`` forwards to ``ivf_assign`` (same expr/np choice
+    for the ASSIGNMENT stage; its auto threshold is centroid count —
+    pass ``'np'`` explicitly for wide-k production runs near the
+    ``max_expr_centroids`` boundary, where the interpreted fold is the
+    bottleneck).
     """
     from ncbi_analysis_spark.operators.components import connected_components
     from ncbi_analysis_spark.operators.similarity_search import ivf_assign
 
-    assigned = ivf_assign(df, centroids, vec=vec, id_col=id_col)
+    assigned = ivf_assign(
+        df, centroids, vec=vec, id_col=id_col, method=assign_method
+    )
     cents = centroids.select(F.col("c_id"), F.col(vec).alias("__cent"))
     labeled = assigned.join(F.broadcast(cents), "c_id").withColumn(
         "__cent_sim", cosine(F.col("__cv"), F.col("__cent"))

@@ -224,3 +224,76 @@ def test_scorer_bounds_and_known_identities():
         # below by -n; direct counts per-position rule matches exactly
         assert d == sum(
             1 for a, b in zip(g, w) if a == b or (a == "c" and b == "t"))
+
+
+def test_dsir_matches_python_model(spark):
+    """Randomized corpora vs a from-scratch DSIR model: random word docs
+    (including empty and 1-token), weights and scores recomputed here in
+    pure Python (hashlib md5 buckets, add-one-smoothed log ratios,
+    bucket-ascending summation — the same fold order the operator pins),
+    compared exactly."""
+    import hashlib
+
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+
+    rnd = random.Random(83)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    B, NG = 64, 2
+
+    def mk(n, bias):
+        docs = []
+        for i in range(n):
+            ln = rnd.choice([0, 1, 2, 3, 8, 15])
+            words = [rnd.choice(vocab[:4] if bias else vocab) for _ in range(ln)]
+            docs.append((i, " ".join(words)))
+        return docs
+
+    target = mk(25, True)
+    corpus = [(100 + i, t) for i, t in mk(60, False)]
+
+    def grams(s):
+        toks = s.strip().split()
+        if not toks:
+            toks = [""]  # regex \s+ split of empty -> one empty token
+        out = []
+        for n in range(1, NG + 1):
+            if len(toks) >= n:
+                out += [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                out.append(" ".join(toks))
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def counts(docs):
+        per, tot = {}, 0
+        for _, t in docs:
+            for g in grams(t):
+                b = bucket(g)
+                per[b] = per.get(b, 0) + 1
+                tot += 1
+        return per, tot
+
+    t, T = counts(target)
+    r, R = counts(corpus)
+    w = {b: math.log((t.get(b, 0) + 1) / (T + B)) - math.log((r.get(b, 0) + 1) / (R + B))
+         for b in range(B)}
+
+    want = {}
+    for i, txt in corpus:
+        per = {}
+        for g in grams(txt):
+            b = bucket(g)
+            per[b] = per.get(b, 0) + 1
+        acc = 0.0
+        for b in sorted(per):  # the pinned bucket-ascending fold
+            acc = acc + per[b] * w[b]
+        want[i] = (sum(per.values()), round(acc, 6))
+
+    tdf = spark.createDataFrame(target, ["doc_id", "text"])
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    wdf = dsir_logratios(tdf, cdf, "text", "doc_id", n_buckets=B, ngram_max=NG)
+    got = {r2["doc_id"]: (r2["n_feats"], r2["logw"]) for r2 in
+           dsir_score(cdf, "text", "doc_id", wdf, n_buckets=B, ngram_max=NG).collect()}
+    assert got == want
