@@ -365,6 +365,45 @@ def enrich_stream(
     return stream.join(d, on, how)
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Durable streaming sink: append the stream to partitioned parquet
+    with exactly-once delivery. The checkpoint directory is the
+    exactly-once mechanism — Spark records committed batch ids there, so
+    a restart (same checkpoint) resumes AFTER the last committed batch
+    and never rewrites rows, even when the previous run crashed
+    mid-batch (the parquet sink commits files atomically per batch via
+    its transaction log, `_spark_metadata`).
+
+    ``available_now=True`` runs bounded (drain everything currently in
+    the source, then stop — the batch-ingest-shaped invocation and the
+    testable form); False leaves the query running and returns the
+    handle for the caller to manage.
+
+    Scale: partition_by gives downstream readers partition pruning (the
+    write_training_shards layout, incrementally maintained); pair with
+    sufficiently coarse trigger intervals so each micro-batch writes
+    shard-sized files rather than a small-files explosion.
+    """
+    w = stream_df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    ).outputMode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+        return None
+    return w.start()
+
+
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,

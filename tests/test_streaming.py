@@ -288,3 +288,52 @@ def test_enrich_stream_rejects_dim_side_outer(spark, stream_dir):
     stream = sev.read_event_stream(spark, stream_dir)
     with pytest.raises(ValueError, match="inner/left"):
         sev.enrich_stream(stream, dim, on="user_id", how="full")
+
+
+def test_stream_to_parquet_exactly_once_on_restart(spark, tmp_path):
+    """The durable sink's checkpoint makes replays idempotent: a second
+    bounded run over the SAME source and checkpoint commits nothing new,
+    and new source files arriving between runs are picked up exactly
+    once. Read-back equals the batch input throughout."""
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+
+    def run():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.stream_to_parquet(
+            stream.select("event_id", "user_id", "event_type"), out, ck)
+
+    run()
+    first = spark.read.parquet(out)
+    assert first.count() == 1000
+    # restart over the same source: no batch re-commits, count unchanged
+    run()
+    assert spark.read.parquet(out).count() == 1000
+    # a new source file between restarts lands exactly once (a real
+    # part-FILE at the top level — the file-stream source doesn't
+    # recurse into df.write.parquet's directory layout)
+    import glob as _glob
+    stage = str(tmp_path / "stage2")
+    df2 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "event_id", F.col("event_id") + 1_000_000)
+    df2.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "b.parquet")
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 2000
+    assert got.select("event_id").distinct().count() == 2000
+
+
+def test_stream_to_parquet_partitioned_layout(spark, tmp_path):
+    src = tmp_path / "s2"; src.mkdir()
+    out = str(tmp_path / "o2"); ck = str(tmp_path / "c2")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    stream = sev.read_event_stream(spark, str(src))
+    sev.stream_to_parquet(
+        stream.select("event_id", "event_type"), out, ck,
+        partition_by=["event_type"])
+    import os as _os
+    kinds = {d for d in _os.listdir(out) if d.startswith("event_type=")}
+    assert len(kinds) >= 2  # hive-style partition dirs for pruning
+    assert spark.read.parquet(out).count() == 1000
