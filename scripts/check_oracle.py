@@ -5,6 +5,8 @@ at the given scale factor, then compares: row count, sorted column names,
 dtypes (loosely), and an order-insensitive exact value comparison.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+       (``--staged`` anywhere in args also runs the next round's staged
+       ``plans/driver_queries_r7`` entries under the same comparator)
 """
 
 from __future__ import annotations
@@ -79,8 +81,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # generated oracles (trained-IVF centroid literals) must derive from
     # the same data the Spark side reads
@@ -97,6 +101,14 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if staged:
+        from ncbi_analysis_spark.plans.driver_queries_r7 import (
+            oracle_sql_r7,
+            queries_r7,
+        )
+
+        qs = {**qs, **queries_r7()}
+        oracles = {**oracles, **oracle_sql_r7()}
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
