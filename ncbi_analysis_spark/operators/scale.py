@@ -242,3 +242,84 @@ def leakage_safe_split(
         .drop("__rep")
     )
     return hash_split(with_rep, "rep", weights, salt, granularity)
+
+
+def temperature_quotas(
+    df: DataFrame,
+    group_cols: list[str],
+    total: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture allocation (the multilingual sampling
+    rule of XLM-R/mT5: sample group g with probability ∝ c_g^α, α < 1
+    upweighting low-resource groups). Returns one row per group:
+    ``(group_cols..., n_rows, quota)`` where the integer quotas sum to
+    exactly ``total`` (largest-remainder apportionment) and never exceed
+    the group's row count. Feed the result to ``quota_sample`` per group
+    to materialize the mixture.
+
+    Exactness: α ∈ {1, 0.5, 0.25} uses sqrt chains (IEEE sqrt is
+    correctly rounded on every engine, so the weights — and therefore
+    the oracle hash — are bit-stable); any other α falls back to
+    ``pow``, whose rounding is NOT guaranteed identical across engines
+    (fine for production, not for an exact-match oracle). The weight
+    normalizer folds the per-group weights in group-key order (one
+    sorted pass over ≤ n_groups rows), so every derived double is
+    deterministic under any partition layout.
+
+    Scale: one count aggregation (n_groups rows ≪ corpus), then
+    driver-free window math over the group table itself — the corpus is
+    touched once.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    c = F.col("n_rows").cast("double")
+    if alpha == 1.0:
+        wcol = c
+    elif alpha == 0.5:
+        wcol = F.sqrt(c)
+    elif alpha == 0.25:
+        wcol = F.sqrt(F.sqrt(c))
+    else:
+        wcol = F.pow(c, F.lit(float(alpha)))
+    g = counts.withColumn("__w", wcol)
+    # deterministic normalizer: fold weights in group-key order
+    allw = Window.orderBy(*group_cols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # a single-partition window over n_groups rows is fine — this table
+    # is vocabulary-sized (languages/sources), never corpus-sized
+    tot_w = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(*group_cols, "__w")).over(allw)),
+        F.lit(0.0),
+        lambda acc, s: acc + s["__w"],
+    )
+    g = g.withColumn("__share", F.col("__w") / tot_w * F.lit(float(total)))
+    g = g.withColumn(
+        "__floor", F.least(F.floor("__share").cast("long"), F.col("n_rows"))
+    )
+    # largest-remainder top-up: hand the leftover seats to the groups
+    # with the biggest fractional part (capped groups excluded), ties by
+    # group key for determinism
+    g = g.withColumn("__frac", F.col("__share") - F.col("__floor"))
+    spent = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(*group_cols, "__floor")).over(allw)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["__floor"],
+    )
+    g = g.withColumn("__left", F.lit(total) - spent)
+    rk = Window.orderBy(
+        F.when(F.col("__floor") >= F.col("n_rows"), F.lit(-1.0)).otherwise(F.col("__frac")).desc(),
+        *group_cols,
+    )
+    g = g.withColumn("__rk", F.row_number().over(rk))
+    quota = F.least(
+        F.col("__floor")
+        + F.when(
+            (F.col("__rk") <= F.col("__left")) & (F.col("__floor") < F.col("n_rows")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+        F.col("n_rows"),
+    )
+    return g.select(*group_cols, "n_rows", quota.alias("quota"))

@@ -345,6 +345,46 @@ FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 """
 
 
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture quotas (operators/scale.py::
+    temperature_quotas; the XLM-R/mT5 multilingual sampling rule) over
+    the documents corpus grouped by language: integer quotas summing to
+    200, α=0.5 via IEEE sqrt so every weight double is bit-stable, the
+    normalizer and seat accounting folded in group-key order. The oracle
+    re-derives the whole apportionment relationally."""
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_quotas(d, ["lang"], total=200, alpha=0.5)
+
+
+TEMPERATURE_SQL = """
+WITH g AS (SELECT lang, COUNT(*)::BIGINT AS n_rows FROM documents GROUP BY lang),
+w AS (SELECT lang, n_rows, sqrt(n_rows::DOUBLE) AS wv FROM g),
+tot AS (SELECT list_reduce(
+          list_prepend(0.0::DOUBLE,
+            list_transform(list_sort(list({'l': lang, 'w': wv})), s -> s.w)),
+          (a, b) -> a + b) AS tw FROM w),
+s AS (SELECT lang, n_rows, wv / tw * 200.0 AS share FROM w, tot),
+f AS (SELECT lang, n_rows, share,
+             LEAST(FLOOR(share)::BIGINT, n_rows) AS fl FROM s),
+sp AS (SELECT list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_sort(list({'l': lang, 'f': fl})), s -> s.f)),
+         (a, b) -> a + b) AS spent FROM f),
+r AS (SELECT lang, n_rows, fl,
+             ROW_NUMBER() OVER (
+               ORDER BY CASE WHEN fl >= n_rows THEN -1.0
+                             ELSE share - fl END DESC, lang) AS rk,
+             200 - sp.spent AS leftn
+      FROM f, sp)
+SELECT lang, n_rows,
+       LEAST(fl + CASE WHEN rk <= leftn AND fl < n_rows THEN 1 ELSE 0 END,
+             n_rows)::BIGINT AS quota
+FROM r
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
@@ -352,6 +392,7 @@ def queries_r7() -> dict:
         "semantic_dedup_prune": semantic_dedup_prune,
         "stream_static_enrich": stream_static_enrich,
         "dsir_importance": dsir_importance,
+        "temperature_mixture": temperature_mixture,
     }
 
 
@@ -362,4 +403,5 @@ def oracle_sql_r7() -> dict[str, str]:
         "semantic_dedup_prune": _semantic_dedup_sql(),
         "stream_static_enrich": STREAM_ENRICH_SQL,
         "dsir_importance": _dsir_sql(),
+        "temperature_mixture": TEMPERATURE_SQL,
     }

@@ -201,3 +201,44 @@ def test_staging_dir_rotation_keeps_previous_call_readable(spark):
     a = sorted(map(tuple, df1.collect()))
     b = sorted(map(tuple, df2.collect()))
     assert a == b and len(a) > 0
+
+
+def test_temperature_quotas_allocation(spark):
+    """Temperature mixture quotas: integer quotas sum to the requested
+    total, α<1 upweights low-resource groups relative to proportional
+    allocation, per-group caps bind, and the result is partition-layout
+    invariant."""
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+
+    rows = (
+        [("en", i) for i in range(900)]
+        + [("de", i) for i in range(90)]
+        + [("sw", i) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    got = {r["lang"]: r for r in
+           temperature_quotas(df, ["lang"], total=100, alpha=0.5).collect()}
+    quotas = {k: v["quota"] for k, v in got.items()}
+    assert sum(quotas.values()) == 100
+    # proportional would give en 90 / de 9 / sw 1; sqrt-temperature
+    # shifts mass to the tail
+    assert quotas["en"] < 90 and quotas["sw"] > 1
+    assert all(quotas[k] <= got[k]["n_rows"] for k in quotas)
+    re_got = {r["lang"]: r["quota"] for r in
+              temperature_quotas(df.repartition(13), ["lang"],
+                                 total=100, alpha=0.5).collect()}
+    assert quotas == re_got
+
+
+def test_temperature_quotas_caps_and_alpha1(spark):
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+
+    rows = [("a", i) for i in range(4)] + [("b", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    # total larger than group a can supply: a caps at 4, b absorbs its
+    # one-round top-up share (single-round apportionment, documented)
+    got = {r["g"]: r["quota"] for r in
+           temperature_quotas(df, ["g"], total=50, alpha=1.0).collect()}
+    assert got["a"] <= 4
+    assert got["b"] <= 100
+    assert sum(got.values()) <= 50
