@@ -126,3 +126,63 @@ def packing_stats(fragments: DataFrame, capacity: int) -> DataFrame:
             / (F.col("n_bins") * F.lit(capacity)).cast("double")
         ).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``max_tokens``-token windows starting every ``stride`` tokens
+    (``stride < max_tokens`` gives overlapping windows — the
+    context-window prep for RAG indexing and long-doc pretraining, where
+    ``pack_fragments`` is the complementary concat-and-chunk layout).
+
+    Returns ``(id_col, chunk_no, chunk_text, n_tokens)`` — ``chunk_no``
+    0-based in document order, ``n_tokens`` the window's actual token
+    count (only the final window may be short). Window starts are 0,
+    stride, 2·stride, … while start < doc length; an empty document
+    yields its single empty chunk (chunk-count ≥ 1 per doc, so no
+    document silently disappears).
+
+    Scale: pure per-row expression work — tokenize once, explode
+    ``ceil(n/stride)`` window rows per doc, slice + rejoin each window
+    from the token array. No shuffle at all (the explode is map-side);
+    at 100 TB this is a map-only stage whose output feeds the usual
+    keyed aggregations. Everything stays in codegen'd array expressions;
+    no Python.
+    """
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError(f"max_tokens/stride must be positive, got "
+                         f"{max_tokens}/{stride}")
+    from ncbi_analysis_spark.functions.text import token_count, tokens
+
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text)).alias("__tk"),
+        token_count(F.col(text)).alias("__n"),
+    )
+    # window starts: 0, stride, ... , last one < n (n=0 -> the single
+    # empty chunk at start 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest((F.col("__n") - 1), F.lit(0)),
+        F.lit(stride),
+    )
+    ex = toks.select(
+        id_col, "__tk", "__n", F.posexplode(starts).alias("chunk_no", "__s")
+    )
+    win = F.slice(F.col("__tk"), F.col("__s") + 1, max_tokens)
+    return ex.select(
+        id_col,
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.array_join(win, " ").alias("chunk_text"),
+        F.when(F.col("__n") == 0, F.lit(0).cast("long"))
+        .otherwise(F.least(F.lit(max_tokens), F.col("__n") - F.col("__s")).cast("long"))
+        .alias("n_tokens"),
+    )

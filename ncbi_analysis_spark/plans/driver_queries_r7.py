@@ -385,6 +385,33 @@ FROM r
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (operators/packing.py::
+    chunk_documents): 48-token windows every 32 tokens (overlapping — the
+    RAG/long-doc context-window prep) over the documents corpus; the
+    map-only explode is re-derived relationally."""
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, "text", "doc_id", max_tokens=48, stride=32)
+
+
+DOC_CHUNKS_SQL = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n
+  FROM documents),
+ex AS (SELECT doc_id, t, n,
+              UNNEST(range(0, GREATEST(n - 1, 0) + 1, 32)) AS s
+       FROM tk)
+SELECT doc_id, (s / 32)::BIGINT AS chunk_no,
+       array_to_string(t[s+1:s+48], ' ') AS chunk_text,
+       (CASE WHEN n = 0 THEN 0 ELSE LEAST(48, n - s) END)::BIGINT AS n_tokens
+FROM ex
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
@@ -393,6 +420,7 @@ def queries_r7() -> dict:
         "stream_static_enrich": stream_static_enrich,
         "dsir_importance": dsir_importance,
         "temperature_mixture": temperature_mixture,
+        "doc_chunks": doc_chunks,
     }
 
 
@@ -404,4 +432,5 @@ def oracle_sql_r7() -> dict[str, str]:
         "stream_static_enrich": STREAM_ENRICH_SQL,
         "dsir_importance": _dsir_sql(),
         "temperature_mixture": TEMPERATURE_SQL,
+        "doc_chunks": DOC_CHUNKS_SQL,
     }

@@ -325,3 +325,52 @@ def test_dsir_partial_shingle_semantics(spark):
     assert out[0]["n_feats"] == 2
     # target == raw -> every bucket weight is 0 -> the score is exactly 0
     assert out[0]["logw"] == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding-window chunking: overlap via stride, short final window,
+    empty doc keeps one empty chunk, chunk_no is document order."""
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x"), (2, "")], ["doc_id", "text"])
+    out = chunk_documents(df, "text", "doc_id", max_tokens=4, stride=2)
+    got = {(r["doc_id"], r["chunk_no"]): (r["chunk_text"], r["n_tokens"])
+           for r in out.collect()}
+    assert got[(0, 0)] == ("a b c d", 4)
+    assert got[(0, 1)] == ("c d e", 3)
+    assert got[(0, 2)] == ("e", 1)
+    assert got[(1, 0)] == ("x", 1)
+    assert got[(2, 0)] == ("", 0)
+    assert len(got) == 5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, stride=0)
+
+
+def test_chunk_documents_matches_python_model(spark):
+    """Randomized docs vs a from-scratch window model; every token of
+    every doc appears in at least one chunk (no silent loss)."""
+    import random as _random
+
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    rnd = _random.Random(59)
+    docs = []
+    for i in range(80):
+        n = rnd.choice([0, 1, 2, 3, 7, 16, 33])
+        docs.append((i, " ".join(f"w{rnd.randrange(50)}" for _ in range(n))))
+    for mx, st in ((8, 8), (8, 3), (5, 5)):
+        want = {}
+        for i, t in docs:
+            toks = t.split() if t.strip() else []
+            n = len(toks)
+            starts = list(range(0, max(n - 1, 0) + 1, st))
+            for cn, s in enumerate(starts):
+                w = toks[s:s + mx]
+                want[(i, cn)] = (" ".join(w), len(w))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {(r["doc_id"], r["chunk_no"]): (r["chunk_text"], r["n_tokens"])
+               for r in chunk_documents(df, "text", "doc_id",
+                                        max_tokens=mx, stride=st).collect()}
+        assert got == want, (mx, st)
