@@ -351,15 +351,18 @@ def enrich_stream(
     against the (cached) dim; on a real cluster, pre-bucket the dim on
     the join key so only the stream side moves.
 
-    Supported stream-side ``how``: inner and left (stream-static joins
-    cannot be right/full from the stream's perspective — Spark would
-    need to know which dim rows NEVER match, which an unbounded stream
-    cannot decide).
+    Supported stream-side ``how``: inner, left, left_semi, left_anti
+    (right/full are impossible from the stream's perspective — Spark
+    would need to know which dim rows NEVER match, which an unbounded
+    stream cannot decide). ``left_anti`` is the streaming incremental-
+    dedup / decontamination shape: stream new documents, drop any whose
+    key (e.g. an ``exact_dedup_against``-style md5 digest) already
+    exists in the ingested-corpus digest table.
     """
-    if how not in ("inner", "left", "left_outer"):
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(
-            f"stream-static join supports inner/left from the stream side, "
-            f"got {how!r}"
+            f"stream-static join supports inner/left/left_semi/left_anti "
+            f"from the stream side, got {how!r}"
         )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)

@@ -337,3 +337,21 @@ def test_stream_to_parquet_partitioned_layout(spark, tmp_path):
     kinds = {d for d in _os.listdir(out) if d.startswith("event_type=")}
     assert len(kinds) >= 2  # hive-style partition dirs for pruning
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_enrich_stream_anti_join_incremental_dedup(spark, stream_dir):
+    """left_anti against a static digest table = streaming incremental
+    dedup: events whose id already exists in the ingested set are
+    dropped in-flight; the bounded run equals the batch anti join."""
+    ingested = spark.createDataFrame(
+        [(i,) for i in range(0, 1000, 2)], ["event_id"])  # evens known
+    stream = sev.read_event_stream(spark, stream_dir)
+    out = sev.enrich_stream(stream.select("event_id", "user_id"),
+                            ingested, on="event_id", how="left_anti")
+    sev.run_to_memory(out, "t_anti_stream")
+    got = {r["event_id"] for r in spark.table("t_anti_stream").collect()}
+    want = {r["event_id"] for r in
+            read_events(spark, f"{SF_DIR}/events.parquet")
+            .join(ingested, "event_id", "left_anti").collect()}
+    assert got == want and len(got) == 500
+    assert all(i % 2 == 1 for i in got)
