@@ -374,3 +374,27 @@ def test_chunk_documents_matches_python_model(spark):
                for r in chunk_documents(df, "text", "doc_id",
                                         max_tokens=mx, stride=st).collect()}
         assert got == want, (mx, st)
+
+
+def test_round6_new_ops_empty_inputs(spark):
+    """Degenerate-input behavior for the round's new operators: empty
+    corpora produce empty (or pure-smoothing) results, never crashes."""
+    from ncbi_analysis_spark.operators.dedup import semantic_dedup
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+
+    empty_e = spark.createDataFrame([], schema="id bigint, v array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], schema="c_id bigint, v array<double>")
+    assert semantic_dedup(empty_e, "v", "id", cents).count() == 0
+
+    empty_d = spark.createDataFrame([], schema="doc_id bigint, text string")
+    one_d = spark.createDataFrame([(0, "hello world")], ["doc_id", "text"])
+    # an empty raw corpus still yields the full smoothed weight table
+    assert dsir_logratios(one_d, empty_d, "text", "doc_id",
+                          n_buckets=16).count() == 16
+    w = dsir_logratios(one_d, one_d, "text", "doc_id", n_buckets=16)
+    assert dsir_score(empty_d, "text", "doc_id", w, n_buckets=16).count() == 0
+    assert temperature_quotas(empty_d, ["text"], total=10).count() == 0
+    assert chunk_documents(empty_d, "text", "doc_id").count() == 0
