@@ -296,6 +296,11 @@ BASELINE = {
     # single-row (~2.35) + the measured ~5-15% regroup overhead
     "flagship_windowed_1mbp": (2.6, 6),
     "boilerplate_scrub": (0.63, 6),
+    # staged-r7 entries seeded at their round-6 quiet-run minima
+    # (min over two clean min-of-3 runs on an otherwise idle box)
+    "semantic_dedup_prune": (5.577, 6), "dsir_importance": (3.776, 6),
+    "stream_static_enrich": (2.047, 6), "multimodal_media_stats": (0.355, 6),
+    "temperature_mixture": (0.44, 6), "doc_chunks": (0.303, 6),
 }
 
 
