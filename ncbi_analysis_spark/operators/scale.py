@@ -323,3 +323,31 @@ def temperature_quotas(
         F.col("n_rows"),
     )
     return g.select(*group_cols, "n_rows", quota.alias("quota"))
+
+
+def apply_quotas(
+    df: DataFrame,
+    quotas: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    quota_col: str = "quota",
+    salt: str = "quota",
+) -> DataFrame:
+    """Materialize per-group quotas (e.g. from ``temperature_quotas``):
+    keep the first ``quota`` rows of each group in md5(id) order — the
+    same rerun-stable, layout-independent order ``quota_sample`` uses,
+    but with a PER-GROUP allowance joined in instead of one global cap.
+
+    Scale: one shuffle on the group key (the window) plus a broadcast of
+    the vocabulary-sized quota table."""
+    from pyspark.sql import Window
+
+    ordc = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(ordc, F.col(id_col))
+    q = F.broadcast(quotas.select(*group_cols, quota_col))
+    return (
+        df.join(q, group_cols)
+        .withColumn("__qrk", F.row_number().over(w))
+        .filter(F.col("__qrk") <= F.col(quota_col))
+        .drop("__qrk", quota_col)
+    )

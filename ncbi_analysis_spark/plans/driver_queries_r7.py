@@ -245,25 +245,31 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS)
 
 
-def _dsir_sql() -> str:
-    """Generated oracle: weight literals from the Spark-free twin
-    (pyarrow counts + the same CPython log), features re-derived with
-    the engine-mirrored tokenizer/md5-bucket idioms, and the per-doc
-    fold as list_sort + 0.0-seeded list_reduce — the exact double the
-    Spark sort_array + aggregate fold produces."""
+def _dsir_weight_rows() -> str:
+    """Weight literals from the Spark-free twin (pyarrow counts + the
+    same CPython log) as a SQL VALUES body — shared by the dsir and
+    curation-v2 oracles."""
     from ncbi_analysis_spark.operators.terms import dsir_logratios_local
     from ncbi_analysis_spark.plans.driver_queries_r5 import (
         _dlit,
         _oracle_sf_dir,
     )
 
-    B = _DSIR_PARAMS["n_buckets"]
     W = dsir_logratios_local(
         f"{_oracle_sf_dir()}/documents.parquet",
         target_pred=lambda r: r["lang"] == "en",
         **_DSIR_PARAMS,
     )
-    rows = ",\n  ".join(f"({b}, {_dlit(w)})" for b, w in W)
+    return ",\n  ".join(f"({b}, {_dlit(w)})" for b, w in W)
+
+
+def _dsir_sql() -> str:
+    """Generated oracle: weight literals re-derived Spark-free, features
+    via the engine-mirrored tokenizer/md5-bucket idioms, and the per-doc
+    fold as list_sort + 0.0-seeded list_reduce — the exact double the
+    Spark sort_array + aggregate fold produces."""
+    B = _DSIR_PARAMS["n_buckets"]
+    rows = _dsir_weight_rows()
     return rf"""
 WITH tk AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
             FROM documents),
@@ -412,6 +418,141 @@ FROM ex
 """
 
 
+def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the round-6 operator additions: exact
+    dedup -> DSIR importance scoring -> global top-300 by importance ->
+    temperature mixture quotas by language (α=0.5, total 150) ->
+    per-group quota materialization -> 48-token sliding-window chunking.
+    Every stage is an individually-oracled operator, so the whole
+    composition is re-derived relationally and hash-checked
+    (the curation_pipeline approach applied to the data-selection ops).
+    Output: one row per chunk with its language, importance, and an md5
+    of the chunk text (compact, still content-exact)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.dedup import exact_dedup
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+    from ncbi_analysis_spark.operators.scale import (
+        apply_quotas,
+        temperature_quotas,
+    )
+    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+    from ncbi_analysis_spark.operators.topk import global_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = exact_dedup(d, "text", "doc_id")
+    w = dsir_logratios(
+        d.filter(F.col("lang") == "en"), d, "text", "doc_id", **_DSIR_PARAMS
+    )
+    scored = dsir_score(s1, "text", "doc_id", w, **_DSIR_PARAMS)
+    s1s = s1.join(scored.select("doc_id", "logw"), "doc_id")
+    top = global_topk(s1s, [F.desc("logw"), F.asc("doc_id")], 300)
+    quotas = temperature_quotas(top, ["lang"], total=150, alpha=0.5)
+    samp = apply_quotas(top, quotas, ["lang"], "doc_id")
+    chunks = chunk_documents(
+        samp.select("doc_id", "text"), "text", "doc_id",
+        max_tokens=48, stride=48,
+    )
+    return chunks.join(
+        samp.select("doc_id", "lang", "logw"), "doc_id"
+    ).select(
+        "doc_id", "lang", "chunk_no",
+        F.md5("chunk_text").alias("chunk_md5"), "n_tokens", "logw",
+    )
+
+
+def _curation_v2_sql() -> str:
+    """Composed oracle: the dedup ROW_NUMBER CTE (curation_pipeline's),
+    the DSIR scoring CTEs over the deduped set with the shared weight
+    literals, ORDER BY/LIMIT for the top-300, the temperature
+    apportionment CTEs at total=150, the md5-ordered per-group quota
+    window, and the chunk explode — each the already-verified mirror of
+    its operator."""
+    B = _DSIR_PARAMS["n_buckets"]
+    rows = _dsir_weight_rows()
+    return rf"""
+WITH s1 AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+tk AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM s1),
+f1 AS (SELECT doc_id, UNNEST(t) AS g FROM tk),
+f2 AS (SELECT doc_id,
+              UNNEST(list_transform(range(GREATEST(len(t) - 2, 0) + 1),
+                     i -> array_to_string(t[i+1:i+2], ' '))) AS g
+       FROM tk),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS bucket
+  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+),
+per AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+        FROM feats GROUP BY doc_id, bucket),
+wt AS (SELECT * FROM (VALUES
+  {rows}
+) AS t(bucket, w)),
+jw AS (SELECT doc_id, bucket, c, c * w AS term FROM per JOIN wt USING (bucket)),
+scored AS (
+  SELECT doc_id,
+         ROUND(list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_sort(list({{'b': bucket, 't': term}})),
+                            s -> s.t)),
+           (a, b) -> a + b), 6) AS logw
+  FROM jw GROUP BY doc_id),
+s1s AS (SELECT s1.doc_id, s1.text, s1.lang, scored.logw
+        FROM s1 JOIN scored USING (doc_id)),
+top AS (SELECT * FROM s1s ORDER BY logw DESC, doc_id LIMIT 300),
+g AS (SELECT lang, COUNT(*)::BIGINT AS n_rows FROM top GROUP BY lang),
+wv AS (SELECT lang, n_rows, sqrt(n_rows::DOUBLE) AS wv FROM g),
+tot AS (SELECT list_reduce(
+          list_prepend(0.0::DOUBLE,
+            list_transform(list_sort(list({{'l': lang, 'w': wv}})), s -> s.w)),
+          (a, b) -> a + b) AS tw FROM wv),
+sh AS (SELECT lang, n_rows, wv / tw * 150.0 AS share FROM wv, tot),
+fl AS (SELECT lang, n_rows, share,
+              LEAST(FLOOR(share)::BIGINT, n_rows) AS fl FROM sh),
+sp AS (SELECT list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_sort(list({{'l': lang, 'f': fl}})), s -> s.f)),
+         (a, b) -> a + b) AS spent FROM fl),
+qr AS (SELECT lang, n_rows, fl,
+              ROW_NUMBER() OVER (
+                ORDER BY CASE WHEN fl >= n_rows THEN -1.0
+                              ELSE share - fl END DESC, lang) AS rk,
+              150 - sp.spent AS leftn
+       FROM fl, sp),
+q AS (SELECT lang,
+             LEAST(fl + CASE WHEN rk <= leftn AND fl < n_rows THEN 1 ELSE 0 END,
+                   n_rows)::BIGINT AS quota
+      FROM qr),
+samp AS (
+  SELECT doc_id, text, lang, logw FROM (
+    SELECT top.*, q.quota,
+           ROW_NUMBER() OVER (
+             PARTITION BY top.lang
+             ORDER BY md5('quota|' || doc_id::VARCHAR), doc_id) AS qrk
+    FROM top JOIN q USING (lang)) WHERE qrk <= quota
+),
+ctk AS (
+  SELECT doc_id, lang, logw, string_split_regex(TRIM(text), '\s+') AS t,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n
+  FROM samp),
+cex AS (SELECT doc_id, lang, logw, t, n,
+               UNNEST(range(0, GREATEST(n - 1, 0) + 1, 48)) AS s
+        FROM ctk)
+SELECT doc_id, lang, (s / 48)::BIGINT AS chunk_no,
+       md5(array_to_string(t[s+1:s+48], ' ')) AS chunk_md5,
+       (CASE WHEN n = 0 THEN 0 ELSE LEAST(48, n - s) END)::BIGINT AS n_tokens,
+       logw
+FROM cex
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
@@ -421,6 +562,7 @@ def queries_r7() -> dict:
         "dsir_importance": dsir_importance,
         "temperature_mixture": temperature_mixture,
         "doc_chunks": doc_chunks,
+        "curation_v2": curation_v2,
     }
 
 
@@ -433,4 +575,5 @@ def oracle_sql_r7() -> dict[str, str]:
         "dsir_importance": _dsir_sql(),
         "temperature_mixture": TEMPERATURE_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
+        "curation_v2": _curation_v2_sql(),
     }
