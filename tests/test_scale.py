@@ -242,3 +242,19 @@ def test_temperature_quotas_caps_and_alpha1(spark):
     assert got["a"] <= 4
     assert got["b"] <= 100
     assert sum(got.values()) <= 50
+
+
+def test_apply_quotas_materializes_allowances(spark):
+    from ncbi_analysis_spark.operators.scale import apply_quotas
+
+    rows = [("en", i) for i in range(10)] + [("de", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    q = spark.createDataFrame([("en", 3), ("de", 4)], ["lang", "quota"])
+    out = apply_quotas(df, q, ["lang"], "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert len(by_lang["en"]) == 3 and len(by_lang["de"]) == 4
+    # md5 keep-order: identical on a different layout
+    re_out = apply_quotas(df.repartition(7), q, ["lang"], "doc_id").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in re_out}
