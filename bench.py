@@ -301,7 +301,7 @@ BASELINE = {
     "semantic_dedup_prune": (5.577, 6), "dsir_importance": (3.776, 6),
     "stream_static_enrich": (2.047, 6), "multimodal_media_stats": (0.355, 6),
     "temperature_mixture": (0.44, 6), "doc_chunks": (0.303, 6),
-    "curation_v2": (11.02, 6),
+    "curation_v2": (11.02, 6), "fuzzy_decon": (2.52, 6),
 }
 
 

@@ -206,6 +206,33 @@ def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
     )
 
 
+def _minhash_band_rows(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """LSH band rows ``(id, band, band_hash)`` — the shared front half of
+    within-corpus pairing (`minhash_lsh_pairs`) and cross-corpus
+    contamination (`fuzzy_decon_pairs`)."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text, id_col, num_perm, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
+    ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: str,
@@ -233,20 +260,7 @@ def minhash_lsh_pairs(
     members are near-identical junk better handled by exact dedup).
     Set None to disable (oracle/parity runs).
     """
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text, id_col, num_perm, shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-            ])).alias("band_hash"),
-        )
-        for b in range(bands)
-    ])
-    sig = sigs.select(
-        F.col(id_col).alias("id"), F.explode(band_structs).alias("b")
-    ).select("id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    sig = _minhash_band_rows(df, text, id_col, num_perm, bands, shingle_n)
     buckets = (
         sig.groupBy("band", "band_hash")
         .agg(F.collect_list("id").alias("members"))
@@ -258,6 +272,51 @@ def minhash_lsh_pairs(
         buckets.select(F.explode("members").alias("id_a"), "members")
         .select("id_a", F.explode("members").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
+def fuzzy_decon_pairs(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text: str,
+    id_col: str,
+    bench_id_col: str | None = None,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Fuzzy decontamination: corpus documents NEAR-duplicating a
+    benchmark document, found by cross-corpus MinHash-LSH band
+    collision (the GPT-3-style fuzzy dedup of eval data from training
+    corpora — `benchmark_ngram_overlap` is the exact-n-gram complement;
+    this catches paraphrased or lightly-edited contamination that exact
+    gram overlap underestimates).
+
+    Returns distinct ``(id_col, bench_id)`` pairs that agree on at least
+    one band — verify downstream with ``ngram_jaccard_pairs``-style
+    exact Jaccard on the candidates, or drop all flagged docs outright
+    (the conservative posture for eval hygiene).
+
+    Scale: benchmark suites are tiny relative to the corpus, so the
+    bench band rows broadcast (map-side hash join — the corpus side is
+    scanned once, no shuffle beyond its own signature aggregation).
+    For an unusually large bench set pass ``broadcast_bench=False`` and
+    let AQE plan a shuffled join on (band, band_hash).
+    """
+    bench_id_col = bench_id_col or id_col
+    corpus_bands = _minhash_band_rows(df, text, id_col, num_perm, bands, shingle_n)
+    bench_bands = (
+        _minhash_band_rows(bench_df, text, bench_id_col, num_perm, bands, shingle_n)
+        .select(F.col("id").alias("bench_id"), "band", "band_hash")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_bands = F.broadcast(bench_bands)
+    return (
+        corpus_bands.join(bench_bands, ["band", "band_hash"])
+        .select(F.col("id").alias(id_col), "bench_id")
         .distinct()
     )
 

@@ -553,6 +553,57 @@ FROM cex
 """
 
 
+def fuzzy_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/dedup.py::fuzzy_decon_pairs):
+    corpus docs MinHash-LSH-colliding with held-out benchmark docs
+    (doc_id % 7 split — wide enough that LSH collisions actually occur
+    on the fixture at both gate scales), the near-dup complement
+    of decon_ngram_overlap's exact n-gram check. num_perm=4/bands=2 are
+    the oracle-parity sizes of dedup_minhash_signature."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.dedup import fuzzy_decon_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=4, bands=2,
+    )
+
+
+def _fuzzy_decon_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    band_rows = f"""
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM MM
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM MM"""
+    mh = f"""
+  SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+  FROM SHG"""
+    return f"""
+WITH csh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+             WHERE doc_id % 7 <> 0),
+cm AS ({mh.replace('SHG', 'csh')}),
+cb AS ({band_rows.replace('MM', 'cm')}),
+bsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+        WHERE doc_id % 7 = 0),
+bm AS ({mh.replace('SHG', 'bsh')}),
+bb AS (SELECT DISTINCT doc_id AS bench_id, band, bh
+       FROM ({band_rows.replace('MM', 'bm')}))
+SELECT DISTINCT c.doc_id, b.bench_id
+FROM cb c JOIN bb b ON c.band = b.band AND c.bh = b.bh
+"""
+
+
 def queries_r7() -> dict:
     return {
         "boilerplate_scrub": boilerplate_scrub,
@@ -563,6 +614,7 @@ def queries_r7() -> dict:
         "temperature_mixture": temperature_mixture,
         "doc_chunks": doc_chunks,
         "curation_v2": curation_v2,
+        "fuzzy_decon": fuzzy_decon,
     }
 
 
@@ -576,4 +628,5 @@ def oracle_sql_r7() -> dict[str, str]:
         "temperature_mixture": TEMPERATURE_SQL,
         "doc_chunks": DOC_CHUNKS_SQL,
         "curation_v2": _curation_v2_sql(),
+        "fuzzy_decon": _fuzzy_decon_sql(),
     }

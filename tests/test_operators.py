@@ -550,3 +550,22 @@ def test_semantic_dedup_np_pairs_match_expr(spark):
     import pandas as pd
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert expr["component"].notna().sum() > 0  # the edges actually exist
+
+
+def test_fuzzy_decon_pairs_cross_corpus(spark):
+    """Cross-corpus LSH contamination: a paraphrase-level near-dup of a
+    benchmark doc is flagged, an unrelated doc is not, and within-corpus
+    near-dups do NOT pair with each other (cross only)."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again and again ok")],
+        ["bench_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the sleepy dog again and again ok"),
+         (11, "completely different words in this sentence about spark engines"),
+         (12, "totally unrelated content third document text body")],
+        ["doc_id", "text"])
+    got = {(r["doc_id"], r["bench_id"]) for r in dedup.fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=16, bands=8).collect()}
+    assert (10, 0) in got
+    assert all(d != 11 and d != 12 for d, _ in got)
