@@ -5,8 +5,14 @@ Why staged: the driver's correctness gate records the first 50 registry
 entries per round, and round 6's 50 slots are exactly filled (8
 never-recorded round-6 queries + the 42 round-4-stale rows the round-5
 verdict asked to re-green). Registering another never-recorded query now
-would bump a stale row out of the round-6 gate. Wire ``queries_r7()`` /
-``oracle_sql_r7()`` into the build order at the start of round 7.
+would bump a stale row out of the round-6 gate. AT ROUND-7 START, wire
+these in: add ``**_r7().queries_r7(),`` to
+``driver_queries._queries_in_build_order`` and
+``**_r7().oracle_sql_r7(),`` to ``_oracle_sql_in_build_order`` (with a
+lazy ``_r7()`` import helper like ``_r6()``'s at
+``driver_queries.py:1798``), then re-run
+``python scripts/check_oracle.py`` — the rotation will put all nine at
+the front of the round-7 gate automatically.
 
 Until then the entries below are held to the same bar out-of-band:
 ``tests/test_boilerplate.py`` replays each query against its DuckDB
