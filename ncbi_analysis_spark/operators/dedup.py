@@ -513,10 +513,10 @@ def _semantic_pairs_np(side: DataFrame, threshold: float) -> DataFrame:
         import pandas as pd
 
         pdf = pdf.sort_values("id")
-        ids = pdf["id"].to_numpy()
-        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        ids = pdf["id"]
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        M = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         n = np.linalg.norm(M, axis=1)
         nz = n > 0
         M[nz] = M[nz] / n[nz, None]
@@ -528,14 +528,18 @@ def _semantic_pairs_np(side: DataFrame, threshold: float) -> DataFrame:
             ii, jj = np.nonzero(S >= threshold)
             gi = ii + i0
             m = jj > gi  # strict upper triangle, ids ascend with position
-            out_a.append(ids[gi[m]])
-            out_b.append(ids[jj[m]])
+            out_a.append(ids.iloc[gi[m]].reset_index(drop=True))
+            out_b.append(ids.iloc[jj[m]].reset_index(drop=True))
         return pd.DataFrame({
-            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype="int64"),
-            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype="int64"),
+            "id_a": pd.concat(out_a, ignore_index=True) if out_a else ids[:0],
+            "id_b": pd.concat(out_b, ignore_index=True) if out_b else ids[:0],
         })
 
-    return side.groupBy("c_id").applyInPandas(gen, "id_a long, id_b long")
+    # the pair schema inherits the caller's id type (string doc ids work
+    # the same as longs — ordering and components only compare/min them)
+    id_t = dict(zip(side.schema.names, (f.dataType.simpleString()
+                                        for f in side.schema.fields)))["id"]
+    return side.groupBy("c_id").applyInPandas(gen, f"id_a {id_t}, id_b {id_t}")
 
 
 def semantic_dedup(

@@ -162,10 +162,14 @@ def chunk_documents(
                          f"{max_tokens}/{stride}")
     from ncbi_analysis_spark.functions.text import token_count, tokens
 
+    # NULL text behaves as the empty document (one empty chunk) — without
+    # the coalesce, NULL propagates through tokens()/token_count() and
+    # would emit a junk (id, 0, NULL, NULL) row
+    txt = F.coalesce(F.col(text), F.lit(""))
     toks = df.select(
         F.col(id_col),
-        tokens(F.col(text)).alias("__tk"),
-        token_count(F.col(text)).alias("__n"),
+        tokens(txt).alias("__tk"),
+        token_count(txt).alias("__n"),
     )
     # window starts: 0, stride, ... , last one < n (n=0 -> the single
     # empty chunk at start 0)

@@ -152,15 +152,23 @@ def quota_sample(
     pre-aggregated threshold sketch could cut shuffle volume — not
     needed until profile says so.
     """
+    return (
+        df.withColumn("__qrk", _md5_keep_rank(group_cols, id_col, salt))
+        .filter(F.col("__qrk") <= quota)
+        .drop("__qrk")
+    )
+
+
+def _md5_keep_rank(group_cols: list[str], id_col: str, salt: str):
+    """The shared per-group keep order of ``quota_sample`` and
+    ``apply_quotas``: rank by md5(salt|id) then id — rerun-stable and
+    cluster-layout independent. ONE definition so the two operators can
+    never silently diverge (their orders are relied on by oracles)."""
     from pyspark.sql import Window
 
     ordc = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
     w = Window.partitionBy(*group_cols).orderBy(ordc, F.col(id_col))
-    return (
-        df.withColumn("__qrk", F.row_number().over(w))
-        .filter(F.col("__qrk") <= quota)
-        .drop("__qrk")
-    )
+    return F.row_number().over(w)
 
 
 def sample_by_hash(
@@ -253,10 +261,15 @@ def temperature_quotas(
     """Temperature-based mixture allocation (the multilingual sampling
     rule of XLM-R/mT5: sample group g with probability ∝ c_g^α, α < 1
     upweighting low-resource groups). Returns one row per group:
-    ``(group_cols..., n_rows, quota)`` where the integer quotas sum to
-    exactly ``total`` (largest-remainder apportionment) and never exceed
-    the group's row count. Feed the result to ``quota_sample`` per group
-    to materialize the mixture.
+    ``(group_cols..., n_rows, quota)`` — integer quotas by
+    largest-remainder apportionment, never exceeding the group's row
+    count. Quotas sum to exactly ``total`` when no per-group cap binds
+    (the common case: total ≪ every group); the top-up is a SINGLE round
+    of at most +1 per uncapped group, so when caps do bind, seats the
+    capped groups can't absorb may go unallocated rather than cascading
+    (bounded by the capped groups' deficit — re-run on the shortfall if
+    exact totals matter under binding caps). Feed the result to
+    ``apply_quotas`` to materialize the mixture.
 
     Exactness: α ∈ {1, 0.5, 0.25} uses sqrt chains (IEEE sqrt is
     correctly rounded on every engine, so the weights — and therefore
@@ -340,14 +353,10 @@ def apply_quotas(
 
     Scale: one shuffle on the group key (the window) plus a broadcast of
     the vocabulary-sized quota table."""
-    from pyspark.sql import Window
-
-    ordc = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(*group_cols).orderBy(ordc, F.col(id_col))
     q = F.broadcast(quotas.select(*group_cols, quota_col))
     return (
         df.join(q, group_cols)
-        .withColumn("__qrk", F.row_number().over(w))
+        .withColumn("__qrk", _md5_keep_rank(group_cols, id_col, salt))
         .filter(F.col("__qrk") <= F.col(quota_col))
         .drop("__qrk", quota_col)
     )

@@ -322,6 +322,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncbi_analysis_spark.streaming.events import (
         enrich_stream,
         read_event_stream,
+        run_to_memory,
     )
 
     global _stream_q_seq
@@ -336,12 +337,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
         stream = read_event_stream(spark, d)
         out = enrich_stream(stream, dim, on="user_id", how="left")
-        q = (
-            out.writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(availableNow=True).start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
+        run_to_memory(out, name, timeout_s=300)
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return spark.table(name).select(
@@ -410,9 +406,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_CHUNKS_SQL = r"""
 WITH tk AS (
-  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n
+  SELECT doc_id,
+         string_split_regex(TRIM(COALESCE(text, '')), '\s+') AS t,
+         CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(COALESCE(text, '')), '\s+'))
+         END AS n
   FROM documents),
 ex AS (SELECT doc_id, t, n,
               UNNEST(range(0, GREATEST(n - 1, 0) + 1, 32)) AS s
@@ -473,7 +471,13 @@ def _curation_v2_sql() -> str:
     literals, ORDER BY/LIMIT for the top-300, the temperature
     apportionment CTEs at total=150, the md5-ordered per-group quota
     window, and the chunk explode — each the already-verified mirror of
-    its operator."""
+    its operator.
+
+    MAINTENANCE: these CTE blocks intentionally restate the standalone
+    oracles (_dsir_sql, TEMPERATURE_SQL, DOC_CHUNKS_SQL) with different
+    carried columns/params — a fix to any component mirror must be
+    applied here too, or the composed oracle drifts while both still
+    pass individually."""
     B = _DSIR_PARAMS["n_buckets"]
     rows = _dsir_weight_rows()
     return rf"""
@@ -544,9 +548,11 @@ samp AS (
     FROM top JOIN q USING (lang)) WHERE qrk <= quota
 ),
 ctk AS (
-  SELECT doc_id, lang, logw, string_split_regex(TRIM(text), '\s+') AS t,
-         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS n
+  SELECT doc_id, lang, logw,
+         string_split_regex(TRIM(COALESCE(text, '')), '\s+') AS t,
+         CASE WHEN LENGTH(TRIM(COALESCE(text, ''))) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(COALESCE(text, '')), '\s+'))
+         END AS n
   FROM samp),
 cex AS (SELECT doc_id, lang, logw, t, n,
                UNNEST(range(0, GREATEST(n - 1, 0) + 1, 48)) AS s

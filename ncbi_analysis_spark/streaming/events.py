@@ -386,8 +386,11 @@ def stream_to_parquet(
 
     ``available_now=True`` runs bounded (drain everything currently in
     the source, then stop — the batch-ingest-shaped invocation and the
-    testable form); False leaves the query running and returns the
-    handle for the caller to manage.
+    testable form) and RAISES if the drain overruns ``timeout_s`` — a
+    partial drain must not look like success (the checkpoint makes the
+    retry safe, but only a surfaced failure tells the caller to retry);
+    False leaves the query running and returns the handle for the
+    caller to manage.
 
     Scale: partition_by gives downstream readers partition pruning (the
     write_training_shards layout, incrementally maintained); pair with
@@ -403,6 +406,11 @@ def stream_to_parquet(
         q = w.trigger(availableNow=True).start()
         if not q.awaitTermination(timeout_s):
             q.stop()
+            raise TimeoutError(
+                f"stream_to_parquet drain overran {timeout_s}s and was "
+                f"stopped mid-batch; the checkpoint at {checkpoint!r} makes "
+                "a retry exactly-once safe"
+            )
         return None
     return w.start()
 
@@ -410,9 +418,12 @@ def stream_to_parquet(
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,
-    then stops)."""
+    then stops). A run that overruns ``timeout_s`` is STOPPED before
+    returning — callers often remove the staged source directory right
+    after, and a still-running query would read from underneath it."""
     q = (
         stream_df.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()

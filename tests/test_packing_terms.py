@@ -398,3 +398,31 @@ def test_round6_new_ops_empty_inputs(spark):
     assert dsir_score(empty_d, "text", "doc_id", w, n_buckets=16).count() == 0
     assert temperature_quotas(empty_d, ["text"], total=10).count() == 0
     assert chunk_documents(empty_d, "text", "doc_id").count() == 0
+
+
+def test_chunk_documents_null_text(spark):
+    """NULL text behaves as the empty document: one empty chunk, not a
+    junk NULL row (review finding)."""
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(0, None), (1, "a b")], "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_no"]): (r["chunk_text"], r["n_tokens"])
+           for r in chunk_documents(df, "text", "doc_id", max_tokens=4).collect()}
+    assert got[(0, 0)] == ("", 0)
+    assert got[(1, 0)] == ("a b", 2)
+
+
+def test_semantic_dedup_np_string_ids(spark):
+    """The BLAS pair stage must work for non-long id types (review
+    finding: the schema previously hardcoded long)."""
+    from ncbi_analysis_spark.operators import dedup as dd
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, schema="id string, v array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], schema="c_id bigint, v array<double>")
+    out = {r["id"]: r.asDict() for r in dd.semantic_dedup(
+        df, "v", "id", cents, threshold=0.95, pair_method="np").collect()}
+    assert out["a"]["component"] == "a" and out["b"]["component"] == "a"
+    assert out["b"]["keep"] and not out["a"]["keep"]
+    assert out["c"]["keep"] and out["c"]["component"] is None
