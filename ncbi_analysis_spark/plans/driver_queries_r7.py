@@ -1,23 +1,13 @@
-"""Round-7 driver-contract queries — STAGED, not yet wired into
-``driver_queries._queries_in_build_order``.
+"""Round-7 driver-contract queries.
 
-Why staged: the driver's correctness gate records the first 50 registry
-entries per round, and round 6's 50 slots are exactly filled (8
-never-recorded round-6 queries + the 42 round-4-stale rows the round-5
-verdict asked to re-green). Registering another never-recorded query now
-would bump a stale row out of the round-6 gate. AT ROUND-7 START, wire
-these in: add ``**_r7().queries_r7(),`` to
-``driver_queries._queries_in_build_order`` and
-``**_r7().oracle_sql_r7(),`` to ``_oracle_sql_in_build_order`` (with a
-lazy ``_r7()`` import helper like ``_r6()``'s at
-``driver_queries.py:1798``), then re-run
-``python scripts/check_oracle.py`` — the rotation will put all nine at
-the front of the round-7 gate automatically.
-
-Until then the entries below are held to the same bar out-of-band:
-``tests/test_boilerplate.py`` replays each query against its DuckDB
-oracle at sf0.001 with the driver's own canonicalization (sorted
-columns, sorted rows, exact values).
+Staged during round 6 (the round-6 gate's 50 slots were exactly full);
+wired into ``driver_queries._queries_in_build_order`` /
+``_oracle_sql_in_build_order`` at round-7 start via the lazy ``_r7()``
+helper. The freshness rotation puts all nine at the front of the
+round-7 driver gate (never recorded before r7). Each entry is also
+replayed against its DuckDB oracle at sf0.001 by
+``tests/test_boilerplate.py`` with the driver's own canonicalization
+(sorted columns, sorted rows, exact values).
 """
 
 from __future__ import annotations
