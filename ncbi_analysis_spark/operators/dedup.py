@@ -991,9 +991,13 @@ def remove_repeated_lines(
     import re
 
     pat = re.escape(sep)
+    # NULL text behaves as the empty document (chunk_documents' posture);
+    # without the coalesce, size(split(NULL)) = -1 produces a junk
+    # n_lines=-1 / n_removed=-1 row
+    txt = F.coalesce(F.col(text), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text), pat, -1)).alias("pos", "line"),
+        F.posexplode(F.split(txt, pat, -1)).alias("pos", "line"),
     )
     boiler = (
         lines.groupBy("line")
@@ -1017,7 +1021,7 @@ def remove_repeated_lines(
     return (
         df.select(
             F.col(id_col),
-            (F.size(F.split(F.col(text), pat, -1))).cast("long").alias("__n_lines"),
+            (F.size(F.split(txt, pat, -1))).cast("long").alias("__n_lines"),
         )
         .join(rebuilt, F.col(id_col) == F.col("__id"), "left")
         .select(

@@ -144,9 +144,13 @@ def chunk_documents(
     Returns ``(id_col, chunk_no, chunk_text, n_tokens)`` — ``chunk_no``
     0-based in document order, ``n_tokens`` the window's actual token
     count (only the final window may be short). Window starts are 0,
-    stride, 2·stride, … while start < doc length; an empty document
-    yields its single empty chunk (chunk-count ≥ 1 per doc, so no
-    document silently disappears).
+    stride, 2·stride, …, stopping once a window reaches the document
+    end: no start is emitted after ``start + max_tokens >= n``, so an
+    overlapping stride never produces trailing windows fully contained
+    in an earlier chunk (review finding — a contained tail duplicates
+    content for RAG indexing). An empty document yields its single
+    empty chunk (chunk-count ≥ 1 per doc, so no document silently
+    disappears).
 
     Scale: pure per-row expression work — tokenize once, explode
     ``ceil(n/stride)`` window rows per doc, slice + rejoin each window
@@ -171,13 +175,17 @@ def chunk_documents(
         tokens(txt).alias("__tk"),
         token_count(txt).alias("__n"),
     )
-    # window starts: 0, stride, ... , last one < n (n=0 -> the single
-    # empty chunk at start 0)
-    starts = F.sequence(
+    # window starts: 0, stride, ..., up to the first multiple of stride
+    # whose window reaches the document end (start + max_tokens >= n);
+    # n=0 -> the single empty chunk at start 0
+    last_start = F.greatest(
+        (
+            F.ceil((F.col("__n") - max_tokens) / F.lit(float(stride))).cast("int")
+            * F.lit(stride)
+        ),
         F.lit(0),
-        F.greatest((F.col("__n") - 1), F.lit(0)),
-        F.lit(stride),
     )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     ex = toks.select(
         id_col, "__tk", "__n", F.posexplode(starts).alias("chunk_no", "__s")
     )

@@ -353,7 +353,13 @@ def dsir_logratios_local(
         per: dict = {}
         tot = 0
         for row in rows:
-            for g in grams(row[text] or ""):
+            if row[text] is None:
+                # the Spark path (_dsir_features via shingle_rows) drops
+                # NULL-text docs entirely (posexplode of a NULL token
+                # array emits nothing) — mirror that, or the weight
+                # literals diverge on any corpus with NULL text
+                continue
+            for g in grams(row[text]):
                 b = bucket(g)
                 per[b] = per.get(b, 0) + 1
                 tot += 1

@@ -403,7 +403,8 @@ WITH tk AS (
          END AS n
   FROM documents),
 ex AS (SELECT doc_id, t, n,
-              UNNEST(range(0, GREATEST(n - 1, 0) + 1, 32)) AS s
+              UNNEST(range(0, GREATEST(CAST(ceil((n - 48) / 32.0) AS BIGINT) * 32,
+                                       0) + 1, 32)) AS s
        FROM tk)
 SELECT doc_id, (s / 32)::BIGINT AS chunk_no,
        array_to_string(t[s+1:s+48], ' ') AS chunk_text,

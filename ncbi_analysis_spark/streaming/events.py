@@ -418,12 +418,19 @@ def stream_to_parquet(
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,
-    then stops). A run that overruns ``timeout_s`` is STOPPED before
-    returning — callers often remove the staged source directory right
-    after, and a still-running query would read from underneath it."""
+    then stops). A run that overruns ``timeout_s`` is STOPPED and raises
+    ``TimeoutError`` (matching ``stream_to_parquet``'s fail-on-partial-
+    drain contract) — a silent return would hand callers a PARTIAL memory
+    table, turning a timeout into a confusing downstream row mismatch;
+    and callers often remove the staged source directory right after, so
+    a still-running query would read from underneath it."""
     q = (
         stream_df.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
     if not q.awaitTermination(timeout_s):
         q.stop()
+        raise TimeoutError(
+            f"run_to_memory({name!r}) overran {timeout_s}s and was stopped "
+            "mid-drain; the memory table holds only a PARTIAL result"
+        )

@@ -182,6 +182,56 @@ def test_remove_repeated_lines_protects_blank_lines(spark):
     assert off[0] == "para one"
 
 
+def test_remove_repeated_lines_null_text(spark):
+    """NULL text behaves as the empty document (chunk_documents'
+    posture) — not a junk n_lines=-1 / n_removed=-1 row (review
+    finding: size(split(NULL)) = -1)."""
+    rows = [(0, None), (1, "BOILER\nkeep"), (2, "BOILER\nalso keep")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_repeated_lines(df, "text", "doc_id", min_docs=2).collect()}
+    assert (out[0]["text"], out[0]["n_lines"], out[0]["n_removed"]) == ("", 1, 0)
+    assert out[1]["text"] == "keep"
+    assert out[2]["text"] == "also keep"
+
+
+def test_dsir_local_twin_null_text_parity(spark, tmp_path):
+    """dsir_logratios_local must agree with the Spark weights on a
+    corpus containing NULL text (review finding: local counted NULL as
+    '' while Spark drops NULL-text docs)."""
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios,
+        dsir_logratios_local,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, None), (2, "alpha beta beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    target = df.filter("doc_id = 0")
+    spark_w = {r["bucket"]: r["w"] for r in
+               dsir_logratios(target, df, "text", "doc_id",
+                              n_buckets=64).collect()}
+    local_w = dict(dsir_logratios_local(
+        p, target_pred=lambda r: r["doc_id"] == 0, n_buckets=64))
+    assert spark_w == local_w
+
+
+def test_run_to_memory_timeout_raises(spark, tmp_path):
+    """An overrunning availableNow drain must raise, not hand back a
+    partial memory table (review finding; matches stream_to_parquet)."""
+    import pytest
+
+    from ncbi_analysis_spark.streaming import events as sev
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1,)], "v long").write.json(src)
+    stream = spark.readStream.schema("v long").json(src)
+    with pytest.raises(TimeoutError, match="PARTIAL"):
+        # a fresh streaming query cannot finish within ~0s
+        sev.run_to_memory(stream, "t_timeout_raise", timeout_s=0.001)
+
+
 def test_exact_dedup_against_reference(spark):
     from ncbi_analysis_spark.operators.dedup import exact_dedup_against
 
