@@ -1033,3 +1033,216 @@ def remove_repeated_lines(
             .alias("n_removed"),
         )
     )
+
+
+def dup_span_windows(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int = 32,
+    anchor_k: int = 8,
+    anchor_bits: int = 4,
+    min_docs: int = 2,
+    anchor_method: str = "md5",
+) -> DataFrame:
+    """Cross-document duplicated char-window spans with a deterministic
+    keeper: ``window``-char substrings starting at CONTENT-DEFINED
+    anchor positions whose md5 occurs in >= ``min_docs`` distinct
+    documents, one row per occurrence, tagged with the corpus-wide
+    keeper (the minimum ``id_col`` holding that window — that document
+    keeps its copy; every other occurrence is a removal candidate for
+    ``remove_dup_spans``).
+
+    Anchoring is the load-bearing choice (winnowing / content-defined
+    chunking): a position ``i`` is an anchor iff the md5 of the
+    ``anchor_k``-char seed gram at ``i`` starts with ``anchor_bits``
+    zero bits (expected anchor density 2^-anchor_bits, i.e. one window
+    per ~16 chars at the default). Because the anchor rule looks only at
+    *content*, two occurrences of a duplicated passage anchor at the
+    SAME relative positions whatever their absolute offsets — a
+    fixed-stride sample (``char_window_dup_pairs``'s geometry) only
+    collides when the copies happen to align modulo the stride, which
+    pastes into different surrounding text almost never do.
+
+    Returns ``(id_col, span_start, span_end, wh, keeper)`` with 0-based
+    ``[span_start, span_end)`` char offsets.
+
+    Char-based (``substring``/``md5``) so offsets line up with the
+    rebuild step; md5 of a substring hashes its UTF-8 encoding on both
+    Spark and DuckDB, so the digests are cross-engine stable even for
+    non-ASCII text.
+
+    Scale: the per-position anchor test is one md5 over ``anchor_k``
+    chars — linear in corpus size, map-only, inside codegen; the shuffle
+    then carries (digest, id, start) — ~len·2^-anchor_bits rows per
+    document; the per-digest aggregate is two pure aggregates
+    (count_distinct, min), no member list, so a corpus-wide boilerplate
+    window costs one agg row, not a collected bucket; the join back is
+    keyed by digest with no row explosion (each occurrence matches
+    exactly one digest row).
+    """
+    if anchor_bits % 4 != 0:
+        raise ValueError(f"anchor_bits must be a multiple of 4 (hex-digit "
+                         f"granularity for the cross-engine rule), got {anchor_bits}")
+    if anchor_method not in ("md5", "xxhash64"):
+        raise ValueError(f"anchor_method must be 'md5' or 'xxhash64', "
+                         f"got {anchor_method!r}")
+    zeros = "0" * (anchor_bits // 4)
+    t = F.coalesce(F.col(text), F.lit(""))
+    if anchor_method == "md5":
+        # cross-engine reproducible (DuckDB oracle); ~2x the cost of the
+        # xxhash64 form on the anchor probe
+        anchor_pred = lambda i: F.md5(t.substr(i + 1, F.lit(anchor_k))).substr(  # noqa: E731
+            1, anchor_bits // 4
+        ) == F.lit(zeros)
+    else:
+        # production fast path: same density, same offset-independence,
+        # JVM xxhash64 instead of md5+hex — NOT oracle-reproducible
+        anchor_pred = lambda i: F.pmod(  # noqa: E731
+            F.xxhash64(t.substr(i + 1, F.lit(anchor_k))), F.lit(1 << anchor_bits)
+        ) == 0
+    anchors = F.filter(F.sequence(F.lit(0), F.length(t) - window), anchor_pred)
+    wins = (
+        df.filter(F.length(t) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    anchors,
+                    lambda i: F.struct(
+                        i.alias("span_start"),
+                        F.md5(t.substr(i + 1, F.lit(window))).alias("wh"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select(
+            id_col,
+            F.col("w.span_start").alias("span_start"),
+            (F.col("w.span_start") + window).alias("span_end"),
+            F.col("w.wh").alias("wh"),
+        )
+    )
+    dups = (
+        wins.groupBy("wh")
+        .agg(
+            F.count_distinct(id_col).alias("__n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("wh", "keeper")
+    )
+    return wins.join(dups, "wh").select(
+        id_col, "span_start", "span_end", "wh", "keeper"
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int = 32,
+    anchor_k: int = 8,
+    anchor_bits: int = 4,
+    min_docs: int = 2,
+    anchor_method: str = "md5",
+) -> DataFrame:
+    """Span-level exact-substring deduplication (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better"): instead of dropping whole documents that share a passage
+    (over-deletion) or keeping both (under-deletion), cut the duplicated
+    span itself out of every document except the corpus-wide keeper (the
+    minimum ``id_col`` holding that window) and reassemble the rest.
+    The passage-granularity sibling of ``remove_repeated_lines``; span
+    detection is ``dup_span_windows``'s content-defined anchor model
+    (offset-independent, see its docstring), so the removed region is
+    the union of duplicated ``window``-char anchored windows, which
+    converges on the true duplicated passage as ``anchor_bits`` shrinks
+    (denser anchors).
+
+    Returns ``(id_col, text, n_spans_removed, n_chars_removed)`` — one
+    row per input document (untouched documents come back verbatim with
+    zero counts); ``n_spans_removed`` counts merged maximal spans,
+    ``n_chars_removed`` their total char length.
+
+    Scale: ``dup_span_windows``'s bounded shuffles, then one doc-keyed
+    aggregation collects each document's own removal spans (bounded by
+    ~len·2^-anchor_bits struct rows per doc — per-document state only),
+    and the overlap-merge + complement-rebuild run as codegen'd array
+    folds over that per-row array; no window function, no global sort,
+    no Python.
+    """
+    spans = dup_span_windows(df, text, id_col, window, anchor_k,
+                             anchor_bits, min_docs, anchor_method)
+    per_doc = (
+        spans.filter(F.col(id_col) != F.col("keeper"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct("span_start", "span_end"))
+            ).alias("__sp")
+        )
+    )
+    # fold 1: union overlapping/adjacent sampled windows into maximal
+    # removal spans (sorted input -> compare against the last merged)
+    last = F.element_at(F.col("acc"), -1)
+    merged = F.aggregate(
+        F.col("__sp"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+        lambda acc, x: F.when(
+            F.size(acc) > 0,
+            F.when(
+                F.element_at(acc, -1)["span_end"] >= x["span_start"],
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["span_start"].alias("span_start"),
+                            F.greatest(
+                                F.element_at(acc, -1)["span_end"], x["span_end"]
+                            ).alias("span_end"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ).otherwise(F.array(x)),
+    )
+    t = F.coalesce(F.col(text), F.lit(""))
+    # fold 2: complement rebuild — walk the merged spans left to right,
+    # keeping [pos, span_start) each step, then the tail after the last
+    rebuilt = F.aggregate(
+        F.col("__merged"),
+        F.struct(F.lit(0).alias("pos"), F.lit("").alias("txt")),
+        lambda acc, sp: F.struct(
+            sp["span_end"].alias("pos"),
+            F.concat(
+                acc["txt"],
+                t.substr(acc["pos"] + 1, sp["span_start"] - acc["pos"]),
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], t.substr(acc["pos"] + 1, F.length(t) - acc["pos"])
+        ),
+    )
+    removed_chars = F.aggregate(
+        F.col("__merged"),
+        F.lit(0),
+        lambda acc, sp: acc + (sp["span_end"] - sp["span_start"]),
+    )
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn("__merged", merged)
+        .select(
+            id_col,
+            F.when(F.col("__merged").isNull(), t)
+            .otherwise(rebuilt)
+            .alias(text),
+            F.coalesce(F.size("__merged"), F.lit(0))
+            .cast("long")
+            .alias("n_spans_removed"),
+            F.coalesce(removed_chars, F.lit(0))
+            .cast("long")
+            .alias("n_chars_removed"),
+        )
+    )
+    return out

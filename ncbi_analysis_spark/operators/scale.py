@@ -257,6 +257,7 @@ def temperature_quotas(
     group_cols: list[str],
     total: int,
     alpha: float = 0.5,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Temperature-based mixture allocation (the multilingual sampling
     rule of XLM-R/mT5: sample group g with probability ∝ c_g^α, α < 1
@@ -282,7 +283,16 @@ def temperature_quotas(
 
     Scale: one count aggregation (n_groups rows ≪ corpus), then
     driver-free window math over the group table itself — the corpus is
-    touched once.
+    touched once. The apportionment windows run single-partition, which
+    is safe ONLY because the group table is vocabulary-sized
+    (languages/sources); ``max_groups`` fails loudly at execution time
+    if a caller groups by a high-cardinality key (e.g. domain or URL),
+    where this would silently serialize one executor. The guard is a
+    plan-embedded ``assert_true`` on the group array the normalizer
+    already collects — a driver-side pre-count would re-materialize the
+    whole upstream pipeline as an extra job (measured 9.6s -> 18.6s on
+    the curation_v2 composition), the exact ``locate_matches``
+    extra-``count()`` cost this module avoids.
     """
     from pyspark.sql import Window
 
@@ -302,9 +312,29 @@ def temperature_quotas(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     # a single-partition window over n_groups rows is fine — this table
-    # is vocabulary-sized (languages/sources), never corpus-sized
+    # is vocabulary-sized (languages/sources), never corpus-sized; the
+    # assert turns a high-cardinality misuse into a loud failure instead
+    # of a silent one-executor serialization (and costs no extra job)
+    collected = F.collect_list(F.struct(*group_cols, "__w")).over(allw)
+    guarded = F.when(
+        F.assert_true(
+            F.size(collected) <= max_groups,
+            F.concat(
+                F.lit(
+                    f"temperature_quotas: group count exceeds "
+                    f"max_groups={max_groups} for {group_cols} — the "
+                    "apportionment windows run single-partition; aggregate "
+                    "to a coarser key or raise max_groups explicitly "
+                    "(got "
+                ),
+                F.size(collected).cast("string"),
+                F.lit(" groups)"),
+            ),
+        ).isNull(),
+        F.array_sort(collected),
+    )
     tot_w = F.aggregate(
-        F.array_sort(F.collect_list(F.struct(*group_cols, "__w")).over(allw)),
+        guarded,
         F.lit(0.0),
         lambda acc, s: acc + s["__w"],
     )

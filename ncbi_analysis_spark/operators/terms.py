@@ -372,3 +372,187 @@ def dsir_logratios_local(
         (b, math.log((t.get(b, 0) + 1) / (T + B)) - math.log((r.get(b, 0) + 1) / (R + B)))
         for b in range(B)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Trained quality classifier (fastText-style hashed linear model)
+# ---------------------------------------------------------------------------
+
+
+def _logistic_fit(t, m, iters: int = 200, lr: float = 0.5, l2: float = 1e-6):
+    """Deterministic full-batch logistic regression on grouped
+    per-bucket occurrence counts: ``t[b]`` positive (target) and
+    ``m[b]`` negative (non-target) one-hot examples for bucket ``b``.
+    With one weight per bucket plus a shared bias this grouped form IS
+    exact logistic regression on the per-occurrence examples — the
+    gradient of bucket ``b`` only touches ``w[b]`` and the bias.
+
+    Fixed float64 numpy ops, zero init, fixed iteration count — the same
+    count vectors in always produce bit-identical ``(w, bias)`` out,
+    which is what lets the Spark-free oracle twin re-derive the weight
+    literals exactly (the ``dsir_logratios_local`` pattern).
+    """
+    import numpy as np
+
+    t = np.asarray(t, dtype=np.float64)
+    m = np.asarray(m, dtype=np.float64)
+    n = float(t.sum() + m.sum())
+    if n == 0.0:
+        return np.zeros(len(t)), 0.0
+    w = np.zeros(len(t), dtype=np.float64)
+    b0 = 0.0
+    for _ in range(iters):
+        z = w + b0
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = (-t * (1.0 - p) + m * p) / n
+        w = w - lr * (g + l2 * w)
+        b0 = b0 - lr * float(g.sum())
+    return w, b0
+
+
+def quality_classifier_weights(
+    target_df: DataFrame,
+    nontarget_df: DataFrame,
+    text: str,
+    id_col: str,
+    n_buckets: int = 1024,
+    ngram_max: int = 2,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+) -> tuple[DataFrame, float]:
+    """Train a fastText-style hashed linear quality classifier
+    (Joulin et al. 2016, arXiv:1607.01759; the CCNet/GPT-3 curation
+    stack's "looks like the target corpus?" scorer): logistic regression
+    over hashed word-n-gram buckets, target-vs-nontarget. The
+    discriminative, calibrated-probability sibling of ``dsir_logratios``
+    (generative log-ratios) — same feature plumbing, a trained model on
+    top.
+
+    Returns ``(weights_df, bias)``: an ``n_buckets``-row
+    ``(bucket, w)`` table (never-seen buckets get weight 0, so scoring
+    never drops a feature) and the scalar intercept.
+
+    Scale: two map-side-combined bucket aggregations (≤ ``n_buckets``
+    rows each reach the driver — the DSIR bounded-collect pattern); the
+    numpy fit runs ONCE on those two vectors in driver CPython, which is
+    what lets ``quality_classifier_local`` re-derive bit-identical
+    weight literals for the oracle.
+    """
+
+    def counts(d: DataFrame) -> dict:
+        rows = (
+            _dsir_features(d, text, id_col, n_buckets, ngram_max)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {r["bucket"]: r["c"] for r in rows}
+
+    tc, mc = counts(target_df), counts(nontarget_df)
+    t = [tc.get(b, 0) for b in range(n_buckets)]
+    m = [mc.get(b, 0) for b in range(n_buckets)]
+    w, bias = _logistic_fit(t, m, iters=iters, lr=lr, l2=l2)
+    out = [(b, float(w[b])) for b in range(n_buckets)]
+    wdf = target_df.sparkSession.createDataFrame(
+        out, schema="bucket bigint, w double")
+    return wdf, float(bias)
+
+
+def quality_probability(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    weights: DataFrame,
+    bias: float,
+    n_buckets: int = 1024,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """Score documents with a trained quality classifier: mean-pooled
+    per-occurrence log-odds (the fastText average-of-embeddings rule)
+    calibrated through a sigmoid. Returns
+    ``(id_col, n_feats, logit, prob)`` — ``logit = bias +
+    (Σ_b count_b · w_b) / n_feats`` folded in ASCENDING bucket order
+    (``dsir_score``'s deterministic fold), ``prob = σ(logit)``; both
+    rounded to 6 for the oracle hash. Filter ``prob >= τ`` to keep
+    target-like documents.
+
+    Scale: identical to ``dsir_score`` — one (id, bucket) hash agg, a
+    broadcast join against the ``n_buckets``-row weight table, one agg
+    back to id; the sigmoid is a per-row expression.
+    """
+    feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
+    per = feats.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
+    j = per.join(F.broadcast(weights), "bucket").select(
+        id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
+    )
+    folded = j.groupBy(id_col).agg(
+        F.sum("c").alias("n_feats"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__sum"),
+    )
+    logit = F.lit(float(bias)) + F.col("__sum") / F.col("n_feats")
+    return folded.select(
+        id_col,
+        "n_feats",
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("prob"),
+    )
+
+
+def quality_classifier_local(
+    parquet_path: str,
+    text: str = "text",
+    target_pred=None,
+    n_buckets: int = 1024,
+    ngram_max: int = 2,
+    iters: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+):
+    """Spark-free twin of ``quality_classifier_weights`` for
+    oracle-literal generation (the ``dsir_logratios_local`` pattern):
+    pyarrow read, the same tokenization/bucketing, and the SAME
+    ``_logistic_fit`` numpy call — identical integer counts in,
+    bit-identical ``([(bucket, w)], bias)`` out. ``target_pred`` selects
+    the target class; everything else is the non-target class. NULL-text
+    rows are skipped, matching the Spark path (see
+    ``dsir_logratios_local``)."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(parquet_path).to_pylist()
+
+    def grams(s: str) -> list[str]:
+        toks = re.split(r"\s+", s.strip())
+        out = []
+        for n in range(1, ngram_max + 1):
+            if len(toks) >= n:
+                out += [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                out.append(" ".join(toks))
+        return out
+
+    def counts(rows) -> dict:
+        per: dict = {}
+        for row in rows:
+            if row[text] is None:
+                continue
+            for g in grams(row[text]):
+                b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+                per[b] = per.get(b, 0) + 1
+        return per
+
+    tc = counts([r for r in tbl if target_pred is None or target_pred(r)])
+    mc = counts([r for r in tbl if not (target_pred is None or target_pred(r))])
+    t = [tc.get(b, 0) for b in range(n_buckets)]
+    m = [mc.get(b, 0) for b in range(n_buckets)]
+    w, bias = _logistic_fit(t, m, iters=iters, lr=lr, l2=l2)
+    return [(b, float(w[b])) for b in range(n_buckets)], float(bias)

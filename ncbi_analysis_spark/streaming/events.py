@@ -434,3 +434,75 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None
             f"run_to_memory({name!r}) overran {timeout_s}s and was stopped "
             "mid-drain; the memory table holds only a PARTIAL result"
         )
+
+
+def fuzzy_decon_stream(
+    stream: DataFrame,
+    bench_df: DataFrame,
+    text: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    keep: str = "clean",
+    max_bench_bands: int = 200_000,
+) -> DataFrame:
+    """Streaming fuzzy decontamination — the streaming twin of
+    ``operators.dedup.fuzzy_decon_pairs``: drop (or flag) stream
+    documents whose MinHash-LSH band collides with a held-out benchmark
+    document, so contaminated pages never reach the training corpus in
+    the first place.
+
+    Statelessness is the design constraint: the batch operator's
+    signature pipeline aggregates shingles (groupBy + window), which a
+    stream cannot run without state. Here the signature and its band
+    hashes are computed as pure per-row Column expressions
+    (``functions.text.minhash_signature`` / ``minhash_bands`` — the
+    expression twins of the batch aggregate form, same salted hashes,
+    same band digests), and the benchmark side is reduced ONCE, in
+    batch, to its distinct ``band|hash`` keys, embedded as a broadcast
+    literal set probed with ``arrays_overlap`` — zero state store, zero
+    shuffle, works under any trigger.
+
+    ``keep``: ``"clean"`` (default) passes only non-colliding documents
+    through; ``"flagged"`` inverts — emit the contaminated ones (the
+    audit stream). NULL-text documents are always clean (the batch
+    operator's shingle explode drops them, so they can never collide).
+
+    Scale: benchmark suites are small (the ``fuzzy_decon_pairs``
+    broadcast posture); ``max_bench_bands`` fails fast past the bound
+    where a literal probe set stops making sense — there, pre-filter
+    with a Bloom filter (``build_ngram_bloom``'s 128 KiB broadcast
+    pattern) or run the batch operator over micro-batch sinks instead.
+    """
+    from ncbi_analysis_spark.functions.text import minhash_bands, minhash_signature
+    from ncbi_analysis_spark.operators.dedup import _minhash_band_rows
+
+    if keep not in ("clean", "flagged"):
+        raise ValueError(f"keep must be 'clean' or 'flagged', got {keep!r}")
+    bench_keys = [
+        r["k"]
+        for r in _minhash_band_rows(
+            bench_df, text, bench_df.columns[0], num_perm, bands, shingle_n
+        )
+        .select(F.concat_ws("|", "band", "band_hash").alias("k"))
+        .distinct()
+        .collect()
+    ]
+    if len(bench_keys) > max_bench_bands:
+        raise ValueError(
+            f"benchmark reduces to {len(bench_keys)} band keys "
+            f"(> max_bench_bands={max_bench_bands}); a literal probe set "
+            "this large belongs in a Bloom filter (build_ngram_bloom) or "
+            "the batch fuzzy_decon_pairs path"
+        )
+    bench_lit = F.array(*[F.lit(k) for k in sorted(bench_keys)])
+    t = F.col(text)
+    sig = minhash_signature(t, num_perm, shingle_n)
+    keys = F.transform(
+        minhash_bands(sig, bands, num_perm // bands),
+        lambda b: F.concat_ws("|", b["band"], b["band_hash"]),
+    )
+    hit = F.when(t.isNull(), F.lit(False)).otherwise(
+        F.arrays_overlap(keys, bench_lit)
+    )
+    return stream.filter(hit if keep == "flagged" else ~hit)

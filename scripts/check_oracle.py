@@ -6,7 +6,11 @@ dtypes (loosely), and an order-insensitive exact value comparison.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
        (``--staged`` anywhere in args also runs the next round's staged
-       ``plans/driver_queries_r7`` entries under the same comparator)
+       ``plans/driver_queries_r8`` entries under the same comparator;
+       ``--json PATH`` additionally writes a CORRECTNESS_r{N}-shaped
+       verdict — per query rows/schema/hash match booleans — so a full
+       local run can be committed as ``ORACLE_LOCAL_r{N}.json`` and the
+       freshness auditor (scripts/last_green.py) can count it)
 """
 
 from __future__ import annotations
@@ -83,6 +87,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--staged"]
     staged = "--staged" in sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -102,14 +111,31 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     if staged:
-        from ncbi_analysis_spark.plans.driver_queries_r7 import (
-            oracle_sql_r7,
-            queries_r7,
+        from ncbi_analysis_spark.plans.driver_queries_r8 import (
+            oracle_sql_r8,
+            queries_r8,
         )
 
-        qs = {**qs, **queries_r7()}
-        oracles = {**oracles, **oracle_sql_r7()}
+        qs = {**qs, **queries_r8()}
+        oracles = {**oracles, **oracle_sql_r8()}
     n_pass = n_fail = 0
+    record: dict[str, dict] = {}
+
+    def rec(name, spark_rows=None, oracle_rows=None, issues=None, err=None):
+        # the driver's CORRECTNESS_r{N}.json row shape, so last_green.py
+        # can treat a committed local run like a driver record
+        has_issues = bool(issues)
+        record[name] = {
+            "rows_match": (None if err else
+                           not any(i.startswith("rowcount") for i in (issues or []))),
+            "schema_match": (None if err else
+                             not any(i.startswith("columns") for i in (issues or []))),
+            "hash_match": None if err else not has_issues,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -118,20 +144,29 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {type(ex).__name__}: {str(ex)[:500]}")
+            rec(name, err=f"spark: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"PASS {name}: rows={len(spark_pdf)} (rows-only, no oracle) [{t1-t0:.1f}s]")
+            record[name] = {
+                "rows_match": True, "schema_match": True, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None, "err": None,
+            }
             n_pass += 1
             continue
         try:
             oracle_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {type(ex).__name__}: {str(ex)[:500]}")
+            rec(name, spark_rows=len(spark_pdf),
+                err=f"oracle: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
             continue
         issues = compare(name, spark_pdf, oracle_pdf)
+        rec(name, spark_rows=len(spark_pdf), oracle_rows=len(oracle_pdf),
+            issues=issues)
         if issues:
             print(f"FAIL {name}: rows={len(spark_pdf)} [{t1-t0:.1f}s]")
             for i in issues:
@@ -141,6 +176,12 @@ def main() -> int:
             print(f"PASS {name}: rows={len(spark_pdf)} exact-match [{t1-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(record)} queries)")
     return 1 if n_fail else 0
 
 

@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
 """Print, per driver-contract query, the most recent round whose
-CORRECTNESS_r{N}.json holds a fully-green row (rows+schema+hash all
-true, no error), plus queries never yet checked.
+CORRECTNESS_r{N}.json OR ORACLE_LOCAL_r{N}.json (a committed full local
+``check_oracle.py --json`` run — same row shape, same bar) holds a
+fully-green row (rows+schema+hash all true, no error), plus queries
+never yet checked.
 
 The driver checks 50 of the registry's queries per round with a
-stalest-first rotation (plans/driver_queries.py::_rotate), so a green
-operator's most recent check may be up to one round old — this script
-is the audit trail.
+stalest-first rotation (plans/driver_queries.py::_rotate), while the
+local round-close run covers everything; freshness audits over the
+union of both records.
 
 Usage: python scripts/last_green.py [--stale-only]
 """
@@ -24,8 +26,10 @@ def last_green_rounds(repo: str) -> tuple[dict[str, int], dict[str, int]]:
     """(query -> last fully-green round, query -> last checked round)."""
     green: dict[str, int] = {}
     checked: dict[str, int] = {}
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")) + glob.glob(
+        os.path.join(repo, "ORACLE_LOCAL_r*.json")
+    ):
+        m = re.search(r"(?:CORRECTNESS|ORACLE_LOCAL)_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))

@@ -428,3 +428,59 @@ def test_semantic_dedup_np_string_ids(spark):
     assert out["a"]["component"] == "a" and out["b"]["component"] == "a"
     assert out["b"]["keep"] and not out["a"]["keep"]
     assert out["c"]["keep"] and out["c"]["component"] is None
+
+
+def test_quality_classifier_direction_and_parity(spark, tmp_path):
+    """Target-like docs must score strictly higher than non-target docs,
+    the local twin must reproduce the Spark weights bit-exactly, and
+    scoring must be layout-invariant."""
+    from ncbi_analysis_spark.operators.terms import (
+        quality_classifier_local,
+        quality_classifier_weights,
+        quality_probability,
+    )
+
+    rows = [(i, "good clean prose sentence %d" % (i % 3), "en") for i in range(8)]
+    rows += [(100 + i, "zzz qqq %d spam spam spam" % (i % 3), "xx") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    params = dict(n_buckets=64, ngram_max=2, iters=50)
+    w, bias = quality_classifier_weights(
+        df.filter("lang = 'en'"), df.filter("lang != 'en'"),
+        "text", "doc_id", **params)
+    scored = quality_probability(df.select("doc_id", "text"), "text", "doc_id",
+                                 w, bias, n_buckets=64, ngram_max=2)
+    got = {r["doc_id"]: r["prob"] for r in scored.collect()}
+    assert min(got[i] for i in range(8)) > max(got[100 + i] for i in range(8))
+    assert all(0.0 <= p <= 1.0 for p in got.values())
+
+    # local twin: identical (bucket, w) floats and bias
+    p = str(tmp_path / "docs.parquet")
+    df.coalesce(1).write.parquet(p)
+    lw, lbias = quality_classifier_local(
+        p, target_pred=lambda r: r["lang"] == "en", **params)
+    sw = {r["bucket"]: r["w"] for r in w.collect()}
+    assert lbias == bias
+    assert sw == dict(lw)
+
+    # layout invariance: a different partitioning folds to the same doubles
+    re_scored = quality_probability(
+        df.select("doc_id", "text").repartition(13), "text", "doc_id",
+        w, bias, n_buckets=64, ngram_max=2)
+    assert {r["doc_id"]: (r["logit"], r["prob"]) for r in re_scored.collect()} \
+        == {r["doc_id"]: (r["logit"], r["prob"]) for r in scored.collect()}
+
+
+def test_logistic_fit_degenerate(spark):
+    """Empty counts -> zero model; training is deterministic across calls."""
+    import numpy as np
+
+    from ncbi_analysis_spark.operators.terms import _logistic_fit
+
+    w, b = _logistic_fit([0, 0], [0, 0])
+    assert list(w) == [0.0, 0.0] and b == 0.0
+    w1, b1 = _logistic_fit([5, 0, 1], [0, 7, 1])
+    w2, b2 = _logistic_fit([5, 0, 1], [0, 7, 1])
+    assert list(w1) == list(w2) and b1 == b2
+    # direction: target-heavy bucket positive, nontarget-heavy negative
+    assert w1[0] > 0 > w1[1]
+    assert not np.isnan(b1)

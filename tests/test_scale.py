@@ -258,3 +258,19 @@ def test_apply_quotas_materializes_allowances(spark):
     # md5 keep-order: identical on a different layout
     re_out = apply_quotas(df.repartition(7), q, ["lang"], "doc_id").collect()
     assert {r["doc_id"] for r in out} == {r["doc_id"] for r in re_out}
+
+
+def test_temperature_quotas_max_groups_guard(spark):
+    """High-cardinality grouping must fail fast, not silently serialize
+    the single-partition apportionment windows (review finding)."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+
+    df = spark.createDataFrame([(i, i) for i in range(40)], ["g", "doc_id"])
+    # plan-embedded assert: fires on execution (no extra driver-side
+    # count job), surfacing as a Spark runtime error with the message
+    with pytest.raises(Exception, match="max_groups"):
+        temperature_quotas(df, ["g"], total=10, max_groups=30).collect()
+    # at or under the ceiling the allocation proceeds unchanged
+    assert temperature_quotas(df, ["g"], total=10, max_groups=40).count() == 40

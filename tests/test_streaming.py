@@ -355,3 +355,49 @@ def test_enrich_stream_anti_join_incremental_dedup(spark, stream_dir):
             .join(ingested, "event_id", "left_anti").collect()}
     assert got == want and len(got) == 500
     assert all(i % 2 == 1 for i in got)
+
+
+def test_fuzzy_decon_stream_matches_batch(spark, tmp_path):
+    """The stateless expression-form band hashes must flag EXACTLY the
+    documents the batch aggregate-form fuzzy_decon_pairs flags — the
+    availableNow run is the batch operator's twin on both keep modes."""
+    from ncbi_analysis_spark.operators.dedup import fuzzy_decon_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter("doc_id % 17 = 0") \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    want_flagged = {r["doc_id"] for r in
+                    fuzzy_decon_pairs(docs, bench, "text", "doc_id",
+                                      bench_id_col="bench_id").collect()}
+    assert want_flagged, "fixture must produce at least one collision"
+
+    src = tmp_path / "docs_src"; src.mkdir()
+    import glob as _glob
+    stage = str(tmp_path / "stage")
+    docs.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "a.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+
+    flagged = sev.fuzzy_decon_stream(stream, bench, "text", keep="flagged")
+    sev.run_to_memory(flagged, "t_decon_flagged")
+    got_flagged = {r["doc_id"] for r in spark.table("t_decon_flagged").collect()}
+    assert got_flagged == want_flagged
+
+    clean = sev.fuzzy_decon_stream(stream, bench, "text")
+    sev.run_to_memory(clean, "t_decon_clean")
+    got_clean = {r["doc_id"] for r in spark.table("t_decon_clean").collect()}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert got_clean == all_ids - want_flagged
+
+
+def test_fuzzy_decon_stream_guards(spark, tmp_path):
+    docs = spark.createDataFrame([(0, "a b c d")], "bench_id long, text string")
+    empty = tmp_path / "empty_src"; empty.mkdir()
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(str(empty))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep"):
+        sev.fuzzy_decon_stream(stream, docs, "text", keep="bogus")
+    with _pytest.raises(ValueError, match="max_bench_bands"):
+        sev.fuzzy_decon_stream(stream, docs, "text", max_bench_bands=3)
