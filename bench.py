@@ -320,7 +320,7 @@ BASELINE = {
     "curation_v2": (11.02, 6), "fuzzy_decon": (2.52, 6),
     # staged-r8 entries seeded from standalone min-of-3 on the idle r7
     # box (same session as BENCH_LOCAL_r07_clean.json)
-    "dup_span_removal": (6.964, 7), "quality_classifier": (5.772, 7),
+    "dup_span_removal": (3.094, 7), "quality_classifier": (5.772, 7),
 }
 
 

@@ -1087,35 +1087,45 @@ def dup_span_windows(
     if anchor_method not in ("md5", "xxhash64"):
         raise ValueError(f"anchor_method must be 'md5' or 'xxhash64', "
                          f"got {anchor_method!r}")
+    from ncbi_analysis_spark.functions.text import ascii_fast_grams
+
     zeros = "0" * (anchor_bits // 4)
     t = F.coalesce(F.col(text), F.lit(""))
-    if anchor_method == "md5":
-        # cross-engine reproducible (DuckDB oracle); ~2x the cost of the
-        # xxhash64 form on the anchor probe
-        anchor_pred = lambda i: F.md5(t.substr(i + 1, F.lit(anchor_k))).substr(  # noqa: E731
-            1, anchor_bits // 4
-        ) == F.lit(zeros)
-    else:
+
+    def seed_pred(gram: Column) -> Column:
+        if anchor_method == "md5":
+            # cross-engine reproducible (DuckDB oracle); ~2x the cost of
+            # the xxhash64 form on the anchor probe
+            return F.md5(gram).substr(1, anchor_bits // 4) == F.lit(zeros)
         # production fast path: same density, same offset-independence,
         # JVM xxhash64 instead of md5+hex — NOT oracle-reproducible
-        anchor_pred = lambda i: F.pmod(  # noqa: E731
-            F.xxhash64(t.substr(i + 1, F.lit(anchor_k))), F.lit(1 << anchor_bits)
-        ) == 0
-    anchors = F.filter(F.sequence(F.lit(0), F.length(t) - window), anchor_pred)
+        return F.pmod(F.xxhash64(gram), F.lit(1 << anchor_bits)) == 0
+
+    def win_structs(src, length_col):
+        # the anchor probe touches EVERY position, so it must slice at
+        # O(1) offsets — the every-offset substr-on-string form is the
+        # O(L²) trap ascii_fast_grams exists for (SCALING.md, dedup
+        # family); md5 over the raw UTF-8 bytes equals md5 of the string
+        anchors = F.filter(
+            F.sequence(F.lit(0), length_col - window),
+            lambda i: seed_pred(src.substr(i + 1, F.lit(anchor_k))),
+        )
+        return F.transform(
+            anchors,
+            lambda i: F.struct(
+                i.alias("span_start"),
+                F.md5(src.substr(i + 1, F.lit(window))).alias("wh"),
+            ),
+        )
+
+    structs = ascii_fast_grams(
+        t,
+        win_structs(t, F.length(t)),
+        lambda tb: win_structs(tb, F.octet_length(t)),
+    )
     wins = (
         df.filter(F.length(t) >= window)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    anchors,
-                    lambda i: F.struct(
-                        i.alias("span_start"),
-                        F.md5(t.substr(i + 1, F.lit(window))).alias("wh"),
-                    ),
-                )
-            ).alias("w"),
-        )
+        .select(F.col(id_col), F.explode(structs).alias("w"))
         .select(
             id_col,
             F.col("w.span_start").alias("span_start"),
