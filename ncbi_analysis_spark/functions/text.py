@@ -178,20 +178,37 @@ def hamming32(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
+def _word_hits(lower_text: Column, ws: list[str]) -> Column:
+    """Count of whitespace-delimited tokens exactly equal to one of
+    ``ws`` — the codegen formulation. ``regexp_count`` with a leading
+    boundary CONSUMED and the trailing boundary as a LOOKAHEAD counts
+    consecutive markers correctly ('the the' = 2: only the leading
+    separator is eaten, so the next token's boundary survives), and
+    token-equality semantics are preserved exactly: a token like 'the,'
+    fails the (?=\\s|$) lookahead just as it fails ``isin``. Replaces
+    the interpreted higher-order ``filter(toks, isin)`` form —
+    SCALING.md's last future-work item; the per-language array filters
+    were the only interpreted expressions in the text_stats plan.
+    (Java-regex lookahead is Spark-side only; the DuckDB oracles keep
+    their token-based SQL and match on values.)"""
+    pat = r"(?:^|\s)(?:" + "|".join(ws) + r")(?=\s|$)"
+    return F.regexp_count(lower_text, F.lit(pat))
+
+
 def lang_id(text: Column, lower_toks: Column | None = None) -> Column:
     """Language-ID heuristic: count marker-stopword hits per language,
     return the argmax (ties broken by LANG_MARKERS order), 'und' if no
     marker hits at all.
 
-    Pass ``lower_toks`` (pre-computed lowercased token array) to share
-    the tokenization with sibling expressions — Catalyst does not CSE
-    across when-branches, so re-tokenizing per feature costs a split
-    per column otherwise.
+    ``lower_toks`` is accepted for signature compatibility (sibling
+    expressions share the tokenization for their token counts) but the
+    marker hits themselves are regexp_count over the lowered text —
+    fully codegen, no interpreted higher-order filter per language.
     """
-    toks = lower_toks if lower_toks is not None else tokens(F.lower(text))
+    lower_text = F.lower(text)
 
     def marker_hits(ws: list[str]):
-        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+        return _word_hits(lower_text, ws)
 
     scores = {lang: marker_hits(ws) for lang, ws in LANG_MARKERS.items()}
     langs = list(LANG_MARKERS)
@@ -214,10 +231,12 @@ def alpha_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, lower_toks: Column | None = None) -> Column:
-    """Fraction of tokens that are common English stopwords."""
+    """Fraction of tokens that are common English stopwords (hit count
+    via the codegen ``_word_hits`` form; the token array — shareable via
+    ``lower_toks`` — supplies only the denominator)."""
     toks = lower_toks if lower_toks is not None else tokens(F.lower(text))
     n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    hits = _word_hits(F.lower(text), EN_STOPWORDS)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
