@@ -174,7 +174,19 @@ def locate_matches(
             raise ValueError(f"annotation_mode must be auto|broadcast|binned, got {annotation_mode}")
         mode = annotation_mode
         if mode == "auto":
-            mode = "broadcast" if inter_records.count() <= broadcast_threshold else "binned"
+            # auto spends one count() job to pick broadcast-vs-binned;
+            # memoize it ON the annotation DataFrame so a pipeline that
+            # calls locate_matches many times with the same table pays
+            # once (review note r6). Callers in hot loops can skip even
+            # the first scan by passing annotation_mode explicitly.
+            n = getattr(inter_records, "_loc_count_hint", None)
+            if n is None:
+                n = inter_records.count()
+                try:
+                    inter_records._loc_count_hint = n
+                except AttributeError:
+                    pass
+            mode = "broadcast" if n <= broadcast_threshold else "binned"
 
         if mode == "broadcast":
             rb_recs = recs

@@ -238,6 +238,10 @@ def scan_candidates(
     can_bound = (not ascending and w_direct >= 0 and w_cons >= 0
                  and w_te >= 0 and w_pat >= 0 and total_w > 0)
 
+    # one compiled pattern per distinct gene per executor — bounded by
+    # the broadcast query-set size (genes ship as a broadcast side); a
+    # future million-query caller inherits that bound, not an unbounded
+    # per-row growth
     pat_cache: dict[str, MatchPattern] = {}
 
     def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
