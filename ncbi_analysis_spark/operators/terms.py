@@ -387,6 +387,15 @@ def _logistic_fit(t, m, iters: int = 200, lr: float = 0.5, l2: float = 1e-6):
     exact logistic regression on the per-occurrence examples — the
     gradient of bucket ``b`` only touches ``w[b]`` and the bias.
 
+    The per-bucket updates are diagonally preconditioned (scaled by
+    ``N / (t_b + m_b)``, each bucket's own example count): with one-hot
+    features the loss separates per bucket, so this is plain gradient
+    descent on each bucket's OWN logistic subproblem — without it the
+    1/N global scale moves rare-bucket weights ~0 per step and 200
+    iterations leave the model at the class prior (measured: every
+    document scored within ±0.001 of sigmoid-of-bias). The bias keeps
+    the global 1/N gradient (it sees every example).
+
     Fixed float64 numpy ops, zero init, fixed iteration count — the same
     count vectors in always produce bit-identical ``(w, bias)`` out,
     which is what lets the Spark-free oracle twin re-derive the weight
@@ -400,12 +409,13 @@ def _logistic_fit(t, m, iters: int = 200, lr: float = 0.5, l2: float = 1e-6):
     if n == 0.0:
         return np.zeros(len(t)), 0.0
     w = np.zeros(len(t), dtype=np.float64)
+    scale = n / np.maximum(t + m, 1.0)
     b0 = 0.0
     for _ in range(iters):
         z = w + b0
         p = 1.0 / (1.0 + np.exp(-z))
         g = (-t * (1.0 - p) + m * p) / n
-        w = w - lr * (g + l2 * w)
+        w = w - lr * (g * scale + l2 * w)
         b0 = b0 - lr * float(g.sum())
     return w, b0
 

@@ -120,11 +120,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_probability(d, "text", "doc_id", w, bias, **_QC_PARAMS)
 
 
-def _qc_sql() -> str:
-    """Generated oracle: weight/bias literals re-derived Spark-free by
-    quality_classifier_local (same numpy fit, same counts), features via
-    the engine-mirrored tokenizer/md5-bucket idioms (dsir's), the
-    bucket-ordered fold mean-pooled, then the sigmoid."""
+def _qc_weight_rows() -> tuple[str, str]:
+    """(VALUES body, bias literal) from the Spark-free twin — shared by
+    the quality_classifier and curation_v3 oracles. Trained on the
+    ORIGINAL corpus (English-vs-rest), exactly like the Spark queries."""
     from ncbi_analysis_spark.operators.terms import quality_classifier_local
     from ncbi_analysis_spark.plans.driver_queries_r5 import (
         _dlit,
@@ -136,9 +135,16 @@ def _qc_sql() -> str:
         target_pred=lambda r: r["lang"] == "en",
         **_QC_PARAMS,
     )
-    rows = ",\n  ".join(f"({b}, {_dlit(w)})" for b, w in W)
+    return ",\n  ".join(f"({b}, {_dlit(w)})" for b, w in W), _dlit(bias)
+
+
+def _qc_sql() -> str:
+    """Generated oracle: weight/bias literals re-derived Spark-free by
+    quality_classifier_local (same numpy fit, same counts), features via
+    the engine-mirrored tokenizer/md5-bucket idioms (dsir's), the
+    bucket-ordered fold mean-pooled, then the sigmoid."""
+    rows, blit = _qc_weight_rows()
     B = _QC_PARAMS["n_buckets"]
-    blit = _dlit(bias)
     return rf"""
 WITH tk AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
             FROM documents),
@@ -171,10 +177,206 @@ FROM folded
 """
 
 
+def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v3 — the round-7 operator family composed as
+    ONE DataFrame: fuzzy decontamination (drop corpus docs MinHash-LSH-
+    colliding with the held-out bench split) → span-level exact-
+    substring scrub (remove_dup_spans: duplicated passages cut from
+    non-keepers) → trained-quality-classifier filter (English-vs-rest
+    logistic model on the ORIGINAL corpus, scored on the SCRUBBED text,
+    keep prob ≥ 0.5) → 48-token chunking. Output: one row per surviving
+    chunk with its calibrated probability; chunk text md5'd (compact,
+    content-exact).
+
+    Scale: each stage is the already-verified operator; the composition
+    adds two doc-keyed joins (anti for decon, inner for scores) and
+    nothing driver-side beyond the classifier's two bounded bucket
+    vectors."""
+    from ncbi_analysis_spark.operators.dedup import (
+        fuzzy_decon_pairs,
+        remove_dup_spans,
+    )
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+    from ncbi_analysis_spark.operators.terms import (
+        quality_classifier_weights,
+        quality_probability,
+    )
+    from ncbi_analysis_spark.operators.topk import global_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    flagged = fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=4, bands=2,
+    ).select("doc_id").distinct()
+    clean = corpus.select("doc_id", "text").join(flagged, "doc_id", "left_anti")
+    scrubbed = remove_dup_spans(clean, "text", "doc_id", window=32).select(
+        "doc_id", "text"
+    )
+    w, bias = quality_classifier_weights(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
+        "text", "doc_id", **_QC_PARAMS)
+    scored = quality_probability(
+        scrubbed, "text", "doc_id", w, bias, **_QC_PARAMS)
+    # materialize the bounded top-250 through the driver (the weights
+    # table's bounded-collect pattern): joining the ranked table back to
+    # the frame it derives from is an ambiguous self-join, which Spark
+    # silently resolved to a trivially-true condition here (observed:
+    # 250 arbitrary left-right pairings, probs from unrelated docs).
+    # Two independent local relations from the same collected rows give
+    # the two downstream joins zero shared lineage — and a broadcast.
+    top_rows = [(r["doc_id"], r["prob"]) for r in global_topk(
+        scored.select("doc_id", "prob"),
+        [F.desc("prob"), F.asc("doc_id")], 250).collect()]
+    schema = "doc_id bigint, prob double"
+    kept = scrubbed.join(
+        F.broadcast(spark.createDataFrame(top_rows, schema)), "doc_id")
+    chunks = chunk_documents(
+        kept.select("doc_id", "text"), "text", "doc_id",
+        max_tokens=48, stride=48)
+    return chunks.join(
+        F.broadcast(spark.createDataFrame(top_rows, schema)), "doc_id"
+    ).select(
+        "doc_id", "chunk_no",
+        F.md5("chunk_text").alias("chunk_md5"), "n_tokens", "prob",
+    )
+
+
+def _curation_v3_sql() -> str:
+    """Composed oracle: the fuzzy-decon band-collision CTEs (r7's
+    mirror), the dup-span islands CTEs rebuilding the scrubbed text, the
+    classifier feature/fold/sigmoid CTEs over the SCRUBBED text with the
+    shared weight literals, the rank-based top-250 keep, and the chunk explode —
+    each the already-verified mirror of its operator."""
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    rows, blit = _qc_weight_rows()
+    B = _QC_PARAMS["n_buckets"]
+    band_rows = """
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM MM
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM MM"""
+    mh = """
+  SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+  FROM SHG"""
+    return rf"""
+WITH csh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+             WHERE doc_id % 7 <> 0),
+cm AS ({mh.replace('SHG', 'csh')}),
+cb AS ({band_rows.replace('MM', 'cm')}),
+bsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+        WHERE doc_id % 7 = 0),
+bm AS ({mh.replace('SHG', 'bsh')}),
+bb AS (SELECT DISTINCT band, bh
+       FROM ({band_rows.replace('MM', 'bm')})),
+flagged AS (SELECT DISTINCT c.doc_id
+            FROM cb c JOIN bb b ON c.band = b.band AND c.bh = b.bh),
+d AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+w0 AS (
+  SELECT doc_id, s::INT AS span_start, (s + 32)::INT AS span_end,
+         md5(substr(tx, (s + 1)::INT, 32)) AS wh
+  FROM (SELECT doc_id, tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM d)
+  WHERE substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) = '0'),
+dups AS (
+  SELECT wh, MIN(doc_id) AS keeper
+  FROM w0 GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (
+  SELECT w0.doc_id, span_start, span_end
+  FROM w0 JOIN dups USING (wh) WHERE w0.doc_id <> dups.keeper),
+marked AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start <= MAX(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM rem),
+isl AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked),
+mspans AS (
+  SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+  FROM isl GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+         s AS ke
+  FROM mspans),
+reb AS (
+  SELECT segs.doc_id,
+         string_agg(substr(d.tx, ks + 1, ke - ks), '' ORDER BY ks) AS head
+  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
+fin AS (
+  SELECT doc_id, MAX(e) AS last_e FROM mspans GROUP BY doc_id),
+scrub AS (
+  SELECT d.doc_id,
+         CASE WHEN fin.doc_id IS NULL THEN d.tx
+              ELSE COALESCE(reb.head, '') || substr(d.tx, (fin.last_e + 1)::INT)
+         END AS tx
+  FROM d LEFT JOIN fin USING (doc_id) LEFT JOIN reb USING (doc_id)),
+tk AS (SELECT doc_id, string_split_regex(TRIM(tx), '\s+') AS t FROM scrub),
+f1 AS (SELECT doc_id, UNNEST(t) AS g FROM tk),
+f2 AS (SELECT doc_id,
+              UNNEST(list_transform(range(GREATEST(len(t) - 2, 0) + 1),
+                     i -> array_to_string(t[i+1:i+2], ' '))) AS g
+       FROM tk),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % {B} AS bucket
+  FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+),
+per AS (SELECT doc_id, bucket, COUNT(*)::BIGINT AS c
+        FROM feats GROUP BY doc_id, bucket),
+wt AS (SELECT * FROM (VALUES
+  {rows}
+) AS t(bucket, w)),
+j AS (SELECT doc_id, bucket, c, c * w AS term FROM per JOIN wt USING (bucket)),
+folded AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_feats,
+         ({blit}) + list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(list_sort(list({{'b': bucket, 't': term}})),
+                            s -> s.t)),
+           (a, b) -> a + b) / SUM(c) AS logit
+  FROM j GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob
+  FROM folded
+  ORDER BY prob DESC, doc_id LIMIT 250),
+ctk AS (
+  SELECT scrub.doc_id, prob,
+         string_split_regex(TRIM(tx), '\s+') AS t,
+         CASE WHEN LENGTH(TRIM(tx)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(tx), '\s+'))
+         END AS n
+  FROM scrub JOIN kept USING (doc_id)),
+cex AS (SELECT doc_id, prob, t, n,
+               UNNEST(range(0, GREATEST(CAST(ceil((n - 48) / 48.0) AS BIGINT) * 48,
+                                        0) + 1, 48)) AS s
+        FROM ctk)
+SELECT doc_id, (s / 48)::BIGINT AS chunk_no,
+       md5(array_to_string(t[s+1:s+48], ' ')) AS chunk_md5,
+       (CASE WHEN n = 0 THEN 0 ELSE LEAST(48, n - s) END)::BIGINT AS n_tokens,
+       prob
+FROM cex
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
         "quality_classifier": quality_classifier,
+        "curation_v3": curation_v3,
     }
 
 
@@ -182,4 +384,5 @@ def oracle_sql_r8() -> dict[str, str]:
     return {
         "dup_span_removal": DUP_SPAN_SQL,
         "quality_classifier": _qc_sql(),
+        "curation_v3": _curation_v3_sql(),
     }
