@@ -321,7 +321,7 @@ BASELINE = {
     # staged-r8 entries seeded from standalone min-of-3 on the idle r7
     # box (same session as BENCH_LOCAL_r07_clean.json)
     "dup_span_removal": (3.094, 7), "quality_classifier": (5.772, 7),
-    "curation_v3": (13.982, 7),
+    "curation_v3": (13.982, 7), "decon_span_scrub": (2.036, 7),
 }
 
 

@@ -1035,51 +1035,23 @@ def remove_repeated_lines(
     )
 
 
-def dup_span_windows(
+def _anchored_windows(
     df: DataFrame,
     text: str,
     id_col: str,
-    window: int = 32,
-    anchor_k: int = 8,
-    anchor_bits: int = 4,
-    min_docs: int = 2,
-    anchor_method: str = "md5",
+    window: int,
+    anchor_k: int,
+    anchor_bits: int,
+    anchor_method: str,
 ) -> DataFrame:
-    """Cross-document duplicated char-window spans with a deterministic
-    keeper: ``window``-char substrings starting at CONTENT-DEFINED
-    anchor positions whose md5 occurs in >= ``min_docs`` distinct
-    documents, one row per occurrence, tagged with the corpus-wide
-    keeper (the minimum ``id_col`` holding that window — that document
-    keeps its copy; every other occurrence is a removal candidate for
-    ``remove_dup_spans``).
+    """Content-defined anchored window rows
+    ``(id_col, span_start, span_end, wh)`` — the shared front half of
+    ``dup_span_windows`` (within-corpus) and ``remove_bench_spans``
+    (cross-corpus). See ``dup_span_windows`` for the anchoring model
+    and scale notes.
 
-    Anchoring is the load-bearing choice (winnowing / content-defined
-    chunking): a position ``i`` is an anchor iff the md5 of the
-    ``anchor_k``-char seed gram at ``i`` starts with ``anchor_bits``
-    zero bits (expected anchor density 2^-anchor_bits, i.e. one window
-    per ~16 chars at the default). Because the anchor rule looks only at
-    *content*, two occurrences of a duplicated passage anchor at the
-    SAME relative positions whatever their absolute offsets — a
-    fixed-stride sample (``char_window_dup_pairs``'s geometry) only
-    collides when the copies happen to align modulo the stride, which
-    pastes into different surrounding text almost never do.
-
-    Returns ``(id_col, span_start, span_end, wh, keeper)`` with 0-based
-    ``[span_start, span_end)`` char offsets.
-
-    Char-based (``substring``/``md5``) so offsets line up with the
-    rebuild step; md5 of a substring hashes its UTF-8 encoding on both
-    Spark and DuckDB, so the digests are cross-engine stable even for
-    non-ASCII text.
-
-    Scale: the per-position anchor test is one md5 over ``anchor_k``
-    chars — linear in corpus size, map-only, inside codegen; the shuffle
-    then carries (digest, id, start) — ~len·2^-anchor_bits rows per
-    document; the per-digest aggregate is two pure aggregates
-    (count_distinct, min), no member list, so a corpus-wide boilerplate
-    window costs one agg row, not a collected bucket; the join back is
-    keyed by digest with no row explosion (each occurrence matches
-    exactly one digest row).
+    Returns one row per anchored window occurrence, 0-based char
+    offsets ``[span_start, span_end)``, ``wh`` the window md5.
     """
     if anchor_bits % 4 != 0:
         raise ValueError(f"anchor_bits must be a multiple of 4 (hex-digit "
@@ -1123,7 +1095,7 @@ def dup_span_windows(
         win_structs(t, F.length(t)),
         lambda tb: win_structs(tb, F.octet_length(t)),
     )
-    wins = (
+    return (
         df.filter(F.length(t) >= window)
         .select(F.col(id_col), F.explode(structs).alias("w"))
         .select(
@@ -1133,6 +1105,56 @@ def dup_span_windows(
             F.col("w.wh").alias("wh"),
         )
     )
+
+
+def dup_span_windows(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int = 32,
+    anchor_k: int = 8,
+    anchor_bits: int = 4,
+    min_docs: int = 2,
+    anchor_method: str = "md5",
+) -> DataFrame:
+    """Cross-document duplicated char-window spans with a deterministic
+    keeper: ``window``-char substrings starting at CONTENT-DEFINED
+    anchor positions whose md5 occurs in >= ``min_docs`` distinct
+    documents, one row per occurrence, tagged with the corpus-wide
+    keeper (the minimum ``id_col`` holding that window — that document
+    keeps its copy; every other occurrence is a removal candidate for
+    ``remove_dup_spans``).
+
+    Anchoring is the load-bearing choice (winnowing / content-defined
+    chunking): a position ``i`` is an anchor iff the md5 of the
+    ``anchor_k``-char seed gram at ``i`` starts with ``anchor_bits``
+    zero bits (expected anchor density 2^-anchor_bits, i.e. one window
+    per ~16 chars at the default). Because the anchor rule looks only at
+    *content*, two occurrences of a duplicated passage anchor at the
+    SAME relative positions whatever their absolute offsets — a
+    fixed-stride sample (``char_window_dup_pairs``'s geometry) only
+    collides when the copies happen to align modulo the stride, which
+    pastes into different surrounding text almost never do.
+
+    Returns ``(id_col, span_start, span_end, wh, keeper)`` with 0-based
+    ``[span_start, span_end)`` char offsets.
+
+    Char-based (``substring``/``md5``) so offsets line up with the
+    rebuild step; md5 of a substring hashes its UTF-8 encoding on both
+    Spark and DuckDB, so the digests are cross-engine stable even for
+    non-ASCII text.
+
+    Scale: the per-position anchor test is one md5 over ``anchor_k``
+    chars — linear in corpus size, map-only, inside codegen
+    (byte-sliced via ascii_fast_grams); the shuffle then carries
+    (digest, id, start) — ~len·2^-anchor_bits rows per document; the
+    per-digest aggregate is two pure aggregates (count_distinct, min),
+    no member list, so a corpus-wide boilerplate window costs one agg
+    row, not a collected bucket; the join back is keyed by digest with
+    no row explosion (each occurrence matches exactly one digest row).
+    """
+    wins = _anchored_windows(df, text, id_col, window, anchor_k,
+                             anchor_bits, anchor_method)
     dups = (
         wins.groupBy("wh")
         .agg(
@@ -1184,8 +1206,25 @@ def remove_dup_spans(
     """
     spans = dup_span_windows(df, text, id_col, window, anchor_k,
                              anchor_bits, min_docs, anchor_method)
+    return _remove_spans(
+        df, spans.filter(F.col(id_col) != F.col("keeper")), text, id_col)
+
+
+def _remove_spans(df: DataFrame, spans: DataFrame, text: str,
+                  id_col: str) -> DataFrame:
+    """Shared back half of the span-removal family: given removal rows
+    ``(id_col, span_start, span_end)``, merge overlaps and rebuild each
+    document's complement. One doc-keyed aggregation collects each
+    document's own spans (bounded per-document state), then the
+    overlap-merge + complement-rebuild run as codegen'd array folds —
+    no window function, no global sort, no Python.
+
+    Returns ``(id_col, text, n_spans_removed, n_chars_removed)`` — one
+    row per ``df`` document; documents with no spans come back verbatim
+    with zero counts.
+    """
     per_doc = (
-        spans.filter(F.col(id_col) != F.col("keeper"))
+        spans
         .groupBy(id_col)
         .agg(
             F.sort_array(
@@ -1195,7 +1234,6 @@ def remove_dup_spans(
     )
     # fold 1: union overlapping/adjacent sampled windows into maximal
     # removal spans (sorted input -> compare against the last merged)
-    last = F.element_at(F.col("acc"), -1)
     merged = F.aggregate(
         F.col("__sp"),
         F.array().cast("array<struct<span_start:int,span_end:int>>"),
@@ -1239,7 +1277,7 @@ def remove_dup_spans(
         F.lit(0),
         lambda acc, sp: acc + (sp["span_end"] - sp["span_start"]),
     )
-    out = (
+    return (
         df.join(per_doc, id_col, "left")
         .withColumn("__merged", merged)
         .select(
@@ -1255,4 +1293,51 @@ def remove_dup_spans(
             .alias("n_chars_removed"),
         )
     )
-    return out
+
+
+def remove_bench_spans(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text: str,
+    id_col: str,
+    bench_text: str | None = None,
+    window: int = 32,
+    anchor_k: int = 8,
+    anchor_bits: int = 4,
+    anchor_method: str = "md5",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Span-level decontamination — the cross-corpus sibling of
+    ``remove_dup_spans`` (Lee et al. 2022 applied to eval hygiene): cut
+    every anchored window whose content also appears in the held-out
+    benchmark set OUT of the corpus document, keeping the rest. Dropping
+    whole documents for one shared paragraph over-deletes (the
+    ``fuzzy_decon_pairs`` / ``benchmark_ngram_overlap`` drop posture);
+    keeping them under-deletes; this removes exactly the contaminated
+    passages. The benchmark side is by definition the keeper — run this
+    on the corpus side only.
+
+    Returns ``(id_col, text, n_spans_removed, n_chars_removed)``.
+
+    Scale: both sides anchor with the same content-defined rule
+    (``_anchored_windows`` — no keeper aggregate needed on either
+    side); the bench side reduces to its DISTINCT window digests —
+    benchmark suites are small, so the digest set broadcasts into a
+    map-side semi join (``broadcast_bench=False`` for an unusually
+    large one lets AQE plan it shuffled); then the shared merge+rebuild
+    folds. The corpus is scanned once.
+    """
+    wins = _anchored_windows(df, text, id_col, window, anchor_k,
+                             anchor_bits, anchor_method)
+    if bench_text is None:
+        bench_text = text
+    bench_id = bench_df.columns[0]
+    bwins = _anchored_windows(
+        bench_df, bench_text, bench_id,
+        window, anchor_k, anchor_bits, anchor_method,
+    ).select("wh").distinct()
+    if broadcast_bench:
+        bwins = F.broadcast(bwins)
+    hits = wins.join(bwins, "wh", "left_semi").select(
+        id_col, "span_start", "span_end")
+    return _remove_spans(df, hits, text, id_col)

@@ -372,11 +372,92 @@ FROM cex
 """
 
 
+def decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/dedup.py::
+    remove_bench_spans): every anchored 32-char window of a corpus
+    document whose content also appears in the held-out benchmark split
+    (doc_id % 7) is cut out and the document reassembled — the
+    passage-granularity alternative to dropping whole contaminated
+    documents. Rebuilt text md5'd for the driver payload."""
+    from ncbi_analysis_spark.operators.dedup import remove_bench_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = remove_bench_spans(corpus, bench, "text", "doc_id", window=32)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_spans_removed",
+        "n_chars_removed",
+    )
+
+
+DECON_SPAN_SQL = r"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+           WHERE doc_id % 7 <> 0),
+b AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents
+      WHERE doc_id % 7 = 0),
+w AS (
+  SELECT doc_id, s::INT AS span_start, (s + 32)::INT AS span_end,
+         md5(substr(tx, (s + 1)::INT, 32)) AS wh
+  FROM (SELECT doc_id, tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM d)
+  WHERE substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) = '0'),
+bw AS (
+  SELECT DISTINCT md5(substr(tx, (s + 1)::INT, 32)) AS wh
+  FROM (SELECT tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM b)
+  WHERE substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) = '0'),
+rem AS (
+  SELECT w.doc_id, span_start, span_end FROM w SEMI JOIN bw USING (wh)),
+marked AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start <= MAX(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM rem),
+isl AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked),
+mspans AS (
+  SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+  FROM isl GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+         s AS ke
+  FROM mspans),
+reb AS (
+  SELECT segs.doc_id,
+         string_agg(substr(d.tx, ks + 1, ke - ks), '' ORDER BY ks) AS head
+  FROM segs JOIN d USING (doc_id) GROUP BY segs.doc_id),
+fin AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS n_chars, MAX(e) AS last_e
+  FROM mspans GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(CASE WHEN fin.doc_id IS NULL THEN d.tx
+                ELSE COALESCE(reb.head, '') || substr(d.tx, (fin.last_e + 1)::INT)
+           END) AS text_md5,
+       COALESCE(fin.n_spans, 0)::BIGINT AS n_spans_removed,
+       COALESCE(fin.n_chars, 0)::BIGINT AS n_chars_removed
+FROM d LEFT JOIN fin USING (doc_id) LEFT JOIN reb USING (doc_id)
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
         "quality_classifier": quality_classifier,
         "curation_v3": curation_v3,
+        "decon_span_scrub": decon_span_scrub,
     }
 
 
@@ -385,4 +466,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "dup_span_removal": DUP_SPAN_SQL,
         "quality_classifier": _qc_sql(),
         "curation_v3": _curation_v3_sql(),
+        "decon_span_scrub": DECON_SPAN_SQL,
     }

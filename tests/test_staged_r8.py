@@ -199,3 +199,97 @@ def test_dup_span_windows_xxhash64_fast_path(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="anchor_method"):
         dup_span_windows(df, "text", "doc_id", anchor_method="bogus")
+
+
+def test_remove_dup_spans_plan_shape(spark):
+    """No single-partition exchange anywhere in the span-removal plan —
+    every shuffle keys on the digest or the doc id — and the anchor
+    probe takes the byte-sliced branch on this ASCII corpus (the O(L^2)
+    substr trap would show as a plain substring chain on text)."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    plan = (
+        remove_dup_spans(d, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert "encode(" in plan.lower()  # ascii_fast_grams byte branch present
+
+
+def test_remove_bench_spans_semantics(spark):
+    """Contaminated passage cut from the corpus doc at any offset; the
+    corpus-only text survives; a benchmark-free doc is untouched; the
+    bench side itself is never emitted."""
+    from ncbi_analysis_spark.operators.dedup import remove_bench_spans
+
+    passage = ("question: what is the airspeed velocity of an unladen "
+               "swallow answer: an african or european one")
+    corpus_rows = [
+        (1, f"intro text before the leak {passage} and some trailing words"),
+        (2, "a perfectly clean document with nothing from the benchmark"),
+    ]
+    bench_rows = [(100, f"benchmark item {passage}")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_bench_spans(corpus, bench, "text", "doc_id",
+                              window=32).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_spans_removed"] >= 1
+    assert passage not in out[1]["text"]
+    assert out[1]["text"].startswith("intro text before the leak")
+    assert out[2]["text"] == corpus_rows[1][1]
+    assert out[2]["n_spans_removed"] == 0
+
+
+def test_remove_bench_spans_matches_python_model(spark):
+    """Cross-corpus model: windows anchored in BOTH corpora are removed
+    from the corpus side wherever they occur."""
+    import hashlib
+    import random as _random
+
+    rnd = _random.Random(17)
+    passages = ["the quick brown fox jumps over the lazy dog again and again",
+                "pack my box with five dozen liquor jugs before the dawn comes"]
+    corpus = []
+    for i in range(40):
+        parts = ["c%d%s" % (i, "y" * rnd.randrange(20))]
+        if rnd.random() < 0.6:
+            parts.append(rnd.choice(passages))
+        parts.append("tail%d" % i)
+        corpus.append((i, " ".join(parts)))
+    bench = [(100 + j, "bench wrapper %s end" % p) for j, p in enumerate(passages)]
+
+    window, k = 32, 8
+
+    def wins(t):
+        out = []
+        for s in range(max(len(t) - window + 1, 0)):
+            if hashlib.md5(t[s:s + k].encode()).hexdigest().startswith("0"):
+                out.append((s, t[s:s + window]))
+        return out
+
+    bset = {w for _, t in bench for _, w in wins(t)}
+    want = {}
+    for i, t in corpus:
+        spans = [(s, s + window) for s, w in wins(t) if w in bset]
+        merged = []
+        for s, e in sorted(spans):
+            if merged and merged[-1][1] >= s:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        pos, parts = 0, []
+        for s, e in merged:
+            parts.append(t[pos:s]); pos = e
+        parts.append(t[pos:])
+        want[i] = ("".join(parts), len(merged), sum(e - s for s, e in merged))
+
+    from ncbi_analysis_spark.operators.dedup import remove_bench_spans
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "bench_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+           for r in remove_bench_spans(cdf, bdf, "text", "doc_id",
+                                       window=window).collect()}
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())
