@@ -506,3 +506,77 @@ def fuzzy_decon_stream(
         F.arrays_overlap(keys, bench_lit)
     )
     return stream.filter(hit if keep == "flagged" else ~hit)
+
+
+def quality_score_stream(
+    stream: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text: str = "text",
+    n_buckets: int = 1024,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """Stateless streaming scoring for a trained quality classifier —
+    the streaming twin of ``operators.terms.quality_probability``: score
+    each in-flight document with its calibrated target probability so a
+    quality gate runs at ingest, before anything lands in the corpus.
+
+    The batch scorer aggregates (doc, bucket) rows, which a stream
+    cannot do without state; here the whole computation is per-row
+    Column expressions — tokenize, build the 1..``ngram_max`` hashed
+    n-gram features with ``_dsir_features``'s exact partial-shingle
+    semantics, look each bucket up in the weight table embedded as a
+    broadcast ARRAY literal (collected once from the batch-trained
+    ``weights`` DataFrame — the classifier's own bounded-vector
+    pattern), mean-pool, add the bias, sigmoid. Zero state store, zero
+    shuffle, works under any trigger.
+
+    Appends ``n_feats``, ``prob`` columns. NULL-text rows get NULL prob
+    (the batch scorer drops them; a stream must not drop rows silently —
+    filter ``prob IS NULL`` per policy downstream).
+
+    Exactness note: the per-row fold sums weight terms in FEATURE order
+    while the batch scorer folds per-bucket terms in bucket order, so
+    the two agree to float-sum rounding (~1e-12 relative), not
+    bit-exactly — fine for a gate threshold, not for an exact-match
+    oracle (the batch query remains the oracled form).
+    """
+    from ncbi_analysis_spark.functions.text import _hash32, tokens
+
+    w_rows = {r["bucket"]: r["w"] for r in weights.collect()}
+    arr = F.array(*[F.lit(float(w_rows.get(b, 0.0))) for b in range(n_buckets)])
+    t = F.col(text)
+    toks = tokens(t)
+
+    def grams_n(n: int):
+        full = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(toks, i + F.lit(j + 1)) for j in range(n)
+            ]),
+        )
+        partial = F.array(F.concat_ws(" ", toks))
+        return F.when(F.size(toks) >= n, full).otherwise(partial)
+
+    grams = grams_n(1)
+    for n in range(2, ngram_max + 1):
+        grams = F.concat(grams, grams_n(n))
+    terms = F.transform(
+        grams,
+        lambda g: F.element_at(
+            arr, (F.pmod(_hash32(g), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    n_feats = F.size(grams).cast("long")
+    logit = F.lit(float(bias)) + F.aggregate(
+        terms, F.lit(0.0), lambda acc, x: acc + x
+    ) / n_feats
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    # explicit NULL-out: concat_ws('') on a NULL token array would
+    # silently score NULL text as the empty document otherwise
+    null_t = t.isNull()
+    return stream.withColumn(
+        "n_feats", F.when(null_t, F.lit(None)).otherwise(n_feats)
+    ).withColumn(
+        "prob", F.when(null_t, F.lit(None)).otherwise(F.round(prob, 6))
+    )

@@ -401,3 +401,46 @@ def test_fuzzy_decon_stream_guards(spark, tmp_path):
         sev.fuzzy_decon_stream(stream, docs, "text", keep="bogus")
     with _pytest.raises(ValueError, match="max_bench_bands"):
         sev.fuzzy_decon_stream(stream, docs, "text", max_bench_bands=3)
+
+
+def test_quality_score_stream_matches_batch(spark, tmp_path):
+    """The per-row expression scorer must agree with the batch
+    aggregate scorer on every document (same n_feats exactly; probs to
+    float-sum rounding), and NULL text scores NULL instead of dropping
+    the row."""
+    from ncbi_analysis_spark.operators.terms import (
+        quality_classifier_weights,
+        quality_probability,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    params = dict(n_buckets=256, ngram_max=2)
+    w, bias = quality_classifier_weights(
+        docs.filter("lang = 'en'"), docs.filter("lang != 'en'"),
+        "text", "doc_id", **params)
+    want = {r["doc_id"]: (r["n_feats"], r["prob"]) for r in
+            quality_probability(docs, "text", "doc_id", w, bias,
+                                **params).collect()}
+
+    src = tmp_path / "q_src"; src.mkdir()
+    import glob as _glob
+    stage = str(tmp_path / "q_stage")
+    base = docs.select("doc_id", "text")
+    extra = spark.createDataFrame([(999999, None)], "doc_id long, text string")
+    base.unionByName(extra).coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "a.parquet")
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(str(src))
+    out = sev.quality_score_stream(stream, w, bias, "text", **params)
+    sev.run_to_memory(out.select("doc_id", "n_feats", "prob"), "t_qscore")
+    got = {r["doc_id"]: (r["n_feats"], r["prob"]) for r in
+           spark.table("t_qscore").collect()}
+    assert got.pop(999999) == (None, None)  # NULL text -> NULL, row kept
+    assert set(got) == set(want)
+    for k, (nf, p) in want.items():
+        assert got[k][0] == nf, k
+        assert abs(got[k][1] - p) <= 1e-6, (k, got[k][1], p)
+    # rounded-to-6 equality should hold for the overwhelming majority
+    same = sum(1 for k in want if got[k][1] == want[k][1])
+    assert same >= 0.99 * len(want)
