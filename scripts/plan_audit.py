@@ -82,14 +82,14 @@ def audit(
     round-trips, persisted-index builds) are skipped: their plan is the
     final read, not the pipeline, so a marker scan is meaningless."""
     from ncbi_analysis_spark.plans import driver_queries
-    from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
+    from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
             "ann_ivf_persisted"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r7()}
+    qs = {**driver_queries.queries(), **queries_r8()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
