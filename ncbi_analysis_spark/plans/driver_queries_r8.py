@@ -452,12 +452,158 @@ FROM d LEFT JOIN fin USING (doc_id) LEFT JOIN reb USING (doc_id)
 """
 
 
+_stream_q_seq = 0
+
+
+def stream_fuzzy_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy decontamination (streaming/events.py::
+    fuzzy_decon_stream) through the gate: the document corpus streamed
+    file-source style, band-colliding docs against the held-out %7
+    benchmark split emitted in keep='flagged' audit mode. The stateless
+    expression-form band hashes must reproduce the batch aggregate
+    form's digests exactly, so the oracle is the r7 fuzzy_decon SQL's
+    distinct corpus side (num_perm=4/bands=2, the oracle-parity
+    sizes)."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        fuzzy_decon_stream,
+        run_to_memory,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_fdecon_{_stream_q_seq}"
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_fdecon_")
+    try:
+        stage = f"{tmp}/stage"
+        corpus.coalesce(1).write.parquet(stage)
+        src = f"{tmp}/src"
+        import glob as _glob
+        import os as _os
+
+        _os.makedirs(src)
+        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
+                    f"{src}/docs.parquet")
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        out = fuzzy_decon_stream(stream, bench, "text",
+                                 num_perm=4, bands=2, keep="flagged")
+        run_to_memory(out.select("doc_id"), name, timeout_s=300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _stream_fuzzy_decon_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    return f"SELECT DISTINCT doc_id FROM ({_fuzzy_decon_sql()}) pairs"
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quality-gate scoring in-flight (streaming/events.py::
+    quality_score_stream) through the gate: the classifier trained in
+    batch (English-vs-rest, the quality_classifier query's model), every
+    streamed document scored statelessly per row. The oracle replays the
+    STREAM's own fold — terms in feature order (unigrams then bigrams,
+    document order), left-to-right list_reduce, weight lookups in an
+    ARRAY literal — so the doubles are bit-identical, not merely
+    close."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.terms import quality_classifier_weights
+    from ncbi_analysis_spark.streaming.events import (
+        quality_score_stream,
+        run_to_memory,
+    )
+
+    global _stream_q_seq
+    _stream_q_seq += 1
+    name = f"drv_stream_qgate_{_stream_q_seq}"
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, bias = quality_classifier_weights(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
+        "text", "doc_id", **_QC_PARAMS)
+    docs = d.select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_qgate_")
+    try:
+        stage = f"{tmp}/stage"
+        docs.coalesce(1).write.parquet(stage)
+        src = f"{tmp}/src"
+        import glob as _glob
+        import os as _os
+
+        _os.makedirs(src)
+        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
+                    f"{src}/docs.parquet")
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = quality_score_stream(stream, w, bias, "text", **_QC_PARAMS)
+        run_to_memory(out.select("doc_id", "n_feats", "prob"), name,
+                      timeout_s=300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _stream_quality_gate_sql() -> str:
+    """Stream-fold mirror: the weight ARRAY literal indexed per gram
+    occurrence, folded left-to-right in the stream's own feature order."""
+    from ncbi_analysis_spark.operators.terms import quality_classifier_local
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _dlit,
+        _oracle_sf_dir,
+    )
+
+    W, bias = quality_classifier_local(
+        f"{_oracle_sf_dir()}/documents.parquet",
+        target_pred=lambda r: r["lang"] == "en",
+        **_QC_PARAMS,
+    )
+    warr = ", ".join(_dlit(w) for _, w in W)
+    B = _QC_PARAMS["n_buckets"]
+    blit = _dlit(bias)
+    return rf"""
+WITH tk AS (SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t
+            FROM documents),
+g AS (
+  SELECT doc_id,
+         t || (CASE WHEN len(t) >= 2
+               THEN list_transform(range(len(t) - 1),
+                    i -> array_to_string(t[i+1:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS grams
+  FROM tk),
+warr AS (SELECT [{warr}]::DOUBLE[] AS w),
+scored AS (
+  SELECT doc_id, len(grams)::BIGINT AS n_feats,
+         ({blit}) + list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list_transform(grams,
+               x -> w[(('0x' || substr(md5(x), 1, 8))::BIGINT % {B} + 1)::INT])),
+           (a, b) -> a + b) / len(grams) AS logit
+  FROM g, warr)
+SELECT doc_id, n_feats,
+       ROUND(1.0 / (1.0 + exp(-logit)), 6) AS prob
+FROM scored
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
         "quality_classifier": quality_classifier,
         "curation_v3": curation_v3,
         "decon_span_scrub": decon_span_scrub,
+        "stream_fuzzy_decon": stream_fuzzy_decon,
+        "stream_quality_gate": stream_quality_gate,
     }
 
 
@@ -467,4 +613,6 @@ def oracle_sql_r8() -> dict[str, str]:
         "quality_classifier": _qc_sql(),
         "curation_v3": _curation_v3_sql(),
         "decon_span_scrub": DECON_SPAN_SQL,
+        "stream_fuzzy_decon": _stream_fuzzy_decon_sql(),
+        "stream_quality_gate": _stream_quality_gate_sql(),
     }
