@@ -322,6 +322,10 @@ BASELINE = {
     # box (same session as BENCH_LOCAL_r07_clean.json)
     "dup_span_removal": (3.094, 7), "quality_classifier": (5.772, 7),
     "curation_v3": (13.982, 7), "decon_span_scrub": (2.036, 7),
+    # streaming gate twins, seeded at standalone min-of-3 after the
+    # many-file source staging fix (one task per file; a coalesce(1)
+    # stage serialized the interpreted HOF row work onto one core)
+    "stream_fuzzy_decon": (4.12, 7), "stream_quality_gate": (5.588, 7),
 }
 
 

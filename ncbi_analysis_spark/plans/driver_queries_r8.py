@@ -484,14 +484,20 @@ def stream_fuzzy_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_fdecon_")
     try:
         stage = f"{tmp}/stage"
-        corpus.coalesce(1).write.parquet(stage)
+        # stage as MANY files: the file source assigns one task per
+        # file, and the per-row HOF expressions are interpreted (no
+        # codegen for lambdas) — a coalesce(1) stage serializes the
+        # whole microbatch onto one core (measured 22s -> 3s at sf0.1);
+        # a post-source repartition can't fix it because the filter is
+        # pushed below the exchange
+        corpus.repartition(16).write.parquet(stage)
         src = f"{tmp}/src"
         import glob as _glob
         import os as _os
 
         _os.makedirs(src)
-        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
-                    f"{src}/docs.parquet")
+        for _i, _p in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.copy(_p, f"{src}/docs{_i}.parquet")
         stream = spark.readStream.schema(corpus.schema).parquet(src)
         out = fuzzy_decon_stream(stream, bench, "text",
                                  num_perm=4, bands=2, keep="flagged")
@@ -537,14 +543,16 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_qgate_")
     try:
         stage = f"{tmp}/stage"
-        docs.coalesce(1).write.parquet(stage)
+        # many-file staging for per-file task parallelism (see
+        # stream_fuzzy_decon's note)
+        docs.repartition(16).write.parquet(stage)
         src = f"{tmp}/src"
         import glob as _glob
         import os as _os
 
         _os.makedirs(src)
-        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
-                    f"{src}/docs.parquet")
+        for _i, _p in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.copy(_p, f"{src}/docs{_i}.parquet")
         stream = spark.readStream.schema(docs.schema).parquet(src)
         out = quality_score_stream(stream, w, bias, "text", **_QC_PARAMS)
         run_to_memory(out.select("doc_id", "n_feats", "prob"), name,

@@ -495,7 +495,12 @@ def fuzzy_decon_stream(
             "this large belongs in a Bloom filter (build_ngram_bloom) or "
             "the batch fuzzy_decon_pairs path"
         )
-    bench_lit = F.array(*[F.lit(k) for k in sorted(bench_keys)])
+    # ONE array Literal node, never F.array(*[F.lit(k) ...]): a
+    # CreateArray with 200k children makes every Catalyst rule walk
+    # 200k nodes per pass (measured 24s/microbatch at 1.4k keys vs
+    # ~1s as a single literal)
+    bench_lit = (F.lit(sorted(bench_keys)) if bench_keys
+                 else F.lit([]).cast("array<string>"))
     t = F.col(text)
     sig = minhash_signature(t, num_perm, shingle_n)
     keys = F.transform(
@@ -544,7 +549,9 @@ def quality_score_stream(
     from ncbi_analysis_spark.functions.text import _hash32, tokens
 
     w_rows = {r["bucket"]: r["w"] for r in weights.collect()}
-    arr = F.array(*[F.lit(float(w_rows.get(b, 0.0))) for b in range(n_buckets)])
+    # single array Literal, not CreateArray-of-1024-children (see
+    # fuzzy_decon_stream's bench_lit note) — same doubles, same fold
+    arr = F.lit([float(w_rows.get(b, 0.0)) for b in range(n_buckets)])
     t = F.col(text)
     toks = tokens(t)
 
