@@ -480,7 +480,7 @@ def embedding_dup_pairs(
 
         sign_cols = []
         for p in range(bucket_planes):
-            pv = F.array(*[F.lit(x) for x in plane(p)])
+            pv = F.lit(plane(p))  # one Literal, not dim CreateArray children
             s = F.aggregate(
                 F.zip_with(F.col("v"), pv, lambda x, y: x.cast("double") * y),
                 F.lit(0.0), lambda acc, x: acc + x,

@@ -177,11 +177,13 @@ def ivf_assign(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    cent_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in r[vec]]) for r in rows
-    ])
-    norm_arr = F.array(*[F.lit(_norm(r[vec])) for r in rows])
-    ids_arr = F.array(*[F.lit(int(r[c_id])).cast("long") for r in rows])
+    # single Literal nodes, not CreateArray-of-k*d-children: every
+    # Catalyst rule pass walks each child, so hundreds of literal
+    # children add seconds of planning per query (same doubles either
+    # way — the oracle fold is unchanged)
+    cent_arr = F.lit([[float(x) for x in r[vec]] for r in rows])
+    norm_arr = F.lit([_norm(r[vec]) for r in rows])
+    ids_arr = F.lit([int(r[c_id]) for r in rows]).cast("array<long>")
     cvd = F.transform(F.col("__cv"), lambda x: x.cast("double"))
     sims = F.zip_with(
         cent_arr, norm_arr,
@@ -586,7 +588,7 @@ def project_embeddings(
             F.aggregate(
                 F.zip_with(
                     F.transform(F.col(vec), lambda x: x.cast("double")),
-                    F.array(*[F.lit(float(R[t][j])) for t in range(d_in)]),
+                    F.lit([float(R[t][j]) for t in range(d_in)]),
                     lambda x, r: x * r,
                 ),
                 F.lit(0.0),
