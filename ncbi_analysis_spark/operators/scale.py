@@ -258,6 +258,7 @@ def temperature_quotas(
     total: int,
     alpha: float = 0.5,
     max_groups: int = 100_000,
+    cap_at_group_size: bool = True,
 ) -> DataFrame:
     """Temperature-based mixture allocation (the multilingual sampling
     rule of XLM-R/mT5: sample group g with probability ∝ c_g^α, α < 1
@@ -271,6 +272,14 @@ def temperature_quotas(
     (bounded by the capped groups' deficit — re-run on the shortfall if
     exact totals matter under binding caps). Feed the result to
     ``apply_quotas`` to materialize the mixture.
+
+    ``cap_at_group_size=False`` drops the per-group ceiling: quotas are
+    the pure ∝ c_g^α apportionment and may EXCEED a group's row count —
+    the sampling-with-replacement target of the mT5 rule, where a
+    low-resource group is seen for multiple epochs. Quotas then sum to
+    exactly ``total`` unconditionally (every group can absorb its +1
+    top-up seat). Feed the result to ``epoch_materialize`` instead of
+    ``apply_quotas`` to materialize repeats.
 
     Exactness: α ∈ {1, 0.5, 0.25} uses sqrt chains (IEEE sqrt is
     correctly rounded on every engine, so the weights — and therefore
@@ -339,8 +348,10 @@ def temperature_quotas(
         lambda acc, s: acc + s["__w"],
     )
     g = g.withColumn("__share", F.col("__w") / tot_w * F.lit(float(total)))
+    floor_raw = F.floor("__share").cast("long")
     g = g.withColumn(
-        "__floor", F.least(F.floor("__share").cast("long"), F.col("n_rows"))
+        "__floor",
+        F.least(floor_raw, F.col("n_rows")) if cap_at_group_size else floor_raw,
     )
     # largest-remainder top-up: hand the leftover seats to the groups
     # with the biggest fractional part (capped groups excluded), ties by
@@ -352,19 +363,22 @@ def temperature_quotas(
         lambda acc, s: acc + s["__floor"],
     )
     g = g.withColumn("__left", F.lit(total) - spent)
-    rk = Window.orderBy(
-        F.when(F.col("__floor") >= F.col("n_rows"), F.lit(-1.0)).otherwise(F.col("__frac")).desc(),
-        *group_cols,
-    )
+    if cap_at_group_size:
+        rk = Window.orderBy(
+            F.when(F.col("__floor") >= F.col("n_rows"), F.lit(-1.0)).otherwise(F.col("__frac")).desc(),
+            *group_cols,
+        )
+        bump_ok = (F.col("__rk") <= F.col("__left")) & (F.col("__floor") < F.col("n_rows"))
+    else:
+        rk = Window.orderBy(F.col("__frac").desc(), *group_cols)
+        bump_ok = F.col("__rk") <= F.col("__left")
     g = g.withColumn("__rk", F.row_number().over(rk))
-    quota = F.least(
+    quota = (
         F.col("__floor")
-        + F.when(
-            (F.col("__rk") <= F.col("__left")) & (F.col("__floor") < F.col("n_rows")),
-            F.lit(1),
-        ).otherwise(F.lit(0)).cast("long"),
-        F.col("n_rows"),
+        + F.when(bump_ok, F.lit(1)).otherwise(F.lit(0)).cast("long")
     )
+    if cap_at_group_size:
+        quota = F.least(quota, F.col("n_rows"))
     return g.select(*group_cols, "n_rows", quota.alias("quota"))
 
 
@@ -389,4 +403,82 @@ def apply_quotas(
         .withColumn("__qrk", _md5_keep_rank(group_cols, id_col, salt))
         .filter(F.col("__qrk") <= F.col(quota_col))
         .drop("__qrk", quota_col)
+    )
+
+
+def epoch_materialize(
+    df: DataFrame,
+    targets: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    target_col: str = "quota",
+    salt: str = "quota",
+    max_epochs: int = 1_000,
+) -> DataFrame:
+    """Materialize per-group row targets that may EXCEED the group's row
+    count — the sampling-with-replacement half of mixture construction
+    (``apply_quotas`` is the without-replacement half): each group's
+    rows are emitted ``floor(target/n)`` times, and the first
+    ``target % n`` rows in md5(id) order once more, with an ``epoch``
+    column (1-based repeat index). Exactly ``target`` output rows per
+    group; a target below ``n`` degenerates to ``apply_quotas``'s
+    keep-set with ``epoch = 1`` — same ``_md5_keep_rank`` order, so the
+    two materializers can never diverge on which rows survive.
+
+    Deterministic under any cluster layout: the repeat count per row
+    depends only on (target, group size, md5 rank). Downstream shard
+    assignment should hash (id, epoch) so repeats of a document spread
+    across shards (``deterministic_shuffle``'s salt argument).
+
+    Scale: one broadcast join (targets is vocabulary-sized), ONE shuffle
+    on the group key shared by the size and rank windows, and a map-side
+    explode. The blow-up factor is explicit: ``max_epochs`` fails loudly
+    in-plan when any group would repeat more than that (a mis-set total
+    on a tiny group is a corpus-sized output bug, not a warning).
+    ``target``/``n`` enter double division for the per-row repeat count
+    — exact below 2^53, far past any real row target.
+    """
+    from pyspark.sql import Window
+
+    t = F.broadcast(targets.select(*group_cols, target_col))
+    # window results land in their own projections (__n, __erk) first —
+    # a window expression inside the explode projection is unresolvable
+    n = F.col("__n")
+    base = F.floor(F.col(target_col) / n).cast("long")
+    extra = F.pmod(F.col(target_col), n).cast("long")
+    epochs = base + F.when(
+        F.col("__erk") <= extra, F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    guarded = F.when(
+        F.assert_true(
+            epochs <= F.lit(max_epochs),
+            F.concat(
+                F.lit(
+                    f"epoch_materialize: a group's target implies more than "
+                    f"max_epochs={max_epochs} repeats for {group_cols} — "
+                    "check the mixture total, or raise max_epochs "
+                    "explicitly (got "
+                ),
+                epochs.cast("string"),
+                F.lit(" epochs)"),
+            ),
+        ).isNull(),
+        epochs,
+    )
+    return (
+        df.join(t, group_cols)
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        )
+        .withColumn("__erk", _md5_keep_rank(group_cols, id_col, salt))
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    guarded >= 1,
+                    F.sequence(F.lit(1).cast("long"), guarded),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop("__n", "__erk", target_col)
     )

@@ -604,6 +604,62 @@ FROM scored
 """
 
 
+def epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-with-replacement mixture materialization
+    (operators/scale.py::temperature_quotas(cap_at_group_size=False) +
+    epoch_materialize): the mT5 temperature rule with a total ABOVE the
+    corpus size, so low-resource languages repeat for multiple epochs —
+    each document emitted floor(target/n) times plus one more for the
+    first target%n docs in md5 order, with a 1-based ``epoch`` index.
+    The oracle re-derives the uncapped apportionment and the repeat
+    explode relationally (generate_series)."""
+    from ncbi_analysis_spark.operators.scale import (
+        epoch_materialize,
+        temperature_quotas,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = temperature_quotas(
+        d, ["lang"], total=12000, alpha=0.5, cap_at_group_size=False
+    )
+    return epoch_materialize(d, q, ["lang"], "doc_id").select(
+        "doc_id", "lang", "epoch"
+    )
+
+
+EPOCH_MIXTURE_SQL = """
+WITH g AS (SELECT lang, COUNT(*)::BIGINT AS n_rows FROM documents GROUP BY lang),
+w AS (SELECT lang, n_rows, sqrt(n_rows::DOUBLE) AS wv FROM g),
+tot AS (SELECT list_reduce(
+          list_prepend(0.0::DOUBLE,
+            list_transform(list_sort(list({'l': lang, 'w': wv})), s -> s.w)),
+          (a, b) -> a + b) AS tw FROM w),
+s AS (SELECT lang, n_rows, wv / tw * 12000.0 AS share FROM w, tot),
+f AS (SELECT lang, n_rows, share, FLOOR(share)::BIGINT AS fl FROM s),
+sp AS (SELECT list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(list_sort(list({'l': lang, 'f': fl})), s -> s.f)),
+         (a, b) -> a + b) AS spent FROM f),
+r AS (SELECT lang, n_rows, fl,
+             ROW_NUMBER() OVER (ORDER BY share - fl DESC, lang) AS rk,
+             12000 - sp.spent AS leftn
+      FROM f, sp),
+qt AS (SELECT lang, n_rows,
+              (fl + CASE WHEN rk <= leftn THEN 1 ELSE 0 END)::BIGINT AS quota
+       FROM r),
+rk2 AS (SELECT d.doc_id, d.lang, qt.quota, qt.n_rows,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                 ORDER BY md5('quota|' || d.doc_id::VARCHAR), d.doc_id) AS erk
+        FROM documents d JOIN qt USING (lang)),
+ep AS (SELECT doc_id, lang,
+              (FLOOR(quota::DOUBLE / n_rows::DOUBLE)::BIGINT
+               + CASE WHEN erk <= quota % n_rows THEN 1 ELSE 0 END) AS n_ep
+       FROM rk2)
+SELECT doc_id, lang, UNNEST(range(1, n_ep + 1))::BIGINT AS epoch
+FROM ep
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -612,6 +668,7 @@ def queries_r8() -> dict:
         "decon_span_scrub": decon_span_scrub,
         "stream_fuzzy_decon": stream_fuzzy_decon,
         "stream_quality_gate": stream_quality_gate,
+        "epoch_mixture": epoch_mixture,
     }
 
 
@@ -623,4 +680,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "decon_span_scrub": DECON_SPAN_SQL,
         "stream_fuzzy_decon": _stream_fuzzy_decon_sql(),
         "stream_quality_gate": _stream_quality_gate_sql(),
+        "epoch_mixture": EPOCH_MIXTURE_SQL,
     }

@@ -274,3 +274,91 @@ def test_temperature_quotas_max_groups_guard(spark):
         temperature_quotas(df, ["g"], total=10, max_groups=30).collect()
     # at or under the ceiling the allocation proceeds unchanged
     assert temperature_quotas(df, ["g"], total=10, max_groups=40).count() == 40
+
+
+def test_temperature_quotas_uncapped_sums_to_total(spark):
+    """cap_at_group_size=False: pure ∝ c^α apportionment — quotas sum to
+    exactly the total and CAN exceed a group's row count (the
+    sampling-with-replacement target)."""
+    from ncbi_analysis_spark.operators.scale import temperature_quotas
+
+    rows = [("a", i) for i in range(4)] + [("b", i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    got = {r["g"]: r["quota"] for r in
+           temperature_quotas(df, ["g"], total=50, alpha=1.0,
+                              cap_at_group_size=False).collect()}
+    assert sum(got.values()) == 50
+    # uncapped default behaviour unchanged: the capped variant still
+    # never exceeds group size on the same input
+    capped = {r["g"]: r["quota"] for r in
+              temperature_quotas(df, ["g"], total=200, alpha=1.0).collect()}
+    assert capped["a"] <= 4
+    un = {r["g"]: r["quota"] for r in
+          temperature_quotas(df, ["g"], total=200, alpha=0.5,
+                             cap_at_group_size=False).collect()}
+    assert sum(un.values()) == 200 and un["a"] > 4  # a repeats
+
+
+def test_epoch_materialize_counts_and_epochs(spark):
+    """Each group emits exactly `target` rows: every row floor(target/n)
+    times, the first target%n rows (md5 order) once more; epoch is the
+    1-based repeat index."""
+    from ncbi_analysis_spark.operators.scale import epoch_materialize
+
+    rows = [("en", i) for i in range(10)] + [("sw", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    t = spark.createDataFrame([("en", 7), ("sw", 11)], ["lang", "quota"])
+    out = epoch_materialize(df, t, ["lang"], "doc_id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["epoch"]))
+    # en: target < n -> 7 distinct docs, all epoch 1
+    assert len(by_lang["en"]) == 7
+    assert all(e == 1 for _, e in by_lang["en"])
+    # sw: 11 = 2*4 + 3 -> every doc twice, three docs a third time
+    assert len(by_lang["sw"]) == 11
+    per_doc = {}
+    for d, e in by_lang["sw"]:
+        per_doc.setdefault(d, []).append(e)
+    counts = sorted(len(v) for v in per_doc.values())
+    assert counts == [2, 3, 3, 3]
+    for d, es in per_doc.items():
+        assert sorted(es) == list(range(1, len(es) + 1))
+    # layout invariance
+    re_out = epoch_materialize(df.repartition(7), t, ["lang"], "doc_id").collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == \
+        sorted((r["doc_id"], r["epoch"]) for r in re_out)
+
+
+def test_epoch_materialize_degenerates_to_apply_quotas(spark):
+    """target <= n must keep exactly apply_quotas' keep-set (shared
+    _md5_keep_rank order) with epoch=1 — the two materializers can never
+    diverge on which rows survive."""
+    from ncbi_analysis_spark.operators.scale import (
+        apply_quotas,
+        epoch_materialize,
+    )
+
+    rows = [("en", i) for i in range(20)] + [("de", 100 + i) for i in range(9)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    q = spark.createDataFrame([("en", 5), ("de", 9)], ["lang", "quota"])
+    keep = {r["doc_id"] for r in apply_quotas(df, q, ["lang"], "doc_id").collect()}
+    ep = {r["doc_id"]: r["epoch"]
+          for r in epoch_materialize(df, q, ["lang"], "doc_id").collect()}
+    assert set(ep) == keep and set(ep.values()) == {1}
+
+
+def test_epoch_materialize_max_epochs_guard(spark):
+    """A target implying more repeats than max_epochs must fail loudly
+    in-plan — a mis-set mixture total on a tiny group is a corpus-sized
+    output bug, not a warning."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.scale import epoch_materialize
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], ["g", "doc_id"])
+    t = spark.createDataFrame([("a", 500)], ["g", "quota"])
+    with pytest.raises(Exception, match="max_epochs"):
+        epoch_materialize(df, t, ["g"], "doc_id", max_epochs=100).collect()
+    assert epoch_materialize(df, t, ["g"], "doc_id",
+                             max_epochs=250).count() == 500
