@@ -326,7 +326,7 @@ BASELINE = {
     # many-file source staging fix (one task per file; a coalesce(1)
     # stage serialized the interpreted HOF row work onto one core)
     "stream_fuzzy_decon": (4.12, 7), "stream_quality_gate": (5.588, 7),
-    "epoch_mixture": (1.389, 7),
+    "epoch_mixture": (1.389, 7), "rag_retrieval": (2.575, 7),
 }
 
 

@@ -660,6 +660,75 @@ FROM ep
 """
 
 
+def rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-ANN retrieval — the RAG serving shape: a metadata
+    PRE-filter (lang + length over the documents table) restricts the
+    searchable corpus BEFORE the IVF bucket prune, so top-k is computed
+    over eligible rows only (pre-filter semantics: k survivors
+    guaranteed eligible, unlike post-filtering a larger top-k), and the
+    hits come back joined to their document metadata. Composition of
+    individually-oracled pieces: broadcast dimension filter +
+    similarity_search.ivf_topk + a return-metadata join."""
+    from ncbi_analysis_spark.operators.similarity_search import ivf_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eligible = d.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select(F.col("doc_id").alias("vec_id"), "source")
+    corpus = e.join(F.broadcast(eligible.select("vec_id")), "vec_id")
+    q = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    out = ivf_topk(corpus, q, cents, k=5, nprobe=2)
+    return (
+        out.withColumn("rk", F.col("rk").cast("long"))
+        .join(F.broadcast(eligible), "vec_id")
+        .select("q_id", "vec_id", "cos_sim", "rk", "source")
+    )
+
+
+def _rag_retrieval_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _DOT, _cos_sql
+
+    return f"""
+WITH elig AS (SELECT doc_id AS vec_id, source FROM documents
+              WHERE lang = 'en' AND n_chars >= 200),
+cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT e.vec_id, e.embedding AS v
+           FROM embeddings e JOIN elig USING (vec_id)),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+assign0 AS (
+  SELECT c.vec_id, c.v, ct.c_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn FROM assign0
+) WHERE rn = 1),
+probe0 AS (
+  SELECT q.q_id, q.qv, ct.c_id, {_cos_sql('q.qv', 'ct.cv')} AS sim
+  FROM q CROSS JOIN cent ct
+),
+probes AS (SELECT q_id, qv, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM probe0
+) WHERE rn <= 2),
+scored AS (
+  SELECT p.q_id, a.vec_id, ROUND({_cos_sql('p.qv', 'a.v')}, 6) AS cos_sim
+  FROM probes p JOIN assign a USING (c_id)
+)
+SELECT q_id, vec_id, cos_sim, rk, source FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)::BIGINT AS rk
+  FROM scored
+) r JOIN elig USING (vec_id) WHERE rk <= 5
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -669,6 +738,7 @@ def queries_r8() -> dict:
         "stream_fuzzy_decon": stream_fuzzy_decon,
         "stream_quality_gate": stream_quality_gate,
         "epoch_mixture": epoch_mixture,
+        "rag_retrieval": rag_retrieval,
     }
 
 
@@ -681,4 +751,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "stream_fuzzy_decon": _stream_fuzzy_decon_sql(),
         "stream_quality_gate": _stream_quality_gate_sql(),
         "epoch_mixture": EPOCH_MIXTURE_SQL,
+        "rag_retrieval": _rag_retrieval_sql(),
     }
