@@ -482,3 +482,96 @@ def epoch_materialize(
         )
         .drop("__n", "__erk", target_col)
     )
+
+
+def quantile_threshold(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Exact discrete corpus ``q``-quantile of a score column as a
+    single-row DataFrame ``(threshold)`` — the value at row
+    ``ceil(q * n)`` of the sorted score distribution (corpus_profile's
+    integer-index convention: no interpolation floats, so the oracle is
+    bit-exact).
+
+    Scale: the heavy work is a distributed count-per-DISTINCT-score
+    aggregation (map-side combined); only the distinct-score table —
+    bounded for any sanely rounded score (round to 6 decimals ->
+    <= 2e6 values in [0, 1], usually far fewer) — flows into the
+    single-partition cumulative scan, guarded by ``max_distinct`` with
+    a loud in-plan failure (the ``temperature_quotas`` pattern). An
+    unrounded continuous score makes the distinct table corpus-sized;
+    round first, or use ``F.approx_percentile`` where a ulp-exact
+    threshold doesn't matter.
+
+    If ``q * n`` lands past the last row (q=1 exactly) the threshold is
+    the maximum score.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"quantile_threshold: q must be in (0, 1], got {q}")
+    counts = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        counts.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .withColumn("__nd", F.count(F.lit(1)).over(wall))
+    )
+    guarded_cum = F.when(
+        F.assert_true(
+            F.col("__nd") <= F.lit(max_distinct),
+            F.concat(
+                F.lit(
+                    f"quantile_threshold: more than max_distinct="
+                    f"{max_distinct} distinct {score_col} values — the "
+                    "cumulative scan runs single-partition; round the "
+                    "score or raise max_distinct explicitly (got "
+                ),
+                F.col("__nd").cast("string"),
+                F.lit(" distinct values)"),
+            ),
+        ).isNull(),
+        F.col("__cum"),
+    )
+    target = F.ceil(F.col("__n").cast("double") * F.lit(float(q)))
+    return (
+        cum.filter(guarded_cum >= target)
+        .agg(F.min(score_col).alias("threshold"))
+    )
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    keep: str = "at_or_above",
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-wide quantile gate: keep the rows whose score is at or
+    above (default) — or strictly below — the exact discrete
+    ``q``-quantile of ``score_col``. The "keep the top (1-q) of the
+    corpus by quality score" curation primitive; ties at the threshold
+    all survive (deterministic, layout-independent — no tie-broken rank
+    order to disagree about across engines).
+
+    One aggregation to find the threshold (``quantile_threshold``) plus
+    one broadcast of the single-row result into a map-side filter — the
+    corpus is never shuffled.
+    """
+    if keep not in ("at_or_above", "below"):
+        raise ValueError(
+            f"keep must be 'at_or_above' or 'below', got {keep!r}"
+        )
+    thr = quantile_threshold(df, score_col, q, max_distinct)
+    cond = (
+        F.col(score_col) >= F.col("threshold")
+        if keep == "at_or_above"
+        else F.col(score_col) < F.col("threshold")
+    )
+    return df.join(F.broadcast(thr), how="cross").filter(cond).drop("threshold")

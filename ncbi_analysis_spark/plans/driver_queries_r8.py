@@ -729,6 +729,55 @@ SELECT q_id, vec_id, cos_sim, rk, source FROM (
 """
 
 
+def quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide quantile quality gate (operators/scale.py::
+    filter_by_quantile): keep the documents scoring at or above the
+    exact discrete p75 of the composite quality score — "keep the top
+    quarter of the corpus by quality", the percentile-thresholded
+    filtering step of a curation stack. Threshold = value at row
+    ceil(0.75*n) of the sorted score distribution (corpus_profile's
+    integer-index convention, no interpolation floats); ties at the
+    threshold all survive. The oracle re-derives the distinct-score
+    cumulative scan relationally."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators.scale import filter_by_quantile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        F.round(
+            textf.quality_score(t, textf.tokens(F.lower(t))), 6
+        ).alias("quality"),
+    )
+    return filter_by_quantile(scored, "quality", q=0.75)
+
+
+def _quality_quantile_sql() -> str:
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.plans.driver_queries import _LTOKS, _TOKS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in textf.EN_STOPWORDS) + "]"
+    alpha = ("(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+             "LENGTH(regexp_replace(LOWER(text), '[^a-z ]', '', 'g')) / LENGTH(text) END)")
+    stopr = (f"(CASE WHEN len({_LTOKS}) = 0 THEN 0.0 ELSE "
+             f"len(list_filter({_LTOKS}, t -> list_contains({stop}, t))) / len({_LTOKS}) END)")
+    tokc = f"(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    quality = (f"(0.4 * LEAST(1.0, {tokc}::DOUBLE / 64.0) + 0.3 * {alpha} "
+               f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
+    return rf"""
+WITH s AS (SELECT doc_id, ROUND({quality}, 6) AS quality FROM documents),
+c AS (SELECT quality, COUNT(*)::BIGINT AS cnt FROM s GROUP BY quality),
+cc AS (SELECT quality,
+              SUM(cnt) OVER (ORDER BY quality
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(cnt) OVER () AS n
+       FROM c),
+thr AS (SELECT MIN(quality) AS t FROM cc WHERE cum >= CEIL(n::DOUBLE * 0.75))
+SELECT doc_id, quality FROM s, thr WHERE quality >= t
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -739,6 +788,7 @@ def queries_r8() -> dict:
         "stream_quality_gate": stream_quality_gate,
         "epoch_mixture": epoch_mixture,
         "rag_retrieval": rag_retrieval,
+        "quality_quantile_gate": quality_quantile_gate,
     }
 
 
@@ -752,4 +802,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "stream_quality_gate": _stream_quality_gate_sql(),
         "epoch_mixture": EPOCH_MIXTURE_SQL,
         "rag_retrieval": _rag_retrieval_sql(),
+        "quality_quantile_gate": _quality_quantile_sql(),
     }

@@ -362,3 +362,57 @@ def test_epoch_materialize_max_epochs_guard(spark):
         epoch_materialize(df, t, ["g"], "doc_id", max_epochs=100).collect()
     assert epoch_materialize(df, t, ["g"], "doc_id",
                              max_epochs=250).count() == 500
+
+
+def test_quantile_threshold_discrete_with_ties(spark):
+    """Threshold = value at row ceil(q*n) of the sorted distribution;
+    ties collapse into the distinct-score table but keep their counts."""
+    from ncbi_analysis_spark.operators.scale import quantile_threshold
+
+    vals = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0, 10.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["doc_id", "s"])
+    # n=9, q=0.5 -> target ceil(4.5)=5 -> cum: 1:1, 2:3, 3:4, 4:5 -> 4.0
+    assert quantile_threshold(df, "s", 0.5).first()["threshold"] == 4.0
+    # q=1.0 -> target 9 -> the max
+    assert quantile_threshold(df, "s", 1.0).first()["threshold"] == 10.0
+    # layout invariance
+    assert quantile_threshold(df.repartition(5), "s", 0.5).first()[
+        "threshold"] == 4.0
+    import pytest
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_threshold(df, "s", 0.0)
+
+
+def test_filter_by_quantile_partitions_corpus(spark):
+    """at_or_above and below are complementary: together they cover the
+    corpus exactly once, and every survivor of the gate scores >= every
+    reject."""
+    from ncbi_analysis_spark.operators.scale import filter_by_quantile
+
+    vals = [float(v) for v in (3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               ["doc_id", "s"])
+    top = filter_by_quantile(df, "s", 0.6).collect()
+    bot = filter_by_quantile(df, "s", 0.6, keep="below").collect()
+    assert len(top) + len(bot) == len(vals)
+    assert {r["doc_id"] for r in top}.isdisjoint({r["doc_id"] for r in bot})
+    assert min(r["s"] for r in top) >= max(r["s"] for r in bot)
+    import pytest
+    with pytest.raises(ValueError, match="keep must be"):
+        filter_by_quantile(df, "s", 0.6, keep="top")
+
+
+def test_quantile_threshold_max_distinct_guard(spark):
+    """An unrounded continuous score must fail fast, not silently
+    serialize a corpus-sized distinct table through the cumulative
+    window."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.scale import quantile_threshold
+
+    df = spark.createDataFrame([(i, i * 0.001) for i in range(50)],
+                               ["doc_id", "s"])
+    with pytest.raises(Exception, match="max_distinct"):
+        quantile_threshold(df, "s", 0.5, max_distinct=10).collect()
+    assert quantile_threshold(df, "s", 0.5, max_distinct=50).count() == 1
