@@ -450,15 +450,26 @@ def quality_classifier_weights(
     weight literals for the oracle.
     """
 
-    def counts(d: DataFrame) -> dict:
-        rows = (
-            _dsir_features(d, text, id_col, n_buckets, ngram_max)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+    # ONE fused pass over both classes: the class tag rides in a
+    # composite string id ("t|<id>" / "m|<id>"), so the shingle window
+    # still partitions per document (identical per-doc semantics and
+    # counts) while one scan + one aggregation replaces two sequential
+    # jobs that each re-read and re-tokenized their half of the corpus
+    def tag(d: DataFrame, cls: str) -> DataFrame:
+        return d.select(
+            F.concat(F.lit(cls + "|"), F.col(id_col).cast("string")).alias("__cid"),
+            F.col(text).alias("__text"),
         )
-        return {r["bucket"]: r["c"] for r in rows}
 
-    tc, mc = counts(target_df), counts(nontarget_df)
+    both = tag(target_df, "t").unionByName(tag(nontarget_df, "m"))
+    rows = (
+        _dsir_features(both, "__text", "__cid", n_buckets, ngram_max)
+        .groupBy(F.substring("__cid", 1, 1).alias("__cls"), "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    tc = {r["bucket"]: r["c"] for r in rows if r["__cls"] == "t"}
+    mc = {r["bucket"]: r["c"] for r in rows if r["__cls"] == "m"}
     t = [tc.get(b, 0) for b in range(n_buckets)]
     m = [mc.get(b, 0) for b in range(n_buckets)]
     w, bias = _logistic_fit(t, m, iters=iters, lr=lr, l2=l2)
