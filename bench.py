@@ -321,7 +321,10 @@ BASELINE = {
     # staged-r8 entries seeded from standalone min-of-3 on the idle r7
     # box (same session as BENCH_LOCAL_r07_clean.json)
     "dup_span_removal": (3.094, 7), "quality_classifier": (5.772, 7),
-    "curation_v3": (13.982, 7), "decon_span_scrub": (2.036, 7),
+    # curation_v3 reseeded after persisting the scrubbed stage across
+    # its two jobs (13.4s -> 6.7s min-of-3; ReusedExchange can't span
+    # the mid-pipeline top-250 collect)
+    "curation_v3": (6.683, 7), "decon_span_scrub": (2.036, 7),
     # streaming gate twins, seeded at standalone min-of-3 after the
     # many-file source staging fix (one task per file; a coalesce(1)
     # stage serialized the interpreted HOF row work onto one core)

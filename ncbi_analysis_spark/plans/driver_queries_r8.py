@@ -213,9 +213,18 @@ def curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=4, bands=2,
     ).select("doc_id").distinct()
     clean = corpus.select("doc_id", "text").join(flagged, "doc_id", "left_anti")
+    # persist: the scrubbed lineage (decon + span scrub, the two
+    # priciest stages) feeds TWO SEPARATE JOBS — the bounded top-250
+    # collect below, then the final chunk job after return — and
+    # ReusedExchange only deduplicates subtrees within one job (the
+    # plans/curation.py finding doesn't apply across jobs; measured
+    # 13.4s -> 8.5s min-of-3 at sf0.1). The cache is doc-scale text,
+    # MBs; the collect below materializes it before return, and the
+    # blocks are LRU-evicted with the session — no unpersist, because
+    # the caller consumes the returned frame lazily.
     scrubbed = remove_dup_spans(clean, "text", "doc_id", window=32).select(
         "doc_id", "text"
-    )
+    ).persist()
     w, bias = quality_classifier_weights(
         d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
         "text", "doc_id", **_QC_PARAMS)
