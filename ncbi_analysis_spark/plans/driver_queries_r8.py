@@ -787,6 +787,34 @@ SELECT doc_id, quality FROM s, thr WHERE quality >= t
 """
 
 
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus sink/source round-trip (sources/jsonl.py — the
+    interchange format of published LLM corpora): documents -> one JSON
+    object per line -> schema'd PERMISSIVE read-back with quarantine
+    split. Exercises JSON string escaping (newlines, quotes, unicode)
+    and lossless bigint round-trip; the oracle is the identity (the
+    parquet originals)."""
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+    from ncbi_analysis_spark.sources.jsonl import (
+        read_jsonl,
+        split_quarantine,
+        write_jsonl,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _staging_dir("spark_graft_jsonl")
+    write_jsonl(d, path)
+    back = read_jsonl(
+        spark, path,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    clean, _bad = split_quarantine(back)
+    return clean.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+JSONL_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -798,6 +826,7 @@ def queries_r8() -> dict:
         "epoch_mixture": epoch_mixture,
         "rag_retrieval": rag_retrieval,
         "quality_quantile_gate": quality_quantile_gate,
+        "jsonl_roundtrip": jsonl_roundtrip,
     }
 
 
@@ -812,4 +841,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "epoch_mixture": EPOCH_MIXTURE_SQL,
         "rag_retrieval": _rag_retrieval_sql(),
         "quality_quantile_gate": _quality_quantile_sql(),
+        "jsonl_roundtrip": JSONL_SQL,
     }

@@ -237,3 +237,66 @@ def test_fasta_windows_streaming_is_bounded(tmp_path):
     assert [w[2] for w in wins] == list(range(0, len(g), 64))
     assert all(len(w[3]) == 64 for w in wins[:-1])
     assert "".join(w[3] for w in wins) == g
+
+
+def test_jsonl_quarantine_and_blank_lines(spark, tmp_path):
+    """Malformed lines land verbatim in the quarantine frame (never
+    dropped silently, never failing the job); blank lines are skipped
+    like spark.read.json; well-formed lines parse typed."""
+    from ncbi_analysis_spark.sources.jsonl import read_jsonl, split_quarantine
+
+    p = tmp_path / "mixed"
+    p.mkdir()
+    (p / "part.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok one", "lang": "en"}\n'
+        "THIS IS NOT JSON\n"
+        "\n"
+        '{"doc_id": 2, "text": "ok two", "lang": "de"}\n'
+        '{"doc_id": 3, "text": truncated\n'
+    )
+    back = read_jsonl(spark, str(p), "doc_id bigint, text string, lang string")
+    clean, bad = split_quarantine(back)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    lines = sorted(r["raw_line"] for r in bad.collect())
+    assert lines[0] == "THIS IS NOT JSON"
+    assert lines[1].startswith('{"doc_id": 3')
+
+
+def test_jsonl_roundtrip_escaping(spark, tmp_path):
+    """Newlines, tabs, quotes, and unicode in text survive the jsonl
+    round-trip byte-exactly; a missing optional field reads NULL (not
+    quarantined — schema drift is data, not corruption)."""
+    from ncbi_analysis_spark.sources.jsonl import (
+        read_jsonl,
+        split_quarantine,
+        write_jsonl,
+    )
+
+    rows = [
+        (1, 'line1\nline2\ttabbed "quoted" \\backslash', "en"),
+        (2, "unicode: café 中文 \U0001f600", "zh"),
+        (3, "", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "rt")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
+    clean, bad = split_quarantine(back)
+    assert bad.count() == 0
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in clean.collect()}
+    assert got == {i: (t, lg) for i, t, lg in rows}
+    # gzip write round-trips too
+    gz = str(tmp_path / "gz")
+    write_jsonl(df, gz, compression="gzip")
+    import glob
+    assert glob.glob(f"{gz}/*.gz")
+    back_gz, _ = split_quarantine(
+        read_jsonl(spark, gz, "doc_id bigint, text string, lang string"))
+    assert back_gz.count() == 3
+    # schema drift: a line missing 'lang' parses with NULL lang
+    drift = tmp_path / "drift"
+    drift.mkdir()
+    (drift / "d.jsonl").write_text('{"doc_id": 9, "text": "no lang"}\n')
+    c2, b2 = split_quarantine(
+        read_jsonl(spark, str(drift), "doc_id bigint, text string, lang string"))
+    assert b2.count() == 0 and c2.first()["lang"] is None
