@@ -507,15 +507,66 @@ def quantile_threshold(
     threshold doesn't matter.
 
     If ``q * n`` lands past the last row (q=1 exactly) the threshold is
-    the maximum score.
+    the maximum score. NULL scores are EXCLUDED from the distribution —
+    Spark orders NULLs first and DuckDB last, so letting them into the
+    cumulative scan would shift the threshold differently per engine;
+    excluded, both agree (and ``filter_by_quantile`` drops NULL-score
+    rows in both keep modes anyway, NULL comparisons being false).
     """
-    from pyspark.sql import Window
-
     if not 0.0 < q <= 1.0:
         raise ValueError(f"quantile_threshold: q must be in (0, 1], got {q}")
-    counts = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
-    wcum = Window.orderBy(score_col).rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy(score_col).rowsBetween(
+    return _quantile_thresholds(df, score_col, q, [], max_distinct).select(
+        "threshold"
+    )
+
+
+def group_quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_cols: list[str],
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Per-group exact discrete ``q``-quantiles: one row
+    ``(group_cols..., threshold)`` per group — per-language /
+    per-source quality thresholds, so a quality cut doesn't let one
+    high-scoring language swallow the whole budget. Same discrete
+    convention and NULL-score exclusion as ``quantile_threshold``.
+
+    Scale: the cumulative scan is PARTITIONED by the group key (one
+    ordered pass per group, parallel across groups); ``max_distinct``
+    guards each group's distinct-score count, not the corpus.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(
+            f"group_quantile_thresholds: q must be in (0, 1], got {q}"
+        )
+    if not group_cols:
+        raise ValueError(
+            "group_quantile_thresholds: group_cols is empty — use "
+            "quantile_threshold for the corpus-wide form"
+        )
+    return _quantile_thresholds(df, score_col, q, group_cols, max_distinct)
+
+
+def _quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_cols: list[str],
+    max_distinct: int,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(*group_cols, score_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy(*group_cols).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = (
@@ -523,15 +574,17 @@ def quantile_threshold(
         .withColumn("__n", F.sum("__c").over(wall))
         .withColumn("__nd", F.count(F.lit(1)).over(wall))
     )
+    scope = "group" if group_cols else "corpus"
     guarded_cum = F.when(
         F.assert_true(
             F.col("__nd") <= F.lit(max_distinct),
             F.concat(
                 F.lit(
-                    f"quantile_threshold: more than max_distinct="
-                    f"{max_distinct} distinct {score_col} values — the "
-                    "cumulative scan runs single-partition; round the "
-                    "score or raise max_distinct explicitly (got "
+                    f"quantile threshold: more than max_distinct="
+                    f"{max_distinct} distinct {score_col} values in a "
+                    f"{scope} — the cumulative scan runs one ordered pass "
+                    "per group; round the score or raise max_distinct "
+                    "explicitly (got "
                 ),
                 F.col("__nd").cast("string"),
                 F.lit(" distinct values)"),
@@ -542,6 +595,7 @@ def quantile_threshold(
     target = F.ceil(F.col("__n").cast("double") * F.lit(float(q)))
     return (
         cum.filter(guarded_cum >= target)
+        .groupBy(*group_cols)
         .agg(F.min(score_col).alias("threshold"))
     )
 
@@ -552,26 +606,38 @@ def filter_by_quantile(
     q: float,
     keep: str = "at_or_above",
     max_distinct: int = 1_000_000,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Corpus-wide quantile gate: keep the rows whose score is at or
-    above (default) — or strictly below — the exact discrete
-    ``q``-quantile of ``score_col``. The "keep the top (1-q) of the
-    corpus by quality score" curation primitive; ties at the threshold
-    all survive (deterministic, layout-independent — no tie-broken rank
-    order to disagree about across engines).
+    """Quantile gate: keep the rows whose score is at or above
+    (default) — or strictly below — the exact discrete ``q``-quantile
+    of ``score_col``. The "keep the top (1-q) of the corpus by quality
+    score" curation primitive; ties at the threshold all survive
+    (deterministic, layout-independent — no tie-broken rank order to
+    disagree about across engines). NULL-score rows are dropped in both
+    modes (NULL comparisons are false in both engines).
 
-    One aggregation to find the threshold (``quantile_threshold``) plus
-    one broadcast of the single-row result into a map-side filter — the
-    corpus is never shuffled.
+    With ``group_cols``, the threshold is PER GROUP
+    (``group_quantile_thresholds``) — per-language quality cuts, so one
+    high-scoring language can't swallow the budget.
+
+    One aggregation to find the threshold(s) plus one broadcast of the
+    vocabulary-sized result into a map-side filter — the corpus is
+    never shuffled.
     """
     if keep not in ("at_or_above", "below"):
         raise ValueError(
             f"keep must be 'at_or_above' or 'below', got {keep!r}"
         )
-    thr = quantile_threshold(df, score_col, q, max_distinct)
     cond = (
         F.col(score_col) >= F.col("threshold")
         if keep == "at_or_above"
         else F.col(score_col) < F.col("threshold")
     )
-    return df.join(F.broadcast(thr), how="cross").filter(cond).drop("threshold")
+    if group_cols:
+        thr = group_quantile_thresholds(df, score_col, q, group_cols,
+                                        max_distinct)
+        joined = df.join(F.broadcast(thr), group_cols)
+    else:
+        thr = quantile_threshold(df, score_col, q, max_distinct)
+        joined = df.join(F.broadcast(thr), how="cross")
+    return joined.filter(cond).drop("threshold")

@@ -815,6 +815,56 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSONL_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
+def quality_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile quality gate (operators/scale.py::
+    filter_by_quantile(group_cols=['lang'])): each language keeps its
+    own top quarter by the composite quality score, so one high-scoring
+    language can't swallow the quality budget — the stratified form of
+    quality_quantile_gate. Returns the survivors with their language and
+    score; the oracle partitions the distinct-score cumulative scan by
+    language."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators.scale import filter_by_quantile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "lang",
+        F.round(
+            textf.quality_score(t, textf.tokens(F.lower(t))), 6
+        ).alias("quality"),
+    )
+    return filter_by_quantile(scored, "quality", q=0.75, group_cols=["lang"])
+
+
+def _quality_quantile_by_lang_sql() -> str:
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.plans.driver_queries import _LTOKS, _TOKS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in textf.EN_STOPWORDS) + "]"
+    alpha = ("(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+             "LENGTH(regexp_replace(LOWER(text), '[^a-z ]', '', 'g')) / LENGTH(text) END)")
+    stopr = (f"(CASE WHEN len({_LTOKS}) = 0 THEN 0.0 ELSE "
+             f"len(list_filter({_LTOKS}, t -> list_contains({stop}, t))) / len({_LTOKS}) END)")
+    tokc = f"(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    quality = (f"(0.4 * LEAST(1.0, {tokc}::DOUBLE / 64.0) + 0.3 * {alpha} "
+               f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
+    return rf"""
+WITH s AS (SELECT doc_id, lang, ROUND({quality}, 6) AS quality FROM documents),
+c AS (SELECT lang, quality, COUNT(*)::BIGINT AS cnt FROM s
+      WHERE quality IS NOT NULL GROUP BY lang, quality),
+cc AS (SELECT lang, quality,
+              SUM(cnt) OVER (PARTITION BY lang ORDER BY quality
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(cnt) OVER (PARTITION BY lang) AS n
+       FROM c),
+thr AS (SELECT lang, MIN(quality) AS t FROM cc
+        WHERE cum >= CEIL(n::DOUBLE * 0.75) GROUP BY lang)
+SELECT doc_id, s.lang, quality FROM s JOIN thr USING (lang)
+WHERE quality >= t
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -827,6 +877,7 @@ def queries_r8() -> dict:
         "rag_retrieval": rag_retrieval,
         "quality_quantile_gate": quality_quantile_gate,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "quality_quantile_by_lang": quality_quantile_by_lang,
     }
 
 
@@ -842,4 +893,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "rag_retrieval": _rag_retrieval_sql(),
         "quality_quantile_gate": _quality_quantile_sql(),
         "jsonl_roundtrip": JSONL_SQL,
+        "quality_quantile_by_lang": _quality_quantile_by_lang_sql(),
     }

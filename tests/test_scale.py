@@ -416,3 +416,35 @@ def test_quantile_threshold_max_distinct_guard(spark):
     with pytest.raises(Exception, match="max_distinct"):
         quantile_threshold(df, "s", 0.5, max_distinct=10).collect()
     assert quantile_threshold(df, "s", 0.5, max_distinct=50).count() == 1
+
+
+def test_group_quantile_thresholds_per_group_and_nulls(spark):
+    """Per-group thresholds are each group's own discrete quantile;
+    NULL scores are excluded from the distribution (Spark orders NULLs
+    first, DuckDB last — letting them in would shift thresholds
+    differently per engine) and NULL-score rows never survive the
+    gate."""
+    from ncbi_analysis_spark.operators.scale import (
+        filter_by_quantile,
+        group_quantile_thresholds,
+        quantile_threshold,
+    )
+
+    rows = (
+        [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+        + [("b", 10 + i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+        + [("a", 99, None), ("b", 98, None)]
+    )
+    df = spark.createDataFrame(rows, "g string, doc_id long, s double")
+    thr = {r["g"]: r["threshold"]
+           for r in group_quantile_thresholds(df, "s", 0.5, ["g"]).collect()}
+    # per group: n=4 (NULL excluded), target ceil(2.0)=2 -> 2nd smallest
+    assert thr == {"a": 2.0, "b": 20.0}
+    out = filter_by_quantile(df, "s", 0.5, group_cols=["g"]).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 2, 3, 11, 12, 13]  # NULL-score rows dropped
+    # corpus-wide form also excludes NULLs: n=8, target 4 -> 4.0
+    assert quantile_threshold(df, "s", 0.5).first()["threshold"] == 4.0
+    import pytest
+    with pytest.raises(ValueError, match="group_cols is empty"):
+        group_quantile_thresholds(df, "s", 0.5, [])
