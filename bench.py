@@ -314,10 +314,13 @@ BASELINE = {
     "boilerplate_scrub": (1.037, 6),
     # staged-r7 entries seeded at their round-6 quiet-run minima
     # (min over two clean min-of-3 runs on an otherwise idle box)
-    "semantic_dedup_prune": (5.577, 6), "dsir_importance": (3.776, 6),
+    "semantic_dedup_prune": (5.577, 6),
     "stream_static_enrich": (2.047, 6), "multimodal_media_stats": (0.355, 6),
     "temperature_mixture": (0.44, 6), "doc_chunks": (0.303, 6),
-    "curation_v2": (11.02, 6), "fuzzy_decon": (2.52, 6),
+    "fuzzy_decon": (2.52, 6),
+    # reseeded r7 after the fused single-pass DSIR fit
+    # (dsir_logratios_pred: one job instead of two; min-of-3)
+    "dsir_importance": (2.922, 7), "curation_v2": (8.314, 7),
     # staged-r8 entries seeded from standalone min-of-3 on the idle r7
     # box (same session as BENCH_LOCAL_r07_clean.json)
     "dup_span_removal": (3.094, 7), "quality_classifier": (5.772, 7),

@@ -251,8 +251,11 @@ def dsir_logratios(
     (`dsir_logratios_local`) re-derive bit-identical weight literals.
     Returns all ``n_buckets`` rows ``(bucket, w)`` (never-seen buckets
     get the pure-smoothing weight) so scoring never drops a feature.
+
+    When the target is a predicate over the raw corpus (the standard
+    shape), ``dsir_logratios_pred`` computes the same weights in ONE
+    fused pass.
     """
-    import math
 
     def counts(d: DataFrame) -> tuple[dict, int]:
         rows = (
@@ -265,12 +268,67 @@ def dsir_logratios(
 
     t, T = counts(target_df)
     r, R = counts(raw_df)
+    return _logratio_table(target_df.sparkSession, t, T, r, R, n_buckets)
+
+
+def dsir_logratios_pred(
+    raw_df: DataFrame,
+    target_pred,
+    text: str,
+    id_col: str,
+    n_buckets: int = 8192,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """``dsir_logratios`` for the standard case where the target IS a
+    predicate over the raw corpus (``target = raw.filter(pred)``) —
+    fused into ONE pass: every document's features count toward the raw
+    bag, and the predicate tag (riding in a composite string id, the
+    ``quality_classifier_weights`` trick — per-document shingle windows
+    unchanged) marks which also count toward the target bag. Identical
+    integer counts, bit-identical weights to the two-frame form; one
+    corpus scan + one aggregation instead of two sequential jobs that
+    re-tokenized the target subset.
+
+    ``target_pred`` is a boolean Column; NULL evaluates as
+    non-target (matching ``filter``'s semantics on the target side).
+    """
+    tagged = raw_df.select(
+        F.concat(
+            F.when(target_pred, F.lit("1")).otherwise(F.lit("0")),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        ).alias("__tid"),
+        F.col(text).alias("__text"),
+    )
+    rows = (
+        _dsir_features(tagged, "__text", "__tid", n_buckets, ngram_max)
+        .groupBy(F.substring("__tid", 1, 1).alias("__t"), "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    t: dict = {}
+    r: dict = {}
+    for row in rows:
+        r[row["bucket"]] = r.get(row["bucket"], 0) + row["c"]
+        if row["__t"] == "1":
+            t[row["bucket"]] = t.get(row["bucket"], 0) + row["c"]
+    return _logratio_table(
+        raw_df.sparkSession, t, sum(t.values()), r, sum(r.values()), n_buckets
+    )
+
+
+def _logratio_table(spark, t: dict, T: int, r: dict, R: int,
+                    n_buckets: int) -> DataFrame:
+    """Shared add-one log-ratio weight table — ONE definition so the
+    two-frame and fused-predicate fits can never diverge."""
+    import math
+
     B = n_buckets
     out = [
         (b, math.log((t.get(b, 0) + 1) / (T + B)) - math.log((r.get(b, 0) + 1) / (R + B)))
         for b in range(B)
     ]
-    return target_df.sparkSession.createDataFrame(out, schema="bucket bigint, w double")
+    return spark.createDataFrame(out, schema="bucket bigint, w double")
 
 
 def dsir_score(

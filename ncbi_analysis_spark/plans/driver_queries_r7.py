@@ -233,11 +233,16 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically and the per-doc bucket-ordered fold hash-matches."""
     from pyspark.sql import functions as F
 
-    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios_pred,
+        dsir_score,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    target = d.filter(F.col("lang") == "en")
-    w = dsir_logratios(target, d, "text", "doc_id", **_DSIR_PARAMS)
+    # fused single-pass fit (target = predicate over raw): identical
+    # counts and weights to the two-frame form, one job instead of two
+    w = dsir_logratios_pred(d, F.col("lang") == "en", "text", "doc_id",
+                            **_DSIR_PARAMS)
     return dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS)
 
 
@@ -431,14 +436,16 @@ def curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_quotas,
         temperature_quotas,
     )
-    from ncbi_analysis_spark.operators.terms import dsir_logratios, dsir_score
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios_pred,
+        dsir_score,
+    )
     from ncbi_analysis_spark.operators.topk import global_topk
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     s1 = exact_dedup(d, "text", "doc_id")
-    w = dsir_logratios(
-        d.filter(F.col("lang") == "en"), d, "text", "doc_id", **_DSIR_PARAMS
-    )
+    w = dsir_logratios_pred(d, F.col("lang") == "en", "text", "doc_id",
+                            **_DSIR_PARAMS)
     scored = dsir_score(s1, "text", "doc_id", w, **_DSIR_PARAMS)
     s1s = s1.join(scored.select("doc_id", "logw"), "doc_id")
     top = global_topk(s1s, [F.desc("logw"), F.asc("doc_id")], 300)

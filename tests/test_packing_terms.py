@@ -484,3 +484,32 @@ def test_logistic_fit_degenerate(spark):
     # direction: target-heavy bucket positive, nontarget-heavy negative
     assert w1[0] > 0 > w1[1]
     assert not np.isnan(b1)
+
+
+def test_dsir_logratios_pred_matches_two_frame_form(spark):
+    """The fused single-pass fit must produce BIT-identical weights to
+    the two-frame form on the same (raw, target=filter(pred)) input —
+    including docs with NULL predicate values (non-target, matching
+    filter semantics)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios,
+        dsir_logratios_pred,
+    )
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "der schnelle braune fuchs", "de"),
+        (3, "the lazy dog sleeps", "en"),
+        (4, "le chien paresseux", "fr"),
+        (5, "one token", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    two = {r["bucket"]: r["w"] for r in dsir_logratios(
+        df.filter(F.col("lang") == "en"), df, "text", "doc_id",
+        n_buckets=64, ngram_max=2).collect()}
+    fused = {r["bucket"]: r["w"] for r in dsir_logratios_pred(
+        df, F.col("lang") == "en", "text", "doc_id",
+        n_buckets=64, ngram_max=2).collect()}
+    assert two == fused  # exact double equality, not approx
