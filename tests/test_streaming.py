@@ -444,3 +444,31 @@ def test_quality_score_stream_matches_batch(spark, tmp_path):
     # rounded-to-6 equality should hold for the overwhelming majority
     same = sum(1 for k in want if got[k][1] == want[k][1])
     assert same >= 0.99 * len(want)
+
+
+def test_chunk_documents_is_stream_transparent(spark, tmp_path):
+    """chunk_documents is a stateless map-only explode, so applying it
+    UNCHANGED to a streaming frame must produce exactly the batch
+    output — the property that lets any stateless corpus operator run
+    at ingest without a streaming twin."""
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").filter("doc_id < 120")
+    want = {(r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(docs, "text", "doc_id",
+                                     max_tokens=32, stride=32).collect()}
+
+    src = tmp_path / "chunk_src"; src.mkdir()
+    import glob as _glob
+    stage = str(tmp_path / "chunk_stage")
+    docs.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "a.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+
+    out = chunk_documents(stream, "text", "doc_id", max_tokens=32, stride=32)
+    assert out.isStreaming
+    sev.run_to_memory(out, "t_stream_chunks")
+    got = {(r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
+           for r in spark.table("t_stream_chunks").collect()}
+    assert got == want and len(got) > len({g[0] for g in got})
