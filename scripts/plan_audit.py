@@ -58,6 +58,13 @@ EXPECTED: dict[str, set[str]] = {
     # count) — one-row cross joins.
     "ngram_lm_quality": {"BroadcastNestedLoopJoin"},
     "tfidf_terms": {"BroadcastNestedLoopJoin"},
+    # Quantile gate: the SINGLE-ROW threshold broadcast-cross-joined
+    # into the corpus filter (the per-group form joins on the group key
+    # and plans as a hash join — no marker).
+    "quality_quantile_gate": {"BroadcastNestedLoopJoin"},
+    # Filtered-ANN retrieval: the bounded query set cross-joined against
+    # the centroid table to build probes — ann_ivf's shape.
+    "rag_retrieval": {"BroadcastNestedLoopJoin"},
 }
 
 
