@@ -196,6 +196,49 @@ def exact_dedup_against(
     )
 
 
+def corpus_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text: str,
+    id_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the change audit an
+    incremental crawl publishes alongside the data: one row per doc id
+    present in either snapshot, with
+    ``status ∈ {added, removed, changed, unchanged}`` by id presence and
+    normalized-content digest (``normalize_text`` + md5, the SAME
+    canonical form ``exact_dedup``/``exact_dedup_against`` key on, so
+    "changed" means exactly "would no longer dedup together").
+
+    Scale: two map-side digest projections and ONE full outer join
+    keyed by the id — no text moves through the shuffle, only ids and
+    32-char digests. Downstream: ``filter(status = 'added')`` is the
+    ingest increment; ``'changed'`` triggers re-scoring.
+    """
+    # presence flags, not digest-NULL checks: a NULL-text doc has a
+    # NULL digest but IS present, and must not masquerade as added/
+    # removed; digest comparison is null-safe so two NULL-text versions
+    # compare unchanged
+    o = old_df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text))).alias("__d_old"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new_df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text))).alias("__d_new"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old").eqNullSafe(F.col("__d_new")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))
+
+
 def exact_dup_groups(df: DataFrame, text: str, id_col: str) -> DataFrame:
     """Duplicate-group report: (text_hash, dup_count, min_id) for groups
     with more than one member."""

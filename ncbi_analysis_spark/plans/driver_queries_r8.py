@@ -865,6 +865,46 @@ WHERE quality >= t
 """
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/dedup.py::corpus_diff — the
+    change audit of an incremental crawl): old = docs with id%5!=0,
+    new = docs with id%7!=0 where every id%11==0 doc got re-crawled
+    with edited text — so all four statuses (added/removed/changed/
+    unchanged) appear. Normalized-digest comparison, the exact_dedup
+    canonical form; the oracle replays the full outer join."""
+    from ncbi_analysis_spark.operators.dedup import corpus_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new, "text", "doc_id")
+
+
+CORPUS_DIFF_SQL = r"""
+WITH old AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS d_old
+  FROM documents WHERE doc_id % 5 != 0),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(LOWER(TRIM(
+           CASE WHEN doc_id % 11 = 0 THEN text || ' [v2]' ELSE text END
+         )), '\s+', ' ', 'g')) AS d_new
+  FROM documents WHERE doc_id % 7 != 0)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN d_old = d_new THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new USING (doc_id)
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -878,6 +918,7 @@ def queries_r8() -> dict:
         "quality_quantile_gate": quality_quantile_gate,
         "jsonl_roundtrip": jsonl_roundtrip,
         "quality_quantile_by_lang": quality_quantile_by_lang,
+        "corpus_snapshot_diff": corpus_snapshot_diff,
     }
 
 
@@ -894,4 +935,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "quality_quantile_gate": _quality_quantile_sql(),
         "jsonl_roundtrip": JSONL_SQL,
         "quality_quantile_by_lang": _quality_quantile_by_lang_sql(),
+        "corpus_snapshot_diff": CORPUS_DIFF_SQL,
     }

@@ -293,3 +293,25 @@ def test_remove_bench_spans_matches_python_model(spark):
                                        window=window).collect()}
     assert got == want
     assert any(v[1] > 0 for v in want.values())
+
+
+def test_corpus_diff_statuses_and_null_text(spark):
+    """All four statuses; NULL-text docs are PRESENT (never masquerade
+    as added/removed) and two NULL-text versions compare unchanged."""
+    from ncbi_analysis_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away"),
+         (5, None), (6, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"),          # normalizes equal -> unchanged
+         (2, "has changed"),          # changed
+         (4, "brand new"),            # added
+         (5, None),                   # NULL -> NULL : unchanged
+         (6, "text now")],            # NULL -> text : changed
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new, "text", "doc_id").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added", 5: "unchanged", 6: "changed"}
