@@ -549,13 +549,16 @@ def group_quantile_thresholds(
     return _quantile_thresholds(df, score_col, q, group_cols, max_distinct)
 
 
-def _quantile_thresholds(
+def _score_cum(
     df: DataFrame,
     score_col: str,
-    q: float,
     group_cols: list[str],
     max_distinct: int,
 ) -> DataFrame:
+    """Shared distinct-score cumulative table of the quantile family:
+    ``(group_cols..., score_col, __cum, __n)`` — NULL scores excluded,
+    ``__cum`` already wrapped in the ``max_distinct`` in-plan guard so
+    every consumer inherits the loud failure."""
     from pyspark.sql import Window
 
     counts = (
@@ -570,7 +573,7 @@ def _quantile_thresholds(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = (
-        counts.withColumn("__cum", F.sum("__c").over(wcum))
+        counts.withColumn("__rawcum", F.sum("__c").over(wcum))
         .withColumn("__n", F.sum("__c").over(wall))
         .withColumn("__nd", F.count(F.lit(1)).over(wall))
     )
@@ -590,11 +593,24 @@ def _quantile_thresholds(
                 F.lit(" distinct values)"),
             ),
         ).isNull(),
-        F.col("__cum"),
+        F.col("__rawcum"),
     )
+    return cum.select(
+        *group_cols, score_col, guarded_cum.alias("__cum"), "__n"
+    )
+
+
+def _quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    group_cols: list[str],
+    max_distinct: int,
+) -> DataFrame:
+    cum = _score_cum(df, score_col, group_cols, max_distinct)
     target = F.ceil(F.col("__n").cast("double") * F.lit(float(q)))
     return (
-        cum.filter(guarded_cum >= target)
+        cum.filter(F.col("__cum") >= target)
         .groupBy(*group_cols)
         .agg(F.min(score_col).alias("threshold"))
     )
@@ -641,3 +657,52 @@ def filter_by_quantile(
         thr = quantile_threshold(df, score_col, q, max_distinct)
         joined = df.join(F.broadcast(thr), how="cross")
     return joined.filter(cond).drop("threshold")
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_shards: int,
+    salt: str = "curriculum",
+    max_distinct: int = 1_000_000,
+) -> DataFrame:
+    """Curriculum-ordered training layout: assign each row a difficulty
+    ``shard`` (1..``n_shards``, ascending ``score_col`` — readers
+    consume shards in index order for an easy-to-hard schedule) and a
+    deterministic ``pos`` within the shard (md5 order — shuffled within
+    the difficulty band, the standard curriculum construction). The
+    value-based counterpart of ``deterministic_shuffle``: identical
+    output on every run, cluster layout, and engine.
+
+    Shard boundaries are value-based on the distinct-score cumulative
+    table: every row of a tied score lands in the SAME shard
+    (``shard = ceil(cum * n_shards / n)``, pure integer arithmetic —
+    no rank tie-breaks, no interpolation floats, so the oracle is
+    bit-exact; heavy ties make shard sizes uneven by exactly the tie
+    mass). NULL scores are dropped — order them explicitly first if
+    they belong in the schedule.
+
+    Scale: the ``_score_cum`` distinct-score scan (bounded,
+    ``max_distinct``-guarded) broadcast-joins back as a score→shard
+    map; ``pos`` is one shard-keyed window. Write with
+    ``partitionBy('shard')`` sorted by ``pos`` for sequential reads.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"curriculum_shards: n_shards must be >= 1, got {n_shards}")
+    cum = _score_cum(df, score_col, [], max_distinct)
+    # ceil(cum * n_shards / n) in pure integer math: (a + b - 1) div b
+    shard = (
+        (F.col("__cum") * n_shards + F.col("__n") - 1) / F.col("__n")
+    ).cast("long")
+    mapping = cum.select(
+        score_col, F.least(shard, F.lit(n_shards).cast("long")).alias("shard")
+    )
+    ordc = F.md5(F.concat(F.lit(salt + "#"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(ordc, F.col(id_col))
+    return (
+        df.join(F.broadcast(mapping), score_col)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -905,6 +905,61 @@ FROM old FULL OUTER JOIN new USING (doc_id)
 """
 
 
+def curriculum_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered training layout (operators/scale.py::
+    curriculum_shards): 8 difficulty shards ascending by the composite
+    quality score (value-based boundaries — tied scores land in the
+    same shard, pure integer shard math), md5-shuffled within each
+    shard. Readers consume shard 1..8 in order for an easy-to-hard
+    schedule. The oracle replays the distinct-score cumulative shard
+    map and the within-shard rank."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators.scale import curriculum_shards
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        F.round(
+            textf.quality_score(t, textf.tokens(F.lower(t))), 6
+        ).alias("quality"),
+    )
+    return curriculum_shards(scored, "quality", "doc_id", 8).select(
+        "doc_id", "quality", "shard", "pos"
+    )
+
+
+def _curriculum_sql() -> str:
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.plans.driver_queries import _LTOKS, _TOKS
+
+    stop = "[" + ", ".join(f"'{w}'" for w in textf.EN_STOPWORDS) + "]"
+    alpha = ("(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+             "LENGTH(regexp_replace(LOWER(text), '[^a-z ]', '', 'g')) / LENGTH(text) END)")
+    stopr = (f"(CASE WHEN len({_LTOKS}) = 0 THEN 0.0 ELSE "
+             f"len(list_filter({_LTOKS}, t -> list_contains({stop}, t))) / len({_LTOKS}) END)")
+    tokc = f"(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    quality = (f"(0.4 * LEAST(1.0, {tokc}::DOUBLE / 64.0) + 0.3 * {alpha} "
+               f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
+    return rf"""
+WITH s AS (SELECT doc_id, ROUND({quality}, 6) AS quality FROM documents),
+c AS (SELECT quality, COUNT(*)::BIGINT AS cnt FROM s
+      WHERE quality IS NOT NULL GROUP BY quality),
+cc AS (SELECT quality,
+              SUM(cnt) OVER (ORDER BY quality
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(cnt) OVER () AS n
+       FROM c),
+m AS (SELECT quality,
+             LEAST((cum * 8 + n - 1) // n, 8)::BIGINT AS shard
+      FROM cc)
+SELECT doc_id, quality, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard
+         ORDER BY md5('curriculum#' || doc_id::VARCHAR), doc_id)::BIGINT AS pos
+FROM s JOIN m USING (quality)
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -919,6 +974,7 @@ def queries_r8() -> dict:
         "jsonl_roundtrip": jsonl_roundtrip,
         "quality_quantile_by_lang": quality_quantile_by_lang,
         "corpus_snapshot_diff": corpus_snapshot_diff,
+        "curriculum_layout": curriculum_layout,
     }
 
 
@@ -936,4 +992,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "jsonl_roundtrip": JSONL_SQL,
         "quality_quantile_by_lang": _quality_quantile_by_lang_sql(),
         "corpus_snapshot_diff": CORPUS_DIFF_SQL,
+        "curriculum_layout": _curriculum_sql(),
     }

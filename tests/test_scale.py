@@ -448,3 +448,38 @@ def test_group_quantile_thresholds_per_group_and_nulls(spark):
     import pytest
     with pytest.raises(ValueError, match="group_cols is empty"):
         group_quantile_thresholds(df, "s", 0.5, [])
+
+
+def test_curriculum_shards_value_based_and_deterministic(spark):
+    """Shards ascend with score, tied scores land together, pos is a
+    contiguous 1..N_shard numbering in md5 order, and the whole layout
+    is partition-layout invariant."""
+    from ncbi_analysis_spark.operators.scale import curriculum_shards
+
+    rows = [(i, float((i * 37) % 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = curriculum_shards(df, "s", "doc_id", 4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["s"], r["pos"]))
+    assert sorted(by_shard) == [1, 2, 3, 4]
+    # value-based: shard score ranges are disjoint and ascending
+    ranges = [(min(s for s, _ in v), max(s for s, _ in v))
+              for _, v in sorted(by_shard.items())]
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # tied scores in one shard
+    shard_of = {}
+    for r in out:
+        shard_of.setdefault(r["s"], set()).add(r["shard"])
+    assert all(len(v) == 1 for v in shard_of.values())
+    # contiguous pos per shard
+    for v in by_shard.values():
+        assert sorted(p for _, p in v) == list(range(1, len(v) + 1))
+    # layout invariance
+    again = curriculum_shards(df.repartition(7), "s", "doc_id", 4).collect()
+    assert sorted((r["doc_id"], r["shard"], r["pos"]) for r in out) == \
+        sorted((r["doc_id"], r["shard"], r["pos"]) for r in again)
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        curriculum_shards(df, "s", "doc_id", 0)
