@@ -706,3 +706,34 @@ def curriculum_shards(
         df.join(F.broadcast(mapping), score_col)
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+def quantile_threshold_approx(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    accuracy: int = 10_000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Production twin of ``quantile_threshold`` for UNBOUNDED score
+    cardinality (unrounded continuous scores, where the exact form's
+    distinct-score table would be corpus-sized): Spark's
+    ``percentile_approx`` (Greenwald-Khanna sketch, mergeable map-side —
+    one aggregation, no distinct-score table, no cumulative scan).
+    Error is bounded by ``1/accuracy`` in RANK (not value) terms; NULL
+    scores are ignored, matching the exact form.
+
+    Not oracle-exact by design — the sketch's answer depends on merge
+    order; the exact form remains the oracle twin (the
+    ``ann_brute_force`` / ``ann_brute_force_np`` dual-form pattern).
+    Returns ``(group_cols..., threshold)``.
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(
+            f"quantile_threshold_approx: q must be in (0, 1], got {q}"
+        )
+    agg = F.percentile_approx(score_col, F.lit(float(q)),
+                              F.lit(int(accuracy))).alias("threshold")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)

@@ -483,3 +483,29 @@ def test_curriculum_shards_value_based_and_deterministic(spark):
     import pytest
     with pytest.raises(ValueError, match="n_shards"):
         curriculum_shards(df, "s", "doc_id", 0)
+
+
+def test_quantile_threshold_approx_tracks_exact(spark):
+    """The sketch twin lands within a tight rank neighborhood of the
+    exact discrete threshold on a continuous (unrounded) score — the
+    production path the exact form's max_distinct guard points at."""
+    from ncbi_analysis_spark.operators.scale import (
+        quantile_threshold,
+        quantile_threshold_approx,
+    )
+
+    rows = [(i, ((i * 2654435761) % 100_000) / 100_000.0)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    exact = quantile_threshold(df, "s", 0.9, max_distinct=10_000).first()[
+        "threshold"]
+    approx = quantile_threshold_approx(df, "s", 0.9).first()["threshold"]
+    # rank error bounded by n/accuracy = 0.5 ranks -> value gap tiny
+    assert abs(approx - exact) < 0.01
+    # per-group form
+    df2 = df.withColumn("g", (df.doc_id % 2).cast("string"))
+    got = quantile_threshold_approx(df2, "s", 0.9, group_cols=["g"]).collect()
+    assert len(got) == 2 and all(0.8 < r["threshold"] <= 1.0 for r in got)
+    import pytest
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_threshold_approx(df, "s", 1.5)
