@@ -297,3 +297,86 @@ def test_dsir_matches_python_model(spark):
     got = {r2["doc_id"]: (r2["n_feats"], r2["logw"]) for r2 in
            dsir_score(cdf, "text", "doc_id", wdf, n_buckets=B, ngram_max=NG).collect()}
     assert got == want
+
+
+def _md5_rank_key(salt: str, doc_id: int) -> tuple:
+    import hashlib
+
+    return (hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest(), doc_id)
+
+
+def test_epoch_materialize_matches_python_model(spark):
+    """Randomized parity for the sampling-with-replacement materializer:
+    per-group targets above/below/at group size, repeat counts and epoch
+    indices recomputed from scratch in Python (md5 keep-rank, floor/mod
+    arithmetic)."""
+    from ncbi_analysis_spark.operators.scale import epoch_materialize
+
+    rnd = random.Random(41)
+    for trial in range(3):
+        groups = ["g%d" % i for i in range(rnd.randrange(2, 5))]
+        rows, targets = [], []
+        nid = 0
+        for g in groups:
+            n = rnd.randrange(1, 15)
+            for _ in range(n):
+                rows.append((nid, g))
+                nid += 1
+            targets.append((g, rnd.choice([0, 1, n - 1 if n > 1 else 1, n,
+                                           n + 3, 3 * n + rnd.randrange(3)])))
+        df = spark.createDataFrame(rows, "doc_id long, g string")
+        t = spark.createDataFrame(targets, "g string, quota long")
+        got = sorted((r["doc_id"], r["epoch"]) for r in
+                     epoch_materialize(df, t, ["g"], "doc_id").collect())
+
+        want = []
+        tmap = dict(targets)
+        by_g: dict = {}
+        for doc_id, g in rows:
+            by_g.setdefault(g, []).append(doc_id)
+        for g, ids in by_g.items():
+            n, target = len(ids), tmap[g]
+            order = sorted(ids, key=lambda i: _md5_rank_key("quota", i))
+            base, extra = target // n, target % n
+            for rank, doc_id in enumerate(order, start=1):
+                reps = base + (1 if rank <= extra else 0)
+                want += [(doc_id, e) for e in range(1, reps + 1)]
+        assert got == sorted(want), f"trial {trial}"
+
+
+def test_quantile_and_curriculum_match_python_model(spark):
+    """Randomized parity for the discrete quantile threshold and the
+    curriculum shard map on scores with heavy ties and NULLs."""
+    from ncbi_analysis_spark.operators.scale import (
+        curriculum_shards,
+        quantile_threshold,
+    )
+
+    rnd = random.Random(43)
+    for trial in range(3):
+        vals = [rnd.choice([None, 0.0, 1.0, 2.0, 3.5, 7.25,
+                            float(rnd.randrange(10))])
+                for _ in range(rnd.randrange(20, 120))]
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "doc_id long, s double")
+        present = sorted(v for v in vals if v is not None)
+        n = len(present)
+        if n == 0:
+            continue
+        for q in (0.25, 0.5, 0.9, 1.0):
+            want = present[math.ceil(q * n) - 1]
+            got = quantile_threshold(df, "s", q).first()["threshold"]
+            assert got == want, (trial, q)
+
+        n_shards = rnd.randrange(1, 6)
+        got_sh = {r["doc_id"]: r["shard"] for r in
+                  curriculum_shards(df, "s", "doc_id", n_shards).collect()}
+        # python model: distinct-score cum -> shard map
+        from collections import Counter
+        cnt = Counter(present)
+        cum, smap = 0, {}
+        for v in sorted(cnt):
+            cum += cnt[v]
+            smap[v] = min((cum * n_shards + n - 1) // n, n_shards)
+        want_sh = {i: smap[v] for i, v in enumerate(vals) if v is not None}
+        assert got_sh == want_sh, trial
