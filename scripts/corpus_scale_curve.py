@@ -42,12 +42,20 @@ def main() -> None:
     sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01, 0.1]
     import __spark_entry__ as e
     from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
+    from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
     from ncbi_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**e.queries(), **queries_r7()}
-    names = QUERIES + ["boilerplate_scrub"]
+    qs = {**e.queries(), **queries_r7(), **queries_r8()}
+    # round-8-staged shapes: anchor-window span dedup, apportionment +
+    # repeat explode, distinct-score cumulative scan, shard map + keyed
+    # window, id-keyed full outer join, and the persisted composition
+    names = QUERIES + [
+        "boilerplate_scrub",
+        "dup_span_removal", "epoch_mixture", "quality_quantile_gate",
+        "curriculum_layout", "corpus_snapshot_diff", "curation_v3",
+    ]
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
