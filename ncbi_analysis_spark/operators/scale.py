@@ -440,7 +440,30 @@ def epoch_materialize(
     """
     from pyspark.sql import Window
 
-    t = F.broadcast(targets.select(*group_cols, target_col))
+    # duplicate group keys in the target table would silently multiply
+    # every row of the group through the join — fail loudly in-plan
+    # instead (the table is vocabulary-sized, so the window is cheap)
+    tdup = F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+    guarded_target = F.when(
+        F.assert_true(
+            tdup == 1,
+            F.concat(
+                F.lit(
+                    f"epoch_materialize: duplicate target rows for "
+                    f"{group_cols} — every duplicate would multiply the "
+                    "whole group through the join; deduplicate the "
+                    "target table (got "
+                ),
+                tdup.cast("string"),
+                F.lit(" rows for one group)"),
+            ),
+        ).isNull(),
+        F.col(target_col),
+    )
+    t = F.broadcast(
+        targets.select(*group_cols, target_col)
+        .select(*group_cols, guarded_target.alias(target_col))
+    )
     # window results land in their own projections (__n, __erk) first —
     # a window expression inside the explode projection is unresolvable
     n = F.col("__n")

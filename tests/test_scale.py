@@ -509,3 +509,18 @@ def test_quantile_threshold_approx_tracks_exact(spark):
     import pytest
     with pytest.raises(ValueError, match="q must be"):
         quantile_threshold_approx(df, "s", 1.5)
+
+
+def test_epoch_materialize_duplicate_target_guard(spark):
+    """Duplicate group keys in the target table must fail loudly — a
+    silent join multiplication would inflate every group's output."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.scale import epoch_materialize
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], ["g", "doc_id"])
+    dup = spark.createDataFrame([("a", 3), ("a", 4)], ["g", "quota"])
+    with pytest.raises(Exception, match="duplicate target"):
+        epoch_materialize(df, dup, ["g"], "doc_id").collect()
+    ok = spark.createDataFrame([("a", 3)], ["g", "quota"])
+    assert epoch_materialize(df, ok, ["g"], "doc_id").count() == 3
