@@ -341,6 +341,7 @@ BASELINE = {
     "epoch_mixture": (1.389, 7), "rag_retrieval": (2.575, 7),
     "quality_quantile_gate": (1.823, 7), "jsonl_roundtrip": (0.724, 7),
     "quality_quantile_by_lang": (1.704, 7), "corpus_snapshot_diff": (0.724, 7),
+    "contamination_report": (1.792, 7),
     "curriculum_layout": (2.485, 7),
 }
 

@@ -960,6 +960,81 @@ FROM s JOIN m USING (quality)
 """
 
 
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method contamination audit — the observability view a decon
+    run publishes before anything is dropped: for the held-out %7 bench
+    split, how many corpus documents each method flags (exact
+    normalized-digest collision vs MinHash-LSH fuzzy collision) and the
+    flagged rate. One row per method; the oracle re-derives both
+    counts."""
+    from ncbi_analysis_spark.operators.dedup import (
+        fuzzy_decon_pairs,
+        normalize_text,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    n_corpus = corpus.select(F.count(F.lit(1)).alias("n_corpus"))
+
+    exact_flagged = (
+        corpus.join(
+            bench.select(
+                F.md5(normalize_text(F.col("text"))).alias("__bd")
+            ).distinct(),
+            F.md5(normalize_text(corpus["text"])) == F.col("__bd"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .select(F.lit("exact_digest").alias("method"), "n_flagged")
+    )
+    fuzzy_flagged = (
+        fuzzy_decon_pairs(
+            corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+            num_perm=4, bands=2,
+        )
+        .select("doc_id").distinct()
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+        .select(F.lit("fuzzy_minhash").alias("method"), "n_flagged")
+    )
+    return (
+        exact_flagged.unionByName(fuzzy_flagged)
+        .join(F.broadcast(n_corpus), how="cross")
+        .select(
+            "method", "n_flagged", "n_corpus",
+            F.round(
+                F.col("n_flagged").cast("double") / F.col("n_corpus"), 6
+            ).alias("rate"),
+        )
+    )
+
+
+def _contamination_report_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    return rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 7 = 0),
+n AS (SELECT COUNT(*)::BIGINT AS n_corpus FROM corpus),
+ex AS (
+  SELECT 'exact_digest' AS method, COUNT(*)::BIGINT AS n_flagged
+  FROM corpus WHERE md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g')) IN (
+    SELECT DISTINCT md5(regexp_replace(LOWER(TRIM(text)), '\s+', ' ', 'g'))
+    FROM bench)
+),
+fz AS (
+  SELECT 'fuzzy_minhash' AS method,
+         COUNT(DISTINCT doc_id)::BIGINT AS n_flagged
+  FROM ({_fuzzy_decon_sql()}) pairs
+)
+SELECT method, n_flagged, n_corpus,
+       ROUND(n_flagged::DOUBLE / n_corpus, 6) AS rate
+FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz), n
+"""
+
+
 def queries_r8() -> dict:
     return {
         "dup_span_removal": dup_span_removal,
@@ -975,6 +1050,7 @@ def queries_r8() -> dict:
         "quality_quantile_by_lang": quality_quantile_by_lang,
         "corpus_snapshot_diff": corpus_snapshot_diff,
         "curriculum_layout": curriculum_layout,
+        "contamination_report": contamination_report,
     }
 
 
@@ -993,4 +1069,5 @@ def oracle_sql_r8() -> dict[str, str]:
         "quality_quantile_by_lang": _quality_quantile_by_lang_sql(),
         "corpus_snapshot_diff": CORPUS_DIFF_SQL,
         "curriculum_layout": _curriculum_sql(),
+        "contamination_report": _contamination_report_sql(),
     }
