@@ -65,6 +65,10 @@ EXPECTED: dict[str, set[str]] = {
     # Filtered-ANN retrieval: the bounded query set cross-joined against
     # the centroid table to build probes — ann_ivf's shape.
     "rag_retrieval": {"BroadcastNestedLoopJoin"},
+    # Contamination audit: three ONE-ROW scalar aggregates (two method
+    # counts + the corpus denominator) cross-joined — the
+    # ngram_lm_quality scalar-small-side class.
+    "contamination_report": {"BroadcastNestedLoopJoin"},
 }
 
 
