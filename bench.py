@@ -345,6 +345,28 @@ BASELINE = {
     "curriculum_layout": (2.485, 7),
 }
 
+# Audit trail for baseline reseeds (round-7 review ask): every reseed
+# justified as "box drift" must record the noise-control reading
+# (dedup_exact_groups, the cheapest all-rounds query — a pure groupBy
+# whose plan has never changed) from the SAME committed measurement
+# session, so a later audit can re-derive the drift claim instead of
+# trusting the commit message. control = dedup_exact_groups seconds in
+# that session; control_seed = its value when the reseeded query was
+# originally seeded. A reseed is only legitimate when
+# control/control_seed explains most of the query's apparent slowdown.
+RESEED_CONTROLS = {
+    # r7 reseeds, all from BENCH_LOCAL_r07_clean.json (idle box,
+    # min-of-3): control 0.358 vs the r5-era 0.214 seed = 1.67x
+    # box-wide drift on interpreted/shuffle-light work
+    "pack_sequences": {"round": 7, "control": 0.358, "control_seed": 0.214},
+    "j3_interval_binned_bigbig": {"round": 7, "control": 0.358,
+                                  "control_seed": 0.214},
+    "boilerplate_scrub": {"round": 7, "control": 0.358,
+                          "control_seed": 0.214},
+    "flagship_windowed_1mbp": {"round": 7, "control": 0.358,
+                               "control_seed": 0.214},
+}
+
 
 def _regression_report(timings: dict[str, float]) -> dict:
     import statistics

@@ -178,10 +178,17 @@ def chunk_documents(
     # window starts: 0, stride, ..., up to the first multiple of stride
     # whose window reaches the document end (start + max_tokens >= n);
     # n=0 -> the single empty chunk at start 0
+    # clamped to the document: when stride > max_tokens (gap sampling),
+    # ceil((n-max_tokens)/stride)*stride can land past the last token
+    # (n=60, max=48, stride=64 -> 64), which would emit a phantom empty
+    # chunk with negative n_tokens — no start may exceed n-1
     last_start = F.greatest(
-        (
-            F.ceil((F.col("__n") - max_tokens) / F.lit(float(stride))).cast("int")
-            * F.lit(stride)
+        F.least(
+            (
+                F.ceil((F.col("__n") - max_tokens) / F.lit(float(stride))).cast("int")
+                * F.lit(stride)
+            ),
+            F.greatest(F.col("__n") - 1, F.lit(0)).cast("int"),
         ),
         F.lit(0),
     )

@@ -507,6 +507,36 @@ def epoch_materialize(
     )
 
 
+def _distinct_overflow(
+    df: DataFrame,
+    score_col: str,
+    group_cols: list[str],
+    max_distinct: int,
+) -> bool:
+    """Probe whether any scope's distinct-score count approaches
+    ``max_distinct`` — the ``on_overflow='approx'`` switch test.
+
+    One HyperLogLog aggregation job (``approx_count_distinct``,
+    map-side mergeable sketch — no distinct-value shuffle, so probing a
+    100 TB continuous score costs one scan, not the corpus-sized
+    groupBy the exact path would choke on). The driver materializes a
+    single scalar (or one row per group reduced to a max) — a bounded
+    collect by construction. The 0.9 comparison margin absorbs the
+    sketch's ~2% rsd: a scope whose estimate lands within 10% of the
+    cap is treated as overflowing, so the exact path is only chosen
+    with comfortable headroom and its in-plan assert cannot fire."""
+    probe = df.filter(F.col(score_col).isNotNull())
+    nd = F.approx_count_distinct(score_col, 0.02).alias("__nd")
+    if group_cols:
+        row = probe.groupBy(*group_cols).agg(nd).agg(
+            F.max("__nd").alias("__nd")
+        ).collect()
+    else:
+        row = probe.agg(nd).collect()
+    est = row[0]["__nd"] if row else 0
+    return (est or 0) > 0.9 * max_distinct
+
+
 def quantile_threshold(
     df: DataFrame,
     score_col: str,
@@ -646,6 +676,7 @@ def filter_by_quantile(
     keep: str = "at_or_above",
     max_distinct: int = 1_000_000,
     group_cols: list[str] | None = None,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Quantile gate: keep the rows whose score is at or above
     (default) — or strictly below — the exact discrete ``q``-quantile
@@ -662,24 +693,65 @@ def filter_by_quantile(
     One aggregation to find the threshold(s) plus one broadcast of the
     vocabulary-sized result into a map-side filter — the corpus is
     never shuffled.
+
+    ``on_overflow`` controls what happens when the distinct-score
+    cardinality exceeds ``max_distinct`` (an unrounded continuous score
+    at 100 TB makes the exact path unusable BY DESIGN — its cumulative
+    scan needs the distinct-score table):
+
+    - ``'raise'`` (default): the exact path's in-plan assert fires with
+      the round-the-score guidance — the oracle-exact contract.
+    - ``'approx'``: a one-scan HyperLogLog probe (``_distinct_overflow``)
+      chooses the path up front — exact when the largest scope has
+      comfortable headroom under ``max_distinct`` (in-plan guard
+      retained, probe margin guarantees it cannot fire), else
+      ``quantile_threshold_approx`` (rank-error ≤ 1/accuracy, no
+      distinct table at all). The switch is observable: the returned
+      DataFrame carries an ``observe('filter_by_quantile', ...)``
+      metric ``approx_threshold_used`` (1/0) — the ``_capped`` pattern,
+      so a degraded run is auditable, not silent.
     """
     if keep not in ("at_or_above", "below"):
         raise ValueError(
             f"keep must be 'at_or_above' or 'below', got {keep!r}"
+        )
+    if on_overflow not in ("raise", "approx"):
+        raise ValueError(
+            f"on_overflow must be 'raise' or 'approx', got {on_overflow!r}"
         )
     cond = (
         F.col(score_col) >= F.col("threshold")
         if keep == "at_or_above"
         else F.col(score_col) < F.col("threshold")
     )
+    use_approx = on_overflow == "approx" and _distinct_overflow(
+        df, score_col, group_cols or [], max_distinct
+    )
     if group_cols:
-        thr = group_quantile_thresholds(df, score_col, q, group_cols,
-                                        max_distinct)
+        thr = (
+            quantile_threshold_approx(df, score_col, q,
+                                      group_cols=group_cols)
+            if use_approx
+            else group_quantile_thresholds(df, score_col, q, group_cols,
+                                           max_distinct)
+        )
         joined = df.join(F.broadcast(thr), group_cols)
     else:
-        thr = quantile_threshold(df, score_col, q, max_distinct)
+        thr = (
+            quantile_threshold_approx(df, score_col, q)
+            if use_approx
+            else quantile_threshold(df, score_col, q, max_distinct)
+        )
         joined = df.join(F.broadcast(thr), how="cross")
-    return joined.filter(cond).drop("threshold")
+    out = joined.filter(cond).drop("threshold")
+    if on_overflow == "approx":
+        out = out.observe(
+            "filter_by_quantile",
+            F.max(F.lit(1 if use_approx else 0)).alias(
+                "approx_threshold_used"
+            ),
+        )
+    return out
 
 
 def curriculum_shards(

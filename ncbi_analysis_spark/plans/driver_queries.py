@@ -1674,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_r8().queries_r8(),
         **_r7().queries_r7(),
         **_r6().queries_r6(),
         **_r5().queries_r5(),
@@ -1732,6 +1733,7 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
+        **_r8().oracle_sql_r8(),
         **_r7().oracle_sql_r7(),
         **_r6().oracle_sql_r6(),
         **_r5().oracle_sql_r5(),
@@ -1806,6 +1808,12 @@ def _r7():
     from ncbi_analysis_spark.plans import driver_queries_r7
 
     return driver_queries_r7
+
+
+def _r8():
+    from ncbi_analysis_spark.plans import driver_queries_r8
+
+    return driver_queries_r8
 
 
 def _r3():

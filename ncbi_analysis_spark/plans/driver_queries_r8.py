@@ -1,20 +1,12 @@
-"""Round-8 driver-contract queries — STAGED, not yet wired into
-``driver_queries._queries_in_build_order``.
+"""Round-8 driver-contract queries — WIRED into
+``driver_queries._queries_in_build_order`` at round-8 start (the
+staged-query gate pattern: built and oracle-verified in round 7,
+registered first thing in round 8 so the rotation puts the
+never-recorded entries at the front of the round-8 driver gate).
 
-Why staged: the driver's correctness gate records the first 50 registry
-entries per round, and the round-7 gate's slots are taken by the 9
-newly-registered round-7 queries plus the stalest rotation rows.
-Registering another never-recorded query mid-round would bump a stale
-row out of the round-7 gate. AT ROUND-8 START, wire these in: add
-``**_r8().queries_r8(),`` / ``**_r8().oracle_sql_r8(),`` to the
-build-order dicts in ``driver_queries`` (lazy ``_r8()`` import helper
-like ``_r7()``'s), then re-run ``python scripts/check_oracle.py`` — the
-rotation puts them at the front of the round-8 gate automatically.
-
-Until then the entries below are held to the same bar out-of-band:
-``tests/test_staged_r8.py`` replays each query against its DuckDB
-oracle at sf0.001 with the driver's own canonicalization (sorted
-columns, sorted rows, exact values).
+``tests/test_staged_r8.py`` additionally replays each query against
+its DuckDB oracle at sf0.001 with the driver's own canonicalization
+(sorted columns, sorted rows, exact values).
 """
 
 from __future__ import annotations
@@ -776,7 +768,8 @@ def _quality_quantile_sql() -> str:
                f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
     return rf"""
 WITH s AS (SELECT doc_id, ROUND({quality}, 6) AS quality FROM documents),
-c AS (SELECT quality, COUNT(*)::BIGINT AS cnt FROM s GROUP BY quality),
+c AS (SELECT quality, COUNT(*)::BIGINT AS cnt FROM s
+      WHERE quality IS NOT NULL GROUP BY quality),
 cc AS (SELECT quality,
               SUM(cnt) OVER (ORDER BY quality
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
@@ -899,7 +892,7 @@ new AS (
 SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
        CASE WHEN old.doc_id IS NULL THEN 'added'
             WHEN new.doc_id IS NULL THEN 'removed'
-            WHEN d_old = d_new THEN 'unchanged'
+            WHEN d_old IS NOT DISTINCT FROM d_new THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old FULL OUTER JOIN new USING (doc_id)
 """

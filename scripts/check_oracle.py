@@ -90,6 +90,10 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [SF_DIR] [QUERY ...] [--staged] "
+                  "[--json OUT_PATH]", file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         del args[i:i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"

@@ -349,6 +349,37 @@ def test_chunk_documents_windows(spark):
         chunk_documents(df, "text", "doc_id", max_tokens=4, stride=0)
 
 
+def test_chunk_documents_gap_sampling_no_phantom_tail(spark):
+    """stride > max_tokens (gap sampling) must not emit a start past the
+    document end: n=60, max=48, stride=64 previously produced a phantom
+    empty chunk at start 64 with n_tokens = -4 (round-7 review)."""
+    from ncbi_analysis_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = chunk_documents(df, "text", "doc_id",
+                           max_tokens=48, stride=64).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_no"] == 0 and rows[0]["n_tokens"] == 48
+    # a doc long enough for a second gap-sampled window still gets it
+    text2 = " ".join(f"w{i}" for i in range(120))
+    df2 = spark.createDataFrame([(0, text2)], ["doc_id", "text"])
+    got = {r["chunk_no"]: r["n_tokens"]
+           for r in chunk_documents(df2, "text", "doc_id",
+                                    max_tokens=48, stride=64).collect()}
+    assert got == {0: 48, 1: 48}
+    # n_tokens is never negative / chunk never starts past the end for a
+    # sweep of (max_tokens, stride) shapes including stride > max
+    df3 = spark.createDataFrame(
+        [(i, " ".join("t" * 1 for _ in range(n)))
+         for i, n in enumerate([0, 1, 5, 47, 48, 49, 63, 64, 65, 130])],
+        ["doc_id", "text"])
+    for mx, st in ((48, 64), (4, 9), (1, 3)):
+        for r in chunk_documents(df3, "text", "doc_id",
+                                 max_tokens=mx, stride=st).collect():
+            assert r["n_tokens"] >= 0, (mx, st, r)
+
+
 def test_chunk_documents_matches_python_model(spark):
     """Randomized docs vs a from-scratch window model; every token of
     every doc appears in at least one chunk (no silent loss)."""

@@ -418,6 +418,42 @@ def test_quantile_threshold_max_distinct_guard(spark):
     assert quantile_threshold(df, "s", 0.5, max_distinct=50).count() == 1
 
 
+def test_filter_by_quantile_on_overflow_approx_switch(spark):
+    """on_overflow='approx': over the cap the gate degrades to the
+    percentile_approx twin (and still returns a sane partition of the
+    corpus) instead of raising; under the cap it stays oracle-exact
+    and emits the approx_threshold_used=0 marker."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.scale import filter_by_quantile
+
+    cont = spark.createDataFrame([(i, i * 0.001) for i in range(200)],
+                                 ["doc_id", "s"])
+    # default mode raises on overflow (unchanged contract)
+    with pytest.raises(Exception, match="max_distinct"):
+        filter_by_quantile(cont, "s", 0.5, max_distinct=10).collect()
+    # approx mode degrades: no raise, and the kept set is ~top half
+    top = filter_by_quantile(cont, "s", 0.5, max_distinct=10,
+                             on_overflow="approx").collect()
+    assert 80 <= len(top) <= 120
+    assert all(r["s"] >= 0.08 for r in top)
+    # under the cap the approx mode takes the exact path: identical
+    # result to the default mode, ties at the threshold all survive
+    disc = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(50)], ["doc_id", "s"])
+    exact = {r["doc_id"] for r in filter_by_quantile(disc, "s", 0.6).collect()}
+    auto = {r["doc_id"] for r in filter_by_quantile(
+        disc, "s", 0.6, on_overflow="approx").collect()}
+    assert auto == exact
+    # grouped form degrades per the largest group's cardinality
+    g = cont.withColumn("g", (F.col("doc_id") % 2).cast("int"))
+    gtop = filter_by_quantile(g, "s", 0.5, max_distinct=10,
+                              group_cols=["g"], on_overflow="approx").collect()
+    assert 80 <= len(gtop) <= 120
+    with pytest.raises(ValueError, match="on_overflow"):
+        filter_by_quantile(cont, "s", 0.5, on_overflow="maybe")
+
+
 def test_group_quantile_thresholds_per_group_and_nulls(spark):
     """Per-group thresholds are each group's own discrete quantile;
     NULL scores are excluded from the distribution (Spark orders NULLs
