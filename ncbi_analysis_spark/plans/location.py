@@ -250,9 +250,15 @@ def locate_matches(
         .withColumn("rec_dir", F.lit(None).cast("string"))
         .withColumn("rec_left", F.lit(None).cast("long"))
         .withColumn("rec_right", F.lit(None).cast("long"))
+        .withColumn("rec_start", F.lit(None).cast("long"))
         .withColumn("status", F.lit(None).cast("string"))
     )
-    out_cols = [*m.columns, "rec_name", "rec_dir", "rec_left", "rec_right", "status", "label"]
+    # rec_start rides along for consumers that need the reference's
+    # probe-window processing order (annotation rows sorted by START,
+    # not left — a reverse-strand record's start is its right edge);
+    # the location_report formatter orders output rows by it
+    out_cols = [*m.columns, "rec_name", "rec_dir", "rec_left", "rec_right",
+                "rec_start", "status", "label"]
     out = overlaps.select(*out_cols).unionByName(inter_genic.select(*out_cols))
 
     if remain_genes is not None:
