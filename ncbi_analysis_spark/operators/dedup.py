@@ -1086,6 +1086,7 @@ def _anchored_windows(
     anchor_k: int,
     anchor_bits: int,
     anchor_method: str,
+    max_nonascii_probe: int = 32_768,
 ) -> DataFrame:
     """Content-defined anchored window rows
     ``(id_col, span_start, span_end, wh)`` — the shared front half of
@@ -1095,6 +1096,21 @@ def _anchored_windows(
 
     Returns one row per anchored window occurrence, 0-based char
     offsets ``[span_start, span_end)``, ``wh`` the window md5.
+
+    ``max_nonascii_probe`` bounds the one remaining quadratic corner
+    (SCALING.md trade-off note): non-ASCII rows can't take the
+    byte-sliced O(1)-offset fast path, and char ``substr`` at offset i
+    is O(i), so probing every position of an L-char non-ASCII document
+    costs O(L²). Positions past the cap are not probed in such rows —
+    duplicated passages that START beyond it are missed (ones straddling
+    it are still caught up to ``window`` chars before it) — bounding the
+    per-document worst case at O(cap²) regardless of corpus content.
+    The truncation is observable, not silent (the ``_capped`` metric
+    pattern): an ``observe()`` metric reports how many documents were
+    truncated and how many probe positions were skipped. ASCII rows are
+    never truncated (their probe is linear). Raise the cap — or 0 to
+    disable — for corpora where long non-ASCII documents dominate and
+    the quadratic cost is acceptable.
     """
     if anchor_bits % 4 != 0:
         raise ValueError(f"anchor_bits must be a multiple of 4 (hex-digit "
@@ -1133,14 +1149,34 @@ def _anchored_windows(
             ),
         )
 
+    char_len = (
+        F.least(F.length(t), F.lit(max_nonascii_probe))
+        if max_nonascii_probe > 0
+        else F.length(t)
+    )
     structs = ascii_fast_grams(
         t,
-        win_structs(t, F.length(t)),
+        win_structs(t, char_len),
         lambda tb: win_structs(tb, F.octet_length(t)),
     )
+    src = df.filter(F.length(t) >= window)
+    if max_nonascii_probe > 0:
+        truncated = (
+            (F.octet_length(t) != F.length(t))
+            & (F.length(t) > max_nonascii_probe)
+        )
+        src = src.observe(
+            f"anchored_probe_cap_{next(_cap_seq)}",
+            F.coalesce(F.sum(truncated.cast("long")), F.lit(0))
+            .alias("truncated_docs"),
+            F.coalesce(
+                F.sum(F.when(truncated,
+                             (F.length(t) - max_nonascii_probe).cast("long"))),
+                F.lit(0),
+            ).alias("skipped_positions"),
+        )
     return (
-        df.filter(F.length(t) >= window)
-        .select(F.col(id_col), F.explode(structs).alias("w"))
+        src.select(F.col(id_col), F.explode(structs).alias("w"))
         .select(
             id_col,
             F.col("w.span_start").alias("span_start"),
@@ -1159,6 +1195,7 @@ def dup_span_windows(
     anchor_bits: int = 4,
     min_docs: int = 2,
     anchor_method: str = "md5",
+    max_nonascii_probe: int = 32_768,
 ) -> DataFrame:
     """Cross-document duplicated char-window spans with a deterministic
     keeper: ``window``-char substrings starting at CONTENT-DEFINED
@@ -1197,7 +1234,7 @@ def dup_span_windows(
     no row explosion (each occurrence matches exactly one digest row).
     """
     wins = _anchored_windows(df, text, id_col, window, anchor_k,
-                             anchor_bits, anchor_method)
+                             anchor_bits, anchor_method, max_nonascii_probe)
     dups = (
         wins.groupBy("wh")
         .agg(
@@ -1221,6 +1258,7 @@ def remove_dup_spans(
     anchor_bits: int = 4,
     min_docs: int = 2,
     anchor_method: str = "md5",
+    max_nonascii_probe: int = 32_768,
 ) -> DataFrame:
     """Span-level exact-substring deduplication (Lee et al. 2022,
     arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
@@ -1248,7 +1286,8 @@ def remove_dup_spans(
     no Python.
     """
     spans = dup_span_windows(df, text, id_col, window, anchor_k,
-                             anchor_bits, min_docs, anchor_method)
+                             anchor_bits, min_docs, anchor_method,
+                             max_nonascii_probe)
     return _remove_spans(
         df, spans.filter(F.col(id_col) != F.col("keeper")), text, id_col)
 
@@ -1349,6 +1388,7 @@ def remove_bench_spans(
     anchor_bits: int = 4,
     anchor_method: str = "md5",
     broadcast_bench: bool = True,
+    max_nonascii_probe: int = 32_768,
 ) -> DataFrame:
     """Span-level decontamination — the cross-corpus sibling of
     ``remove_dup_spans`` (Lee et al. 2022 applied to eval hygiene): cut
@@ -1371,13 +1411,13 @@ def remove_bench_spans(
     folds. The corpus is scanned once.
     """
     wins = _anchored_windows(df, text, id_col, window, anchor_k,
-                             anchor_bits, anchor_method)
+                             anchor_bits, anchor_method, max_nonascii_probe)
     if bench_text is None:
         bench_text = text
     bench_id = bench_df.columns[0]
     bwins = _anchored_windows(
         bench_df, bench_text, bench_id,
-        window, anchor_k, anchor_bits, anchor_method,
+        window, anchor_k, anchor_bits, anchor_method, max_nonascii_probe,
     ).select("wh").distinct()
     if broadcast_bench:
         bwins = F.broadcast(bwins)

@@ -315,3 +315,56 @@ def test_corpus_diff_statuses_and_null_text(spark):
            for r in corpus_diff(old, new, "text", "doc_id").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added", 5: "unchanged", 6: "changed"}
+
+
+def test_nonascii_probe_cap_bounds_and_observes(spark):
+    """The non-ASCII O(L²) corner is bounded (round-7 review ask): a
+    long non-ASCII document's anchor probe stops at max_nonascii_probe,
+    a duplicated passage inside the cap is still removed, one past the
+    cap is missed BY CONTRACT (observable via the CollectMetrics node),
+    cap=0 disables the bound, and ASCII rows are never truncated."""
+    dup = ("käsekuchen rezept mit vanille und zitrone für alle " * 3)[:120]
+    filler_a = "ä" * 600
+    filler_b = "ö" * 600
+    rows = [(1, filler_a[:200] + dup + filler_a[200:]),
+            (2, filler_b[:250] + dup + filler_b[250:])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap above the dup position: doc 2's copy is removed
+    out = {r["doc_id"]: r for r in remove_dup_spans(
+        df, "text", "doc_id", window=32,
+        max_nonascii_probe=1024).collect()}
+    assert out[2]["n_chars_removed"] > 0
+    # cap below the dup position: doc 2's copy is never probed
+    out_lo = {r["doc_id"]: r for r in remove_dup_spans(
+        df, "text", "doc_id", window=32,
+        max_nonascii_probe=64).collect()}
+    assert out_lo[2]["n_chars_removed"] == 0
+    assert out_lo[2]["text"] == rows[1][1]
+    # cap=0 disables the bound entirely
+    out_off = {r["doc_id"]: r for r in remove_dup_spans(
+        df, "text", "doc_id", window=32,
+        max_nonascii_probe=0).collect()}
+    assert out_off[2]["n_chars_removed"] == out[2]["n_chars_removed"]
+    # the truncation is observable: the capped plan carries the
+    # anchored_probe_cap CollectMetrics node, the uncapped plan doesn't
+    from ncbi_analysis_spark.operators.dedup import _anchored_windows
+
+    capped_plan = _anchored_windows(
+        df, "text", "doc_id", 32, 8, 4, "md5", max_nonascii_probe=100
+    )._jdf.queryExecution().analyzed().toString()
+    assert "anchored_probe_cap_" in capped_plan
+    uncapped_plan = _anchored_windows(
+        df, "text", "doc_id", 32, 8, 4, "md5", max_nonascii_probe=0
+    )._jdf.queryExecution().analyzed().toString()
+    assert "anchored_probe_cap_" not in uncapped_plan
+    # ASCII rows take the linear byte path and are never truncated: the
+    # same shape in ASCII with a tiny cap still finds the shared
+    # passage sitting far past the cap
+    shared = ("THE SHARED ASCII PASSAGE COPIED VERBATIM ACROSS MIRRORS "
+              "WITH MORE THAN ENOUGH LENGTH FOR SEVERAL ANCHOR SEEDS")
+    arows = [(1, "x " * 300 + shared), (2, "y " * 350 + shared)]
+    adf = spark.createDataFrame(arows, "doc_id long, text string")
+    aout = {r["doc_id"]: r for r in remove_dup_spans(
+        adf, "text", "doc_id", window=32,
+        max_nonascii_probe=64).collect()}
+    assert aout[2]["n_chars_removed"] > 0
