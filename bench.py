@@ -134,11 +134,18 @@ def main() -> None:
     for name, fn in queries_r7().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
-    # staged round-8 registry entries bench ahead of registration so
-    # their baselines are seeded before the driver ever times them
+    # staged round-8 registry entries are registered as of r8; keep
+    # their baseline series continuous
     from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
 
     for name, fn in queries_r8().items():
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
+    # staged round-9 registry entries bench ahead of registration so
+    # their baselines are seeded before the driver ever times them
+    from ncbi_analysis_spark.plans.driver_queries_r9 import queries_r9
+
+    for name, fn in queries_r9().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
@@ -343,6 +350,11 @@ BASELINE = {
     "quality_quantile_by_lang": (1.704, 7), "corpus_snapshot_diff": (0.724, 7),
     "contamination_report": (1.792, 7),
     "curriculum_layout": (2.485, 7),
+    # staged-r9 entries seeded from standalone min-of-3 on the r8 box
+    # (noise control dedup_exact_groups read 0.549 in the same session)
+    "ann_index_append": (4.559, 8),
+    "location_report_fixture": (2.485, 8),
+    "quantile_gate_autodegrade": (2.706, 8),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

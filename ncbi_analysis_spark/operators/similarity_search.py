@@ -1024,3 +1024,56 @@ def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:
 def read_ivf_index(spark, path: str) -> DataFrame:
     """Open a write_ivf_index directory for searching."""
     return spark.read.parquet(path)
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Incremental IVF index maintenance: assign ``new_vectors`` to the
+    EXISTING coarse quantizer and append them to a ``write_ivf_index``
+    directory — the crawl-ingest path, where a 100 TB index must absorb
+    a day's new documents without the full re-index it previously
+    required.
+
+    Because assignment depends only on the (frozen) centroids, the
+    appended index is EXACTLY the index a full rebuild over
+    base ∪ new with the same centroids would produce — searches over
+    either are identical (the staged ``ann_index_append`` oracle
+    asserts this end-to-end). Parquet partition-append touches only the
+    bucket directories that received new vectors: untouched buckets
+    keep their existing files byte-for-byte (layout test), so ingest
+    I/O scales with the batch, not the index.
+
+    Caveats by contract: ids are not deduplicated against the base
+    index (append the delta only), and centroid drift is not repaired —
+    after enough appends, retrain with ``train_ivf_centroids`` /
+    ``refine_ivf_centroids`` and rebuild (the standard IVF posture).
+
+    Returns the per-bucket appended counts ``(c_id, n_appended)`` —
+    bounded by the centroid count, so the extra aggregation job is
+    scalar-sized; the assignment itself is computed once (persisted
+    across the write and the count, then released).
+    """
+    assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
+                          method=method)
+    assigned = assigned.persist()
+    try:
+        assigned.write.mode("append").partitionBy(c_id).parquet(path)
+        counts = (
+            assigned.groupBy(c_id)
+            .agg(F.count(F.lit(1)).alias("n_appended"))
+            .collect()
+        )
+    finally:
+        assigned.unpersist()
+    spark = new_vectors.sparkSession
+    return spark.createDataFrame(
+        [(int(r[c_id]), int(r["n_appended"])) for r in counts],
+        f"{c_id} long, n_appended long",
+    )

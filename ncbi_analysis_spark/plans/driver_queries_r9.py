@@ -1,0 +1,142 @@
+"""Round-9 driver-contract queries — STAGED, not yet wired into
+``driver_queries._queries_in_build_order``.
+
+The staged-query gate pattern (COVERAGE.md): queries built and
+oracle-verified mid-round-8 stage here so round 8's driver gate keeps
+its slots for the 14 newly-registered r8 entries; AT ROUND-9 START,
+add ``**_r9().queries_r9(),`` / ``**_r9().oracle_sql_r9(),`` to the
+build-order dicts in ``driver_queries`` (lazy ``_r9()`` helper like
+``_r8()``'s) and re-run ``python scripts/check_oracle.py`` — rotation
+then fronts these in the round-9 gate.
+
+Until then the entries are held to the same bar out-of-band:
+``tests/test_staged_r9.py`` replays each against its DuckDB oracle at
+sf0.001 with the driver's own canonicalization, and
+``scripts/check_oracle.py --staged`` runs them at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance end-to-end
+    (operators/similarity_search.py::append_to_ivf_index): build the
+    persisted index from 4/5 of the corpus, append the remaining fifth
+    as a crawl-delta batch against the SAME frozen centroids, then
+    search the appended index with partition-pruned probes. Because
+    assignment depends only on the centroids, the appended index must
+    equal a full rebuild — so this shares ann_ivf's oracle
+    (driver_queries.ANN_IVF_SQL over the whole corpus): any drift
+    between the append path and a rebuild hash-mismatches here."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        append_to_ivf_index,
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+
+    path = _staging_dir("spark_graft_ivf_append")
+    write_ivf_index(ivf_assign(base, cents), path)
+    append_to_ivf_index(delta, cents, path)
+    index = read_ivf_index(spark, path)
+    out = ivf_topk(e, q, cents, k=10, nprobe=2, assigned=index,
+                   prefilter_partitions=True)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+_LOCREP_FIXTURES = "/root/repo/tests/fixtures/location_report"
+
+
+def location_report_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-2's composed formatting stage
+    (plans/location_report.py::location_report — reference
+    gene_location_analysis.py:307-419 + the stage-2 classification) on
+    the committed reference-executed fixture: S5 match blocks ->
+    bounded probe-window classification -> metadata join. The oracle is
+    the GOLDEN TSV ITSELF (produced by executing the reference's stages
+    2+3, scripts/gen_location_report_golden.py), read back by DuckDB —
+    the strongest cross-check available for a presentation artifact:
+    Spark must reproduce the reference's own output row-for-row."""
+    from ncbi_analysis_spark.plans.location_report import (
+        REPORT_HEADERS,
+        location_report,
+    )
+
+    recs = location_report(
+        spark, f"{_LOCREP_FIXTURES}/match_result.txt",
+        f"{_LOCREP_FIXTURES}/ecocyc.txt")
+    return recs.select(
+        F.col("index").cast("long").alias("block_no"),
+        *[F.coalesce(F.col(h).cast("string"), F.lit("")).alias(h)
+          for h in REPORT_HEADERS if h != "index"],
+    )
+
+
+def _locrep_sql() -> str:
+    from ncbi_analysis_spark.plans.location_report import REPORT_HEADERS
+
+    cols = ", ".join(
+        f"COALESCE(\"{h}\", '') AS {h}" for h in REPORT_HEADERS if h != "index"
+    )
+    return f"""
+SELECT index::BIGINT AS block_no, {cols}
+FROM read_csv('{_LOCREP_FIXTURES}/golden_format.tsv', delim='\t',
+              header=true, all_varchar=true)
+"""
+
+
+def quantile_gate_autodegrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_by_quantile's on_overflow='approx' mode staying EXACT
+    under the cap (operators/scale.py — the round-7 verdict ask): the
+    HLL probe sees the rounded quality score's distinct count fits
+    comfortably under max_distinct, takes the exact distinct-score
+    cumulative path, and must therefore match the same discrete-quantile
+    oracle as the default mode. A regression that degrades eagerly (or
+    shifts the exact threshold) hash-mismatches here."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators.scale import filter_by_quantile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        F.round(textf.quality_score(t, textf.tokens(F.lower(t))), 6)
+        .alias("quality"),
+    )
+    out = filter_by_quantile(scored, "quality", 0.75,
+                             on_overflow="approx")
+    return out.select("doc_id", "quality")
+
+
+def queries_r9() -> dict:
+    return {
+        "ann_index_append": ann_index_append,
+        "location_report_fixture": location_report_fixture,
+        "quantile_gate_autodegrade": quantile_gate_autodegrade,
+    }
+
+
+def oracle_sql_r9() -> dict[str, str]:
+    from ncbi_analysis_spark.plans import driver_queries as dq
+    from ncbi_analysis_spark.plans import driver_queries_r8 as r8
+
+    return {
+        "ann_index_append": dq.ANN_IVF_SQL,
+        "location_report_fixture": _locrep_sql(),
+        # shares the exact discrete-quantile oracle with the default
+        # mode's quality_quantile_gate (same workload, same threshold)
+        "quantile_gate_autodegrade": r8._quality_quantile_sql(),
+    }

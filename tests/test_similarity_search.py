@@ -324,3 +324,57 @@ def test_ivf_persisted_index_partition_pruning(spark, tmp_path):
     plan2 = two._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan2 and "IN (0,1)" in plan2
     assert two.count() == index.count() - index.filter(~F.col("c_id").isin([0, 1])).count()
+
+
+def test_append_to_ivf_index_layout_and_equivalence(spark, tmp_path):
+    """Incremental index maintenance: appending a delta batch (a) only
+    touches the bucket directories that received vectors — untouched
+    buckets keep their exact file lists, (b) yields an index whose
+    search results equal a full rebuild over base ∪ delta with the same
+    centroids, and (c) reports per-bucket appended counts."""
+    import glob as _glob
+    import os as _os
+
+    e = _emb(spark, n=200)
+    base = e.filter(F.col("vec_id") < 150)
+    delta = e.filter(F.col("vec_id") >= 150)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+
+    path = str(tmp_path / "ivf_index")
+    ss.write_ivf_index(ss.ivf_assign(base, cents), path)
+    files_before = {
+        d: sorted(_os.listdir(d)) for d in _glob.glob(path + "/c_id=*")
+    }
+
+    counts = {r["c_id"]: r["n_appended"]
+              for r in ss.append_to_ivf_index(delta, cents, path).collect()}
+    assert sum(counts.values()) == delta.count()
+    # the delta's true assignment says which buckets must have changed
+    want_touched = {r["c_id"] for r in ss.ivf_assign(delta, cents)
+                    .select("c_id").distinct().collect()}
+    assert set(counts) == want_touched
+
+    files_after = {
+        d: sorted(_os.listdir(d)) for d in _glob.glob(path + "/c_id=*")
+    }
+    for d, before in files_before.items():
+        cid = int(d.rsplit("=", 1)[1])
+        after = files_after[d]
+        if cid in want_touched:
+            assert set(before) < set(after), f"bucket {cid} must gain files"
+        else:
+            assert before == after, f"untouched bucket {cid} was rewritten"
+
+    # search over the appended index == search over a full rebuild
+    rebuilt_path = str(tmp_path / "ivf_rebuilt")
+    ss.write_ivf_index(ss.ivf_assign(e, cents), rebuilt_path)
+    kw = dict(k=10, nprobe=2, prefilter_partitions=True)
+    got = ss.ivf_topk(e, q, cents,
+                      assigned=ss.read_ivf_index(spark, path), **kw).collect()
+    want = ss.ivf_topk(e, q, cents,
+                       assigned=ss.read_ivf_index(spark, rebuilt_path),
+                       **kw).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
