@@ -355,6 +355,7 @@ BASELINE = {
     "ann_index_append": (4.559, 8),
     "location_report_fixture": (2.485, 8),
     "quantile_gate_autodegrade": (2.706, 8),
+    "stream_curation": (9.551, 8),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

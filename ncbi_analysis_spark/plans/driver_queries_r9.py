@@ -121,11 +121,91 @@ def quantile_gate_autodegrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality")
 
 
+_stream_seq = 0
+
+
+def stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming curation (streaming/events.py::
+    curation_stream — the streaming twin of curation_v3's decon+quality
+    prefix) through the gate: the corpus streamed file-source style,
+    benchmark-colliding docs dropped in flight, survivors scored with
+    the batch-trained quality classifier, all in one stateless
+    transformation. min_prob=0 here because the sf0.001/sf0.01 score
+    ranges don't overlap (no single non-trivial threshold exists at
+    both scales; the gating filter is covered by the pytest parity
+    tests) — the oracle composes the stream-fold scoring SQL with the
+    decon SQL's flagged set, so both stages' values must be
+    bit-identical."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.terms import quality_classifier_weights
+    from ncbi_analysis_spark.plans.driver_queries_r8 import _QC_PARAMS
+    from ncbi_analysis_spark.streaming.events import (
+        curation_stream,
+        run_to_memory,
+    )
+
+    global _stream_seq
+    _stream_seq += 1
+    name = f"drv_stream_curation_{_stream_seq}"
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    w, bias = quality_classifier_weights(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
+        "text", "doc_id", **_QC_PARAMS)
+    tmp = tempfile.mkdtemp(prefix="stream_curation_")
+    try:
+        stage = f"{tmp}/stage"
+        # many-file staging for per-file task parallelism (the r8
+        # stream-gate queries' measured finding: interpreted HOF row
+        # work parallelizes by source file count)
+        corpus.repartition(16).write.parquet(stage)
+        src = f"{tmp}/src"
+        _os.makedirs(src)
+        for _i, _p in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+            shutil.copy(_p, f"{src}/docs{_i}.parquet")
+        stream = spark.readStream.schema(corpus.schema).parquet(src)
+        out = curation_stream(stream, bench, w, bias, min_prob=0.0,
+                              num_perm=4, bands=2, **_QC_PARAMS)
+        run_to_memory(out.select("doc_id", "n_feats", "prob"), name,
+                      timeout_s=300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def _stream_curation_sql() -> str:
+    """Composition of the two oracled stream stages: the decon SQL's
+    distinct flagged set anti-joined out of the %7 corpus, the
+    survivors scored with the stream-fold scoring SQL (bit-identical
+    fold order on both engines)."""
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+    from ncbi_analysis_spark.plans.driver_queries_r8 import (
+        _stream_quality_gate_sql,
+    )
+
+    return f"""
+WITH flagged AS (SELECT DISTINCT doc_id FROM ({_fuzzy_decon_sql()}) pairs),
+scored AS ({_stream_quality_gate_sql()})
+SELECT s.doc_id, s.n_feats, s.prob
+FROM scored s
+WHERE s.doc_id % 7 != 0
+  AND s.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 def queries_r9() -> dict:
     return {
         "ann_index_append": ann_index_append,
         "location_report_fixture": location_report_fixture,
         "quantile_gate_autodegrade": quantile_gate_autodegrade,
+        "stream_curation": stream_curation,
     }
 
 
@@ -139,4 +219,5 @@ def oracle_sql_r9() -> dict[str, str]:
         # shares the exact discrete-quantile oracle with the default
         # mode's quality_quantile_gate (same workload, same threshold)
         "quantile_gate_autodegrade": r8._quality_quantile_sql(),
+        "stream_curation": _stream_curation_sql(),
     }

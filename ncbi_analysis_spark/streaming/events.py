@@ -587,3 +587,78 @@ def quality_score_stream(
     ).withColumn(
         "prob", F.when(null_t, F.lit(None)).otherwise(F.round(prob, 6))
     )
+
+
+def curation_stream(
+    stream: DataFrame,
+    bench_df: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text: str = "text",
+    min_prob: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    n_buckets: int = 1024,
+    ngram_max: int = 2,
+) -> DataFrame:
+    """End-to-end streaming curation — the streaming twin of
+    ``curation_v3``'s decon+quality prefix, composed as ONE stateless
+    transformation so it runs under any trigger with zero state store:
+
+      fuzzy decontamination (``fuzzy_decon_stream``: drop documents
+      MinHash-LSH-band-colliding with the held-out benchmark, in
+      flight) → trained-quality scoring (``quality_score_stream``: the
+      batch-trained classifier's broadcast weight vector, sigmoid per
+      row) → quality gate (keep rounded prob ≥ ``min_prob``; NULL-text
+      rows score NULL and are dropped by the gate, matching the batch
+      pipeline's posture).
+
+    Both models are fit IN BATCH (benchmark band keys; classifier
+    weights) and enter the stream as broadcast literals — the
+    train-offline / score-in-flight split every production ingest gate
+    uses. Pipe the result into ``stream_to_parquet`` for the durable,
+    exactly-once, restartable form (``run_curation_job``).
+
+    Scale: pure per-row expressions end to end — no shuffle, no state;
+    parallelism comes from the source layout (one task per file — see
+    the many-file staging note on the r8 stream gate queries).
+    """
+    deconned = fuzzy_decon_stream(
+        stream, bench_df, text, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, keep="clean",
+    )
+    scored = quality_score_stream(
+        deconned, weights, bias, text, n_buckets=n_buckets,
+        ngram_max=ngram_max,
+    )
+    return scored.filter(F.col("prob") >= min_prob)
+
+
+def run_curation_job(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    bench_df: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    out_path: str,
+    checkpoint: str,
+    text: str = "text",
+    min_prob: float = 0.5,
+    timeout_s: int = 300,
+    **curation_kwargs,
+) -> None:
+    """One restartable streaming-curation job: parquet file source →
+    ``curation_stream`` → ``stream_to_parquet`` (availableNow). The
+    checkpoint carries exactly-once across restarts — a re-run over the
+    same source+checkpoint commits nothing new; files that arrive
+    between runs are curated exactly once (the
+    ``stream_to_parquet`` restart contract, asserted in
+    tests/test_streaming.py's curation restart test)."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    curated = curation_stream(
+        stream, bench_df, weights, bias, text=text, min_prob=min_prob,
+        **curation_kwargs,
+    )
+    stream_to_parquet(curated, out_path, checkpoint, timeout_s=timeout_s)

@@ -472,3 +472,109 @@ def test_chunk_documents_is_stream_transparent(spark, tmp_path):
     got = {(r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_tokens"])
            for r in spark.table("t_stream_chunks").collect()}
     assert got == want and len(got) > len({g[0] for g in got})
+
+
+def _curation_fixtures(spark):
+    """Shared batch-side model fit for the streaming-curation tests:
+    %7 bench split, English-vs-rest classifier on the full table."""
+    from ncbi_analysis_spark.operators.terms import quality_classifier_weights
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    w, bias = quality_classifier_weights(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
+        "text", "doc_id", n_buckets=1024, ngram_max=2)
+    return d, corpus, bench, w, bias
+
+
+def test_curation_stream_matches_batch_prefix(spark, tmp_path):
+    """The composed streaming curation equals curation_v3's
+    decon+quality prefix run in batch: same surviving doc_ids, probs
+    agreeing to float-sum reordering (the documented 1e-12-relative
+    stream-vs-batch fold difference)."""
+    from ncbi_analysis_spark.operators.dedup import fuzzy_decon_pairs
+    from ncbi_analysis_spark.operators.terms import quality_probability
+
+    d, corpus, bench, w, bias = _curation_fixtures(spark)
+
+    # batch prefix: anti-join the flagged set, score, gate at 0.5
+    flagged = fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=4, bands=2).select("doc_id").distinct()
+    clean = corpus.join(flagged, "doc_id", "left_anti")
+    scored = quality_probability(clean, "text", "doc_id", w, bias,
+                                 n_buckets=1024, ngram_max=2)
+    # sf0.001 probs span ~[0.34, 0.39]; gate inside the range so the
+    # parity assertion is non-vacuous (both kept and dropped rows exist)
+    batch = {r["doc_id"]: r["prob"]
+             for r in scored.filter(F.col("prob") >= 0.36).collect()}
+    n_clean = clean.count()
+    assert 0 < len(batch) < n_clean
+
+    # streaming: same corpus through the file source
+    src = tmp_path / "cur_src"; src.mkdir()
+    stage = str(tmp_path / "cur_stage")
+    corpus.repartition(4).write.parquet(stage)
+    import glob as _glob
+    for i, p in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+        shutil.copy(p, src / f"docs{i}.parquet")
+    stream = spark.readStream.schema(corpus.schema).parquet(str(src))
+    out = sev.curation_stream(stream, bench, w, bias, min_prob=0.36,
+                              num_perm=4, bands=2)
+    sev.run_to_memory(out.select("doc_id", "prob"), "cur_parity")
+    got = {r["doc_id"]: r["prob"]
+           for r in spark.table("cur_parity").collect()}
+
+    assert set(got) == set(batch)
+    for k, v in got.items():
+        assert abs(v - batch[k]) < 1e-6, (k, v, batch[k])
+
+
+def test_run_curation_job_exactly_once_on_restart(spark, tmp_path):
+    """The durable composed job is restart-idempotent: re-running over
+    the same source+checkpoint commits nothing; a file arriving between
+    runs is curated exactly once; read-back stays gated (prob >= 0.5)
+    and decontaminated throughout."""
+    from ncbi_analysis_spark.operators.dedup import fuzzy_decon_pairs
+
+    d, corpus, bench, w, bias = _curation_fixtures(spark)
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+
+    src = tmp_path / "job_src"; src.mkdir()
+    out = str(tmp_path / "job_out"); ck = str(tmp_path / "job_ck")
+    import glob as _glob
+
+    def stage_in(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0],
+                    src / f"{name}.parquet")
+
+    stage_in(half_a, "a")
+
+    def run():
+        sev.run_curation_job(
+            spark, str(src), corpus.schema, bench, w, bias, out, ck,
+            min_prob=0.36, num_perm=4, bands=2)
+
+    run()
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 > 0
+    assert first.agg(F.min("prob")).first()[0] >= 0.36
+    # restart over the same source: nothing re-commits
+    run()
+    assert spark.read.parquet(out).count() == n1
+    # new arrivals curated exactly once
+    stage_in(half_b, "b")
+    run()
+    got = spark.read.parquet(out)
+    assert got.select("doc_id").distinct().count() == got.count()
+    # every surviving doc is clean: no overlap with the flagged set
+    flagged = fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=4, bands=2).select("doc_id").distinct()
+    assert got.join(flagged, "doc_id", "inner").count() == 0
