@@ -14,7 +14,16 @@ LSH banding + connected components (iterative), inverted-index Jaccard
 probe (broadcast + bucket prune), n-gram LM (explode + model join), and
 the line-scrub (explode + anti-join + ordered regroup).
 
-Usage: python scripts/corpus_scale_curve.py [sf ...]  (default: 0.001 0.01 0.1)
+Usage: python scripts/corpus_scale_curve.py [sf ...] [--steep]
+       (default sfs: 0.001 0.01 0.1; ``--steep`` restricts to the four
+       steepest document shapes — the round-7 verdict's sf1 soak set)
+
+sf=1 has no driver-generated corpus; the script SYNTHESIZES one under
+/tmp (cached across runs) by replicating the sf0.1 documents 10x with
+shifted doc_ids and a per-replica salt token appended to the text, so
+row count and digest cardinalities grow ~linearly rather than every
+document gaining 9 exact copies (which would make the dedup shapes
+measure a degenerate corpus, not scale).
 """
 
 from __future__ import annotations
@@ -38,8 +47,48 @@ QUERIES = [
 ]
 
 
+# the shapes with the steepest sf0.01 -> sf0.1 curves (round-7 verdict):
+# inverted-index Jaccard (skew-capped self-join), the distinct-score
+# cumulative scan, anchored span dedup, and the persisted multi-stage
+# composition — all documents-table-only, so the sf1 synthesis stays a
+# one-table job
+STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
+         "dup_span_removal", "curation_v3"]
+
+
+def _sf_dir(spark, sf: float) -> str:
+    """Resolve (or synthesize) the corpus directory for a scale factor."""
+    path = f"/root/testdata/sf{sf:g}"
+    if os.path.isdir(path):
+        return path
+    if sf != 1:
+        raise SystemExit(f"no corpus for sf{sf:g} and no synthesis rule")
+    synth = "/tmp/spark_graft_synth_sf1"
+    marker = os.path.join(synth, "_SYNTH_DONE")
+    if os.path.exists(marker):
+        return synth
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    reps = None
+    for i in range(10):
+        r = base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            *[c for c in base.columns if c not in ("doc_id", "text")],
+            (F.col("text") if i == 0 else F.concat_ws(
+                " ", F.col("text"), F.lit(f"rep{i}"))).alias("text"),
+        ).select(base.columns)
+        reps = r if reps is None else reps.unionByName(r)
+    reps.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(synth, "documents.parquet"))
+    open(marker, "w").close()
+    return synth
+
+
 def main() -> None:
-    sfs = [float(a) for a in sys.argv[1:]] or [0.001, 0.01, 0.1]
+    args = [a for a in sys.argv[1:] if a != "--steep"]
+    steep_only = "--steep" in sys.argv[1:]
+    sfs = [float(a) for a in args] or [0.001, 0.01, 0.1]
     import __spark_entry__ as e
     from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
     from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
@@ -56,16 +105,18 @@ def main() -> None:
         "dup_span_removal", "epoch_mixture", "quality_quantile_gate",
         "curriculum_layout", "corpus_snapshot_diff", "curation_v3",
     ]
+    if steep_only:
+        names = list(STEEP)
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
     # warm the Arrow worker pool + JVM codegen before any timing
-    noop(qs["dedup_minhash_signature"](spark, f"/root/testdata/sf{sfs[0]:g}"))
+    noop(qs["dedup_minhash_signature"](spark, _sf_dir(spark, sfs[0])))
 
     results: dict[str, dict[float, float]] = {n: {} for n in names}
     for sf in sfs:
-        sf_dir = f"/root/testdata/sf{sf:g}"
+        sf_dir = _sf_dir(spark, sf)
         for name in names:
             runs = []
             for _ in range(N_RUNS):
@@ -75,14 +126,17 @@ def main() -> None:
             results[name][sf] = min(runs)
             print(f"sf{sf:g} {name}: runs={runs} min={min(runs)}", flush=True)
 
-    if 0.01 in sfs and 0.1 in sfs:
-        print("\nsf0.01 -> sf0.1 growth (10x rows):")
+    for lo, hi in ((0.01, 0.1), (0.1, 1)):
+        if not (lo in sfs and hi in sfs):
+            continue
+        print(f"\nsf{lo:g} -> sf{hi:g} growth (10x rows):")
         for name in names:
-            a, b = results[name].get(0.01), results[name].get(0.1)
+            a, b = results[name].get(lo), results[name].get(hi)
             if a is not None and b is not None:
                 # sub-5ms minima round to 0.0 — report without a ratio
                 # rather than dividing by zero or silently skipping
-                ratio = f"({b / a:.1f}x wall)" if a > 0 else "(sf0.01 under timer resolution)"
+                ratio = (f"({b / a:.1f}x wall)" if a > 0
+                         else f"(sf{lo:g} under timer resolution)")
                 print(f"  {name}: {a} -> {b} s  {ratio}")
 
 
