@@ -356,6 +356,7 @@ BASELINE = {
     "location_report_fixture": (2.485, 8),
     "quantile_gate_autodegrade": (2.706, 8),
     "stream_curation": (9.551, 8),
+    "bpe_vocab": (0.801, 8),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

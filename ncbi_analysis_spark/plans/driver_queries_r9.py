@@ -200,12 +200,49 @@ WHERE s.doc_id % 7 != 0
 """
 
 
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable BPE tokenizer's merge table (functions/bpe.py::
+    train_bpe — Sennrich et al. 2016): distributed word histogram +
+    deterministic driver merge loop (lexicographic tie-break) over the
+    documents corpus. The oracle embeds the Spark-free local twin's
+    merges as literals (bpe_train_local reads the same parquet with
+    pyarrow — the generated-oracle pattern of ann_ivf_trained), so the
+    distributed trainer is checked rank-for-rank against a from-scratch
+    single-node derivation."""
+    from ncbi_analysis_spark.functions.bpe import train_bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(d, "text", num_merges=120)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, lhs string, rhs string",
+    )
+
+
+def _bpe_vocab_sql() -> str:
+    from ncbi_analysis_spark.functions.bpe import bpe_train_local
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _oracle_sf_dir
+
+    merges = bpe_train_local(f"{_oracle_sf_dir()}/documents.parquet",
+                             num_merges=120)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({i}, {q(a)}, {q(b)})" for i, (a, b) in enumerate(merges)
+    )
+    return (f"SELECT rank::BIGINT AS rank, lhs, rhs "
+            f"FROM (VALUES {vals}) AS t(rank, lhs, rhs)")
+
+
 def queries_r9() -> dict:
     return {
         "ann_index_append": ann_index_append,
         "location_report_fixture": location_report_fixture,
         "quantile_gate_autodegrade": quantile_gate_autodegrade,
         "stream_curation": stream_curation,
+        "bpe_vocab": bpe_vocab,
     }
 
 
@@ -220,4 +257,5 @@ def oracle_sql_r9() -> dict[str, str]:
         # mode's quality_quantile_gate (same workload, same threshold)
         "quantile_gate_autodegrade": r8._quality_quantile_sql(),
         "stream_curation": _stream_curation_sql(),
+        "bpe_vocab": _bpe_vocab_sql(),
     }
