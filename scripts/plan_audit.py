@@ -69,6 +69,20 @@ EXPECTED: dict[str, set[str]] = {
     # counts + the corpus denominator) cross-joined — the
     # ngram_lm_quality scalar-small-side class.
     "contamination_report": {"BroadcastNestedLoopJoin"},
+    # --- staged r9 (audited pre-registration) ---
+    # Probe construction: bounded query set x centroid table —
+    # ann_ivf's shape (the search over the appended index).
+    "ann_index_append": {"BroadcastNestedLoopJoin"},
+    # Bounded PARITY mode by design (locate_matches(bounded=True) on the
+    # committed reference fixture): non-equi broadcast candidate join
+    # (BNLJ); the global rank over the ~7-row annotation table plans
+    # without a static SinglePartition under AQE. The scale path is the
+    # keyed unbounded mode.
+    "location_report_fixture": {"BroadcastNestedLoopJoin"},
+    # Same workload as quality_quantile_gate: one-row threshold
+    # broadcast cross join; the HLL probe runs as a separate bounded
+    # job at construction time.
+    "quantile_gate_autodegrade": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -93,14 +107,18 @@ def audit(
     round-trips, persisted-index builds) are skipped: their plan is the
     final read, not the pipeline, so a marker scan is meaningless."""
     from ncbi_analysis_spark.plans import driver_queries
-    from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
+    from ncbi_analysis_spark.plans.driver_queries_r9 import queries_r9
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
-            "ann_ivf_persisted"}
+            "ann_ivf_persisted",
+            # bpe_vocab's construction runs the histogram+merge train;
+            # its returned frame is the literal merge table — nothing
+            # to scan
+            "bpe_vocab"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r8()}
+    qs = {**driver_queries.queries(), **queries_r9()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
