@@ -357,6 +357,7 @@ BASELINE = {
     "quantile_gate_autodegrade": (2.706, 8),
     "stream_curation": (9.551, 8),
     "bpe_vocab": (0.801, 8),
+    "lsh_incremental_decon": (2.776, 8),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

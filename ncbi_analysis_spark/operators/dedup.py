@@ -1424,3 +1424,136 @@ def remove_bench_spans(
     hits = wins.join(bwins, "wh", "left_semi").select(
         id_col, "span_start", "span_end")
     return _remove_spans(df, hits, text, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Persisted, appendable MinHash-LSH index — incremental crawl dedup
+# ---------------------------------------------------------------------------
+
+_LSH_PARAMS_FILE = "_lsh_params.json"
+
+
+def _lsh_params_guard(path: str, num_perm: int, bands: int,
+                      shingle_n: int, write: bool) -> None:
+    """Band digests are only comparable under identical (num_perm,
+    bands, shingle_n); a parameter drift between index builds and later
+    appends/probes silently finds zero collisions. The index directory
+    carries its parameters and every append/probe validates them."""
+    import json
+    import os
+
+    params = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}
+    marker = os.path.join(path, _LSH_PARAMS_FILE)
+    if write:
+        os.makedirs(path, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump(params, f)
+        return
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path!r} is not a write_lsh_index directory (missing "
+            f"{_LSH_PARAMS_FILE}); build it with write_lsh_index first"
+        )
+    with open(marker) as f:
+        stored = json.load(f)
+    if stored != params:
+        raise ValueError(
+            f"LSH index at {path!r} was built with {stored}, got {params}; "
+            "band digests are not comparable across parameter changes — "
+            "rebuild the index or match its parameters"
+        )
+
+
+def write_lsh_index(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    path: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the corpus's LSH band rows ``(id, band, band_hash)`` as
+    a parquet index partitioned by band — the crawl-dedup counterpart
+    of ``write_ivf_index``: build once over the ingested corpus, then
+    each new crawl batch probes it (``lsh_index_collisions``) and
+    appends its own survivors (``append_to_lsh_index``) without ever
+    recomputing old signatures. The directory records its
+    (num_perm, bands, shingle_n) so a parameter drift fails loudly
+    instead of silently matching nothing."""
+    rows = _minhash_band_rows(df, text, id_col, num_perm, bands, shingle_n)
+    # overwrite first (it clears the directory), THEN record the params
+    rows.write.mode("overwrite").partitionBy("band").parquet(path)
+    _lsh_params_guard(path, num_perm, bands, shingle_n, write=True)
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """Open a ``write_lsh_index`` directory for probing."""
+    return spark.read.parquet(path)
+
+
+def append_to_lsh_index(
+    new_df: DataFrame,
+    text: str,
+    id_col: str,
+    path: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental index maintenance: compute the new batch's band rows
+    under the INDEX's parameters (validated) and parquet-partition-
+    append them — per-band directories gain files, nothing is
+    rewritten, ingest I/O scales with the batch. Appending band rows is
+    associative, so any split of the corpus across write/append calls
+    yields the same index contents (the ann_index_append property,
+    asserted by the staged oracle). Returns per-band appended counts
+    (bounded by ``bands``)."""
+    _lsh_params_guard(path, num_perm, bands, shingle_n, write=False)
+    rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
+                              shingle_n).persist()
+    try:
+        rows.write.mode("append").partitionBy("band").parquet(path)
+        counts = rows.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_appended")).collect()
+    finally:
+        rows.unpersist()
+    return new_df.sparkSession.createDataFrame(
+        [(int(r["band"]), int(r["n_appended"])) for r in counts],
+        "band long, n_appended long",
+    )
+
+
+def lsh_index_collisions(
+    new_df: DataFrame,
+    index: DataFrame,
+    text: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Probe a persisted LSH index with a new crawl batch: distinct
+    ``(doc_id, indexed_id)`` pairs whose band digests collide — the
+    incremental twin of ``fuzzy_decon_pairs`` where the reference side
+    is the PERSISTED index instead of a recomputed corpus. Drop (or
+    flag) the colliding new docs, then ``append_to_lsh_index`` the
+    survivors: the standing crawl-ingest loop.
+
+    Scale: the new batch is one crawl increment — bounded — so its band
+    rows BROADCAST into the index join (``broadcast_new``) and the
+    corpus-sized index is never shuffled; with ``broadcast_new=False``
+    the join shuffles both sides on (band, band_hash) for unusually
+    large batches (AQE handles skewed hot bands)."""
+    probe = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
+                               shingle_n).withColumnRenamed("id", "__new_id")
+    if broadcast_new:
+        probe = F.broadcast(probe)
+    hits = index.join(
+        probe, on=["band", "band_hash"], how="inner"
+    ).select(
+        F.col("__new_id").alias(id_col),
+        F.col("id").alias("indexed_id"),
+    ).distinct()
+    return hits

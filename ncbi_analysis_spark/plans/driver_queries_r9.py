@@ -236,6 +236,48 @@ def _bpe_vocab_sql() -> str:
             f"FROM (VALUES {vals}) AS t(rank, lhs, rhs)")
 
 
+def lsh_incremental_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted MinHash-LSH index crawl-ingest loop (operators/
+    dedup.py::write_lsh_index/append_to_lsh_index/lsh_index_collisions
+    — the fuzzy-dedup twin of ann_index_append): index built from part
+    of the ingested corpus, the rest APPENDED (band rows are
+    associative, so any write/append split yields the same index), then
+    the new crawl batch (the %7 split) probed against it with the new
+    side broadcast. The oracle is the recompute-everything fuzzy
+    collision SQL with the pair roles flipped — the appended index must
+    be indistinguishable from recomputing every old signature."""
+    from ncbi_analysis_spark.operators.dedup import (
+        append_to_lsh_index,
+        lsh_index_collisions,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    kw = dict(num_perm=4, bands=2, shingle_n=3)
+
+    path = _staging_dir("spark_graft_lsh_index")
+    write_lsh_index(old.filter(F.col("doc_id") % 5 != 0),
+                    "text", "doc_id", path, **kw)
+    append_to_lsh_index(old.filter(F.col("doc_id") % 5 == 0),
+                        "text", "doc_id", path, **kw)
+    index = read_lsh_index(spark, path)
+    return lsh_index_collisions(new, index, "text", "doc_id", **kw)
+
+
+def _lsh_incremental_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    # _fuzzy_decon_sql emits (doc_id=old-corpus %7<>0, bench_id=%7=0)
+    # collision pairs under the same 4-perm/2-band parameters; the
+    # incremental probe's pair set is identical with the roles flipped
+    return (f"SELECT bench_id AS doc_id, doc_id AS indexed_id "
+            f"FROM ({_fuzzy_decon_sql()}) p")
+
+
 def queries_r9() -> dict:
     return {
         "ann_index_append": ann_index_append,
@@ -243,6 +285,7 @@ def queries_r9() -> dict:
         "quantile_gate_autodegrade": quantile_gate_autodegrade,
         "stream_curation": stream_curation,
         "bpe_vocab": bpe_vocab,
+        "lsh_incremental_decon": lsh_incremental_decon,
     }
 
 
@@ -258,4 +301,5 @@ def oracle_sql_r9() -> dict[str, str]:
         "quantile_gate_autodegrade": r8._quality_quantile_sql(),
         "stream_curation": _stream_curation_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
+        "lsh_incremental_decon": _lsh_incremental_sql(),
     }

@@ -112,6 +112,9 @@ def audit(
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
             "ann_ivf_persisted",
+            # lsh_incremental_decon's construction writes+appends the
+            # persisted band index; its final plan is the probe read
+            "lsh_incremental_decon",
             # bpe_vocab's construction runs the histogram+merge train;
             # its returned frame is the literal merge table — nothing
             # to scan
