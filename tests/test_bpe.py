@@ -114,3 +114,49 @@ def test_guards(spark):
     hist = {r["word"]: r["n"]
             for r in word_histogram(df2, "text", min_count=2).collect()}
     assert hist == {"a": 2}
+
+
+def test_merge_loop_matches_independent_reimplementation(spark):
+    """_merge_loop is shared by the trainer and the oracle twin, so twin
+    parity can't catch a bug inside it; this checks it against a
+    from-scratch reimplementation (different data structures: pair
+    index rebuilt per step from raw word list) on randomized corpora."""
+    import random
+
+    rnd = random.Random(20260814)
+
+    def naive_bpe(word_counts, num_merges):
+        words = {w: [*w, EOW] for w in word_counts}
+        merges = []
+        for _ in range(num_merges):
+            counts = {}
+            for w, sym in words.items():
+                n = word_counts[w]
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                break
+            m = max(counts.values())
+            pair = min(p for p, c in counts.items() if c == m)
+            merges.append(pair)
+            for w, sym in words.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (i + 1 < len(sym)
+                            and (sym[i], sym[i + 1]) == pair):
+                        out.append(sym[i] + sym[i + 1])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                words[w] = out
+        return merges
+
+    from ncbi_analysis_spark.functions.bpe import _merge_loop
+
+    for trial in range(8):
+        vocab = ["".join(rnd.choice("abcde") for _ in range(rnd.randint(1, 7)))
+                 for _ in range(rnd.randint(3, 40))]
+        hist = {w: rnd.randint(1, 9) for w in vocab}
+        nm = rnd.randint(1, 25)
+        assert _merge_loop(dict(hist), nm) == naive_bpe(hist, nm), (trial, hist)
