@@ -288,3 +288,82 @@ def redact_pii(text: Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{name.upper()}>")
     return out
+
+
+# --- Gopher-style repetition metrics (Rae et al. 2021, table A1) --------
+#
+# The reference corpus here is single-line word streams, so the
+# line/paragraph duplicate rules degenerate (every doc is one line);
+# the word-level rules below are the meaningful subset, re-derived as
+# pure Column expressions. Scale shape: array_sort + a run-length fold
+# per row — O(L log L) per document, zero shuffle, whole-stage codegen.
+# (The classic alternative — explode n-grams, groupBy(doc_id, gram),
+# max(count) — costs two shuffles keyed by doc_id; the in-row fold
+# needs none and the per-doc arrays are bounded by document length.)
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED string array,
+    computed as the longest run of equal adjacent elements via a
+    single ``aggregate`` fold (struct accumulator: previous element,
+    current run, best run). Empty array -> 0."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def word_ngrams_exact(toks: Column, n: int) -> Column:
+    """Exact word n-grams (space-joined) — unlike ``word_shingles`` this
+    emits NO short tail gram: fewer than n words -> empty array."""
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def dup_word_frac(toks: Column) -> Column:
+    """1 - distinct/total words (0 for empty docs): the word-level twin
+    of Gopher's duplicate-line fraction."""
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+def top_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of word n-grams accounted for by the single most
+    frequent n-gram (Gopher's top-n-gram character fraction, re-based
+    on gram counts — on a uniform-word-length corpus the two order
+    documents identically). 0 when the doc has fewer than n words."""
+    grams = word_ngrams_exact(toks, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        _max_run(F.array_sort(grams)).cast("double") / F.size(grams)
+    )
+
+
+def mean_word_len(toks: Column) -> Column:
+    """Mean characters per word (0 for empty docs) — Gopher gates docs
+    outside [3, 10]."""
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )

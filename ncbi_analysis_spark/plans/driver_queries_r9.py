@@ -278,6 +278,73 @@ def _lsh_incremental_sql() -> str:
             f"FROM ({_fuzzy_decon_sql()}) p")
 
 
+def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 table A1,
+    functions/text.py::dup_word_frac/top_ngram_frac/mean_word_len):
+    per-document word-repetition metrics — duplicate-word fraction,
+    top bi-/tri-gram fraction, mean word length — and the composed
+    repetition flag. The corpus here is single-line word streams, so
+    the word-level rules are the meaningful subset of the paper's
+    line/paragraph family. Scale shape: array_sort + run-length fold
+    per row, zero shuffle, whole-stage codegen (the explode+groupBy
+    alternative costs two doc_id-keyed shuffles); the oracle recomputes
+    the same metrics the classic way (lateral unnest + GROUP BY)."""
+    from ncbi_analysis_spark.functions import text as textf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = textf.tokens(F.col("text"))
+    m = d.select(
+        "doc_id",
+        F.round(textf.dup_word_frac(toks), 6).alias("dup_word_frac"),
+        F.round(textf.top_ngram_frac(toks, 2), 6).alias("top_bigram_frac"),
+        F.round(textf.top_ngram_frac(toks, 3), 6).alias("top_trigram_frac"),
+        F.round(textf.mean_word_len(toks), 6).alias("mean_word_len"),
+    )
+    flagged = (
+        (F.col("dup_word_frac") > 0.65)
+        | (F.col("top_bigram_frac") > 0.08)
+        | (F.col("top_trigram_frac") > 0.18)
+        | (F.col("mean_word_len") < 3.0)
+        | (F.col("mean_word_len") > 10.0)
+    )
+    return m.withColumn("flagged", flagged.cast("long"))
+
+
+_GOPHER_GATE_SQL = """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd,
+         list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS chars
+  FROM w
+),
+g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+    FROM base, UNNEST(range(1, n)) AS t(i)) GROUP BY doc_id, g),
+t2 AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS tc FROM g2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+    FROM base, UNNEST(range(1, n - 1)) AS t(i)) GROUP BY doc_id, g),
+t3 AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS tc FROM g3 GROUP BY doc_id),
+m AS (
+  SELECT b.doc_id,
+    ROUND(CASE WHEN n <= 0 THEN 0 ELSE 1.0 - nd * 1.0 / n END, 6) AS dup_word_frac,
+    ROUND(COALESCE(t2.mc * 1.0 / t2.tc, 0), 6) AS top_bigram_frac,
+    ROUND(COALESCE(t3.mc * 1.0 / t3.tc, 0), 6) AS top_trigram_frac,
+    ROUND(CASE WHEN n <= 0 THEN 0 ELSE chars * 1.0 / n END, 6) AS mean_word_len
+  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+)
+SELECT *,
+  CASE WHEN dup_word_frac > 0.65 OR top_bigram_frac > 0.08
+         OR top_trigram_frac > 0.18
+         OR mean_word_len < 3.0 OR mean_word_len > 10.0
+       THEN 1 ELSE 0 END::BIGINT AS flagged
+FROM m
+"""
+
+
 def queries_r9() -> dict:
     return {
         "ann_index_append": ann_index_append,
@@ -286,6 +353,7 @@ def queries_r9() -> dict:
         "stream_curation": stream_curation,
         "bpe_vocab": bpe_vocab,
         "lsh_incremental_decon": lsh_incremental_decon,
+        "gopher_repetition_gate": gopher_repetition_gate,
     }
 
 
@@ -302,4 +370,5 @@ def oracle_sql_r9() -> dict[str, str]:
         "stream_curation": _stream_curation_sql(),
         "bpe_vocab": _bpe_vocab_sql(),
         "lsh_incremental_decon": _lsh_incremental_sql(),
+        "gopher_repetition_gate": _GOPHER_GATE_SQL,
     }

@@ -129,3 +129,35 @@ def test_pii_scrub(spark):
     assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1 and out[1]["n_phone"] == 1
     assert out[1]["red"] == "mail <EMAIL> and ip <IP> and phone <PHONE>"
     assert out[2]["n_email"] == 0 and out[2]["red"] == "nothing sensitive here"
+
+
+def test_gopher_repetition_metrics(spark):
+    # Gopher (Rae et al. 2021) word-level repetition rules as pure
+    # Column folds — no shuffle, so edge cases must be handled in-row.
+    def m(fn, s, *a):
+        return one(spark, fn(textf.tokens(F.col("s")), *a), s=s)
+
+    # dup_word_frac: 4 words, 2 distinct -> 0.5; all-unique -> 0.0
+    assert m(textf.dup_word_frac, "a b a b") == 0.5
+    assert m(textf.dup_word_frac, "a b c d") == 0.0
+    # empty / whitespace-only doc -> 0, not null or div-by-zero
+    assert m(textf.dup_word_frac, "   ") == 0.0
+
+    # top_ngram_frac: "a b a b a" bigrams = [a b, b a, a b, b a] -> 2/4
+    assert m(textf.top_ngram_frac, "a b a b a", 2) == 0.5
+    # a tie keeps only the max count (no gram identity leaks out)
+    assert m(textf.top_ngram_frac, "x y z x y", 2) == 0.5
+    # fewer than n words -> 0 (word_ngrams_exact emits no short tail)
+    assert m(textf.top_ngram_frac, "solo", 2) == 0.0
+    assert m(textf.top_ngram_frac, "", 3) == 0.0
+    # trigram run: "a b c a b c a" -> [abc, bca, cab, abc, bca] -> 2/5
+    assert m(textf.top_ngram_frac, "a b c a b c a", 3) == 0.4
+
+    # mean_word_len: ("ab","c","def") -> 6/3 = 2.0; empty -> 0
+    assert m(textf.mean_word_len, "ab c def") == 2.0
+    assert m(textf.mean_word_len, "") == 0.0
+
+    # word_ngrams_exact is exact-width: 3 words -> exactly 2 bigrams
+    got = one(spark, textf.word_ngrams_exact(textf.tokens(F.col("s")), 2),
+              s="a b c")
+    assert got == ["a b", "b c"]
