@@ -1674,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_r9().queries_r9(),
         **_r8().queries_r8(),
         **_r7().queries_r7(),
         **_r6().queries_r6(),
@@ -1733,6 +1734,7 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
+        **_r9().oracle_sql_r9(),
         **_r8().oracle_sql_r8(),
         **_r7().oracle_sql_r7(),
         **_r6().oracle_sql_r6(),
@@ -1814,6 +1816,12 @@ def _r8():
     from ncbi_analysis_spark.plans import driver_queries_r8
 
     return driver_queries_r8
+
+
+def _r9():
+    from ncbi_analysis_spark.plans import driver_queries_r9
+
+    return driver_queries_r9
 
 
 def _r3():
