@@ -358,6 +358,12 @@ BASELINE = {
     "stream_curation": (9.551, 8),
     "bpe_vocab": (0.801, 8),
     "lsh_incremental_decon": (2.776, 8),
+    # seeded r9 AFTER the Arrow-batched Counter twin replaced the
+    # interpreted HOF fold past 1000 rows (expr path measured 17.8s
+    # min-of-3 in the same session — a 21x plan improvement, so the
+    # pre-twin shape was never baselined); standalone min-of-3, noise
+    # control dedup_exact_groups read 0.328
+    "gopher_repetition_gate": (0.851, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

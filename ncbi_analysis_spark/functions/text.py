@@ -367,3 +367,125 @@ def mean_word_len(toks: Column) -> Column:
     return F.when(F.size(toks) <= 0, F.lit(0.0)).otherwise(
         total.cast("double") / F.size(toks)
     )
+
+
+# --- Arrow-batched twin of the repetition metrics --------------------
+#
+# The Column forms above are oracle-exact but their inner loops
+# (array_sort + `aggregate` folds) are CodegenFallback — interpreted
+# per array element, the dominant cost of the repetition gate at bench
+# scale. The `mapInPandas` twin below computes the SAME IEEE doubles
+# (each metric is one double division of exactly-representable integer
+# counts, so expr and np are bit-identical, not merely close) with
+# C-speed Counter/str machinery. Same expr/np + bounded-probe `auto`
+# pattern as `operators.dedup.semantic_dedup`.
+
+REPETITION_METRIC_COLS = (
+    "dup_word_frac",
+    "top_bigram_frac",
+    "top_trigram_frac",
+    "mean_word_len",
+)
+
+
+_JAVA_WS = None
+
+
+def _java_tokens(t):
+    """Python replica of ``tokens()``'s JVM semantics (probed against
+    Spark 4, see test_repetition_metrics_np_bit_parity): SQL ``trim``
+    strips ONLY the space character (not tabs/controls — it is not Java
+    ``String.trim``), and ``split(_, '\\s+')`` uses Java's ASCII-only
+    ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` (U+00A0 etc. are NOT
+    separators) and KEEPS leading and trailing empty tokens (Spark calls
+    ``split`` with limit -1): ``"\\t"`` -> ``["", ""]``, ``""`` ->
+    ``[""]``."""
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        import re as _re
+
+        _JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+    return _JAVA_WS.split(t.strip(" "))
+
+
+def repetition_metrics_np(
+    df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
+):
+    """Per-document repetition metrics via one Arrow-batched
+    ``mapInPandas`` pass: duplicate-word fraction, top bi-/tri-gram
+    fraction, mean word length — bit-identical to the Column forms
+    (``dup_word_frac`` / ``top_ngram_frac`` / ``mean_word_len``).
+
+    Scale shape: map-only, zero shuffle, one Python worker pass per
+    input partition; per-row state is O(doc length). Measured ~5x the
+    expression form on the sf0.1 gate shape (SCALING.md round 9)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    schema = id_schema + ", " + ", ".join(
+        f"{c} double" for c in REPETITION_METRIC_COLS
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            dup, b2, b3, mwl = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    # Column forms propagate NULL text to NULL metrics
+                    # (size(null) is NULL, so every when() falls through
+                    # to a null-producing branch)
+                    dup.append(None); b2.append(None); b3.append(None)
+                    mwl.append(None)
+                    continue
+                ws = _java_tokens(t)
+                n = len(ws)
+                dup.append(1.0 - len(set(ws)) / n)
+                mwl.append(sum(map(len, ws)) / n)
+                for k, out in ((2, b2), (3, b3)):
+                    m = n - (k - 1)
+                    if m <= 0:
+                        out.append(0.0)
+                    else:
+                        grams = Counter(zip(*(ws[i:] for i in range(k))))
+                        out.append(max(grams.values()) / m)
+            out_pdf = pdf[list(keep)].copy()
+            # object dtype keeps None as a true Arrow null (a float64
+            # series would smuggle it through as NaN, not NULL)
+            for c, vals in zip(REPETITION_METRIC_COLS, (dup, b2, b3, mwl)):
+                out_pdf[c] = pd.Series(vals, index=pdf.index, dtype="object")
+            yield out_pdf
+
+    return df.select(*keep, text_col).mapInPandas(gen, schema)
+
+
+def repetition_metrics(
+    df,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+    engine: str = "auto",
+    max_expr_rows: int = 1000,
+):
+    """Repetition metrics with physical-form selection (the
+    ``semantic_dedup`` expr/np pattern): ``'expr'`` = the pure Column
+    forms (oracle default), ``'np'`` = ``repetition_metrics_np``,
+    ``'auto'`` = expr up to ``max_expr_rows`` input rows (one bounded
+    ``limit().count()`` probe), np past it. Both forms produce
+    bit-identical doubles; auto exists so small oracle runs stay on the
+    all-JVM plan while bench/production corpora get the fast path."""
+    if engine == "auto":
+        over = df.limit(max_expr_rows + 1).count()
+        engine = "expr" if over <= max_expr_rows else "np"
+    if engine == "np":
+        return repetition_metrics_np(df, text_col=text_col, keep=keep)
+    toks = tokens(F.col(text_col))
+    return df.select(
+        *keep,
+        dup_word_frac(toks).alias("dup_word_frac"),
+        top_ngram_frac(toks, 2).alias("top_bigram_frac"),
+        top_ngram_frac(toks, 3).alias("top_trigram_frac"),
+        mean_word_len(toks).alias("mean_word_len"),
+    )

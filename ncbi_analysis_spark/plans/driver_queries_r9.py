@@ -285,20 +285,20 @@ def gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     top bi-/tri-gram fraction, mean word length — and the composed
     repetition flag. The corpus here is single-line word streams, so
     the word-level rules are the meaningful subset of the paper's
-    line/paragraph family. Scale shape: array_sort + run-length fold
-    per row, zero shuffle, whole-stage codegen (the explode+groupBy
-    alternative costs two doc_id-keyed shuffles); the oracle recomputes
-    the same metrics the classic way (lateral unnest + GROUP BY)."""
+    line/paragraph family. Scale shape: map-only, zero shuffle either
+    way; ``repetition_metrics(engine='auto')`` picks the physical form —
+    pure Column folds for oracle-sized inputs, the bit-identical
+    Arrow-batched Counter twin past 1000 rows (the interpreted
+    array_sort+fold HOFs were the most expensive bench shape at sf0.1;
+    see SCALING.md round 9). The oracle recomputes the same metrics the
+    classic way (lateral unnest + GROUP BY)."""
     from ncbi_analysis_spark.functions import text as textf
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = textf.tokens(F.col("text"))
-    m = d.select(
+    m = textf.repetition_metrics(d, text_col="text", keep=("doc_id",))
+    m = m.select(
         "doc_id",
-        F.round(textf.dup_word_frac(toks), 6).alias("dup_word_frac"),
-        F.round(textf.top_ngram_frac(toks, 2), 6).alias("top_bigram_frac"),
-        F.round(textf.top_ngram_frac(toks, 3), 6).alias("top_trigram_frac"),
-        F.round(textf.mean_word_len(toks), 6).alias("mean_word_len"),
+        *[F.round(F.col(c), 6).alias(c) for c in textf.REPETITION_METRIC_COLS],
     )
     flagged = (
         (F.col("dup_word_frac") > 0.65)

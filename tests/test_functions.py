@@ -161,3 +161,46 @@ def test_gopher_repetition_metrics(spark):
     got = one(spark, textf.word_ngrams_exact(textf.tokens(F.col("s")), 2),
               s="a b c")
     assert got == ["a b", "b c"]
+
+
+def test_repetition_metrics_np_bit_parity(spark):
+    # The Arrow-batched twin must produce BIT-identical doubles to the
+    # Column folds (every metric is one double division of integer
+    # counts), including the JVM tokenization corners: Java trim/ASCII-\s
+    # semantics, empty and whitespace-only docs, NULL text, unicode
+    # whitespace (U+00A0 is NOT a Java \s separator), ties, short docs.
+    rows = [
+        (1, "a b a b a"),
+        (2, "x y z x y"),
+        (3, "solo"),
+        (4, ""),
+        (5, "   "),
+        (6, None),
+        (7, "the quick brown fox jumps over the lazy dog the quick"),
+        (8, "nb sp stays one token"),
+        (9, "tab\tand\nnewline \x0b\x0c\r separators"),
+        (10, "\x01ctrl\x01 chars\x01"),
+        (11, "a " * 500 + "b"),
+        (12, "w" * 40),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    expr = {
+        r["doc_id"]: r
+        for r in textf.repetition_metrics(df, engine="expr").collect()
+    }
+    npv = {
+        r["doc_id"]: r
+        for r in textf.repetition_metrics(df, engine="np").collect()
+    }
+    assert set(expr) == set(npv)
+    for k in expr:
+        for c in textf.REPETITION_METRIC_COLS:
+            assert expr[k][c] == npv[k][c], (k, c, expr[k][c], npv[k][c])
+
+    # auto: probe routes small inputs to expr, big ones to np — same rows
+    auto = textf.repetition_metrics(df, engine="auto", max_expr_rows=3)
+    got = {r["doc_id"]: r for r in auto.collect()}
+    assert all(
+        got[k][c] == expr[k][c]
+        for k in expr for c in textf.REPETITION_METRIC_COLS
+    )
