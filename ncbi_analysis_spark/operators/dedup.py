@@ -1433,29 +1433,32 @@ def remove_bench_spans(
 _LSH_PARAMS_FILE = "_lsh_params.json"
 
 
-def _lsh_params_guard(path: str, num_perm: int, bands: int,
+def _lsh_params_guard(spark, path: str, num_perm: int, bands: int,
                       shingle_n: int, write: bool) -> None:
     """Band digests are only comparable under identical (num_perm,
     bands, shingle_n); a parameter drift between index builds and later
     appends/probes silently finds zero collisions. The index directory
-    carries its parameters and every append/probe validates them."""
+    carries its parameters and every append/probe validates them.
+
+    Marker I/O goes through the Hadoop FileSystem API
+    (``sources.fsutil``) so the marker lands beside the parquet
+    partitions on ANY scheme (s3a/abfs/hdfs/file) — driver-local
+    ``open`` would write to the wrong filesystem on an object store."""
     import json
-    import os
+
+    from ncbi_analysis_spark.sources import fsutil
 
     params = {"num_perm": num_perm, "bands": bands, "shingle_n": shingle_n}
-    marker = os.path.join(path, _LSH_PARAMS_FILE)
+    marker = path.rstrip("/") + "/" + _LSH_PARAMS_FILE
     if write:
-        os.makedirs(path, exist_ok=True)
-        with open(marker, "w") as f:
-            json.dump(params, f)
+        fsutil.write_text(spark, marker, json.dumps(params))
         return
-    if not os.path.exists(marker):
+    if not fsutil.exists(spark, marker):
         raise ValueError(
             f"{path!r} is not a write_lsh_index directory (missing "
             f"{_LSH_PARAMS_FILE}); build it with write_lsh_index first"
         )
-    with open(marker) as f:
-        stored = json.load(f)
+    stored = json.loads(fsutil.read_text(spark, marker))
     if stored != params:
         raise ValueError(
             f"LSH index at {path!r} was built with {stored}, got {params}; "
@@ -1484,7 +1487,8 @@ def write_lsh_index(
     rows = _minhash_band_rows(df, text, id_col, num_perm, bands, shingle_n)
     # overwrite first (it clears the directory), THEN record the params
     rows.write.mode("overwrite").partitionBy("band").parquet(path)
-    _lsh_params_guard(path, num_perm, bands, shingle_n, write=True)
+    _lsh_params_guard(df.sparkSession, path, num_perm, bands, shingle_n,
+                      write=True)
 
 
 def read_lsh_index(spark, path: str) -> DataFrame:
@@ -1509,7 +1513,8 @@ def append_to_lsh_index(
     yields the same index contents (the ann_index_append property,
     asserted by the staged oracle). Returns per-band appended counts
     (bounded by ``bands``)."""
-    _lsh_params_guard(path, num_perm, bands, shingle_n, write=False)
+    _lsh_params_guard(new_df.sparkSession, path, num_perm, bands,
+                      shingle_n, write=False)
     rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
                               shingle_n).persist()
     try:

@@ -1011,14 +1011,72 @@ def ivf_pq_topk(
     )
 
 
-def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id") -> None:
+_IVF_PARAMS_FILE = "_ivf_params.json"
+
+
+def _centroid_digest(centroids: DataFrame, vec: str, c_id: str) -> str:
+    """Deterministic fingerprint of a coarse quantizer: md5 over the
+    canonically-ordered (c_id, exact-double vector) rows. Centroid
+    tables are k-sized (they broadcast everywhere else), so the collect
+    is bounded; ``repr`` of a Python float is its exact shortest form,
+    so identical doubles always digest identically."""
+    import hashlib
+
+    rows = centroids.select(c_id, vec).collect()
+    canon = sorted(
+        (str(r[c_id]), tuple(float(x) for x in r[vec])) for r in rows
+    )
+    return hashlib.md5(repr(canon).encode()).hexdigest()
+
+
+def _ivf_params_guard(spark, path: str, centroids: DataFrame, vec: str,
+                      c_id: str, write: bool) -> None:
+    """Bucket assignments are only comparable under the SAME frozen
+    coarse quantizer; appending with drifted centroids silently builds
+    an index whose buckets disagree with the probe-time assignment
+    (searches quietly miss). The index directory records its centroid
+    digest (Hadoop FS API via ``sources.fsutil`` — scheme-safe on
+    object stores); appends validate it and fail loudly on drift.
+    Validation is skipped for pre-guard directories with no marker
+    (the documented by-contract mode)."""
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    marker = path.rstrip("/") + "/" + _IVF_PARAMS_FILE
+    params = {"centroid_digest": _centroid_digest(centroids, vec, c_id)}
+    if write:
+        fsutil.write_text(spark, marker, json.dumps(params))
+        return
+    if not fsutil.exists(spark, marker):
+        return
+    stored = json.loads(fsutil.read_text(spark, marker))
+    if stored != params:
+        raise ValueError(
+            f"IVF index at {path!r} was built with centroid digest "
+            f"{stored['centroid_digest']}, append uses "
+            f"{params['centroid_digest']}: the coarse quantizer drifted — "
+            "retrain + rebuild, or append with the index's centroids"
+        )
+
+
+def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id",
+                    centroids: DataFrame | None = None,
+                    vec: str = "embedding") -> None:
     """Persist an ivf_assign output partitioned by centroid id: each
     bucket is its own parquet directory, so a search that probes
     ``nprobe`` buckets (``ivf_topk(assigned=..., prefilter_partitions=
     True)``) physically reads only those directories. This is the
     100 TB index layout — probe cost scales with nprobe/k_centroids of
-    the corpus regardless of total index size."""
+    the corpus regardless of total index size.
+
+    Pass ``centroids`` to stamp the directory with the quantizer's
+    digest so later ``append_to_ivf_index`` calls fail loudly on
+    centroid drift instead of silently mis-bucketing."""
     assigned.write.mode("overwrite").partitionBy(c_id).parquet(path)
+    if centroids is not None:
+        _ivf_params_guard(assigned.sparkSession, path, centroids, vec,
+                          c_id, write=True)
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -1054,12 +1112,17 @@ def append_to_ivf_index(
     index (append the delta only), and centroid drift is not repaired —
     after enough appends, retrain with ``train_ivf_centroids`` /
     ``refine_ivf_centroids`` and rebuild (the standard IVF posture).
+    Drift is however DETECTED when the index was built with
+    ``write_ivf_index(..., centroids=...)``: the directory's centroid
+    digest is validated before any write and a mismatch raises.
 
     Returns the per-bucket appended counts ``(c_id, n_appended)`` —
     bounded by the centroid count, so the extra aggregation job is
     scalar-sized; the assignment itself is computed once (persisted
     across the write and the count, then released).
     """
+    _ivf_params_guard(new_vectors.sparkSession, path, centroids, vec,
+                      c_id, write=False)
     assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
                           method=method)
     assigned = assigned.persist()

@@ -49,7 +49,7 @@ def ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = e.filter(F.col("vec_id") % 5 == 0)
 
     path = _staging_dir("spark_graft_ivf_append")
-    write_ivf_index(ivf_assign(base, cents), path)
+    write_ivf_index(ivf_assign(base, cents), path, centroids=cents)
     append_to_ivf_index(delta, cents, path)
     index = read_ivf_index(spark, path)
     out = ivf_topk(e, q, cents, k=10, nprobe=2, assigned=index,

@@ -1,0 +1,54 @@
+"""Scheme-agnostic small-file I/O on the cluster's filesystem.
+
+Index directories (`write_lsh_index`, `write_ivf_index`) carry tiny
+parameter-marker files next to their parquet partitions. At real scale
+those directories live on an object store (s3a://, abfs://, hdfs://),
+where driver-local ``open``/``os.makedirs`` silently write to the WRONG
+filesystem. These helpers route the byte I/O through the JVM's Hadoop
+``FileSystem`` API — the same resolver Spark's own parquet writer uses,
+so the marker always lands beside the data whatever the scheme.
+
+Driver-side, small payloads only (a marker is tens of bytes); anything
+row-shaped belongs in a DataFrame write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def exists(spark: SparkSession, path_str: str) -> bool:
+    fs, jpath, _ = _fs_path(spark, path_str)
+    return bool(fs.exists(jpath))
+
+
+def write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    """Create/overwrite a small text file (parent dirs created)."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    parent = jpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path_str: str) -> str:
+    fs, jpath, jvm = _fs_path(spark, path_str)
+    stream = fs.open(jpath)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        # copyBytes(in, out, bufSize, close=False) — we close explicitly
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
