@@ -141,11 +141,18 @@ def main() -> None:
     for name, fn in queries_r8().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
-    # staged round-9 registry entries bench ahead of registration so
-    # their baselines are seeded before the driver ever times them
+    # staged round-9 registry entries are registered as of r9; keep
+    # their baseline series continuous
     from ncbi_analysis_spark.plans.driver_queries_r9 import queries_r9
 
     for name, fn in queries_r9().items():
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
+    # staged round-10 registry entries bench ahead of registration so
+    # their baselines are seeded before the driver ever times them
+    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
+
+    for name, fn in queries_r10().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
@@ -364,6 +371,9 @@ BASELINE = {
     # pre-twin shape was never baselined); standalone min-of-3, noise
     # control dedup_exact_groups read 0.328
     "gopher_repetition_gate": (0.851, 9),
+    # staged-r10 entry seeded from standalone min-of-3 on the r9 box
+    # (noise control dedup_exact_groups read 0.360 in the same session)
+    "image_phash_near_dup": (1.843, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -363,3 +363,87 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.col("meta.width")).alias("avg_width"),
         F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
     )
+
+
+# --- Perceptual near-duplicate pairing over 64-bit image hashes ---------
+#
+# The one LLM-pipeline dedup modality text exact/fuzzy/semantic didn't
+# cover: images whose aHash/pHash differ in at most ``max_hamming`` bits
+# are near-duplicates (crops/re-encodes/small edits). The pairing is the
+# Hamming-space twin of MinHash-LSH banding (operators/dedup.py): split
+# the 64-bit hash into ``max_hamming + 1`` bands — by pigeonhole, any
+# pair within the radius agrees EXACTLY on at least one band — bucket-
+# join on (band, band value), then verify candidates with one
+# bit_count(xor) <= r. Recall is exactly 1.0 (pigeonhole, not
+# probabilistic) and the join is bucketed, never all-pairs.
+
+
+def _hash_bands(df: DataFrame, hash_col: str, id_col: str,
+                n_bands: int) -> DataFrame:
+    """Explode each 64-bit hash into ``(id, band, band_val)`` rows.
+    Band widths split 64 as evenly as possible (wider bands first).
+    Extraction is ``(h >> shift) & mask`` — mask bits never overlap the
+    arithmetic-shift sign fill, so Spark and any SQL oracle agree on
+    negative hashes (probed: DuckDB/Spark parity on BIGINT >> and &)."""
+    base, extra = divmod(64, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    shift = 64
+    bands = []
+    for i, w in enumerate(widths):
+        shift -= w
+        bands.append(F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col(hash_col), shift)
+            .bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+        ))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h"),
+        F.explode(F.array(*bands)).alias("b"),
+    ).select("id", "h", "b.band", "b.band_val")
+
+
+def phash_near_dup(
+    features: DataFrame,
+    hash_col: str = "phash64",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_band_freq: int | None = 10_000,
+) -> DataFrame:
+    """Distinct image pairs ``(id_a, id_b, hamming)`` with
+    ``hamming(hash_a, hash_b) <= max_hamming``, ``id_a < id_b``.
+
+    Feed it ``image_features`` output (md5-stub ``phash64`` in this
+    container, PIL aHash / any perceptual hash in production — the
+    decoder plug-in contract); chain ``components.connected_components``
+    + a keep-rule for full image dedup, exactly like the text family.
+
+    Scale shape: one explode (x ``max_hamming+1``), one shuffle keyed by
+    (band, band_val), candidate verification is a single codegen
+    ``bit_count(xor)`` per bucket pair — the corpus is never compared
+    all-pairs. ``max_band_freq`` observably drops degenerate buckets
+    (``phash_band_cap`` markers — e.g. all-black images hashing equal),
+    the ``max_band_freq``/``max_cluster_rows`` knob family."""
+    from ncbi_analysis_spark.operators.dedup import _capped
+
+    rows = _hash_bands(features, hash_col, id_col, max_hamming + 1)
+    if max_band_freq is not None:
+        sizes = rows.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__n"))
+        ok = _capped(sizes, F.col("__n"), max_band_freq, "phash_band")
+        rows = rows.join(ok.select("band", "band_val"), ["band", "band_val"])
+    left = rows.select("band", "band_val",
+                       F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    right = rows.select("band", "band_val",
+                        F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    pairs = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")

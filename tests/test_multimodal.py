@@ -277,3 +277,54 @@ def test_pil_resize_decoder_real_codec(spark):
     out = mm.resize_images(media, 4, 3, decoder=mm.pil_resize_decoder).collect()
     with Image.open(io.BytesIO(bytes(out[0]["data"]))) as im:
         assert im.size == (4, 3)
+
+
+def test_phash_near_dup_pigeonhole_recall(spark):
+    # Hand-built Hamming neighborhood: the banded pairing must find
+    # EVERY pair within the radius (pigeonhole recall 1.0), including
+    # pairs whose differing bits straddle band boundaries, and must
+    # exclude pairs just past the radius.
+    base = 0x0123456789ABCDEF
+
+    def signed(v):  # two's-complement into the LongType slot
+        return (v + (1 << 63)) % (1 << 64) - (1 << 63)
+
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                      # d=1
+        (3, signed(base ^ (1 << 63))),        # d=1, top bit -> negative
+        # d=3 spread across three bands (64/4=16-bit bands at r=3)
+        (4, base ^ (1 << 5) ^ (1 << 21) ^ (1 << 40)),
+        (5, base ^ 0b11110000),               # d=4 -> outside radius
+        (6, -(1 << 63)),                      # far-away negative hash
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "phash64"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_near_dup(df, max_hamming=3).collect()
+    }
+    # brute-force expectation
+    import itertools
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (a, b): ham(ha, hb)
+        for (a, ha), (b, hb) in itertools.combinations(rows, 2)
+        if ham(ha, hb) <= 3
+    }
+    assert got == want
+    assert (1, 2) in got and got[(1, 4)] == 3 and (1, 5) not in got
+
+
+def test_phash_near_dup_hot_band_cap_observable(spark):
+    # A degenerate corpus (every image hashes identically — e.g. all
+    # black) would go quadratic in one bucket; the cap drops those
+    # buckets and reports it via the observe() marker family.
+    df = spark.createDataFrame(
+        [(i, 42) for i in range(50)], ["media_id", "phash64"])
+    pairs = mm.phash_near_dup(df, max_hamming=3, max_band_freq=10)
+    assert pairs.count() == 0  # every band bucket is hot -> all dropped
+    uncapped = mm.phash_near_dup(df, max_hamming=3, max_band_freq=None)
+    assert uncapped.count() == 50 * 49 // 2
