@@ -53,7 +53,12 @@ QUERIES = [
 # composition — all documents-table-only, so the sf1 synthesis stays a
 # one-table job
 STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
-         "dup_span_removal", "curation_v3"]
+         "dup_span_removal", "curation_v3",
+         # round-9 soak of the r8/r9 newcomers (round-8 verdict ask #6)
+         # + the r10-staged perceptual pairing — all documents-only, so
+         # the sf1 synthesis stays a one-table job
+         "gopher_repetition_gate", "bpe_vocab", "lsh_incremental_decon",
+         "stream_curation", "image_phash_near_dup"]
 
 
 def _sf_dir(spark, sf: float) -> str:
@@ -92,11 +97,12 @@ def main() -> None:
     import __spark_entry__ as e
     from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
     from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
+    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
     from ncbi_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**e.queries(), **queries_r7(), **queries_r8()}
+    qs = {**e.queries(), **queries_r7(), **queries_r8(), **queries_r10()}
     # round-8-staged shapes: anchor-window span dedup, apportionment +
     # repeat explode, distinct-score cumulative scan, shard map + keyed
     # window, id-keyed full outer join, and the persisted composition
