@@ -111,7 +111,16 @@ def train_bpe(
     histogram -> bounded collect (guarded by ``max_words`` — raise it
     explicitly for a bigger vocabulary budget, or raise ``min_count``
     to prune the long tail, the standard lever) -> deterministic driver
-    merge loop. Returns the ordered merge list (rank = position)."""
+    merge loop. Returns the ordered merge list (rank = position).
+
+    Practical ceiling: the merge loop is driver-side
+    O(num_merges x unique_words x word_len) — the standard
+    corpus-size-independent BPE-training posture, but at the guard's
+    defaults (1M words) a 50k-merge production vocabulary is hours on
+    one core. For that regime, prune with ``min_count`` (Zipf makes
+    this nearly free in coverage) or train on a deterministic sample
+    (``scale.sample_by_hash``); the histogram stage itself is the only
+    corpus-sized work and stays distributed."""
     hist_df = word_histogram(df, text, lowercase, min_count)
     rows = hist_df.limit(max_words + 1).collect()
     if len(rows) > max_words:
