@@ -259,6 +259,55 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — fault isolation by design
         errors["ann_ivf_search"] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
+    # end-to-end DURABLE streaming curation (run_curation_job): parquet
+    # file source -> stateless decon+score+gate -> exactly-once parquet
+    # sink with checkpoint. stream_curation above times the in-memory
+    # sink; this is the restartable production form. Model fit + source
+    # staging are untimed (train-offline posture). Each timed run gets a
+    # FRESH checkpoint + output dir — with a reused checkpoint the
+    # exactly-once contract makes reruns no-ops, which would bench the
+    # no-op.
+    import glob as _glob
+    import itertools as _it
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ncbi_analysis_spark.operators.terms import quality_classifier_weights
+    from ncbi_analysis_spark.plans.driver_queries_r8 import _QC_PARAMS
+    from ncbi_analysis_spark.streaming.events import run_curation_job
+
+    d_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cur_corpus = d_docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    cur_bench = d_docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    stage_root = _tempfile.mkdtemp(prefix="bench_stream_cur_")
+    try:
+        # many-file staging (r7 lesson: interpreted row work
+        # parallelizes by source file count)
+        cur_corpus.repartition(16).write.parquet(f"{stage_root}/stage")
+        os.makedirs(f"{stage_root}/src")
+        for _i, _p in enumerate(sorted(_glob.glob(f"{stage_root}/stage/part-*.parquet"))):
+            _shutil.copy(_p, f"{stage_root}/src/docs{_i}.parquet")
+        w_df, bias = quality_classifier_weights(
+            d_docs.filter(F.col("lang") == "en"),
+            d_docs.filter(F.col("lang") != "en"),
+            "text", "doc_id", **_QC_PARAMS)
+        _cur_seq = _it.count()
+
+        def _durable_run():
+            n = next(_cur_seq)
+            run_curation_job(
+                spark, f"{stage_root}/src", cur_corpus.schema, cur_bench,
+                w_df, bias, f"{stage_root}/out{n}", f"{stage_root}/ck{n}",
+                min_prob=0.0, num_perm=4, bands=2, **_QC_PARAMS)
+
+        _run("stream_curation_durable", _durable_run)
+    except Exception as exc:  # noqa: BLE001 — fault isolation by design
+        errors["stream_curation_durable"] = (
+            f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}")
+    finally:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -374,6 +423,13 @@ BASELINE = {
     # staged-r10 entry seeded from standalone min-of-3 on the r9 box
     # (noise control dedup_exact_groups read 0.360 in the same session)
     "image_phash_near_dup": (1.843, 9),
+    # durable streaming curation (run_curation_job, exactly-once parquet
+    # sink; 4166 survivors at sf0.1), min-of-3 post-warmup standalone
+    # runs 7.75/7.87/9.03 — noise control read 0.283 in the same session
+    "stream_curation_durable": (7.746, 9),
+    # staged-r10 domain-gate report, standalone min-of-3 (noise control
+    # read 0.315 in the same session)
+    "source_curation_report": (1.528, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

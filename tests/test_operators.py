@@ -569,3 +569,40 @@ def test_fuzzy_decon_pairs_cross_corpus(spark):
         num_perm=16, bands=8).collect()}
     assert (10, 0) in got
     assert all(d != 11 and d != 12 for d, _ in got)
+
+
+def test_source_quality_report_and_blocklist(spark):
+    from ncbi_analysis_spark.operators import domains
+
+    # src_dup: 4 docs, 2 exact dups (normalized: case/whitespace drift)
+    # src_rep: repetitive word-salad docs      src_ok: clean prose
+    rows = [
+        (1, "src_dup", "alpha beta gamma delta"),
+        (2, "src_dup", "Alpha  beta GAMMA delta"),   # dup of 1 normalized
+        (3, "src_dup", "something else entirely here"),
+        (4, "src_dup", "SOMETHING ELSE ENTIRELY HERE"),  # dup of 3
+        (5, "src_rep", "spam spam spam spam spam spam"),
+        (6, "src_rep", "ham ham ham ham ham ham ham"),
+        (7, "src_ok", "the quick brown fox jumps over the lazy dog"),
+        (8, "src_ok", "a wholly distinct and readable sentence is here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    rep = {r["source"]: r.asDict()
+           for r in domains.source_quality_report(df).collect()}
+    assert rep["src_dup"]["n_docs"] == 4
+    assert rep["src_dup"]["dup_frac"] == 0.5          # 2 distinct of 4
+    assert rep["src_ok"]["dup_frac"] == 0.0
+    assert rep["src_rep"]["repetitive_frac"] == 1.0   # all mono-word docs
+    assert rep["src_ok"]["repetitive_frac"] == 0.0
+    assert rep["src_ok"]["mean_quality"] > rep["src_rep"]["mean_quality"]
+
+    report_df = domains.source_quality_report(df)
+    bl = domains.derive_source_blocklist(
+        report_df, max_dup_frac=0.4, max_repetitive_frac=0.9)
+    assert {r["source"] for r in bl.collect()} == {"src_dup", "src_rep"}
+
+    kept = domains.filter_by_source_blocklist(df, bl)
+    assert {r["doc_id"] for r in kept.collect()} == {7, 8}
+    # the corpus side must not shuffle: blocklist joins broadcast
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
