@@ -447,3 +447,95 @@ def phash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs.select("id_a", "id_b", "hamming")
+
+
+# --- Audio perceptual fingerprints (feed phash_near_dup) ----------------
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("fp64", T.LongType()),
+])
+
+
+def deterministic_fake_fingerprint_decoder(data: bytes, meta: dict) -> dict:
+    """STUB fingerprint: md5(bytes) top 8 bytes as a signed 64-bit int —
+    the same derivation the image stub uses for ``phash64``, so the
+    DuckDB oracle replay is shared."""
+    h = hashlib.md5(data or b"").digest()
+    return {"fp64": int.from_bytes(h[:8], "big", signed=True)}
+
+
+def wave_fingerprint_decoder(data: bytes, meta: dict,
+                             segments: int = 8, bands: int = 8) -> dict:
+    """REAL perceptual audio fingerprint for RIFF/WAV payloads —
+    stdlib ``wave`` + numpy only, the chromaprint IDEA at toy scale:
+    split the clip into ``segments`` equal time slices, rFFT each,
+    sum magnitude energy into ``bands`` equal frequency bands, and
+    threshold the ``segments x bands`` energy grid by its median into
+    a 64-bit hash (MSB = first segment, lowest band).
+
+    Robust by construction to uniform gain (energies and their median
+    scale together) and to small additive noise (few grid cells cross
+    the median -> small Hamming distance); distinct spectral content
+    moves many cells -> far hash. Interleaved multi-channel frames are
+    fingerprinted as one stream (the ``wave_audio_decoder`` posture).
+    Compressed formats need an ffmpeg/torchaudio decoder with the same
+    contract."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    if segments * bands != 64:
+        raise ValueError("segments * bands must be 64 (one bit per cell)")
+    if not data:
+        raise ValueError(
+            "wave_fingerprint_decoder got an empty/NULL audio payload; "
+            "filter null media rows upstream"
+        )
+    with _wave.open(io.BytesIO(data)) as w:
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif width == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if len(samples) < segments * 2:
+        # too short for spectral slicing: degenerate all-zero-bits hash
+        return {"fp64": 0}
+    seg_len = len(samples) // segments
+    grid = np.empty((segments, bands), dtype=np.float64)
+    for s in range(segments):
+        spec = np.abs(np.fft.rfft(samples[s * seg_len:(s + 1) * seg_len]))
+        # drop DC so silence offsets don't dominate band 0
+        spec = spec[1:] if len(spec) > 1 else spec
+        band_len = max(1, len(spec) // bands)
+        for b in range(bands):
+            grid[s, b] = spec[b * band_len:(b + 1) * band_len].sum()
+    bits = (grid >= np.median(grid)).flatten()
+    fp = 0
+    for bit in bits:
+        fp = (fp << 1) | int(bit)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return {"fp64": fp}
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    decoder: Callable[[bytes, dict], dict] = deterministic_fake_fingerprint_decoder,
+    batch_decoder: Callable[[list, list], list] | None = None,
+) -> DataFrame:
+    """Per-clip 64-bit perceptual fingerprints ``(media_id, fp64)`` —
+    one Arrow decode pass (the ``audio_features`` plumbing). Chain into
+    ``phash_near_dup(fp, hash_col='fp64')``: the Hamming-band pairing
+    is hash-agnostic, so audio near-dup rides the image operator
+    unchanged — every modality (text exact/fuzzy/semantic, image,
+    audio) now has a bucketed near-dup path."""
+    return _decode_features_map(
+        media, "audio", AUDIO_FP_SCHEMA, decoder, batch_decoder)

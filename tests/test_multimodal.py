@@ -328,3 +328,64 @@ def test_phash_near_dup_hot_band_cap_observable(spark):
     assert pairs.count() == 0  # every band bucket is hot -> all dropped
     uncapped = mm.phash_near_dup(df, max_hamming=3, max_band_freq=None)
     assert uncapped.count() == 50 * 49 // 2
+
+
+def _wav_pcm16(samples, rate=8000):
+    import io
+    import wave as _w
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wave_fingerprint_perceptual_properties(spark):
+    import numpy as np
+
+    t = np.arange(16000) / 8000.0
+    rng = np.random.RandomState(7)
+    # broadband base + a tone: every energy cell carries real signal,
+    # so the median threshold is stable under gain (a pure tone would
+    # leave 56 of 64 cells at quantization-noise level — meaningless
+    # bits by construction, for ANY thresholding fingerprint)
+    base = rng.normal(0, 0.1, len(t)) + np.sin(2 * np.pi * 440 * t) * 0.4
+    noisy = base + np.random.RandomState(8).normal(0, 0.005, len(t))
+    other = (np.random.RandomState(9).normal(0, 0.1, len(t))
+             + np.sin(2 * np.pi * 3000 * t) * 0.4)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    fp = {name: mm.wave_fingerprint_decoder(_wav_pcm16(s), {})["fp64"]
+          for name, s in (("base", base), ("noisy", noisy),
+                          ("loud", base * 1.5), ("other", other))}
+    # perceptual contract: gain and tiny noise stay within the radius,
+    # different spectral content lands far outside it
+    assert ham(fp["base"], fp["loud"]) <= 3
+    assert ham(fp["base"], fp["noisy"]) <= 3
+    assert ham(fp["base"], fp["other"]) > 10
+
+    # end-to-end: fingerprints through the Arrow pass + the shared
+    # Hamming-band pairing finds exactly the perceptual pair
+    rows = [(i, "audio", _wav_pcm16(s),
+             (None, None, 1, 8000, 2000, "wav"))
+            for i, s in ((1, base), (2, noisy), (3, other))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    fps = mm.audio_fingerprint(media, decoder=mm.wave_fingerprint_decoder)
+    pairs = mm.phash_near_dup(fps, hash_col="fp64", max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_audio_fingerprint_stub_matches_image_stub_derivation(spark):
+    # the md5-stub fingerprint must equal the image stub's phash64 for
+    # the same payload, so the two modalities share one oracle replay
+    payload = b"some opaque clip bytes"
+    fp = mm.deterministic_fake_fingerprint_decoder(payload, {})["fp64"]
+    ph = mm.deterministic_fake_decoder(payload, {})["phash64"]
+    assert fp == ph
