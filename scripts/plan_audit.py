@@ -107,7 +107,7 @@ def audit(
     round-trips, persisted-index builds) are skipped: their plan is the
     final read, not the pipeline, so a marker scan is meaningless."""
     from ncbi_analysis_spark.plans import driver_queries
-    from ncbi_analysis_spark.plans.driver_queries_r9 import queries_r9
+    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
@@ -121,7 +121,7 @@ def audit(
             "bpe_vocab"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r9()}
+    qs = {**driver_queries.queries(), **queries_r10()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
