@@ -445,6 +445,7 @@ def fuzzy_decon_stream(
     shingle_n: int = 3,
     keep: str = "clean",
     max_bench_bands: int = 200_000,
+    engine: str = "expr",
 ) -> DataFrame:
     """Streaming fuzzy decontamination — the streaming twin of
     ``operators.dedup.fuzzy_decon_pairs``: drop (or flag) stream
@@ -473,6 +474,16 @@ def fuzzy_decon_stream(
     where a literal probe set stops making sense — there, pre-filter
     with a Bloom filter (``build_ngram_bloom``'s 128 KiB broadcast
     pattern) or run the batch operator over micro-batch sinks instead.
+
+    ``engine``: ``'expr'`` (default, the oracle-exact all-JVM form) or
+    ``'np'`` — an Arrow-batched Python replica of the SAME salted-md5
+    signature/band pipeline (hashes are md5 on both sides, so band keys
+    and therefore the kept row set are identical; see
+    test_streaming.py's twin-parity test). The expression form's HOF
+    lambdas are CodegenFallback — interpreted per shingle — which makes
+    them the dominant cost of the stream gates at bench scale; the
+    replica does the same hashing in C-speed hashlib (measured A/B in
+    SCALING.md round 9).
     """
     from ncbi_analysis_spark.functions.text import minhash_bands, minhash_signature
     from ncbi_analysis_spark.operators.dedup import _minhash_band_rows
@@ -495,6 +506,10 @@ def fuzzy_decon_stream(
             "this large belongs in a Bloom filter (build_ngram_bloom) or "
             "the batch fuzzy_decon_pairs path"
         )
+    if engine == "np":
+        return _fuzzy_decon_stream_np(
+            stream, frozenset(bench_keys), text, num_perm, bands,
+            shingle_n, keep)
     # ONE array Literal node, never F.array(*[F.lit(k) ...]): a
     # CreateArray with 200k children makes every Catalyst rule walk
     # 200k nodes per pass (measured 24s/microbatch at 1.4k keys vs
@@ -520,6 +535,7 @@ def quality_score_stream(
     text: str = "text",
     n_buckets: int = 1024,
     ngram_max: int = 2,
+    engine: str = "expr",
 ) -> DataFrame:
     """Stateless streaming scoring for a trained quality classifier —
     the streaming twin of ``operators.terms.quality_probability``: score
@@ -549,6 +565,10 @@ def quality_score_stream(
     from ncbi_analysis_spark.functions.text import _hash32, tokens
 
     w_rows = {r["bucket"]: r["w"] for r in weights.collect()}
+    if engine == "np":
+        return _quality_score_stream_np(
+            stream, [float(w_rows.get(b, 0.0)) for b in range(n_buckets)],
+            float(bias), text, n_buckets, ngram_max)
     # single array Literal, not CreateArray-of-1024-children (see
     # fuzzy_decon_stream's bench_lit note) — same doubles, same fold
     arr = F.lit([float(w_rows.get(b, 0.0)) for b in range(n_buckets)])
@@ -589,6 +609,128 @@ def quality_score_stream(
     )
 
 
+# --- Arrow-batched replicas of the stream gates -------------------------
+#
+# The expression gates above are built from higher-order-function
+# lambdas, which never enter whole-stage codegen (scale lesson 1,
+# SCALING.md): every shingle hash and weight lookup runs interpreted.
+# These replicas compute the SAME md5-based pipeline per Arrow batch in
+# C-speed hashlib/str machinery. Band keys (and so decon row sets) are
+# bit-identical; classifier probabilities agree to float-ulp (the one
+# divergence risk is libm-vs-JVM exp in the final sigmoid — why the
+# expression form remains the oracle default).
+
+
+def _np_shingles(ws: list, n: int) -> list:
+    """Python replica of ``functions.text.word_shingles`` on a token
+    list: space-joined n-grams with the short-document fallback (fewer
+    than n words -> the whole token list as one shingle)."""
+    m = len(ws) - n
+    if m < 0:
+        m = 0
+    return [" ".join(ws[i:i + n]) for i in range(m + 1)]
+
+
+def _np_band_keys(t, num_perm: int, bands: int, shingle_n: int) -> list:
+    """Replica of minhash_signature + minhash_bands + the "band|hash"
+    key concat for one document (md5 on both sides -> identical keys)."""
+    import hashlib
+
+    from ncbi_analysis_spark.functions.text import _java_tokens
+
+    sh = _np_shingles(_java_tokens(t), shingle_n)
+    r = num_perm // bands
+    sig = [
+        min(hashlib.md5(f"{i}|{x}".encode()).hexdigest() for x in sh)
+        for i in range(num_perm)
+    ]
+    return [
+        f"{b}|" + hashlib.md5(",".join(sig[b * r:b * r + r]).encode()).hexdigest()
+        for b in range(bands)
+    ]
+
+
+def _fuzzy_decon_stream_np(
+    stream: DataFrame,
+    bench_keys: frozenset,
+    text: str,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    keep: str,
+) -> DataFrame:
+    schema = stream.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = []
+            for t in pdf[text]:
+                hit = t is not None and any(
+                    k in bench_keys
+                    for k in _np_band_keys(t, num_perm, bands, shingle_n)
+                )
+                mask.append(hit if keep == "flagged" else not hit)
+            yield pdf[pd.Series(mask, index=pdf.index)]
+
+    return stream.mapInPandas(gen, schema)
+
+
+def _np_grams(ws: list, n: int) -> list:
+    """Replica of quality_score_stream's exact-n gram builder with the
+    partial-shingle fallback (``_dsir_features`` semantics)."""
+    if len(ws) >= n:
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+    return [" ".join(ws)]
+
+
+def _quality_score_stream_np(
+    stream: DataFrame,
+    w: list,
+    bias: float,
+    text: str,
+    n_buckets: int,
+    ngram_max: int,
+) -> DataFrame:
+    import math
+
+    schema = T.StructType(
+        list(stream.schema.fields)
+        + [T.StructField("n_feats", T.LongType()),
+           T.StructField("prob", T.DoubleType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ncbi_analysis_spark.functions.text import _java_tokens
+
+        for pdf in batches:
+            n_feats, probs = [], []
+            for t in pdf[text]:
+                if t is None:
+                    n_feats.append(None)
+                    probs.append(None)
+                    continue
+                ws = _java_tokens(t)
+                grams: list = []
+                for n in range(1, ngram_max + 1):
+                    grams.extend(_np_grams(ws, n))
+                # same feature-order left fold as the expression form
+                total = 0.0
+                for g in grams:
+                    b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+                    total = total + w[b]
+                logit = bias + total / len(grams)
+                n_feats.append(len(grams))
+                probs.append(round(1.0 / (1.0 + math.exp(-logit)), 6))
+            out = pdf.copy()
+            out["n_feats"] = pd.Series(n_feats, index=pdf.index, dtype="object")
+            out["prob"] = pd.Series(probs, index=pdf.index, dtype="object")
+            yield out
+
+    return stream.mapInPandas(gen, schema)
+
+
 def curation_stream(
     stream: DataFrame,
     bench_df: DataFrame,
@@ -601,6 +743,7 @@ def curation_stream(
     shingle_n: int = 3,
     n_buckets: int = 1024,
     ngram_max: int = 2,
+    engine: str = "expr",
 ) -> DataFrame:
     """End-to-end streaming curation — the streaming twin of
     ``curation_v3``'s decon+quality prefix, composed as ONE stateless
@@ -626,11 +769,11 @@ def curation_stream(
     """
     deconned = fuzzy_decon_stream(
         stream, bench_df, text, num_perm=num_perm, bands=bands,
-        shingle_n=shingle_n, keep="clean",
+        shingle_n=shingle_n, keep="clean", engine=engine,
     )
     scored = quality_score_stream(
         deconned, weights, bias, text, n_buckets=n_buckets,
-        ngram_max=ngram_max,
+        ngram_max=ngram_max, engine=engine,
     )
     return scored.filter(F.col("prob") >= min_prob)
 

@@ -578,3 +578,53 @@ def test_run_curation_job_exactly_once_on_restart(spark, tmp_path):
         corpus, bench, "text", "doc_id", bench_id_col="bench_id",
         num_perm=4, bands=2).select("doc_id").distinct()
     assert got.join(flagged, "doc_id", "inner").count() == 0
+
+
+def test_stream_gate_np_twins_match_expr(spark, tmp_path):
+    """engine='np' must keep the IDENTICAL row set through the fuzzy
+    decon gate (md5 band keys are bit-equal across forms) and score
+    with exact n_feats and 6dp-equal probabilities (the single
+    divergence risk is the last ulp of libm-vs-JVM exp in the sigmoid,
+    which 6dp rounding absorbs; the expression form stays the oracle
+    default). NULL text must survive scoring as NULL in both forms."""
+    from ncbi_analysis_spark.operators.terms import quality_classifier_weights
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    with_null = docs.select(
+        "doc_id", F.when(F.col("doc_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("text")).alias("text"))
+    bench = docs.filter("doc_id % 17 = 0") \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    w, bias = quality_classifier_weights(
+        docs.filter("lang = 'en'"), docs.filter("lang != 'en'"),
+        "text", "doc_id", n_buckets=256, ngram_max=2)
+
+    src = tmp_path / "src"; src.mkdir()
+    import glob as _glob
+    stage = str(tmp_path / "stage")
+    with_null.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "a.parquet")
+    stream = spark.readStream.schema(with_null.schema).parquet(str(src))
+
+    def run(engine, name):
+        # curation_stream's min_prob gate would drop NULL probs, so
+        # compare the decon+scored stream BEFORE the gate
+        out = sev.quality_score_stream(
+            sev.fuzzy_decon_stream(stream, bench, "text", num_perm=4,
+                                   bands=2, engine=engine),
+            w, bias, n_buckets=256, ngram_max=2, engine=engine)
+        sev.run_to_memory(out, name)
+        return {r["doc_id"]: (r["n_feats"], r["prob"])
+                for r in spark.table(name).collect()}
+
+    expr = run("expr", "t_np_twin_expr")
+    npv = run("np", "t_np_twin_np")
+    assert set(expr) == set(npv)          # identical decon row sets
+    assert expr.keys() and any(v[0] is None for v in expr.values())
+    for k in expr:
+        assert expr[k][0] == npv[k][0], (k, "n_feats")
+        a, b = expr[k][1], npv[k][1]
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a - b) < 5e-7, (k, a, b)   # 6dp-rounded parity
