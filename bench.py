@@ -430,6 +430,9 @@ BASELINE = {
     # staged-r10 domain-gate report, standalone min-of-3 (noise control
     # read 0.315 in the same session)
     "source_curation_report": (1.528, 9),
+    # staged-r10 four-stage flagship composition, standalone min-of-3
+    # (noise control read 0.302 in the same session)
+    "curation_v4": (7.567, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

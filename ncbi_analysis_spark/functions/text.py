@@ -459,7 +459,8 @@ def repetition_metrics_np(
                 out_pdf[c] = pd.Series(vals, index=pdf.index, dtype="object")
             yield out_pdf
 
-    return df.select(*keep, text_col).mapInPandas(gen, schema)
+    cols = list(keep) + ([text_col] if text_col not in keep else [])
+    return df.select(*cols).mapInPandas(gen, schema)
 
 
 def repetition_metrics(

@@ -166,6 +166,7 @@ def queries_r10() -> dict:
     return {
         "image_phash_near_dup": image_phash_near_dup,
         "source_curation_report": source_curation_report,
+        "curation_v4": curation_v4,
     }
 
 
@@ -173,4 +174,183 @@ def oracle_sql_r10() -> dict[str, str]:
     return {
         "image_phash_near_dup": _PHASH_NEAR_DUP_SQL,
         "source_curation_report": _source_report_sql(),
+        "curation_v4": _curation_v4_sql(),
     }
+
+
+def curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation v4 — the round-9 operator family composed into
+    one pipeline, every stage an already-oracled primitive:
+
+      1. domain gate (``operators.domains``): drop whole sources whose
+         aggregate quality/repetition fails the provenance thresholds;
+      2. fuzzy decontamination (``fuzzy_decon_pairs``): drop surviving
+         docs MinHash-band-colliding with the held-out %7 benchmark;
+      3. repetition gate (``functions.text.repetition_metrics`` — the
+         expr/np auto twin): drop docs failing the Gopher word-level
+         rules;
+      4. quality quantile gate (``scale.filter_by_quantile``): keep the
+         top quartile by composite quality score.
+
+    Returns the curated ``(doc_id, source, quality)`` set. The oracle
+    recomputes all four stages in one DuckDB CTE chain (domain
+    aggregate -> band-collision set -> lateral-unnest repetition
+    metrics -> distinct-score cumulative quantile scan), so stage
+    boundaries AND values must agree bit-exactly end to end.
+
+    Scale shape: stage 1 is one source-keyed aggregate + broadcast
+    anti-join; stage 2 shuffles band digests only with the bench side
+    broadcast; stage 3 is map-only (Arrow twin past 1000 rows); stage 4
+    is the bounded distinct-score scan + broadcast threshold. No stage
+    shuffles document text except the decon shingle explode."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators import scale
+    from ncbi_analysis_spark.operators.dedup import fuzzy_decon_pairs
+    from ncbi_analysis_spark.operators.domains import (
+        derive_source_blocklist,
+        filter_by_source_blocklist,
+        source_quality_report,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text")
+    # 1 — provenance gate over the full corpus
+    rep = source_quality_report(d)
+    bl = derive_source_blocklist(
+        rep, max_dup_frac=1.0, min_mean_quality=0.79,
+        max_repetitive_frac=0.60)
+    gated = filter_by_source_blocklist(d, bl)
+    # 2 — decon: %7 docs are the held-out benchmark (never gated)
+    corpus = gated.filter(F.col("doc_id") % 7 != 0)
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    flagged = fuzzy_decon_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="bench_id",
+        num_perm=4, bands=2).select("doc_id").distinct()
+    s1 = corpus.join(flagged, "doc_id", "left_anti")
+    # 3 — Gopher repetition gate (r9 thresholds)
+    m = textf.repetition_metrics(s1, keep=("doc_id", "source", "text"))
+    m = m.select(
+        "doc_id", "source", "text",
+        *[F.round(F.col(c), 6).alias(c) for c in textf.REPETITION_METRIC_COLS])
+    rep_flag = (
+        (F.col("dup_word_frac") > 0.65)
+        | (F.col("top_bigram_frac") > 0.08)
+        | (F.col("top_trigram_frac") > 0.18)
+        | (F.col("mean_word_len") < 3.0)
+        | (F.col("mean_word_len") > 10.0)
+    )
+    s2 = m.filter(~rep_flag).select("doc_id", "source", "text")
+    # 4 — keep the top quartile by composite quality
+    t = F.col("text")
+    scored = s2.select(
+        "doc_id", "source",
+        F.round(textf.quality_score(t, textf.tokens(F.lower(t))), 6)
+        .alias("quality"))
+    return scale.filter_by_quantile(scored, "quality", 0.75)
+
+
+def _curation_v4_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import (
+        _LTOKS,
+        _SHINGLES_SQL,
+        _TOKS,
+    )
+
+    stop = "['the', 'of', 'and', 'to', 'a', 'in', 'is', 'that', 'it', 'for']"
+    alpha = ("(CASE WHEN LENGTH(text) = 0 THEN 0.0 ELSE "
+             "LENGTH(regexp_replace(LOWER(text), '[^a-z ]', '', 'g'))"
+             " / LENGTH(text) END)")
+    stopr = (f"(CASE WHEN len({_LTOKS}) = 0 THEN 0.0 ELSE "
+             f"len(list_filter({_LTOKS}, t -> list_contains({stop}, t)))"
+             f" / len({_LTOKS}) END)")
+    tokc = f"(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+    quality = (f"(0.4 * LEAST(1.0, {tokc}::DOUBLE / 64.0) + 0.3 * {alpha} "
+               f"+ 0.3 * (1.0 - ABS({stopr} - 0.4)))")
+    dupw = ("(CASE WHEN len(ws) <= 0 THEN 0.0 ELSE "
+            "1.0 - len(list_distinct(ws)) * 1.0 / len(ws) END)")
+    mh = """
+  SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+  FROM SHG"""
+    band_rows = """
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM MM
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM MM"""
+    return f"""
+WITH perdoc AS (
+  SELECT source,
+    ROUND({quality}, 6)::DECIMAL(18,6) AS q,
+    (CASE WHEN {dupw} > 0.5 THEN 1 ELSE 0 END)::BIGINT AS rep
+  FROM (SELECT *, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+        FROM documents)
+),
+report AS (
+  SELECT source,
+    ROUND(SUM(q)::DOUBLE / COUNT(*), 6) AS mean_quality,
+    ROUND(SUM(rep) * 1.0 / COUNT(*), 6) AS repetitive_frac
+  FROM perdoc GROUP BY source
+),
+blocked AS (SELECT source FROM report
+            WHERE mean_quality < 0.79 OR repetitive_frac > 0.60),
+corpus AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 7 <> 0
+    AND source NOT IN (SELECT source FROM blocked)
+),
+csh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM corpus),
+cm AS ({mh.replace('SHG', 'csh')}),
+cb AS ({band_rows.replace('MM', 'cm')}),
+bsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+        WHERE doc_id % 7 = 0),
+bm AS ({mh.replace('SHG', 'bsh')}),
+bb AS (SELECT DISTINCT band, bh FROM ({band_rows.replace('MM', 'bm')})),
+flagged AS (SELECT DISTINCT c.doc_id
+            FROM cb c JOIN bb b ON c.band = b.band AND c.bh = b.bh),
+s1 AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws
+  FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+base AS (
+  SELECT doc_id, ws, len(ws) AS n, len(list_distinct(ws)) AS nd,
+         list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS chars
+  FROM s1
+),
+g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+    FROM base, UNNEST(range(1, n)) AS t(i)) GROUP BY doc_id, g),
+t2 AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS tc FROM g2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+    FROM base, UNNEST(range(1, n - 1)) AS t(i)) GROUP BY doc_id, g),
+t3 AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS tc FROM g3 GROUP BY doc_id),
+metrics AS (
+  SELECT b.doc_id,
+    ROUND(CASE WHEN n <= 0 THEN 0 ELSE 1.0 - nd * 1.0 / n END, 6) AS dup_word_frac,
+    ROUND(COALESCE(t2.mc * 1.0 / t2.tc, 0), 6) AS top_bigram_frac,
+    ROUND(COALESCE(t3.mc * 1.0 / t3.tc, 0), 6) AS top_trigram_frac,
+    ROUND(CASE WHEN n <= 0 THEN 0 ELSE chars * 1.0 / n END, 6) AS mean_word_len
+  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+),
+s2 AS (
+  SELECT s1.doc_id, s1.source, s1.text
+  FROM s1 JOIN metrics USING (doc_id)
+  WHERE NOT (dup_word_frac > 0.65 OR top_bigram_frac > 0.08
+             OR top_trigram_frac > 0.18
+             OR mean_word_len < 3.0 OR mean_word_len > 10.0)
+),
+sq AS (SELECT doc_id, source, ROUND({quality}, 6) AS quality FROM s2),
+c AS (SELECT quality, COUNT(*)::BIGINT AS cnt FROM sq
+      WHERE quality IS NOT NULL GROUP BY quality),
+cc AS (SELECT quality,
+              SUM(cnt) OVER (ORDER BY quality
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              SUM(cnt) OVER () AS n
+       FROM c),
+thr AS (SELECT MIN(quality) AS t FROM cc WHERE cum >= CEIL(n::DOUBLE * 0.75))
+SELECT doc_id, source, quality FROM sq, thr WHERE quality >= t
+"""

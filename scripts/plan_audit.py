@@ -83,6 +83,12 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast cross join; the HLL probe runs as a separate bounded
     # job at construction time.
     "quantile_gate_autodegrade": {"BroadcastNestedLoopJoin"},
+    # --- staged r10 (audited pre-registration) ---
+    # Final stage is the quantile gate: one-row threshold broadcast
+    # cross join (quality_quantile_gate's pinned shape). Every other
+    # stage (domain aggregate, band-digest decon, map-only repetition
+    # gate) plans marker-free.
+    "curation_v4": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -204,3 +204,12 @@ def test_repetition_metrics_np_bit_parity(spark):
         got[k][c] == expr[k][c]
         for k in expr for c in textf.REPETITION_METRIC_COLS
     )
+
+    # keep may include the text column itself (curation_v4 carries text
+    # through the gate) — both engines must not double-select it
+    for eng in ("expr", "np"):
+        carried = textf.repetition_metrics(
+            df, keep=("doc_id", "text"), engine=eng)
+        row = {r["doc_id"]: r for r in carried.collect()}
+        assert row[1]["text"] == "a b a b a"
+        assert row[1]["dup_word_frac"] == expr[1]["dup_word_frac"]
