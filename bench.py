@@ -433,6 +433,9 @@ BASELINE = {
     # staged-r10 four-stage flagship composition, standalone min-of-3
     # (noise control read 0.302 in the same session)
     "curation_v4": (7.567, 9),
+    # staged-r10 trained-budget packing, standalone min-of-3 (noise
+    # control read 0.335 in the same session)
+    "pack_bpe_budget": (1.021, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

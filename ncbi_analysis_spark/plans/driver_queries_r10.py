@@ -167,6 +167,7 @@ def queries_r10() -> dict:
         "image_phash_near_dup": image_phash_near_dup,
         "source_curation_report": source_curation_report,
         "curation_v4": curation_v4,
+        "pack_bpe_budget": pack_bpe_budget,
     }
 
 
@@ -175,6 +176,7 @@ def oracle_sql_r10() -> dict[str, str]:
         "image_phash_near_dup": _PHASH_NEAR_DUP_SQL,
         "source_curation_report": _source_report_sql(),
         "curation_v4": _curation_v4_sql(),
+        "pack_bpe_budget": _pack_bpe_sql(),
     }
 
 
@@ -353,4 +355,79 @@ cc AS (SELECT quality,
        FROM c),
 thr AS (SELECT MIN(quality) AS t FROM cc WHERE cum >= CEIL(n::DOUBLE * 0.75))
 SELECT doc_id, source, quality FROM sq, thr WHERE quality >= t
+"""
+
+
+def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer-budget packing: train the BPE merge table on
+    the corpus (``train_bpe``), count every document in TRAINED tokens
+    (``bpe_token_counts``, Arrow-batched memoized encode), and pack by
+    those budgets (``pack_fragments(tokens=...)``) — the "token budget
+    that drives packing is the tokenizer you'll actually train with"
+    loop, closed end to end.
+
+    Capacity 384 sits below the mean trained-token doc length's small
+    multiple so boundary-crossing fragments occur on every shard. The
+    oracle embeds a Spark-free local twin's per-document counts as
+    literals (pyarrow read + ``bpe_train_local`` + per-word
+    ``encode_word``, the bpe_vocab generated-oracle pattern) and
+    replays the packing math relationally — so the distributed trainer,
+    the Arrow encode path, AND the packing windows are all checked
+    against a from-scratch single-node derivation at once."""
+    from ncbi_analysis_spark.functions.bpe import bpe_token_counts, train_bpe
+    from ncbi_analysis_spark.operators.packing import pack_fragments
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe(d, "text", num_merges=120)
+    counted = bpe_token_counts(d, merges)
+    return pack_fragments(
+        counted, tokens=F.col("n_tokens"), capacity=384, n_shards=4)
+
+
+def _pack_bpe_sql() -> str:
+    from ncbi_analysis_spark.functions.bpe import bpe_train_local, encode_word
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _oracle_sf_dir
+
+    import pyarrow.parquet as pq
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    merges = bpe_train_local(path, num_merges=120)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    cache: dict[str, int] = {}
+    vals = []
+    for did, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        t = "" if t is None else t.lower()
+        total = 0
+        for w in t.split():
+            k = cache.get(w)
+            if k is None:
+                k = cache[w] = len(encode_word(w, ranks))
+            total += k
+        vals.append(f"({did}, {total})")
+    return f"""
+WITH bpe AS (SELECT * FROM (VALUES {", ".join(vals)}) AS t(doc_id, n_tokens)),
+base AS (
+  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+         (('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8))::BIGINT % 4)::INT AS shard,
+         md5('pack|' || doc_id::VARCHAR) AS ord_
+  FROM bpe
+),
+nz AS (SELECT * FROM base WHERE n_tokens > 0),
+stream AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_, doc_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+  FROM nz
+),
+s2 AS (SELECT *, tok_end - n_tokens AS tok_start FROM stream),
+frag AS (
+  SELECT shard, doc_id, n_tokens, tok_start, tok_end, b.bin_id
+  FROM s2, LATERAL (SELECT UNNEST(generate_series(tok_start // 384,
+                                                  (tok_end - 1) // 384)) AS bin_id) b
+)
+SELECT shard, bin_id, doc_id, n_tokens,
+       GREATEST(tok_start, bin_id * 384) - tok_start AS frag_start,
+       LEAST(tok_end, (bin_id + 1) * 384) - tok_start AS frag_end,
+       GREATEST(tok_start, bin_id * 384) - bin_id * 384 AS bin_off
+FROM frag
 """
