@@ -436,6 +436,9 @@ BASELINE = {
     # staged-r10 trained-budget packing, standalone min-of-3 (noise
     # control read 0.335 in the same session)
     "pack_bpe_budget": (1.021, 9),
+    # staged-r10 video frame near-dup, standalone min-of-3 (noise
+    # control read 0.355 in the same session)
+    "video_frame_near_dup": (2.76, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

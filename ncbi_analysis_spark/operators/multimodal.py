@@ -539,3 +539,77 @@ def audio_fingerprint(
     audio) now has a bucketed near-dup path."""
     return _decode_features_map(
         media, "audio", AUDIO_FP_SCHEMA, decoder, batch_decoder)
+
+
+# --- Video near-duplicate pairing over sampled-frame hashes -------------
+
+
+def default_frame_hasher(frame: bytes) -> int:
+    """64-bit hash of one frame: md5 over the frame bytes' HEX encoding
+    (hex so a SQL oracle can replay it — DuckDB's md5 is VARCHAR-only;
+    for the stub frames the hex IS md5(data+ts), so the whole chain is
+    md5(md5(...)) relationally). Swap for a per-frame perceptual hash
+    (decode + aHash) in production via ``frame_hasher=``."""
+    h = hashlib.md5(frame.hex().encode()).digest()
+    return int.from_bytes(h[:8], "big", signed=True)
+
+
+def video_near_dup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    min_shared_frames: int = 2,
+    every_ms: int = 1000,
+    frame_hasher: Callable[[bytes], int] = default_frame_hasher,
+    max_band_freq: int | None = 10_000,
+) -> DataFrame:
+    """Clip-level near-duplicate pairs ``(id_a, id_b, n_shared)``: two
+    videos pair when at least ``min_shared_frames`` DISTINCT sampled
+    frames of the lower-id clip have an in-Hamming-radius match among
+    the other clip's frames — re-encodes/trims share frames, unrelated
+    clips share none. Completes the modality matrix: text
+    exact/fuzzy/semantic, image, audio, video all have bucketed
+    near-dup paths.
+
+    Scale shape: frame sampling is map-only; frame hashes ride the SAME
+    pigeonhole Hamming-band bucketing as ``phash_near_dup`` (one
+    (band, band_val)-keyed shuffle, never all-pairs across frames); the
+    clip-pair rollup keys on the candidate pairs only. The hot-band cap
+    is the standing observable knob."""
+    frames = sample_frames(media, every_ms)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "frame_idx"]].copy()
+            out["fh64"] = [frame_hasher(bytes(b)) for b in pdf["frame"]]
+            yield out
+
+    hashes = frames.mapInPandas(gen, "media_id long, frame_idx int, fh64 long")
+    packed = hashes.select(
+        F.struct("media_id", "frame_idx").alias("mf"), "fh64")
+    rows = _hash_bands(packed, "fh64", "mf", max_hamming + 1)
+    if max_band_freq is not None:
+        from ncbi_analysis_spark.operators.dedup import _capped
+
+        sizes = rows.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("__n"))
+        ok = _capped(sizes, F.col("__n"), max_band_freq, "vframe_band")
+        rows = rows.join(ok.select("band", "band_val"), ["band", "band_val"])
+    left = rows.select("band", "band_val",
+                       F.col("id").alias("ma"), F.col("h").alias("ha"))
+    right = rows.select("band", "band_val",
+                        F.col("id").alias("mb"), F.col("h").alias("hb"))
+    matched = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("ma.media_id") < F.col("mb.media_id"))
+        .select("ma", "mb", "ha", "hb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= max_hamming)
+    )
+    return (
+        matched.groupBy(
+            F.col("ma.media_id").alias("id_a"),
+            F.col("mb.media_id").alias("id_b"))
+        .agg(F.countDistinct(F.col("ma.frame_idx")).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_frames)
+    )

@@ -168,6 +168,7 @@ def queries_r10() -> dict:
         "source_curation_report": source_curation_report,
         "curation_v4": curation_v4,
         "pack_bpe_budget": pack_bpe_budget,
+        "video_frame_near_dup": video_frame_near_dup,
     }
 
 
@@ -177,6 +178,7 @@ def oracle_sql_r10() -> dict[str, str]:
         "source_curation_report": _source_report_sql(),
         "curation_v4": _curation_v4_sql(),
         "pack_bpe_budget": _pack_bpe_sql(),
+        "video_frame_near_dup": _VIDEO_NEAR_DUP_SQL,
     }
 
 
@@ -430,4 +432,73 @@ SELECT shard, bin_id, doc_id, n_tokens,
        LEAST(tok_end, (bin_id + 1) * 384) - tok_start AS frag_end,
        GREATEST(tok_start, bin_id * 384) - bin_id * 384 AS bin_off
 FROM frag
+"""
+
+
+def video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup end-to-end (operators/multimodal.py::
+    video_near_dup): documents' bytes as opaque video payloads with
+    2-4s durations, frame-sampled at 1 fps (stub frames: md5(data+ts));
+    plant full re-encodes (same bytes, same duration — every frame
+    shared) and trims (same bytes, 2s duration — exactly the first two
+    frames shared), then pair clips whose sampled frames Hamming-collide
+    on >= 2 distinct frames. The oracle is brute-force all-frame-pairs
+    in DuckDB (the image query's different-algorithm posture), with the
+    stub chain replayed as md5(md5(text || ts))."""
+    from ncbi_analysis_spark.operators.multimodal import video_near_dup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def clip(idf, shift, dur_expr):
+        return idf.select(
+            (F.col("doc_id") + shift).alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode("text", "utf-8").alias("data"),
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(3).alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                dur_expr.cast("long").alias("duration_ms"),
+                F.lit("mp4").alias("format"),
+            ).alias("meta"),
+        )
+
+    dur = (F.col("n_chars") % 3 + 2) * 1000
+    base = clip(d, 0, dur)
+    re_enc = clip(d.filter(F.col("doc_id") % 10 == 0), 1_000_000, dur)
+    trimmed = clip(d.filter(F.col("doc_id") % 15 == 0), 2_000_000, F.lit(2000))
+    media = base.unionByName(re_enc).unionByName(trimmed)
+    return video_near_dup(media, max_hamming=3, min_shared_frames=2)
+
+
+_VIDEO_NEAR_DUP_SQL = """
+WITH clips AS (
+  SELECT doc_id AS media_id, text, (n_chars % 3 + 2) AS nf FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, (n_chars % 3 + 2) FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, 2 FROM documents WHERE doc_id % 15 = 0
+),
+fr AS (
+  SELECT media_id, i AS frame_idx,
+         md5(md5(text || (i * 1000)::VARCHAR)) AS hx
+  FROM clips, UNNEST(range(0, nf)) AS t(i)
+),
+fh AS (
+  SELECT media_id, frame_idx,
+    (CASE WHEN ('0x' || substr(hx, 1, 16))::UBIGINT >= 9223372036854775808::UBIGINT
+          THEN (('0x' || substr(hx, 1, 16))::UBIGINT - 9223372036854775808::UBIGINT)::BIGINT
+               - 9223372036854775807 - 1
+          ELSE ('0x' || substr(hx, 1, 16))::UBIGINT::BIGINT END) AS fh64
+  FROM fr
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       COUNT(DISTINCT a.frame_idx)::BIGINT AS n_shared
+FROM fh a JOIN fh b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.fh64, b.fh64)) <= 3
+GROUP BY a.media_id, b.media_id
+HAVING COUNT(DISTINCT a.frame_idx) >= 2
 """

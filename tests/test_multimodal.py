@@ -389,3 +389,24 @@ def test_audio_fingerprint_stub_matches_image_stub_derivation(spark):
     fp = mm.deterministic_fake_fingerprint_decoder(payload, {})["fp64"]
     ph = mm.deterministic_fake_decoder(payload, {})["phash64"]
     assert fp == ph
+
+
+def test_video_near_dup_reencode_and_trim(spark):
+    # clip 1: 3 frames; clip 2: identical bytes+duration (re-encode);
+    # clip 3: identical bytes, 2s trim (shares frames 0,1); clip 4:
+    # different bytes (never pairs). min_shared_frames=2 keeps 1-frame
+    # coincidences out.
+    def vid(mid, data, dur):
+        return (mid, "video", data, (None, None, 3, None, dur, "mp4"))
+
+    media = spark.createDataFrame(
+        [vid(1, b"clipbytes-A", 3000), vid(2, b"clipbytes-A", 3000),
+         vid(3, b"clipbytes-A", 2000), vid(4, b"clipbytes-B", 3000)],
+        mm.MEDIA_SCHEMA)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in mm.video_near_dup(media, min_shared_frames=2).collect()}
+    assert got == {(1, 2): 3, (1, 3): 2, (2, 3): 2}
+    # raising the floor above the trim overlap drops the trim pairs
+    strict = {(r["id_a"], r["id_b"]): r["n_shared"]
+              for r in mm.video_near_dup(media, min_shared_frames=3).collect()}
+    assert strict == {(1, 2): 3}
