@@ -58,7 +58,10 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          # + the r10-staged perceptual pairing — all documents-only, so
          # the sf1 synthesis stays a one-table job
          "gopher_repetition_gate", "bpe_vocab", "lsh_incremental_decon",
-         "stream_curation", "image_phash_near_dup"]
+         "stream_curation", "image_phash_near_dup",
+         # late-round-9 staged additions (all documents-only)
+         "source_curation_report", "curation_v4", "pack_bpe_budget",
+         "video_frame_near_dup"]
 
 
 def _sf_dir(spark, sf: float) -> str:
