@@ -490,3 +490,109 @@ def repetition_metrics(
         top_ngram_frac(toks, 3).alias("top_trigram_frac"),
         mean_word_len(toks).alias("mean_word_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (NFC/NFKC + accent folding). There is no Spark SQL
+# builtin for Unicode normalization forms, so this is an inherently-Python
+# stage — Arrow-batched mapInPandas, map-only, zero shuffle (the multimodal
+# decode posture, not the row-at-a-time F.udf anti-pattern). DuckDB's
+# independent utf8proc-backed nfc_normalize()/strip_accents() compute the
+# identical strings (probed: composed/decomposed Latin, ligatures, ohm
+# sign, fullwidth forms), which is what makes the oracle an actual
+# cross-implementation check rather than a mirror.
+
+NORMALIZE_COLS = ("text_norm", "changed", "n_before", "n_after")
+
+# ASCII-only whitespace class, shared with the SQL oracle verbatim.
+# Python's \s and DuckDB's RE2 \s disagree on U+00A0 and friends; an
+# explicit class makes both engines run the same automaton. NBSP is
+# treated as a word character by contract (the `_java_tokens` posture).
+_ASCII_WS_RE = "[ \t\n\x0b\f\r]+"
+
+
+def normalize_unicode_np(
+    df,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id",),
+    form: str = "NFC",
+    strip_marks: bool = False,
+    lower: bool = False,
+    collapse_ws: bool = False,
+):
+    """Unicode-normalize a text column: ``form`` canonicalization
+    (NFC/NFD/NFKC/NFKD), optional accent folding (NFD -> drop combining
+    marks -> recompose: 'Café' and 'Cafe\\u0301' both become 'Cafe'),
+    optional lowercasing, optional ASCII-whitespace collapse+trim —
+    applied in that order. Emits ``keep`` + ``text_norm`` plus a
+    ``changed`` 0/1 flag and codepoint counts before/after, so the
+    downstream pipeline can quantify how much of the corpus was
+    denormalized (a crawl-health signal).
+
+    The canonical-equivalence property this buys at corpus scale:
+    composed and decomposed spellings of the same string — which defeat
+    exact dedup, shingle hashing, and token lookup alike — collapse to
+    one representative BEFORE any hash-keyed operator runs. Run it
+    first in a curation pipeline.
+
+    Scale shape: one Arrow-batched map pass, zero shuffle; per-row cost
+    is linear in codepoints. Oracle: DuckDB ``strip_accents(
+    nfc_normalize(t))`` + the same explicit whitespace class.
+    """
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    ws_re = re.compile(_ASCII_WS_RE)
+
+    id_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    )
+    schema = (
+        id_schema
+        + ", text_norm string, changed bigint, n_before bigint, n_after bigint"
+    )
+
+    def norm_one(t):
+        s = unicodedata.normalize(form, t)
+        if strip_marks:
+            s = "".join(
+                c
+                for c in unicodedata.normalize("NFD", s)
+                if not unicodedata.combining(c)
+            )
+            s = unicodedata.normalize(form, s)
+        if lower:
+            s = s.lower()
+        if collapse_ws:
+            s = ws_re.sub(" ", s).strip(" ")
+        return s
+
+    def gen(batches):
+        for pdf in batches:
+            norm, changed, n_before, n_after = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    norm.append(None)
+                    changed.append(None)
+                    n_before.append(None)
+                    n_after.append(None)
+                    continue
+                s = norm_one(t)
+                norm.append(s)
+                changed.append(1 if s != t else 0)
+                n_before.append(len(t))
+                n_after.append(len(s))
+            out = pdf[list(keep)].copy()
+            out["text_norm"] = pd.Series(norm, index=pdf.index, dtype="object")
+            # object dtype keeps None a true Arrow null (not NaN)
+            out["changed"] = pd.Series(changed, index=pdf.index, dtype="object")
+            out["n_before"] = pd.Series(n_before, index=pdf.index, dtype="object")
+            out["n_after"] = pd.Series(n_after, index=pdf.index, dtype="object")
+            yield out
+
+    cols = list(keep) + ([text_col] if text_col not in keep else [])
+    return df.select(*cols).mapInPandas(gen, schema)

@@ -169,6 +169,7 @@ def queries_r10() -> dict:
         "curation_v4": curation_v4,
         "pack_bpe_budget": pack_bpe_budget,
         "video_frame_near_dup": video_frame_near_dup,
+        "unicode_normalize": unicode_normalize,
     }
 
 
@@ -179,7 +180,72 @@ def oracle_sql_r10() -> dict[str, str]:
         "curation_v4": _curation_v4_sql(),
         "pack_bpe_budget": _pack_bpe_sql(),
         "video_frame_near_dup": _VIDEO_NEAR_DUP_SQL,
+        "unicode_normalize": _unicode_normalize_sql(),
     }
+
+
+def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization end-to-end (functions/text.py::
+    normalize_unicode_np — NFC + accent folding + lowercase + ASCII-ws
+    collapse): the corpus is pure-ASCII, so denormalized variants are
+    planted deterministically — %4==0 docs get a DECOMPOSED accent
+    prefix ('Cafe' + U+0301), %4==1 the PRECOMPOSED spelling of the
+    same word (U+00E9), %4==2 an uppercased decomposed-diaeresis prefix
+    with doubled whitespace, %4==3 stay untouched. The canonical-
+    equivalence property under test: variants 0 and 1 — byte-different,
+    hash-different, dedup-defeating — must normalize to the IDENTICAL
+    string.
+
+    The oracle is a different implementation by construction: DuckDB's
+    utf8proc-backed ``nfc_normalize``/``strip_accents`` vs Python's
+    ``unicodedata`` (probed equivalent on composed/decomposed Latin,
+    ligatures, the ohm sign, fullwidth forms). Exact hash match proves
+    cross-library Unicode agreement, not plan mirroring."""
+    from ncbi_analysis_spark.functions.text import normalize_unicode_np
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id") % 4
+    # explicit escapes: %4==0 plants the DECOMPOSED form (e + combining
+    # acute U+0301), %4==1 the PRECOMPOSED code point U+00E9 --
+    # byte-different spellings of the same canonical string
+    v = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("Cafe\u0301 "), F.col("text")))
+        .when(m == 1, F.concat(F.lit("Caf\u00e9 "), F.col("text")))
+        .when(m == 2, F.concat(F.lit("NAI\u0308VE  "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_unicode_np(
+        v, strip_marks=True, lower=True, collapse_ws=True
+    )
+
+
+def _unicode_normalize_sql() -> str:
+    from ncbi_analysis_spark.functions.text import _ASCII_WS_RE
+
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Cafe' || chr(769) || ' ' || text
+      WHEN 1 THEN 'Caf' || chr(233) || ' ' || text
+      WHEN 2 THEN 'NAI' || chr(776) || 'VE  ' || text
+      ELSE text END AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id, t,
+    trim(regexp_replace(lower(strip_accents(nfc_normalize(t))),
+                        '{_ASCII_WS_RE}', ' ', 'g')) AS text_norm
+  FROM v
+)
+SELECT doc_id, text_norm,
+  (CASE WHEN text_norm <> t THEN 1 ELSE 0 END)::BIGINT AS changed,
+  length(t)::BIGINT AS n_before,
+  length(text_norm)::BIGINT AS n_after
+FROM n
+"""
 
 
 def curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Staged round-10 driver queries (plans/driver_queries_r10.py), held to
+the driver's own bar before registration: DuckDB oracle parity with
+sorted-column / sorted-row exact-value comparison at sf0.001 (the
+test_staged_r9 pattern, carried forward)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts", "check_oracle.py"),
+)
+_co = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_co)
+
+
+def test_all_staged_r10_queries_duckdb_parity(spark):
+    """Every staged round-10 entry must already clear the exact-match bar
+    the driver will apply at registration — same comparator as
+    scripts/check_oracle.py, no weaker check for staged queries."""
+    from ncbi_analysis_spark.plans.driver_queries_r10 import (
+        oracle_sql_r10,
+        queries_r10,
+    )
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    try:
+        qs, oracles = queries_r10(), oracle_sql_r10()
+    finally:
+        del os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+    assert set(qs) == set(oracles)
+    con = duckdb.connect()
+    for t in _co.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    for name, fn in qs.items():
+        got = fn(spark, SF_DIR).toPandas()
+        want = con.sql(oracles[name]).df()
+        issues = _co.compare(name, got, want)
+        assert not issues, f"{name}: {issues}"
+        assert len(got) > 0, name
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    """normalize_unicode_np semantics on handpicked rows: canonical
+    composed/decomposed equivalence, accent folding, NFKC compatibility
+    folding (ligatures + fullwidth), whitespace collapse with the
+    ASCII-only class (NBSP is a word char by contract), and NULL
+    propagation."""
+    from ncbi_analysis_spark.functions.text import normalize_unicode_np
+
+    rows = [
+        (0, "Café latte"),          # decomposed acute
+        (1, "Caf\u00e9 latte"),       # precomposed — same canonical str
+        (2, "  tabs\tand\nnewlines  "),
+        (3, "nbsp stays"),           # NBSP not in the ws class
+        (4, None),
+        (5, "\ufb01ne \uff46ull"),    # ligature fi + fullwidth f
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r
+        for r in normalize_unicode_np(
+            df, strip_marks=True, lower=True, collapse_ws=True
+        ).collect()
+    }
+    # composed and decomposed collapse to the identical folded string
+    assert out[0]["text_norm"] == out[1]["text_norm"] == "cafe latte"
+    assert out[0]["changed"] == 1 and out[1]["changed"] == 1
+    # decomposed form is 1 codepoint longer before normalization
+    assert out[0]["n_before"] == out[1]["n_before"] + 1
+    assert out[2]["text_norm"] == "tabs and newlines"
+    assert out[3]["text_norm"] == "nbsp stays" and out[3]["changed"] == 0
+    assert out[4]["text_norm"] is None and out[4]["changed"] is None
+    # NFC (default) preserves compatibility characters...
+    assert out[5]["text_norm"] == "\ufb01ne \uff46ull"
+
+    # ...NFKC folds them
+    nfkc = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_unicode_np(df, form="NFKC", lower=True).collect()
+    }
+    assert nfkc[5] == "fine full"
+
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode_np(df, form="NFX")
+
+
+def test_normalize_unicode_plan_is_map_only(spark):
+    """The normalizer is one Arrow-batched map pass: no exchange in the
+    physical plan (zero-shuffle by construction at any corpus size)."""
+    from ncbi_analysis_spark.functions.text import normalize_unicode_np
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = normalize_unicode_np(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
