@@ -1562,3 +1562,64 @@ def lsh_index_collisions(
         F.col("id").alias("indexed_id"),
     ).distinct()
     return hits
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    sample_mod: int = 10,
+    salt: str = "audit",
+) -> DataFrame:
+    """Measured recall/precision of MinHash-LSH banding against exact
+    n-gram Jaccard, on a deterministic hash-sample of the corpus — the
+    "measure, don't guess" audit for the (num_perm, bands) s-curve.
+    Tuning LSH parameters by formula alone is how silent under-dedup
+    ships: the s-curve says what SHOULD collide, this operator reports
+    what DID, on your actual shingle distribution.
+
+    One row: ``n_sample`` sampled docs, ``n_true`` pairs with exact
+    Jaccard >= threshold, ``n_cand`` LSH band-collision candidate
+    pairs, ``n_hit`` candidates that are true pairs, ``recall`` =
+    n_hit/n_true, ``precision`` = n_hit/n_cand (NULL when the
+    denominator is 0; both rounded to 6dp).
+
+    Scale shape: the audit runs on the md5(salt|id) % sample_mod == 0
+    sample, so its exact all-pairs leg costs O((corpus/sample_mod)²)
+    worst-case and is tunable to any budget; both legs are the standing
+    bucketed operators (shingle inverted index, band buckets), uncapped
+    within the sample so the measurement is exact. The final report is
+    three ONE-ROW aggregates cross-joined (the contamination_report
+    scalar-small-side class).
+    """
+    from ncbi_analysis_spark.functions.text import _hash32
+
+    sample = df.filter(
+        _hash32(F.col(id_col).cast("string"), f"{salt}|") % sample_mod == 0
+    )
+    truth = ngram_jaccard_pairs(
+        sample, text, id_col, shingle_n=shingle_n, threshold=threshold,
+        max_shingle_freq=None,
+    ).select("id_a", "id_b", F.lit(1).alias("in_truth"))
+    cand = minhash_lsh_pairs(
+        sample, text, id_col, num_perm=num_perm, bands=bands,
+        shingle_n=shingle_n, max_band_freq=None,
+    ).select("id_a", "id_b", F.lit(1).alias("in_cand"))
+    pairs = truth.join(cand, ["id_a", "id_b"], "full_outer").agg(
+        F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("in_cand"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("in_truth") * F.col("in_cand")), F.lit(0))
+        .cast("long").alias("n_hit"),
+    )
+    n_sample = sample.agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    return n_sample.crossJoin(pairs).select(
+        "n_sample", "n_true", "n_cand", "n_hit",
+        F.when(F.col("n_true") > 0,
+               F.round(F.col("n_hit") / F.col("n_true"), 6)).alias("recall"),
+        F.when(F.col("n_cand") > 0,
+               F.round(F.col("n_hit") / F.col("n_cand"), 6)).alias("precision"),
+    )

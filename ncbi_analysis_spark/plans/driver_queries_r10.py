@@ -170,6 +170,7 @@ def queries_r10() -> dict:
         "pack_bpe_budget": pack_bpe_budget,
         "video_frame_near_dup": video_frame_near_dup,
         "unicode_normalize": unicode_normalize,
+        "lsh_recall_audit": lsh_recall_audit_query,
     }
 
 
@@ -181,7 +182,101 @@ def oracle_sql_r10() -> dict[str, str]:
         "pack_bpe_budget": _pack_bpe_sql(),
         "video_frame_near_dup": _VIDEO_NEAR_DUP_SQL,
         "unicode_normalize": _unicode_normalize_sql(),
+        "lsh_recall_audit": _lsh_recall_audit_sql(),
     }
+
+
+def lsh_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter audit end-to-end (operators/dedup.py::
+    lsh_recall_audit): measured recall/precision of (num_perm=8,
+    bands=4) MinHash banding vs exact shingle Jaccard at threshold 0.5,
+    on the deterministic md5 half-sample. Two near-dup populations are
+    planted so the s-curve is exercised on BOTH flanks: %9 docs get a
+    3-word-appended twin (Jaccard ~0.9 — the s-curve's near-certain
+    region), %11 docs a self-reversed-suffix twin (Jaccard straddling
+    ~0.5 — the region where banding genuinely loses pairs, so recall
+    lands strictly between 0 and 1 and the audit is a real measurement,
+    not a tautology).
+
+    The oracle recomputes BOTH legs independently in DuckDB (brute
+    all-pairs Jaccard; md5 minhash + band collision) and the same
+    confusion counts — exact match pins the measured recall itself."""
+    from ncbi_analysis_spark.operators.dedup import lsh_recall_audit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select("doc_id", "text")
+    var_a = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2 zz3")).alias("text"),
+    )
+    var_b = base.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.array_join(F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(var_a).unionByName(var_b)
+    return lsh_recall_audit(
+        corpus, "text", "doc_id", threshold=0.5, num_perm=8, bands=4,
+        shingle_n=3, sample_mod=2, salt="audit",
+    )
+
+
+def _lsh_recall_audit_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    mins = ",\n        ".join(
+        f"list_aggregate(list_transform(sh, x -> md5('{i}|' || x)), 'min') AS mh{i}"
+        for i in range(8)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || ',' || mh{2 * b + 1}) AS bh FROM m"
+        for b in range(4)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+var_a AS (SELECT doc_id + 1000000 AS doc_id, text || ' zz1 zz2 zz3' AS text
+          FROM base WHERE doc_id % 9 = 0),
+var_b AS (SELECT doc_id + 2000000 AS doc_id,
+                 text || ' ' || array_to_string(
+                   list_reverse(string_split_regex(trim(text), '\\s+')), ' ') AS text
+          FROM base WHERE doc_id % 11 = 0),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var_a
+           UNION ALL SELECT * FROM var_b),
+s AS (SELECT * FROM corpus
+      WHERE ('0x' || substr(md5('audit|' || doc_id::VARCHAR), 1, 8))::BIGINT % 2 = 0),
+sh AS (SELECT doc_id, UNNEST(list_distinct({_SHINGLES_SQL})) AS sh FROM s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM common JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.5),
+shg AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM s),
+m AS (SELECT doc_id,
+        {mins}
+      FROM shg),
+bands AS (
+  {band_rows}
+),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM s)::BIGINT AS n_sample,
+         (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+         (SELECT COUNT(*) FROM cand)::BIGINT AS n_cand,
+         (SELECT COUNT(*) FROM truth t JOIN cand c
+            ON t.id_a = c.id_a AND t.id_b = c.id_b)::BIGINT AS n_hit
+)
+SELECT n_sample, n_true, n_cand, n_hit,
+  (CASE WHEN n_true > 0 THEN ROUND(n_hit * 1.0 / n_true, 6) END) AS recall,
+  (CASE WHEN n_cand > 0 THEN ROUND(n_hit * 1.0 / n_cand, 6) END) AS precision
+FROM counts
+"""
 
 
 def unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

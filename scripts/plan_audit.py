@@ -89,6 +89,11 @@ EXPECTED: dict[str, set[str]] = {
     # stage (domain aggregate, band-digest decon, map-only repetition
     # gate) plans marker-free.
     "curation_v4": {"BroadcastNestedLoopJoin"},
+    # Final report row: two ONE-ROW scalar aggregates (sample count,
+    # confusion counts) cross-joined — the contamination_report class.
+    # Both measurement legs underneath are the standing bucketed
+    # operators on the bounded hash-sample.
+    "lsh_recall_audit": {"BroadcastNestedLoopJoin"},
 }
 
 

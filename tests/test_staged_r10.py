@@ -102,3 +102,41 @@ def test_normalize_unicode_plan_is_map_only(spark):
     plan = normalize_unicode_np(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_lsh_recall_audit_semantics(spark):
+    """lsh_recall_audit on a constructed corpus: exact duplicates (and
+    their shingle sets) MUST collide in every band -> recall 1.0 when
+    all true pairs are exact dups; disjoint docs produce no candidates
+    -> NULL recall/precision when nothing is similar; sample_mod=1
+    audits everything."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.dedup import lsh_recall_audit
+
+    words = ["alpha beta gamma delta epsilon zeta eta theta",
+             "one two three four five six seven eight nine"]
+    rows = [(i, words[0]) for i in range(4)] + [
+        (10 + i, f"unique{i} " + " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    r = lsh_recall_audit(
+        df, "text", "doc_id", threshold=0.9, num_perm=4, bands=2,
+        sample_mod=1,
+    ).collect()[0]
+    # 6 exact-dup pairs among doc_ids 0-3; identical signatures collide
+    # in every band, so LSH cannot miss them
+    assert r["n_sample"] == 8
+    assert r["n_true"] == 6 and r["n_hit"] == 6
+    assert r["recall"] == 1.0
+    assert r["n_cand"] >= 6 and 0.0 < r["precision"] <= 1.0
+
+    disjoint = spark.createDataFrame(
+        [(i, f"only{i}a only{i}b only{i}c only{i}d") for i in range(5)],
+        "doc_id long, text string",
+    )
+    r2 = lsh_recall_audit(disjoint, "text", "doc_id", sample_mod=1).collect()[0]
+    assert r2["n_true"] == 0 and r2["n_cand"] == 0
+    assert r2["recall"] is None and r2["precision"] is None
