@@ -832,3 +832,51 @@ def quantile_threshold_approx(
     if group_cols:
         return df.groupBy(*group_cols).agg(agg)
     return df.agg(agg)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "diversity",
+    method: str = "auto",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling for training-data
+    selection — the D4/SemDeDup-style density flattener: assign every
+    row to its nearest centroid in embedding space, then keep at most
+    ``per_cluster`` rows per cluster. Over-dense regions (boilerplate
+    clusters, template spam — which dominate a uniform sample of any
+    web corpus) contribute no more than sparse ones, so the kept subset
+    is diverse by construction.
+
+    Within a cluster rows are kept in md5(salt|id) order (id
+    tie-break) — the ``_md5_keep_rank`` order shared with the quota
+    operators: pseudo-random but rerun-stable and partition-layout
+    independent, which is what makes the selection oracle-checkable.
+    To keep the BEST-scored exemplars per cluster instead, compose the
+    assignment with ``operators.topk.topk_per_group`` on your score.
+
+    Output: (id_col, c_id, rk). Join back on ``id_col`` to materialize
+    the subset.
+
+    Scale shape: assignment is ``ivf_assign`` — a pure map (centroid
+    literals or broadcast matrix, no join/shuffle); the per-cluster cap
+    is one shuffle on ``c_id``, and Spark's rank-limit pushdown inserts
+    a partial WindowGroupLimit before the exchange so at most
+    ``per_cluster`` rows per cluster per map partition move. With k
+    clusters the output is <= k * per_cluster rows however large the
+    corpus — the caller picks k to match the target subset size.
+    """
+    from ncbi_analysis_spark.operators.similarity_search import ivf_assign
+
+    assigned = ivf_assign(
+        df, centroids, vec=vec, id_col=id_col, method=method
+    ).select(id_col, "c_id")
+    rk = _md5_keep_rank(["c_id"], id_col, salt)
+    return (
+        assigned.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= per_cluster)
+        .select(id_col, "c_id", "rk")
+    )

@@ -171,6 +171,7 @@ def queries_r10() -> dict:
         "video_frame_near_dup": video_frame_near_dup,
         "unicode_normalize": unicode_normalize,
         "lsh_recall_audit": lsh_recall_audit_query,
+        "cluster_diversity_sample": cluster_diversity_sample,
     }
 
 
@@ -183,7 +184,81 @@ def oracle_sql_r10() -> dict[str, str]:
         "video_frame_near_dup": _VIDEO_NEAR_DUP_SQL,
         "unicode_normalize": _unicode_normalize_sql(),
         "lsh_recall_audit": _lsh_recall_audit_sql(),
+        "cluster_diversity_sample": _cluster_diversity_sql(),
     }
+
+
+def cluster_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling end-to-end (operators/
+    scale.py::cluster_balanced_sample — the D4/SemDeDup density
+    flattener): train the k=8 spherical quantizer on the embedding
+    corpus (train_ivf_centroids, the proven ann_ivf_trained params),
+    assign every vector to its nearest centroid as a pure map, keep at
+    most 60 per cluster in the rerun-stable md5 order. The trained
+    cluster sizes at sf0.01 span 56-72, so the cap truncates SOME
+    clusters and keeps others whole — both branches exercised.
+
+    Generated oracle (the ann_ivf_trained pattern): centroids re-derived
+    Spark-free by train_ivf_centroids_local and spliced in as exact
+    frexp literals; assignment fold-order and tie-break replicated, the
+    per-cluster rank replayed as a window."""
+    from ncbi_analysis_spark.operators.scale import cluster_balanced_sample
+    from ncbi_analysis_spark.operators.similarity_search import (
+        train_ivf_centroids,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _TRAIN_PARAMS
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(e, **_TRAIN_PARAMS)
+    return cluster_balanced_sample(
+        e, cents, per_cluster=60, salt="diversity"
+    )
+
+
+def _cluster_diversity_sql() -> str:
+    from ncbi_analysis_spark.operators.similarity_search import (
+        train_ivf_centroids_local,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _DOT,
+        _TRAIN_PARAMS,
+        _dlit,
+        _oracle_sf_dir,
+    )
+
+    C = train_ivf_centroids_local(
+        f"{_oracle_sf_dir()}/embeddings.parquet", **_TRAIN_PARAMS
+    )
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(_dlit(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(C)
+    )
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES
+  {rows}
+) AS t(c_id, cv)),
+corpus AS (SELECT vec_id, embedding AS v FROM embeddings),
+assign0 AS (
+  -- dot(v, c) / ||c|| — same formula and fold order as ivf_assign's
+  -- map-side argmax (the ||v|| division is skipped on both sides: a
+  -- positive per-row constant can't change the argmax or tie-break)
+  SELECT c.vec_id, ct.c_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM corpus c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+  FROM assign0
+) WHERE rn = 1)
+SELECT vec_id, c_id::BIGINT AS c_id, rk FROM (
+  SELECT vec_id, c_id,
+         ROW_NUMBER() OVER (PARTITION BY c_id
+           ORDER BY md5('diversity|' || vec_id::VARCHAR), vec_id)::BIGINT AS rk
+  FROM assign
+) WHERE rk <= 60
+"""
 
 
 def lsh_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:

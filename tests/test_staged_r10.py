@@ -140,3 +140,42 @@ def test_lsh_recall_audit_semantics(spark):
     r2 = lsh_recall_audit(disjoint, "text", "doc_id", sample_mod=1).collect()[0]
     assert r2["n_true"] == 0 and r2["n_cand"] == 0
     assert r2["recall"] is None and r2["precision"] is None
+
+
+def test_cluster_balanced_sample_flattens_density(spark):
+    """cluster_balanced_sample on a constructed corpus: a dense clump
+    (80 vectors on one axis) and a sparse clump (5 on an orthogonal
+    one). With per_cluster=10 the dense cluster is cut to exactly 10,
+    the sparse kept whole, and the plan between scan and window is
+    join-free (assignment is a pure map)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.scale import cluster_balanced_sample
+
+    dense = [(i, [1.0 + 0.001 * i, 0.0]) for i in range(80)]
+    sparse = [(100 + i, [0.0, 1.0 + 0.001 * i]) for i in range(5)]
+    df = spark.createDataFrame(
+        dense + sparse, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "c_id long, embedding array<double>"
+    )
+    out = cluster_balanced_sample(df, cents, per_cluster=10)
+    rows = out.collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["c_id"], set()).add(r["vec_id"])
+    assert len(by_c[0]) == 10 and by_c[0] <= set(range(80))
+    assert by_c[1] == {100, 101, 102, 103, 104}
+    assert all(r["rk"] <= 10 for r in rows)
+
+    # determinism: same inputs -> same selection
+    again = {(r["vec_id"], r["c_id"], r["rk"])
+             for r in cluster_balanced_sample(df, cents, per_cluster=10).collect()}
+    assert again == {(r["vec_id"], r["c_id"], r["rk"]) for r in rows}
+
+    # assignment stage is a pure map: no join markers in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+                   "CartesianProduct"):
+        assert marker not in plan, marker
