@@ -439,6 +439,18 @@ BASELINE = {
     # staged-r10 video frame near-dup, standalone min-of-3 (noise
     # control read 0.355 in the same session)
     "video_frame_near_dup": (2.76, 9),
+    # staged-r10 unicode normalizer (Arrow map pass over planted
+    # denormalized variants), standalone min-of-3 (noise control read
+    # 0.446 in the same session)
+    "unicode_normalize": (0.744, 9),
+    # staged-r10 LSH s-curve audit (exact-Jaccard + banding legs on the
+    # md5 half-sample), standalone min-of-3 (noise control read 0.446
+    # in the same session)
+    "lsh_recall_audit": (3.055, 9),
+    # staged-r10 diversity sampling (trained k=8 quantizer + pure-map
+    # assign + per-cluster rank), standalone min-of-3 (noise control
+    # read 0.446 in the same session)
+    "cluster_diversity_sample": (1.754, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -61,7 +61,12 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "stream_curation", "image_phash_near_dup",
          # late-round-9 staged additions (all documents-only)
          "source_curation_report", "curation_v4", "pack_bpe_budget",
-         "video_frame_near_dup"]
+         "video_frame_near_dup",
+         # final round-9 staged additions (documents-only; the third,
+         # cluster_diversity_sample, is embeddings-table and the sf1
+         # synthesis is documents-only — its decade curve is
+         # sf0.01 -> 0.1 via the default run)
+         "unicode_normalize", "lsh_recall_audit"]
 
 
 def _sf_dir(spark, sf: float) -> str:
