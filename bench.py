@@ -451,6 +451,10 @@ BASELINE = {
     # assign + per-cluster rank), standalone min-of-3 (noise control
     # read 0.446 in the same session)
     "cluster_diversity_sample": (1.754, 9),
+    # staged-r10 ANN recall audit (brute + IVF legs on the 48-query
+    # batch + overlap), standalone min-of-3 (noise control read 0.369
+    # in the same session)
+    "ann_recall_audit": (5.233, 9),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -1140,3 +1140,55 @@ def append_to_ivf_index(
         [(int(r[c_id]), int(r["n_appended"])) for r in counts],
         f"{c_id} long, n_appended long",
     )
+
+
+def ann_recall_audit(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    k: int = 10,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Measured per-query recall@k of the IVF index against the exact
+    brute-force top-k — the ANN twin of ``dedup.lsh_recall_audit``:
+    nprobe/k_centroids trade-offs are usually tuned by rules of thumb;
+    this measures what the probe setting actually recalls on YOUR
+    vector distribution, per query, before the index ships.
+
+    Output: one row per query — ``n_exact`` (true top-k size, < k only
+    when the corpus itself is smaller), ``n_approx`` (IVF result size,
+    < k when the probed buckets hold fewer rows), ``n_hit`` (overlap),
+    ``recall`` = n_hit / n_exact (6dp). Aggregate to taste downstream
+    (the per-query rows are the useful artifact: a single bad query
+    vector near a bucket boundary is invisible in a mean).
+
+    Scale shape: both legs are the standing operators (broadcast query
+    batch, corpus never shuffles; IVF leg additionally bucket-pruned);
+    the comparison joins two (queries x k)-sized results — trivially
+    small however big the corpus — then one groupBy on q_id. Audit cost
+    is dominated by the brute-force leg, so run it on a sampled query
+    batch, exactly like the LSH audit's hash-sample.
+    """
+    exact = brute_force_topk(
+        corpus, queries, vec=vec, id_col=id_col, q_id=q_id, k=k
+    ).select(q_id, id_col, F.lit(1).alias("in_exact"))
+    approx = ivf_topk(
+        corpus, queries, centroids, vec=vec, id_col=id_col, q_id=q_id,
+        k=k, nprobe=nprobe, assigned=assigned,
+    ).select(q_id, id_col, F.lit(1).alias("in_approx"))
+    joined = exact.join(approx, [q_id, id_col], "full_outer")
+    per = joined.groupBy(q_id).agg(
+        F.coalesce(F.sum("in_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce(F.sum("in_approx"), F.lit(0)).cast("long").alias("n_approx"),
+        F.coalesce(F.sum(F.col("in_exact") * F.col("in_approx")), F.lit(0))
+        .cast("long").alias("n_hit"),
+    )
+    return per.select(
+        q_id, "n_exact", "n_approx", "n_hit",
+        F.when(F.col("n_exact") > 0,
+               F.round(F.col("n_hit") / F.col("n_exact"), 6)).alias("recall"),
+    )

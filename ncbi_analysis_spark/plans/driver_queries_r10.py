@@ -172,6 +172,7 @@ def queries_r10() -> dict:
         "unicode_normalize": unicode_normalize,
         "lsh_recall_audit": lsh_recall_audit_query,
         "cluster_diversity_sample": cluster_diversity_sample,
+        "ann_recall_audit": ann_recall_audit_query,
     }
 
 
@@ -185,7 +186,59 @@ def oracle_sql_r10() -> dict[str, str]:
         "unicode_normalize": _unicode_normalize_sql(),
         "lsh_recall_audit": _lsh_recall_audit_sql(),
         "cluster_diversity_sample": _cluster_diversity_sql(),
+        "ann_recall_audit": _ann_recall_audit_sql(),
     }
+
+
+def ann_recall_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit end-to-end (operators/similarity_search
+    .py::ann_recall_audit): per-query measured recall@10 of the
+    first-8-centroid IVF at nprobe=2 against the exact brute-force
+    top-10, for the standing 48-query batch (the ann_ivf/ann_brute_force
+    configuration — so the audit measures exactly the index the other
+    driver queries exercise). Measured spread at sf0.01: per-query
+    recall 0.1-1.0, mean ~0.55 — nprobe=2 of 8 buckets genuinely loses
+    neighbors on this distribution, which is precisely what the audit
+    exists to surface.
+
+    Oracle: the two proven SQL mirrors (ANN_BF_SQL / ANN_IVF_SQL)
+    composed as CTE legs plus an independent overlap count."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        ann_recall_audit,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    return ann_recall_audit(e, q, cents, k=10, nprobe=2)
+
+
+def _ann_recall_audit_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import (
+        ANN_BF_SQL,
+        ANN_IVF_SQL,
+    )
+
+    return f"""
+WITH exact AS ({ANN_BF_SQL}),
+approx AS ({ANN_IVF_SQL}),
+j AS (
+  SELECT COALESCE(e.q_id, a.q_id) AS q_id,
+         (e.vec_id IS NOT NULL)::INT AS in_exact,
+         (a.vec_id IS NOT NULL)::INT AS in_approx
+  FROM exact e FULL OUTER JOIN approx a
+    ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+)
+SELECT q_id, SUM(in_exact)::BIGINT AS n_exact,
+       SUM(in_approx)::BIGINT AS n_approx,
+       SUM(in_exact * in_approx)::BIGINT AS n_hit,
+       (CASE WHEN SUM(in_exact) > 0
+             THEN ROUND(SUM(in_exact * in_approx) * 1.0 / SUM(in_exact), 6)
+        END) AS recall
+FROM j GROUP BY q_id
+"""
 
 
 def cluster_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,6 +94,10 @@ EXPECTED: dict[str, set[str]] = {
     # Both measurement legs underneath are the standing bucketed
     # operators on the bounded hash-sample.
     "lsh_recall_audit": {"BroadcastNestedLoopJoin"},
+    # The exact leg IS ann_brute_force (bounded query batch broadcast
+    # against every vector — its pinned shape); the IVF leg adds the
+    # probe-construction cross join (ann_ivf's pinned shape).
+    "ann_recall_audit": {"BroadcastNestedLoopJoin"},
 }
 
 

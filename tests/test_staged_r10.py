@@ -179,3 +179,29 @@ def test_cluster_balanced_sample_flattens_density(spark):
     for marker in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
                    "CartesianProduct"):
         assert marker not in plan, marker
+
+
+def test_ann_recall_audit_full_probe_is_exact(spark):
+    """ann_recall_audit with nprobe = number of centroids: probing every
+    bucket IS the full scan, so recall must be exactly 1.0 for every
+    query — the audit's self-consistency anchor. With nprobe=1 on a
+    corpus engineered so each query's true top-k straddles two buckets,
+    recall must drop strictly below 1."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        ann_recall_audit,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+
+    full = ann_recall_audit(e, q, cents, k=5, nprobe=4).collect()
+    assert len(full) == 6
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in full)
+
+    narrow = ann_recall_audit(e, q, cents, k=5, nprobe=1).collect()
+    assert min(r["recall"] for r in narrow) < 1.0
