@@ -173,6 +173,7 @@ def queries_r10() -> dict:
         "lsh_recall_audit": lsh_recall_audit_query,
         "cluster_diversity_sample": cluster_diversity_sample,
         "ann_recall_audit": ann_recall_audit_query,
+        "pca_embedding_project": pca_embedding_project,
     }
 
 
@@ -187,6 +188,7 @@ def oracle_sql_r10() -> dict[str, str]:
         "lsh_recall_audit": _lsh_recall_audit_sql(),
         "cluster_diversity_sample": _cluster_diversity_sql(),
         "ann_recall_audit": _ann_recall_audit_sql(),
+        "pca_embedding_project": _pca_project_sql(),
     }
 
 
@@ -790,4 +792,64 @@ FROM fh a JOIN fh b
  AND bit_count(xor(a.fh64, b.fh64)) <= 3
 GROUP BY a.media_id, b.media_id
 HAVING COUNT(DISTINCT a.frame_idx) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# PCA embedding projection (round-9 session 2)
+# ---------------------------------------------------------------------------
+
+_PCA_PARAMS = {"k": 8, "sample_cap": 65536}
+
+
+def pca_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embeddings table to 8 dims
+    (operators/embeddings.py::pca_fit + pca_project — the data-dependent
+    twin of the JL `embedding_project` query): fit on the deterministic
+    md5-ordered sample (cap > corpus at sf0.01, so the fit sees every
+    row), project with the Arrow-batched input-dim-order fold, explode
+    to (vec_id, j, val) scalars.
+
+    Generated oracle (the ann_ivf_trained pattern): pca_fit_local
+    re-derives the bit-identical mean/components Spark-free; the SQL
+    embeds components^T and the mean-dot-component scalars as exact
+    frexp literals and mirrors the fold order, so every coordinate
+    matches bit-for-bit."""
+    from ncbi_analysis_spark.operators import embeddings as em
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, comps, _ = em.pca_fit(e, **_PCA_PARAMS)
+    proj = em.pca_project(e, mean, comps)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "val")
+    ).withColumn("j", F.col("j").cast("long"))
+
+
+def _pca_project_sql() -> str:
+    import numpy as np
+
+    from ncbi_analysis_spark.operators.embeddings import pca_fit_local
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _dlit,
+        _oracle_sf_dir,
+    )
+
+    mean, comps, _ = pca_fit_local(
+        f"{_oracle_sf_dir()}/embeddings.parquet", **_PCA_PARAMS
+    )
+    k, d = comps.shape
+    CT = comps.T  # [t][j] — input dim major, matching the fold
+    ct_lit = "[" + ", ".join(
+        "[" + ", ".join(_dlit(x) for x in CT[t]) + "]" for t in range(d)
+    ) + "]::DOUBLE[][]"
+    mc = [float(np.dot(mean, comps[j])) for j in range(k)]
+    mc_lit = "[" + ", ".join(_dlit(x) for x in mc) + "]::DOUBLE[]"
+    return f"""
+WITH lit AS (SELECT {ct_lit} AS CT, {mc_lit} AS MC)
+SELECT vec_id, j::BIGINT AS j,
+       list_reduce(list_transform(range({d}),
+                   t -> embedding[t + 1]::DOUBLE * CT[t + 1][j + 1]),
+                   (a, b) -> a + b) - MC[j + 1] AS val
+FROM embeddings CROSS JOIN lit,
+     LATERAL (SELECT UNNEST(range({k})) AS j) idx
 """
