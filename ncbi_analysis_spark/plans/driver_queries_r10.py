@@ -174,6 +174,7 @@ def queries_r10() -> dict:
         "cluster_diversity_sample": cluster_diversity_sample,
         "ann_recall_audit": ann_recall_audit_query,
         "pca_embedding_project": pca_embedding_project,
+        "hll_user_distinct": hll_user_distinct,
     }
 
 
@@ -189,6 +190,7 @@ def oracle_sql_r10() -> dict[str, str]:
         "cluster_diversity_sample": _cluster_diversity_sql(),
         "ann_recall_audit": _ann_recall_audit_sql(),
         "pca_embedding_project": _pca_project_sql(),
+        "hll_user_distinct": _hll_user_distinct_sql(),
     }
 
 
@@ -852,4 +854,76 @@ SELECT vec_id, j::BIGINT AS j,
                    (a, b) -> a + b) - MC[j + 1] AS val
 FROM embeddings CROSS JOIN lit,
      LATERAL (SELECT UNNEST(range({k})) AS j) idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch (round-9 session 2)
+# ---------------------------------------------------------------------------
+
+
+def hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog cardinality sketch end-to-end
+    (operators/sketches.py): per-event-type approximate distinct user
+    count (p=8, 256 registers) side-by-side with the exact count, so the
+    oracled row itself shows the estimate's error.
+
+    Everything on the oracled path is either integer-exact (register
+    carve, rho via bin(), exact distinct) or a register-order-pinned
+    fold of exact powers of two (est_raw) — no transcendentals — so
+    DuckDB reproduces every column bit-for-bit."""
+    from ncbi_analysis_spark.operators.sketches import hll_distinct
+    from ncbi_analysis_spark.plans.driver_queries import _events
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    est = hll_distinct(
+        ev, "user_id", p=8, group_by=["event_type"], correct=False
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def _hll_user_distinct_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _dlit
+
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    return f"""
+WITH vals AS (
+  SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+hx AS (SELECT event_type, md5(user_id::VARCHAR) AS h FROM vals),
+rr AS (
+  SELECT event_type,
+         ('0x' || substr(h, 1, 2))::BIGINT AS register,
+         ('0x' || substr(h, 3, 13))::BIGINT AS w
+  FROM hx
+),
+regs AS (
+  SELECT event_type, register,
+         MAX(CASE WHEN w = 0 THEN 53
+                  ELSE 52 - length(bin(w)) + 1 END) AS max_rho
+  FROM rr GROUP BY event_type, register
+),
+folded AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n_present,
+         -- register-order left fold, 0.0 seed: bit-identical to the
+         -- Spark aggregate() over the sorted collect_list
+         list_reduce(
+           list_prepend(0.0, list(pow(2.0, -max_rho) ORDER BY register)),
+           (a, b) -> a + b) AS s_present
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM vals GROUP BY event_type
+)
+SELECT f.event_type, f.n_present,
+       (256 - f.n_present)::BIGINT AS n_zero,
+       {_dlit(alpha)} * 256.0 * 256.0
+         / (f.s_present + (256 - f.n_present)) AS est_raw,
+       e.exact_distinct
+FROM folded f JOIN exact e USING (event_type)
 """
