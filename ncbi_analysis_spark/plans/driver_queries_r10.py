@@ -927,3 +927,57 @@ SELECT f.event_type, f.n_present,
        e.exact_distinct
 FROM folded f JOIN exact e USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (round-9 session 2)
+# ---------------------------------------------------------------------------
+
+_ZORDER_BITS = 12
+
+
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key derivation end-to-end (operators/layout.py): exact
+    min/max ranges of (user_id, value) over the events table, 12-bit
+    min/max bins, Morton interleave — the multi-column data-skipping
+    key ``zorder_layout`` range-partitions on before a curated-corpus
+    write. Output (event_id, zvalue).
+
+    The oracle recomputes the same extremes, the same float64 bin
+    formula in the same operation order, and the same shift/mask
+    interleave — every step is IEEE-exact cross-engine, no literals
+    needed."""
+    from ncbi_analysis_spark.operators import layout as lo
+    from ncbi_analysis_spark.plans.driver_queries import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    keyed = lo.add_zorder_key(ev, ["user_id", "value"], bits=_ZORDER_BITS)
+    return keyed.select("event_id", "zvalue")
+
+
+def _zorder_layout_sql() -> str:
+    b = _ZORDER_BITS
+    m = (1 << b) - 1
+    terms = []
+    for j, col in enumerate(("bu", "bv")):
+        for t in range(b):
+            terms.append(f"((({col} >> {t}) & 1) << {t * 2 + j})")
+    z = " + ".join(terms)
+    bin_ = (
+        "COALESCE(floor(((({v}::DOUBLE) - ({mn}::DOUBLE)) / "
+        "(({mx}::DOUBLE) - ({mn}::DOUBLE))) * {m}.0), 0)::BIGINT"
+    )
+    return f"""
+WITH r AS (
+  SELECT min(user_id::DOUBLE) AS mnu, max(user_id::DOUBLE) AS mxu,
+         min(value::DOUBLE)  AS mnv, max(value::DOUBLE)  AS mxv
+  FROM events
+),
+binned AS (
+  SELECT event_id,
+    {bin_.format(v='user_id', mn='r.mnu', mx='r.mxu', m=m)} AS bu,
+    {bin_.format(v='value', mn='r.mnv', mx='r.mxv', m=m)} AS bv
+  FROM events CROSS JOIN r
+)
+SELECT event_id, ({z})::BIGINT AS zvalue FROM binned
+"""
