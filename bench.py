@@ -148,11 +148,18 @@ def main() -> None:
     for name, fn in queries_r9().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
-    # staged round-10 registry entries bench ahead of registration so
-    # their baselines are seeded before the driver ever times them
+    # staged round-10 registry entries are registered as of r10; keep
+    # their baseline series continuous
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
 
     for name, fn in queries_r10().items():
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
+    # staged round-11 registry entries bench ahead of registration so
+    # their baselines are seeded before the driver ever times them
+    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
+
+    for name, fn in queries_r11().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2

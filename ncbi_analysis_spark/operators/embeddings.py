@@ -297,6 +297,49 @@ def pca_project(
     return corpus.select(id_col, vec).mapInPandas(gen, schema)
 
 
+def pca_fit_moments_local(
+    parquet_path: str,
+    k: int,
+    vec: str = "embedding",
+    center: bool = True,
+):
+    """Spark-free twin of ``pca_fit_moments`` (pyarrow + numpy): the
+    same exact-moments covariance (``ss/n - outer(mean, mean)``) from
+    one local pass over ALL rows, same eigh kernel. Used to embed the
+    moments-fit model (eigen spectrum) as literals in DuckDB oracle SQL
+    (the pca_fit_local pattern).
+
+    Summation order differs from the distributed partials (numpy
+    pairwise over the whole table vs per-partition partials), so the
+    twin is VALUE-equal (~1e-15 relative), not bit-equal — oracled
+    queries must reduce its outputs to comparison-robust integers
+    (threshold ranks, ppm floors), never raw doubles.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    X = np.array(
+        pq.read_table(parquet_path, columns=[vec])[vec].to_pylist(),
+        dtype=np.float64,
+    )
+    n, d = X.shape
+    if not 1 <= k <= d:
+        raise ValueError(f"pca: k={k} out of range for d={d}")
+    s = X.sum(axis=0)
+    ss = X.T @ X
+    mean = s / n if center else np.zeros(d)
+    cov = ss / n - np.outer(mean, mean)
+    w, V = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order].T.copy()
+    eig = np.maximum(w[order], 0.0)
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, eig
+
+
 def explained_variance_ratio(eigenvalues, total_variance: float):
     """Per-axis fraction of total variance captured (diagnostic for
     choosing k). ``total_variance`` = trace of the covariance — returned

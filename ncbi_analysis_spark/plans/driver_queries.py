@@ -1674,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_r10().queries_r10(),
         **_r9().queries_r9(),
         **_r8().queries_r8(),
         **_r7().queries_r7(),
@@ -1734,6 +1735,7 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
+        **_r10().oracle_sql_r10(),
         **_r9().oracle_sql_r9(),
         **_r8().oracle_sql_r8(),
         **_r7().oracle_sql_r7(),
@@ -1822,6 +1824,12 @@ def _r9():
     from ncbi_analysis_spark.plans import driver_queries_r9
 
     return driver_queries_r9
+
+
+def _r10():
+    from ncbi_analysis_spark.plans import driver_queries_r10
+
+    return driver_queries_r10
 
 
 def _r3():

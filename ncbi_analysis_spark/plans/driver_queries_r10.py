@@ -175,6 +175,7 @@ def queries_r10() -> dict:
         "ann_recall_audit": ann_recall_audit_query,
         "pca_embedding_project": pca_embedding_project,
         "hll_user_distinct": hll_user_distinct,
+        "zorder_layout_events": zorder_layout_events,
     }
 
 
@@ -191,6 +192,7 @@ def oracle_sql_r10() -> dict[str, str]:
         "ann_recall_audit": _ann_recall_audit_sql(),
         "pca_embedding_project": _pca_project_sql(),
         "hll_user_distinct": _hll_user_distinct_sql(),
+        "zorder_layout_events": _zorder_layout_sql(),
     }
 
 
