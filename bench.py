@@ -31,6 +31,15 @@ from ncbi_analysis_spark.session import get_spark  # noqa: E402
 
 N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
+# Shapes whose min-of-3 driver noise (max/min) has exceeded ~2x get
+# extra executions so the reported min is a steady-state reading and the
+# 2x regression gate stays meaningful (r9 verdict: 3.76-3.79 on these
+# two; everything else <=3). Values are total runs, replacing N_RUNS.
+EXTRA_RUNS = {
+    "flagship_scan_1mbp": max(N_RUNS, 5),
+    "image_phash_near_dup": max(N_RUNS, 5),
+}
+
 # Headline set: the scan-agg core, window ops, every join family, and the
 # LLM-pipeline ops — each stresses a distinct shuffle/UDF shape.
 BENCH_QUERIES = [
@@ -118,7 +127,9 @@ def main() -> None:
         """Time one query; a failure records an error entry instead of
         aborting the run (round 4 lost ALL timings to one broken query)."""
         try:
-            timings[name], noise[name] = _time_best(thunk)
+            timings[name], noise[name] = _time_best(
+                thunk, EXTRA_RUNS.get(name, N_RUNS)
+            )
         except Exception as exc:  # noqa: BLE001 — fault isolation by design
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
 
@@ -462,6 +473,18 @@ BASELINE = {
     # batch + overlap), standalone min-of-3 (noise control read 0.369
     # in the same session)
     "ann_recall_audit": (5.233, 9),
+    # r10 seeds closing BENCH_r09's `unbaselined` gap, one standalone
+    # min-of-3 session on the r10 box (noise control dedup_exact_groups
+    # read 0.382 in the same session)
+    "hll_user_distinct": (0.723, 10),
+    "pca_embedding_project": (0.541, 10),
+    # registered-at-r10 zorder key derivation, same session
+    "zorder_layout_events": (0.462, 10),
+    # staged-r11 HLL snapshot-merge contract query, same session
+    "hll_merge_snapshots": (0.531, 10),
+    # staged-r11 moments-fit variance gate (full d=64 spectrum from the
+    # Arrow moment partials + threshold ranks), same session
+    "pca_variance_gate": (0.659, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -185,3 +185,167 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, col, p, group_by), p, group_by, correct
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches — the overlap/Jaccard companion to the
+# HLL register tables above. HLL answers "how many distinct" but cannot
+# estimate INTERSECTIONS between snapshots; a KMV sketch (Bar-Yossef et
+# al. 2002; Beyer et al. 2007 "distinct sampling") is a uniform hash
+# sample of the distinct-value space, so two snapshots' sketches support
+# overlap estimation: merge to the union's sketch, count members present
+# in both sides' sketches, and the ratio estimates Jaccard — the "how
+# much does this crawl overlap the last one" question, answered from two
+# k-row published tables with no re-scan of either corpus.
+#
+# Same postures as the HLL table: plain DataFrames of hash rows,
+# mergeable (k-smallest of a union of k-smallest sets = k-smallest of
+# the union, exactly), engine-checkable (md5 carve to a 52-bit integer;
+# estimator = one exact-integer division), incremental-crawl
+# bookkeeping. No reference analog; LLM-pipeline extension.
+#
+# Scale shape: one map projection per row, a (group, h) groupBy whose
+# map-side partial aggregation dedups before the shuffle, then the
+# topk_per_group rank window (shuffle keyed by group). Published
+# sketches are <= k rows per group regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+# 13 hex chars = 52 bits: the largest md5 carve that stays exact in a
+# DOUBLE (the _W_HEX rationale), so the estimator's division is the
+# same IEEE operation in every engine
+_KMV_SPACE = float(1 << 52)
+
+
+def _kmv_h52(col: str):
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """The ``k`` smallest distinct 52-bit hash values of ``col`` per
+    group — a mergeable distinct-value sample. NULLs are skipped (COUNT
+    DISTINCT semantics). Output ``(*group_by, h)``, <= k rows per group
+    (fewer when the group has fewer distinct values — there the sketch
+    IS the exact distinct hash set and the estimator returns it).
+    """
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k={k} must be >= 2")
+    gb = list(group_by or [])
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(*gb, _kmv_h52(col).alias("h"))
+        .groupBy(*gb, "h")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    if gb:
+        return topk_per_group(
+            hashes, gb, [F.col("h")], k, keep_rank=False
+        )
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge two KMV sketches: the k smallest of the distinct union —
+    EXACTLY the sketch of the unioned inputs (min-k is associative/
+    commutative/idempotent over sets, the hll_merge posture). Both
+    sides must share the hash space and ``k`` (caller-guaranteed, the
+    register-table contract)."""
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    gb = list(group_by or [])
+    u = (
+        a.select(*gb, "h")
+        .unionByName(b.select(*gb, "h"))
+        .groupBy(*gb, "h")
+        .agg(F.lit(1).alias("__one"))
+        .drop("__one")
+    )
+    if gb:
+        return topk_per_group(u, gb, [F.col("h")], k, keep_rank=False)
+    return u.orderBy("h").limit(k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch.
+
+    Per group: ``n_hashes`` (sketch size) and ``est_distinct`` — the
+    exact ``n_hashes`` when the sketch is unsaturated (every distinct
+    hash is present), else the classic ``(k-1) / U_(k)`` with
+    ``U_(k) = kth_smallest / 2^52``. ``(k-1) * 2^52`` is exactly
+    representable in a DOUBLE for any sane k, so the whole estimator is
+    ONE IEEE division — bit-identical cross-engine."""
+    gb = list(group_by or [])
+    agg = sketch.groupBy(*gb).agg(
+        F.count("h").cast("long").alias("n_hashes"),
+        F.max("h").alias("__kth"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.col("__kth").cast("double")
+    )
+    return agg.select(*gb, "n_hashes", est.alias("est_distinct"))
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Jaccard-overlap estimate between two sketched value sets.
+
+    Per group: merge to the union's sketch X (k smallest of the union),
+    count the members of X present in BOTH input sketches (for
+    unsaturated sketches X ∩ A ∩ B is literally the intersection's
+    hash set), and estimate ``J = |X ∩ A ∩ B| / |X|`` — integer counts
+    and one exact division. Output ``(*group_by, n_union_sketch,
+    n_inter, jaccard_est)``.
+
+    Scale: the joins are sketch-vs-sketch (<= k rows per group per
+    side) — broadcastable by construction regardless of corpus size.
+    """
+    gb = list(group_by or [])
+    u = kmv_merge(a, b, k, group_by=gb)
+    keys = gb + ["h"]
+    in_both = (
+        u.join(a.select(*keys), keys, "left_semi")
+        .join(b.select(*keys), keys, "left_semi")
+    )
+    n_u = u.groupBy(*gb).agg(
+        F.count("h").cast("long").alias("n_union_sketch")
+    )
+    n_i = in_both.groupBy(*gb).agg(
+        F.count("h").cast("long").alias("n_inter")
+    )
+    if gb:
+        joined = n_u.join(n_i, gb, "left")
+    else:
+        joined = n_u.crossJoin(n_i)
+    return joined.select(
+        *gb,
+        "n_union_sketch",
+        F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+        (
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+            / F.col("n_union_sketch").cast("double")
+        ).alias("jaccard_est"),
+    )

@@ -141,10 +141,142 @@ GROUP BY t_ppm
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV sketch overlap (round-10)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def kmv_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-overlap bookkeeping from published sketches, end-to-end
+    (operators/sketches.py::kmv_sketch/kmv_merge/kmv_estimate/
+    kmv_jaccard): two overlapping "crawl snapshots" of the documents
+    corpus (doc_id % 3 != 0 vs % 2 != 0 — ids coprime to 6 land in
+    both, exact content Jaccard ~0.4), per-language KMV sketches of the
+    distinct text digests (k=64: 'en' saturates both snapshots, the
+    smaller languages stay unsaturated — both estimator branches on the
+    oracled rows), merged-union estimate and sketch-Jaccard
+    side-by-side with the exact intersection/union/Jaccard so each row
+    shows the estimator's error.
+
+    Every column is an integer count or ONE IEEE division of exact
+    integers (the 52-bit hash space keeps ``(k-1) * 2^52`` exactly
+    representable) — bit-exact cross-engine, no transcendentals."""
+    from ncbi_analysis_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    snap_a = d.filter(F.col("doc_id") % 3 != 0)
+    snap_b = d.filter(F.col("doc_id") % 2 != 0)
+    ka = kmv_sketch(snap_a, "text", k=_KMV_K, group_by=["lang"])
+    kb = kmv_sketch(snap_b, "text", k=_KMV_K, group_by=["lang"])
+    jac = kmv_jaccard(ka, kb, _KMV_K, group_by=["lang"])
+    est_u = kmv_estimate(
+        kmv_merge(ka, kb, _KMV_K, group_by=["lang"]),
+        _KMV_K,
+        group_by=["lang"],
+    ).select("lang", F.col("est_distinct").alias("est_union_distinct"))
+    per_h = d.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max(
+            F.when(F.col("doc_id") % 3 != 0, 1).otherwise(0)
+        ).alias("a"),
+        F.max(
+            F.when(F.col("doc_id") % 2 != 0, 1).otherwise(0)
+        ).alias("b"),
+    )
+    exact = (
+        per_h.filter((F.col("a") == 1) | (F.col("b") == 1))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_inter"),
+            F.count("*").cast("long").alias("exact_union"),
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.col("exact_inter").cast("double")
+            / F.col("exact_union").cast("double"),
+        )
+    )
+    return jac.join(est_u, "lang").join(exact, "lang")
+
+
+def _kmv_overlap_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _dlit
+
+    k = _KMV_K
+    # (k-1) * 2^52, exactly representable — DuckDB would otherwise
+    # parse the product as DECIMAL arithmetic and overflow
+    numer = _dlit(float((k - 1) * (1 << 52)))
+    rank = (
+        "SELECT lang, h FROM (SELECT lang, h, row_number() OVER "
+        "(PARTITION BY lang ORDER BY h) AS rn FROM {src}) WHERE rn <= "
+        f"{k}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
+  FROM d
+),
+ha AS (SELECT DISTINCT lang, h FROM h WHERE doc_id % 3 != 0),
+hb AS (SELECT DISTINCT lang, h FROM h WHERE doc_id % 2 != 0),
+sa AS ({rank.format(src='ha')}),
+sb AS ({rank.format(src='hb')}),
+hu AS (SELECT lang, h FROM sa UNION SELECT lang, h FROM sb),
+su AS ({rank.format(src='hu')}),
+nu AS (
+  SELECT lang, count(*)::BIGINT AS n_union_sketch, max(h) AS kth
+  FROM su GROUP BY lang
+),
+ni AS (
+  SELECT su.lang, count(*)::BIGINT AS n_inter
+  FROM su
+  WHERE EXISTS (SELECT 1 FROM sa WHERE sa.lang = su.lang AND sa.h = su.h)
+    AND EXISTS (SELECT 1 FROM sb WHERE sb.lang = su.lang AND sb.h = su.h)
+  GROUP BY su.lang
+),
+per AS (
+  SELECT lang, md5(text) AS hh,
+         max(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS b
+  FROM d GROUP BY lang, md5(text)
+),
+ex AS (
+  SELECT lang, sum(a * b)::BIGINT AS exact_inter,
+         count(*)::BIGINT AS exact_union
+  FROM per WHERE a = 1 OR b = 1 GROUP BY lang
+)
+SELECT nu.lang, nu.n_union_sketch,
+       COALESCE(ni.n_inter, 0)::BIGINT AS n_inter,
+       COALESCE(ni.n_inter, 0)::DOUBLE / nu.n_union_sketch::DOUBLE
+         AS jaccard_est,
+       CASE WHEN nu.n_union_sketch < {k} THEN nu.n_union_sketch::DOUBLE
+            ELSE {numer} / nu.kth::DOUBLE
+       END AS est_union_distinct,
+       ex.exact_inter, ex.exact_union,
+       ex.exact_inter::DOUBLE / ex.exact_union::DOUBLE AS exact_jaccard
+FROM nu LEFT JOIN ni ON nu.lang = ni.lang
+JOIN ex ON nu.lang = ex.lang
+"""
+
+
 def queries_r11() -> dict:
     return {
         "hll_merge_snapshots": hll_merge_snapshots,
         "pca_variance_gate": pca_variance_gate,
+        "kmv_content_overlap": kmv_content_overlap,
     }
 
 
@@ -152,4 +284,5 @@ def oracle_sql_r11() -> dict[str, str]:
     return {
         "hll_merge_snapshots": _HLL_MERGE_SQL,
         "pca_variance_gate": _pca_variance_gate_sql(),
+        "kmv_content_overlap": _kmv_overlap_sql(),
     }

@@ -475,9 +475,10 @@ def fuzzy_decon_stream(
     with a Bloom filter (``build_ngram_bloom``'s 128 KiB broadcast
     pattern) or run the batch operator over micro-batch sinks instead.
 
-    ``engine``: ``'expr'`` (default, the oracle-exact all-JVM form) or
-    ``'np'`` — an Arrow-batched Python replica of the SAME salted-md5
-    signature/band pipeline (hashes are md5 on both sides, so band keys
+    ``engine``: ``'expr'`` (default, the oracle-exact all-JVM form),
+    ``'np'``, or ``'auto'`` (streaming → np, batch → bounded row probe;
+    ``_resolve_gate_engine``) — the np form is an Arrow-batched Python
+    replica of the SAME salted-md5 signature/band pipeline (hashes are md5 on both sides, so band keys
     and therefore the kept row set are identical; see
     test_streaming.py's twin-parity test). The expression form's HOF
     lambdas are CodegenFallback — interpreted per shingle — which makes
@@ -506,6 +507,7 @@ def fuzzy_decon_stream(
             "this large belongs in a Bloom filter (build_ngram_bloom) or "
             "the batch fuzzy_decon_pairs path"
         )
+    engine = _resolve_gate_engine(stream, engine)
     if engine == "np":
         return _fuzzy_decon_stream_np(
             stream, frozenset(bench_keys), text, num_perm, bands,
@@ -561,10 +563,14 @@ def quality_score_stream(
     the two agree to float-sum rounding (~1e-12 relative), not
     bit-exactly — fine for a gate threshold, not for an exact-match
     oracle (the batch query remains the oracled form).
+
+    ``engine``: ``'expr'`` (default) / ``'np'`` / ``'auto'`` — same
+    routing contract as ``fuzzy_decon_stream``.
     """
     from ncbi_analysis_spark.functions.text import _hash32, tokens
 
     w_rows = {r["bucket"]: r["w"] for r in weights.collect()}
+    engine = _resolve_gate_engine(stream, engine)
     if engine == "np":
         return _quality_score_stream_np(
             stream, [float(w_rows.get(b, 0.0)) for b in range(n_buckets)],
@@ -648,6 +654,39 @@ def _np_band_keys(t, num_perm: int, bands: int, shingle_n: int) -> list:
         f"{b}|" + hashlib.md5(",".join(sig[b * r:b * r + r]).encode()).hexdigest()
         for b in range(bands)
     ]
+
+
+def _resolve_gate_engine(
+    df: DataFrame, engine: str, max_expr_rows: int = 1000
+) -> str:
+    """Physical-form routing for the stream gates — the streaming twin
+    of ``repetition_metrics``'s ``engine='auto'`` posture.
+
+    ``'expr'``/``'np'`` pass through. ``'auto'``: a STREAMING input is
+    by definition unbounded, so it takes the Arrow np replica (the
+    production-ingest default — the expression gates' HOF lambdas are
+    CodegenFallback and ~6x slower, SCALING.md round-9/10 A/B); a BATCH
+    input (the oracle harness shape, or a gate reused on a static
+    corpus) gets the same bounded ``limit().count()`` probe as
+    repetition_metrics — expr up to ``max_expr_rows`` so small oracle
+    runs stay on the all-JVM bit-pinned plan, np past it.
+
+    The oracled ``stream_*`` driver queries pass ``engine='expr'``
+    explicitly: fuzzy-decon row sets are bit-identical across forms,
+    but the classifier sigmoid is libm-vs-JVM ``exp`` (6dp-rounded
+    values can differ by one last-place ulp — the documented reason
+    expr remains the oracle form)."""
+    if engine in ("expr", "np"):
+        return engine
+    if engine != "auto":
+        raise ValueError(f"unknown gate engine: {engine!r}")
+    if df.isStreaming:
+        return "np"
+    return (
+        "expr"
+        if df.limit(max_expr_rows + 1).count() <= max_expr_rows
+        else "np"
+    )
 
 
 def _fuzzy_decon_stream_np(
@@ -767,6 +806,8 @@ def curation_stream(
     parallelism comes from the source layout (one task per file — see
     the many-file staging note on the r8 stream gate queries).
     """
+    # resolve once here (one probe on batch inputs, not one per gate)
+    engine = _resolve_gate_engine(stream, engine)
     deconned = fuzzy_decon_stream(
         stream, bench_df, text, num_perm=num_perm, bands=bands,
         shingle_n=shingle_n, keep="clean", engine=engine,
@@ -798,7 +839,13 @@ def run_curation_job(
     same source+checkpoint commits nothing new; files that arrive
     between runs are curated exactly once (the
     ``stream_to_parquet`` restart contract, asserted in
-    tests/test_streaming.py's curation restart test)."""
+    tests/test_streaming.py's curation restart test).
+
+    As the production entry point this defaults the gates to
+    ``engine='auto'`` (streaming input → the Arrow np fast path; see
+    ``_resolve_gate_engine``) — pass ``engine='expr'`` explicitly for
+    the bit-pinned all-JVM form."""
+    curation_kwargs.setdefault("engine", "auto")
     stream = spark.readStream.schema(schema).parquet(source_path)
     curated = curation_stream(
         stream, bench_df, weights, bias, text=text, min_prob=min_prob,

@@ -110,3 +110,125 @@ def test_hll_matches_pure_python_reference(spark):
         rho = 53 if w == 0 else 52 - w.bit_length() + 1
         want[reg] = max(want.get(reg, 0), rho)
     assert got == want
+
+
+# --- KMV (k-minimum-values) sketches ------------------------------------
+
+
+def test_kmv_sketch_size_and_order(spark):
+    s = sk.kmv_sketch(_vals(spark, 500), "v", k=64).collect()
+    hs = [r["h"] for r in s]
+    assert len(hs) == 64
+    assert all(0 <= h < (1 << 52) for h in hs)
+    # the k SMALLEST distinct hashes: every member must be below any
+    # non-member's hash — verify against a full hash recompute
+    import hashlib
+
+    all_h = {
+        int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+        for v in range(500)
+    }
+    assert set(hs) == set(sorted(all_h)[:64])
+
+
+def test_kmv_unsaturated_is_exact(spark):
+    # fewer distinct values than k: the sketch is the whole hash set
+    # and the estimate is exactly the distinct count
+    r = sk.kmv_estimate(
+        sk.kmv_sketch(_vals(spark, 40, dup=3), "v", k=64), k=64
+    ).collect()[0]
+    assert r["n_hashes"] == 40
+    assert r["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    # relative std error ~ 1/sqrt(k-2) = 6.4% at k=256; assert 4 sigma
+    for n in (2000, 20000):
+        r = sk.kmv_estimate(
+            sk.kmv_sketch(_vals(spark, n), "v", k=256), k=256
+        ).collect()[0]
+        assert r["n_hashes"] == 256
+        assert abs(r["est_distinct"] - n) / n < 0.26, (n, r)
+
+
+def test_kmv_duplicates_do_not_move_sketch(spark):
+    a = sk.kmv_sketch(_vals(spark, 300), "v", k=32).collect()
+    b = sk.kmv_sketch(_vals(spark, 300, dup=5), "v", k=32).collect()
+    assert sorted(r["h"] for r in a) == sorted(r["h"] for r in b)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    # the hll_merge contract: merging two snapshot sketches must equal
+    # the sketch of the unioned inputs, exactly
+    a = _vals(spark, 400)
+    b = _vals(spark, 400, offset=200)  # 200 shared values
+    sa = sk.kmv_sketch(a, "v", k=64)
+    sb = sk.kmv_sketch(b, "v", k=64)
+    merged = sorted(
+        r["h"] for r in sk.kmv_merge(sa, sb, k=64).collect()
+    )
+    direct = sorted(
+        r["h"]
+        for r in sk.kmv_sketch(a.unionByName(b), "v", k=64).collect()
+    )
+    assert merged == direct
+
+
+def test_kmv_jaccard_estimate(spark):
+    # |A|=|B|=600, |A∩B|=300, |A∪B|=900 -> J = 1/3
+    a = _vals(spark, 600)
+    b = _vals(spark, 600, offset=300)
+    r = sk.kmv_jaccard(
+        sk.kmv_sketch(a, "v", k=256),
+        sk.kmv_sketch(b, "v", k=256),
+        k=256,
+    ).collect()[0]
+    assert r["n_union_sketch"] == 256
+    assert r["jaccard_est"] == r["n_inter"] / 256
+    # binomial std err sqrt(J(1-J)/k) ~ 2.9%; assert 4 sigma
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12, r
+    # disjoint sets -> estimate exactly 0
+    c = _vals(spark, 600, offset=10_000)
+    r0 = sk.kmv_jaccard(
+        sk.kmv_sketch(a, "v", k=256),
+        sk.kmv_sketch(c, "v", k=256),
+        k=256,
+    ).collect()[0]
+    assert r0["n_inter"] == 0 and r0["jaccard_est"] == 0.0
+    # identical sets -> exactly 1
+    r1 = sk.kmv_jaccard(
+        sk.kmv_sketch(a, "v", k=256),
+        sk.kmv_sketch(a, "v", k=256),
+        k=256,
+    ).collect()[0]
+    assert r1["jaccard_est"] == 1.0
+
+
+def test_kmv_grouped_matches_per_group(spark):
+    df = spark.range(900).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 450).cast("string").alias("v"),
+    )
+    grouped = {
+        (r["g"], r["h"])
+        for r in sk.kmv_sketch(df, "v", k=32, group_by=["g"]).collect()
+    }
+    for g in ("0", "1", "2"):
+        solo = {
+            (g, r["h"])
+            for r in sk.kmv_sketch(
+                df.filter(F.col("g") == g), "v", k=32
+            ).collect()
+        }
+        assert solo == {t for t in grouped if t[0] == g}
+
+
+def test_kmv_nulls_skipped_and_validation(spark):
+    df = spark.range(50).select(
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("string"))
+        .alias("v")
+    )
+    r = sk.kmv_estimate(sk.kmv_sketch(df, "v", k=64), k=64).collect()[0]
+    assert r["n_hashes"] == 25 and r["est_distinct"] == 25.0
+    with pytest.raises(ValueError, match="k=1"):
+        sk.kmv_sketch(df, "v", k=1)

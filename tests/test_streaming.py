@@ -628,3 +628,26 @@ def test_stream_gate_np_twins_match_expr(spark, tmp_path):
         assert (a is None) == (b is None)
         if a is not None:
             assert abs(a - b) < 5e-7, (k, a, b)   # 6dp-rounded parity
+
+
+def test_resolve_gate_engine_routing(spark, tmp_path):
+    """'auto' must route streaming inputs to the Arrow np replica (a
+    stream is unbounded; the expr HOF gates are CodegenFallback), keep
+    small batch inputs on the bit-pinned expr plan (the oracle-harness
+    shape), flip large batch inputs to np past the bounded probe, and
+    leave explicit choices untouched."""
+    small = spark.range(10).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+
+    src = tmp_path / "resolve_src"
+    small.write.parquet(str(src))
+    stream = spark.readStream.schema(small.schema).parquet(str(src))
+
+    assert sev._resolve_gate_engine(stream, "auto") == "np"
+    assert sev._resolve_gate_engine(small, "auto") == "expr"
+    assert sev._resolve_gate_engine(big, "auto") == "np"
+    for df in (stream, small):
+        assert sev._resolve_gate_engine(df, "expr") == "expr"
+        assert sev._resolve_gate_engine(df, "np") == "np"
+    with pytest.raises(ValueError, match="unknown gate engine"):
+        sev._resolve_gate_engine(small, "fast")
