@@ -15,8 +15,11 @@ probe (broadcast + bucket prune), n-gram LM (explode + model join), and
 the line-scrub (explode + anti-join + ordered regroup).
 
 Usage: python scripts/corpus_scale_curve.py [sf ...] [--steep]
-       (default sfs: 0.001 0.01 0.1; ``--steep`` restricts to the four
-       steepest document shapes — the round-7 verdict's sf1 soak set)
+                                            [--only q1,q2,...]
+       (default sfs: 0.001 0.01 0.1; ``--steep`` restricts to the
+       standing sf1 soak set — the round-7 verdict's steep shapes plus
+       each later round's newcomers; ``--only`` restricts to an
+       explicit comma-separated query list)
 
 sf=1 has no driver-generated corpus; the script SYNTHESIZES one under
 /tmp (cached across runs) by replicating the sf0.1 documents 10x with
@@ -66,7 +69,13 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          # cluster_diversity_sample, is embeddings-table and the sf1
          # synthesis is documents-only — its decade curve is
          # sf0.01 -> 0.1 via the default run)
-         "unicode_normalize", "lsh_recall_audit"]
+         "unicode_normalize", "lsh_recall_audit",
+         # round-10 soaks (r9 verdict ask 7): the never-soaked r10
+         # registrations — events and embeddings tables are now
+         # synthesized at sf1 too — plus the r11-staged sketches
+         "pca_embedding_project", "hll_user_distinct",
+         "hll_merge_snapshots", "pca_variance_gate",
+         "kmv_content_overlap", "zorder_layout_events"]
 
 
 def _sf_dir(spark, sf: float) -> str:
@@ -77,7 +86,9 @@ def _sf_dir(spark, sf: float) -> str:
     if sf != 1:
         raise SystemExit(f"no corpus for sf{sf:g} and no synthesis rule")
     synth = "/tmp/spark_graft_synth_sf1"
-    marker = os.path.join(synth, "_SYNTH_DONE")
+    # v2: events + embeddings added to the synthesis (round-10 soaks);
+    # a v1 cache (documents-only) regenerates
+    marker = os.path.join(synth, "_SYNTH_DONE_v2")
     if os.path.exists(marker):
         return synth
     from pyspark.sql import functions as F
@@ -94,23 +105,57 @@ def _sf_dir(spark, sf: float) -> str:
         reps = r if reps is None else reps.unionByName(r)
     reps.repartition(64).write.mode("overwrite").parquet(
         os.path.join(synth, "documents.parquet"))
+    # events: replicate with shifted event_id AND user_id so distinct
+    # cardinalities (the HLL/KMV work drivers) grow ~linearly, not
+    # every user gaining 9 aliases of identical behavior
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev_reps = None
+    for i in range(10):
+        r = ev.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            (F.col("user_id") + i * 10_000_000).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        ).select(ev.columns)
+        ev_reps = r if ev_reps is None else ev_reps.unionByName(r)
+    ev_reps.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(synth, "events.parquet"))
+    # embeddings: shifted vec_id, vectors as-is (row count drives the
+    # moments/projection work; the spectrum itself is scale-free)
+    em = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    em_reps = None
+    for i in range(10):
+        r = em.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            *[c for c in em.columns if c != "vec_id"],
+        ).select(em.columns)
+        em_reps = r if em_reps is None else em_reps.unionByName(r)
+    em_reps.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(synth, "embeddings.parquet"))
     open(marker, "w").close()
     return synth
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--steep"]
-    steep_only = "--steep" in sys.argv[1:]
+    argv = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--steep"]
+    steep_only = "--steep" in argv
     sfs = [float(a) for a in args] or [0.001, 0.01, 0.1]
     import __spark_entry__ as e
     from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
     from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
+    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
     from ncbi_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**e.queries(), **queries_r7(), **queries_r8(), **queries_r10()}
+    qs = {**e.queries(), **queries_r7(), **queries_r8(), **queries_r10(),
+          **queries_r11()}
     # round-8-staged shapes: anchor-window span dedup, apportionment +
     # repeat explode, distinct-score cumulative scan, shard map + keyed
     # window, id-keyed full outer join, and the persisted composition
@@ -121,6 +166,11 @@ def main() -> None:
     ]
     if steep_only:
         names = list(STEEP)
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        names = list(only)
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()

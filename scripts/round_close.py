@@ -39,6 +39,25 @@ def main() -> int:
         print("FAIL: oracle gate not green")
         return 1
 
+    # loud completeness check (r9 verdict ask 4): the record must cover
+    # every registered AND every currently-staged query — catches the
+    # r9 lapse where round_close ran before late staged additions, so a
+    # stale committed record silently missed them
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
+
+    expected = set(e.queries()) | set(queries_r11())
+    rec_keys = set(json.load(open(oracle_json)))
+    missing = sorted(expected - rec_keys)
+    if missing:
+        print(f"FAIL: oracle record missing {len(missing)} "
+              f"registered/staged queries: {missing} — re-run "
+              "round_close AFTER the last staged addition")
+        return 1
+    print(f"  record covers all {len(expected)} registered+staged "
+          "queries")
+
     print("[2/3] staleness audit", flush=True)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/last_green.py")],
