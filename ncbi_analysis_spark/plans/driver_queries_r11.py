@@ -142,6 +142,108 @@ GROUP BY t_ppm
 
 
 # ---------------------------------------------------------------------------
+# Stateful streaming: cross-batch dedup + bounded-state HLL (round-10)
+# ---------------------------------------------------------------------------
+
+_stream_seq = 0
+
+
+def _stage_as_stream(spark, df, tmp: str, n_files: int = 8) -> str:
+    """Stage a DataFrame as a many-file streaming source directory (the
+    r8 stream-gate staging pattern: per-file task parallelism)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    stage = f"{tmp}/stage"
+    df.repartition(n_files).write.parquet(stage)
+    src = f"{tmp}/src"
+    _os.makedirs(src)
+    for i, p in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+        _shutil.copy(p, f"{src}/f{i}.parquet")
+    return src
+
+
+def stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup end-to-end
+    (streaming/events.py::stream_exact_dedup): the documents corpus as
+    a file stream, content digests deduplicated across micro-batches in
+    the state store (state = one row per distinct digest — the
+    streaming twin of exact_dedup's groupBy index). Which doc survives
+    per digest is arrival-order-dependent, so the oracled output is the
+    order-free invariant: the kept DIGEST set, which must equal the
+    corpus's distinct digest set exactly."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.streaming.events import (
+        run_to_memory,
+        stream_exact_dedup,
+    )
+
+    global _stream_seq
+    _stream_seq += 1
+    name = f"drv_stream_dedup_{_stream_seq}"
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("digest"))
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        src = _stage_as_stream(spark, d, tmp)
+        stream = spark.readStream.schema(d.schema).parquet(src)
+        kept = stream_exact_dedup(stream, ["digest"])
+        run_to_memory(kept.select("digest"), name, timeout_s=300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS digest FROM documents WHERE text IS NOT NULL
+"""
+
+
+def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming cardinality tracking end-to-end
+    (streaming/events.py::stream_hll_registers): the events table as a
+    file stream, per-event-type HLL registers maintained as a stateful
+    streaming aggregation whose state is capped at groups x 2^p rows no
+    matter how many events flow through (max is monotone — no
+    watermark needed, complete-mode-safe forever). The final register
+    table must equal the batch sketch of the whole corpus exactly,
+    which is the same whole-corpus oracle the snapshot-merge query
+    pins (register assignment and rho are integer-exact)."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.plans.driver_queries import _events
+    from ncbi_analysis_spark.streaming.events import (
+        run_to_memory,
+        stream_hll_registers,
+    )
+
+    global _stream_seq
+    _stream_seq += 1
+    name = f"drv_stream_hll_{_stream_seq}"
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    try:
+        src = _stage_as_stream(spark, ev, tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        regs = stream_hll_registers(
+            stream, "user_id", p=8, group_by=["event_type"]
+        )
+        run_to_memory(regs, name, timeout_s=300, output_mode="complete")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # KMV sketch overlap (round-10)
 # ---------------------------------------------------------------------------
 
@@ -277,6 +379,8 @@ def queries_r11() -> dict:
         "hll_merge_snapshots": hll_merge_snapshots,
         "pca_variance_gate": pca_variance_gate,
         "kmv_content_overlap": kmv_content_overlap,
+        "stream_dedup_digests": stream_dedup_digests,
+        "stream_hll_user_distinct": stream_hll_user_distinct,
     }
 
 
@@ -285,4 +389,6 @@ def oracle_sql_r11() -> dict[str, str]:
         "hll_merge_snapshots": _HLL_MERGE_SQL,
         "pca_variance_gate": _pca_variance_gate_sql(),
         "kmv_content_overlap": _kmv_overlap_sql(),
+        "stream_dedup_digests": _STREAM_DEDUP_SQL,
+        "stream_hll_user_distinct": _HLL_MERGE_SQL,
     }

@@ -415,7 +415,12 @@ def stream_to_parquet(
     return w.start()
 
 
-def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    timeout_s: int = 120,
+    output_mode: str = "append",
+) -> None:
     """Run a streaming query to a memory sink with availableNow (test and
     smoke-check helper: processes everything currently in the source,
     then stops). A run that overruns ``timeout_s`` is STOPPED and raises
@@ -423,10 +428,14 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None
     drain contract) — a silent return would hand callers a PARTIAL memory
     table, turning a timeout into a confusing downstream row mismatch;
     and callers often remove the staged source directory right after, so
-    a still-running query would read from underneath it."""
+    a still-running query would read from underneath it.
+
+    ``output_mode="complete"`` for stateful aggregations (the memory
+    sink holds the final aggregate state — ``stream_hll_registers``'s
+    consumption shape)."""
     q = (
         stream_df.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     if not q.awaitTermination(timeout_s):
         q.stop()
@@ -434,6 +443,75 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120) -> None
             f"run_to_memory({name!r}) overran {timeout_s}s and was stopped "
             "mid-drain; the memory table holds only a PARTIAL result"
         )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    event_time: str | None = None,
+    delay: str | None = None,
+) -> DataFrame:
+    """Stateful cross-micro-batch exact deduplication — the streaming
+    twin of ``operators.dedup.exact_dedup``: the first document bearing
+    each key passes, every later arrival (same batch, a later batch, or
+    a later RESTART of the job over the same checkpoint) is dropped.
+    The state store is the persisted dedup index, so the
+    checkpoint-carried contract is exactly ``exact_dedup_against``'s
+    incremental-crawl posture with zero bookkeeping code: point the job
+    at tomorrow's crawl directory and re-run.
+
+    Two state regimes:
+
+    - ``event_time=None``: ``dropDuplicates`` — state holds ONE entry
+      per distinct key forever. Right when the key is a content digest
+      (state size = corpus distinct count, the same cardinality any
+      batch dedup index carries; RocksDB state store spills it).
+    - ``event_time + delay`` (e.g. ``("ts", "1 hour")``):
+      ``dropDuplicatesWithinWatermark`` — keys older than the
+      watermark are evicted, bounding state for UNBOUNDED key spaces
+      (request ids, event ids) where duplicates only ever arrive close
+      together.
+
+    Dedup keys should be digests (``md5(text)``), never raw text —
+    state-store bytes are the scarce resource (the exact_dedup
+    "no text through the shuffle" rule, applied to state).
+    """
+    if (event_time is None) != (delay is None):
+        raise ValueError(
+            "stream_exact_dedup: event_time and delay come together "
+            "(both for watermarked eviction, neither for full-history "
+            "state)"
+        )
+    if event_time is not None:
+        return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(
+            list(key_cols)
+        )
+    return stream.dropDuplicates(list(key_cols))
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    col: str,
+    p: int = 8,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Streaming HLL register table — live distinct-count tracking over
+    an unbounded stream with state BOUNDED BY CONSTRUCTION.
+
+    ``operators.sketches.hll_registers``'s plan (md5 carve → per-
+    register max-rho groupBy) is a standard streaming aggregation, and
+    its aggregation state is at most ``n_groups * 2^p`` rows NO MATTER
+    HOW MANY EVENTS FLOW THROUGH — max is monotone, so no watermark,
+    no eviction, no late-data anxiety: this is the rare stateful
+    streaming operator that is safe in ``complete`` output mode
+    forever. Consume with ``run_to_memory(..., output_mode="complete")``
+    or a foreachBatch publisher; feed the materialized table to
+    ``hll_estimate`` (batch) for the live cardinality readout, or
+    ``hll_merge`` it with other snapshots' published sketches.
+    """
+    from ncbi_analysis_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream, col, p=p, group_by=group_by)
 
 
 def fuzzy_decon_stream(

@@ -651,3 +651,70 @@ def test_resolve_gate_engine_routing(spark, tmp_path):
         assert sev._resolve_gate_engine(df, "np") == "np"
     with pytest.raises(ValueError, match="unknown gate engine"):
         sev._resolve_gate_engine(small, "fast")
+
+
+def test_stream_exact_dedup_across_batches_and_restarts(spark, tmp_path):
+    """The state store is the dedup index: duplicates are dropped within
+    a batch, across micro-batches, AND across job RESTARTS over the
+    same checkpoint — the incremental-crawl posture with no bookkeeping
+    code. Watermark-free mode keeps full-history state."""
+    import glob as _glob
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "out"); ck = str(tmp_path / "ck")
+
+    def stage(name, rows):
+        stage_dir = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "doc_id long, digest string") \
+            .coalesce(1).write.parquet(stage_dir)
+        shutil.copy(_glob.glob(f"{stage_dir}/part-*.parquet")[0],
+                    src / f"{name}.parquet")
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, digest string").parquet(str(src))
+        sev.stream_to_parquet(
+            sev.stream_exact_dedup(stream, ["digest"]), out, ck)
+
+    # batch 1: an in-batch duplicate collapses
+    stage("a", [(1, "x"), (2, "x"), (3, "y")])
+    run()
+    got = {r["digest"] for r in spark.read.parquet(out).collect()}
+    assert got == {"x", "y"}
+    assert spark.read.parquet(out).count() == 2
+    # restart with new files: previously-seen digests stay dropped
+    stage("b", [(4, "x"), (5, "y"), (6, "z")])
+    run()
+    after = spark.read.parquet(out)
+    assert after.count() == 3
+    assert {r["digest"] for r in after.collect()} == {"x", "y", "z"}
+    # the survivor of z is doc 6; x/y survivors are from run 1
+    kept = {r["digest"]: r["doc_id"] for r in after.collect()}
+    assert kept["z"] == 6 and kept["x"] in (1, 2) and kept["y"] == 3
+
+
+def test_stream_exact_dedup_validation(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="come together"):
+        sev.stream_exact_dedup(df, ["id"], event_time="ts")
+
+
+def test_stream_hll_registers_matches_batch(spark, stream_dir):
+    """The streaming aggregation's final state must equal the batch
+    register table exactly (max is order-insensitive), and its row
+    count is bounded by groups x 2^p regardless of stream length."""
+    from ncbi_analysis_spark.operators.sketches import hll_registers
+
+    stream = sev.read_event_stream(spark, stream_dir)
+    regs = sev.stream_hll_registers(
+        stream, "user_id", p=8, group_by=["event_type"])
+    sev.run_to_memory(regs, "hll_stream_regs", output_mode="complete")
+    got = {(r["event_type"], r["register"]): r["max_rho"]
+           for r in spark.table("hll_stream_regs").collect()}
+    batch = read_events(spark, f"{SF_DIR}/events.parquet")
+    want = {(r["event_type"], r["register"]): r["max_rho"]
+            for r in hll_registers(
+                batch, "user_id", p=8, group_by=["event_type"]).collect()}
+    assert got == want and len(got) > 0
+    n_groups = batch.select("event_type").distinct().count()
+    assert len(got) <= n_groups * 256
