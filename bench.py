@@ -485,6 +485,16 @@ BASELINE = {
     # staged-r11 moments-fit variance gate (full d=64 spectrum from the
     # Arrow moment partials + threshold ranks), same session
     "pca_variance_gate": (0.659, 10),
+    # staged-r11 KMV overlap + the two stateful streaming queries, a
+    # second standalone min-of-3 session on the r10 box (noise control
+    # dedup_exact_groups read 0.433 in that session)
+    "kmv_content_overlap": (1.253, 10),
+    "stream_dedup_digests": (1.026, 10),
+    "stream_hll_user_distinct": (1.314, 10),
+    # staged-r11 drift monitor (shared-tokenize persisted base, two
+    # witness ranks + pinned fold), standalone min-of-3 (noise control
+    # read 0.493 in the same session)
+    "vocab_drift_report": (3.28, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -374,6 +374,119 @@ JOIN ex ON nu.lang = ex.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary drift monitor (round-10)
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 256
+
+
+def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distribution-shift monitoring end-to-end
+    (operators/drift.py): the chi-square-style drift between two
+    snapshots' hashed-unigram distributions (here the en vs non-en
+    slices of documents — a real, large shift), reported as the top-10
+    most-drifted buckets with the dominant witness token per side,
+    each row also carrying the pinned-fold global drift statistic.
+
+    Everything on the oracled path is integer counts, two exact
+    divisions, rational contrib arithmetic in a pinned shape, and a
+    bucket-order-pinned fold (the hll_estimate pattern) — no
+    transcendentals, bit-exact cross-engine."""
+    from ncbi_analysis_spark.operators.drift import (
+        drift_statistic,
+        token_bucket_counts,
+        top_drifted_tokens,
+        vocab_drift,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    )
+    a = d.filter(F.col("lang") == "en")
+    b = d.filter(F.col("lang") != "en")
+    # tokenize each side ONCE; drift histogram + witness ranks both
+    # derive from the persisted per-token tables
+    ca = token_bucket_counts(a, n_buckets=_DRIFT_BUCKETS).persist()
+    cb = token_bucket_counts(b, n_buckets=_DRIFT_BUCKETS).persist()
+    drift = vocab_drift(
+        a, b, n_buckets=_DRIFT_BUCKETS, a_counts=ca, b_counts=cb
+    )
+    top = top_drifted_tokens(
+        a, b, drift, k=10, n_buckets=_DRIFT_BUCKETS,
+        a_counts=ca, b_counts=cb,
+    )
+    stat = drift_statistic(drift)
+    return top.crossJoin(F.broadcast(stat))
+
+
+def _vocab_drift_sql() -> str:
+    n = _DRIFT_BUCKETS
+    side = (
+        "SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {n} AS bucket,"
+        " count(*)::BIGINT AS {cnt}"
+        " FROM (SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS g"
+        "       FROM documents WHERE {cond}) WHERE length(g) > 0"
+        " GROUP BY 1"
+    )
+    wit = (
+        "SELECT bucket, g FROM ("
+        "  SELECT bucket, g, count(*) AS c,"
+        "         row_number() OVER (PARTITION BY bucket"
+        "                            ORDER BY count(*) DESC, g) AS rn"
+        "  FROM (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {n}"
+        "               AS bucket, g"
+        "        FROM (SELECT UNNEST(string_split_regex(TRIM(text),"
+        "              '\\s+')) AS g FROM documents WHERE {cond})"
+        "        WHERE length(g) > 0)"
+        "  WHERE bucket IN (SELECT bucket FROM top) GROUP BY bucket, g"
+        ") WHERE rn = 1"
+    )
+    return f"""
+WITH ba AS ({side.format(n=n, cnt='n_a', cond="lang = 'en'")}),
+bb AS ({side.format(n=n, cnt='n_b', cond="lang != 'en'")}),
+m AS (
+  SELECT COALESCE(ba.bucket, bb.bucket) AS bucket,
+         COALESCE(n_a, 0)::BIGINT AS n_a,
+         COALESCE(n_b, 0)::BIGINT AS n_b
+  FROM ba FULL OUTER JOIN bb ON ba.bucket = bb.bucket
+),
+tot AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM m),
+p AS (
+  SELECT bucket, n_a, n_b,
+         n_a::DOUBLE / ta::DOUBLE AS p_a,
+         n_b::DOUBLE / tb::DOUBLE AS p_b
+  FROM m, tot
+),
+c AS (
+  SELECT *, CASE WHEN p_a + p_b > 0
+                 THEN ((p_a - p_b) * (p_a - p_b)) / (p_a + p_b)
+                 ELSE 0.0 END AS contrib
+  FROM p
+),
+stat AS (
+  SELECT count(*)::BIGINT AS n_buckets_seen,
+         list_reduce(
+           list_prepend(0.0, list(contrib ORDER BY bucket)),
+           (x, y) -> x + y) AS drift_stat
+  FROM c
+),
+top AS (
+  SELECT bucket, n_a, n_b, p_a, p_b, contrib
+  FROM c ORDER BY contrib DESC, bucket LIMIT 10
+),
+wa AS ({wit.format(n=n, cond="lang = 'en'")}),
+wb AS ({wit.format(n=n, cond="lang != 'en'")})
+SELECT top.bucket, top.n_a, top.n_b, top.p_a, top.p_b, top.contrib,
+       wa.g AS top_token_a, wb.g AS top_token_b,
+       stat.n_buckets_seen, stat.drift_stat
+FROM top
+LEFT JOIN wa ON top.bucket = wa.bucket
+LEFT JOIN wb ON top.bucket = wb.bucket
+CROSS JOIN stat
+"""
+
+
 def queries_r11() -> dict:
     return {
         "hll_merge_snapshots": hll_merge_snapshots,
@@ -381,6 +494,7 @@ def queries_r11() -> dict:
         "kmv_content_overlap": kmv_content_overlap,
         "stream_dedup_digests": stream_dedup_digests,
         "stream_hll_user_distinct": stream_hll_user_distinct,
+        "vocab_drift_report": vocab_drift_report,
     }
 
 
@@ -391,4 +505,5 @@ def oracle_sql_r11() -> dict[str, str]:
         "kmv_content_overlap": _kmv_overlap_sql(),
         "stream_dedup_digests": _STREAM_DEDUP_SQL,
         "stream_hll_user_distinct": _HLL_MERGE_SQL,
+        "vocab_drift_report": _vocab_drift_sql(),
     }

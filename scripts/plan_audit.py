@@ -98,6 +98,12 @@ EXPECTED: dict[str, set[str]] = {
     # against every vector — its pinned shape); the IVF leg adds the
     # probe-construction cross join (ann_ivf's pinned shape).
     "ann_recall_audit": {"BroadcastNestedLoopJoin"},
+    # --- staged r11 (audited pre-registration) ---
+    # Two ONE-ROW scalar cross joins over the <=n_buckets drift table
+    # (side totals; the pinned-fold global statistic) — the
+    # contamination_report class. All corpus-sized legs underneath are
+    # keyed joins/aggregates.
+    "vocab_drift_report": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -123,6 +129,7 @@ def audit(
     final read, not the pipeline, so a marker scan is meaningless."""
     from ncbi_analysis_spark.plans import driver_queries
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
+    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
@@ -136,7 +143,7 @@ def audit(
             "bpe_vocab"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r10()}
+    qs = {**driver_queries.queries(), **queries_r10(), **queries_r11()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
