@@ -349,3 +349,101 @@ def kmv_jaccard(
             / F.col("n_union_sketch").cast("double")
         ).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Published-sketch persistence with parameter markers. hll_merge /
+# kmv_merge are only sound when both sides share the hash space and
+# parameters (p / k); the in-memory API documents that as a caller
+# contract, but PUBLISHED sketches — the whole point of mergeable
+# register tables — outlive the code that wrote them. The persisted
+# form therefore carries a parameter marker beside the parquet (the
+# write_ivf_index centroid-digest posture, via the scheme-safe Hadoop
+# FS helpers in sources.fsutil), and reads validate instead of trusting
+# the caller: merging a p=8 sketch into a p=12 corpus ledger fails
+# loudly at read time, not silently at estimate time.
+# ---------------------------------------------------------------------------
+
+_SKETCH_PARAMS_FILE = "_SKETCH_PARAMS.json"
+
+
+def _sketch_marker_io(spark, path: str, params: dict, write: bool) -> None:
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    marker = path.rstrip("/") + "/" + _SKETCH_PARAMS_FILE
+    if write:
+        fsutil.write_text(spark, marker, json.dumps(params, sort_keys=True))
+        return
+    if not fsutil.exists(spark, marker):
+        # pre-guard directory: by-contract mode (the IVF posture)
+        return
+    stored = json.loads(fsutil.read_text(spark, marker))
+    if stored != params:
+        raise ValueError(
+            f"sketch at {path!r} was published with params {stored}, "
+            f"reader expects {params}: registers/hashes from different "
+            "parameter spaces must never merge — re-sketch one side"
+        )
+
+
+def write_hll_sketch(
+    registers: DataFrame,
+    path: str,
+    p: int,
+    group_by: list[str] | None = None,
+) -> None:
+    """Publish an HLL register table with its ``p``/grouping marker."""
+    registers.write.mode("overwrite").parquet(path)
+    _sketch_marker_io(
+        registers.sparkSession, path,
+        {"kind": "hll", "p": p, "group_by": list(group_by or [])},
+        write=True,
+    )
+
+
+def read_hll_sketch(
+    spark,
+    path: str,
+    p: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a published HLL sketch, failing loudly when the reader's
+    expected parameters disagree with the published marker."""
+    _sketch_marker_io(
+        spark, path,
+        {"kind": "hll", "p": p, "group_by": list(group_by or [])},
+        write=False,
+    )
+    return spark.read.parquet(path)
+
+
+def write_kmv_sketch(
+    sketch: DataFrame,
+    path: str,
+    k: int,
+    group_by: list[str] | None = None,
+) -> None:
+    """Publish a KMV sketch with its ``k``/grouping marker."""
+    sketch.write.mode("overwrite").parquet(path)
+    _sketch_marker_io(
+        sketch.sparkSession, path,
+        {"kind": "kmv", "k": k, "group_by": list(group_by or [])},
+        write=True,
+    )
+
+
+def read_kmv_sketch(
+    spark,
+    path: str,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a published KMV sketch, validating the parameter marker."""
+    _sketch_marker_io(
+        spark, path,
+        {"kind": "kmv", "k": k, "group_by": list(group_by or [])},
+        write=False,
+    )
+    return spark.read.parquet(path)

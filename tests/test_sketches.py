@@ -232,3 +232,39 @@ def test_kmv_nulls_skipped_and_validation(spark):
     assert r["n_hashes"] == 25 and r["est_distinct"] == 25.0
     with pytest.raises(ValueError, match="k=1"):
         sk.kmv_sketch(df, "v", k=1)
+
+
+# --- published-sketch parameter markers ---------------------------------
+
+
+def test_sketch_publish_roundtrip_and_param_guard(spark, tmp_path):
+    regs = sk.hll_registers(_vals(spark, 200), "v", p=8)
+    p1 = str(tmp_path / "hll")
+    sk.write_hll_sketch(regs, p1, p=8)
+    back = sk.read_hll_sketch(spark, p1, p=8)
+    assert sorted((r["register"], r["max_rho"]) for r in back.collect()) \
+        == sorted((r["register"], r["max_rho"]) for r in regs.collect())
+    # wrong p / wrong kind / wrong grouping all fail loudly
+    with pytest.raises(ValueError, match="different parameter spaces"):
+        sk.read_hll_sketch(spark, p1, p=12)
+    with pytest.raises(ValueError, match="different parameter spaces"):
+        sk.read_kmv_sketch(spark, p1, k=8)
+    with pytest.raises(ValueError, match="different parameter spaces"):
+        sk.read_hll_sketch(spark, p1, p=8, group_by=["g"])
+
+    kv = sk.kmv_sketch(_vals(spark, 200), "v", k=32)
+    p2 = str(tmp_path / "kmv")
+    sk.write_kmv_sketch(kv, p2, k=32)
+    got = sk.read_kmv_sketch(spark, p2, k=32)
+    assert sorted(r["h"] for r in got.collect()) \
+        == sorted(r["h"] for r in kv.collect())
+    with pytest.raises(ValueError, match="different parameter spaces"):
+        sk.read_kmv_sketch(spark, p2, k=64)
+
+
+def test_sketch_read_without_marker_is_by_contract(spark, tmp_path):
+    # a plain parquet directory (no marker) reads fine — the IVF
+    # pre-guard posture
+    p = str(tmp_path / "bare")
+    sk.hll_registers(_vals(spark, 50), "v", p=8).write.parquet(p)
+    assert sk.read_hll_sketch(spark, p, p=8).count() > 0
