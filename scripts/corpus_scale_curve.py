@@ -75,7 +75,10 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          # synthesized at sf1 too — plus the r11-staged sketches
          "pca_embedding_project", "hll_user_distinct",
          "hll_merge_snapshots", "pca_variance_gate",
-         "kmv_content_overlap", "zorder_layout_events"]
+         "kmv_content_overlap", "zorder_layout_events",
+         # late-round-10 staged additions
+         "stream_dedup_digests", "stream_hll_user_distinct",
+         "vocab_drift_report"]
 
 
 def _sf_dir(spark, sf: float) -> str:
