@@ -492,9 +492,10 @@ BASELINE = {
     "stream_dedup_digests": (1.026, 10),
     "stream_hll_user_distinct": (1.314, 10),
     # staged-r11 drift monitor (shared-tokenize persisted base, two
-    # witness ranks + pinned fold), standalone min-of-3 (noise control
-    # read 0.493 in the same session)
-    "vocab_drift_report": (3.28, 10),
+    # witness ranks + pinned fold), min-of-3 from the quieter soak
+    # session (the 3.28 seeding session's noise control read 0.493 —
+    # ~25% hot; the soak session read 1.93/2.00/2.62 on the same shape)
+    "vocab_drift_report": (1.93, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed
