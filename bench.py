@@ -496,6 +496,9 @@ BASELINE = {
     # session (the 3.28 seeding session's noise control read 0.493 —
     # ~25% hot; the soak session read 1.93/2.00/2.62 on the same shape)
     "vocab_drift_report": (1.93, 10),
+    # staged-r11 HLL cube (fine-grain scan + 3 register-table rollups),
+    # standalone min-of-3 (noise control read 0.408 in the session)
+    "hll_user_cube": (0.862, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

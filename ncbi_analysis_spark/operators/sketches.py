@@ -447,3 +447,68 @@ def read_kmv_sketch(
         write=False,
     )
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# HLL cube: every grouping-set's distinct-count sketch from ONE corpus
+# scan. Register tables merge by max over ANY partition of the input,
+# so a coarser grouping's sketch is a max-groupBy over the finest
+# grain's register table — the corpus is scanned once at the finest
+# grain and the whole cube (2^d grouping sets) derives from that
+# bounded table. The classic "distinct users by (type, day), by type,
+# by day, overall" dashboard cube without 2^d corpus scans — and the
+# same rollup works INCREMENTALLY: append tomorrow's fine-grain
+# sketch, re-run the rollup over register tables only.
+# ---------------------------------------------------------------------------
+
+
+def hll_rollup(
+    registers: DataFrame,
+    keep_dims: list[str],
+) -> DataFrame:
+    """Coarsen a register table to ``keep_dims`` by register-wise max —
+    EXACTLY the sketch of the union of the collapsed subgroups (the
+    hll_merge property over an arbitrary partition of the input)."""
+    return registers.groupBy(*keep_dims, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_cube(
+    df: DataFrame,
+    col: str,
+    dims: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """All 2^len(dims) grouping sets' register tables from one corpus
+    pass: sketch at the finest grain, then derive every coarser set
+    with ``hll_rollup``. Output ``(*dims, grouping_id, register,
+    max_rho)`` — rolled-up dims are NULL in their rows and flagged in
+    ``grouping_id`` (bit semantics of SQL ``GROUPING``: dims[0] is the
+    most significant bit; bit set = dim aggregated away).
+
+    Persist the finest grain (`write_hll_sketch`) and the cube — and
+    any future coarsening — never needs the corpus again.
+    """
+    if not dims:
+        raise ValueError("hll_cube: need at least one dim")
+    fine = hll_registers(df, col, p, group_by=list(dims))
+    types = {f.name: f.dataType for f in fine.schema.fields}
+    d = len(dims)
+    out = None
+    for mask in range(1 << d):
+        kept = [dims[i] for i in range(d) if not (mask >> (d - 1 - i)) & 1]
+        t = hll_rollup(fine, kept) if kept != list(dims) else fine
+        cols = [
+            (F.col(dim) if dim in kept else F.lit(None).cast(types[dim])
+             ).alias(dim)
+            for dim in dims
+        ]
+        sel = t.select(
+            *cols,
+            F.lit(mask).cast("int").alias("grouping_id"),
+            "register",
+            "max_rho",
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

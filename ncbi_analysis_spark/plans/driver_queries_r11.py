@@ -375,6 +375,69 @@ JOIN ex ON nu.lang = ex.lang
 
 
 # ---------------------------------------------------------------------------
+# HLL cube (round-10)
+# ---------------------------------------------------------------------------
+
+
+def hll_user_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count cube from one corpus scan
+    (operators/sketches.py::hll_cube): the (event_type, day) fine-grain
+    register table computed once, every coarser grouping set — by
+    type, by day, overall — derived by register-wise max rollups that
+    never re-touch the corpus. Output is all four grouping sets'
+    register tables with SQL GROUPING-style ids.
+
+    The oracle computes each grouping set's registers DIRECTLY from
+    events, so exact match proves rollup-from-fine == sketch-from-
+    corpus for every set — the hll_merge contract generalized to
+    arbitrary partitions. Integer-exact throughout."""
+    from ncbi_analysis_spark.operators.sketches import hll_cube
+    from ncbi_analysis_spark.plans.driver_queries import _events
+
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+    )
+    return hll_cube(ev, "user_id", ["event_type", "day"], p=8)
+
+
+_HLL_CUBE_SQL = """
+WITH vals AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT event_type, day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT AS register,
+         ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::BIGINT AS w
+  FROM vals
+),
+r2 AS (
+  SELECT event_type, day, register,
+         CASE WHEN w = 0 THEN 53
+              ELSE 52 - length(bin(w)) + 1 END AS rho
+  FROM rr
+)
+SELECT event_type, day, 0::INT AS grouping_id,
+       register::INT AS register, max(rho)::INT AS max_rho
+FROM r2 GROUP BY event_type, day, register
+UNION ALL
+SELECT event_type, NULL, 1::INT, register::INT, max(rho)::INT
+FROM r2 GROUP BY event_type, register
+UNION ALL
+SELECT NULL, day, 2::INT, register::INT, max(rho)::INT
+FROM r2 GROUP BY day, register
+UNION ALL
+SELECT NULL, NULL, 3::INT, register::INT, max(rho)::INT
+FROM r2 GROUP BY register
+"""
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary drift monitor (round-10)
 # ---------------------------------------------------------------------------
 
@@ -495,6 +558,7 @@ def queries_r11() -> dict:
         "stream_dedup_digests": stream_dedup_digests,
         "stream_hll_user_distinct": stream_hll_user_distinct,
         "vocab_drift_report": vocab_drift_report,
+        "hll_user_cube": hll_user_cube,
     }
 
 
@@ -506,4 +570,5 @@ def oracle_sql_r11() -> dict[str, str]:
         "stream_dedup_digests": _STREAM_DEDUP_SQL,
         "stream_hll_user_distinct": _HLL_MERGE_SQL,
         "vocab_drift_report": _vocab_drift_sql(),
+        "hll_user_cube": _HLL_CUBE_SQL,
     }

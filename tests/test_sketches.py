@@ -268,3 +268,62 @@ def test_sketch_read_without_marker_is_by_contract(spark, tmp_path):
     p = str(tmp_path / "bare")
     sk.hll_registers(_vals(spark, 50), "v", p=8).write.parquet(p)
     assert sk.read_hll_sketch(spark, p, p=8).count() > 0
+
+
+# --- HLL cube -----------------------------------------------------------
+
+
+def test_hll_rollup_equals_direct_sketch(spark):
+    df = spark.range(2000).select(
+        (F.col("id") % 4).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        (F.col("id") % 700).cast("string").alias("v"),
+    )
+    fine = sk.hll_registers(df, "v", p=8, group_by=["a", "b"])
+    rolled = {
+        (r["a"], r["register"]): r["max_rho"]
+        for r in sk.hll_rollup(fine, ["a"]).collect()
+    }
+    direct = {
+        (r["a"], r["register"]): r["max_rho"]
+        for r in sk.hll_registers(df, "v", p=8, group_by=["a"]).collect()
+    }
+    assert rolled == direct
+
+
+def test_hll_cube_grouping_sets(spark):
+    df = spark.range(600).select(
+        (F.col("id") % 2).cast("string").alias("a"),
+        (F.col("id") % 3).cast("string").alias("b"),
+        (F.col("id") % 150).cast("string").alias("v"),
+    )
+    cube = sk.hll_cube(df, "v", ["a", "b"], p=8).collect()
+    by_gid = {}
+    for r in cube:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    # gid bit semantics: 1 = b rolled up (a kept), 2 = a rolled up
+    assert all(r["a"] is not None and r["b"] is not None
+               for r in by_gid[0])
+    assert all(r["a"] is not None and r["b"] is None for r in by_gid[1])
+    assert all(r["a"] is None and r["b"] is not None for r in by_gid[2])
+    assert all(r["a"] is None and r["b"] is None for r in by_gid[3])
+    # every grouping set equals the direct sketch at that grain
+    direct_a = {(r["a"], r["register"]): r["max_rho"] for r in
+                sk.hll_registers(df, "v", p=8, group_by=["a"]).collect()}
+    assert {(r["a"], r["register"]): r["max_rho"]
+            for r in by_gid[1]} == direct_a
+    direct_all = {r["register"]: r["max_rho"] for r in
+                  sk.hll_registers(df, "v", p=8).collect()}
+    assert {r["register"]: r["max_rho"] for r in by_gid[3]} == direct_all
+    # the overall CORRECTED estimate (150 distinct in 256 registers is
+    # the small-range linear-counting regime where est_raw biases high)
+    est = sk.hll_estimate(
+        spark.createDataFrame(
+            [(r["register"], r["max_rho"]) for r in by_gid[3]],
+            "register int, max_rho int"),
+        p=8).collect()[0]
+    assert abs(est["est"] - 150) / 150 < 0.2
+
+    with pytest.raises(ValueError, match="at least one dim"):
+        sk.hll_cube(df, "v", [])
