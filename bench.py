@@ -499,6 +499,10 @@ BASELINE = {
     # staged-r11 HLL cube (fine-grain scan + 3 register-table rollups),
     # standalone min-of-3 (noise control read 0.408 in the session)
     "hll_user_cube": (0.862, 10),
+    # staged-r11 PCA-shortlist + exact-rerank search (two expr
+    # projections + reduced BF + keyed rerank), standalone min-of-3
+    # (noise control read 0.375 in the same session)
+    "ann_pca_rerank": (2.523, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -1142,6 +1142,66 @@ def append_to_ivf_index(
     )
 
 
+def reduced_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    mean,
+    components,
+    k: int = 10,
+    shortlist: int = 40,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+) -> DataFrame:
+    """Dimension-reduced shortlist + exact re-rank — the search tier
+    between brute force and IVF: project corpus and queries onto the
+    fitted PCA axes (``operators.embeddings.pca_project``, expr form —
+    bit-pinned), take each query's ``shortlist`` nearest in the
+    REDUCED space, then score only those candidates with the exact
+    full-dimension cosine and keep top-``k``.
+
+    Scale shape: the corpus-sized leg runs at k/d the bytes and FLOPs
+    of full-dimension brute force (k=8 of d=64 → 8x less memory
+    bandwidth, the scan's real cost at 100 TB); the exact leg touches
+    ``shortlist`` rows per query. Unlike IVF there are no buckets to
+    mis-probe — recall loss comes only from shortlist truncation in
+    the variance-preserving PCA space, measurable per query with
+    ``ann_recall_audit``'s pattern. Deterministic end to end (cos
+    rounded to 6dp, id tiebreaks — the family convention).
+
+    Output: ``(q_id, vec_id, cos_sim, rk)`` — exact cosines, so rows
+    are directly comparable with ``brute_force_topk``'s.
+    """
+    from ncbi_analysis_spark.operators.embeddings import pca_project
+
+    pc = pca_project(
+        corpus, mean, components, vec=vec, id_col=id_col, method="expr"
+    ).withColumnRenamed("proj", vec)
+    pq = pca_project(
+        queries, mean, components, vec=vec, id_col=q_id, method="expr"
+    ).withColumnRenamed("proj", vec)
+    short = brute_force_topk(
+        pc, pq, vec=vec, id_col=id_col, q_id=q_id, k=shortlist
+    ).select(q_id, id_col)
+    cv = corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+    qv = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    scored = (
+        short.join(cv, id_col)
+        .join(F.broadcast(qv), q_id)
+        .select(
+            q_id,
+            id_col,
+            F.round(
+                cosine(F.col("__qv"), F.col("__cv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k,
+        rank_col="rk",
+    )
+
+
 def ann_recall_audit(
     corpus: DataFrame,
     queries: DataFrame,

@@ -375,6 +375,105 @@ JOIN ex ON nu.lang = ex.lang
 
 
 # ---------------------------------------------------------------------------
+# PCA-shortlist ANN (round-10)
+# ---------------------------------------------------------------------------
+
+_PCA_RERANK_SHORTLIST = 40
+
+
+def ann_pca_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-reduced shortlist + exact re-rank search end-to-end
+    (operators/similarity_search.py::reduced_rerank_topk): the standing
+    48-query batch, candidates shortlisted by cosine in the 8-dim PCA
+    space (the deterministic sampled fit — the oracle-pinned model),
+    exact full-dimension re-rank to top-10. The search tier between
+    brute force (d-dim scan) and IVF (bucket pruning): k/d the scan
+    bandwidth, no buckets to mis-probe.
+
+    Generated oracle: pca_fit_local's bit-identical model embedded as
+    frexp literals; the SQL recomputes both projections, the reduced
+    shortlist rank, and the exact re-rank with the same pinned folds."""
+    from ncbi_analysis_spark.operators import embeddings as em
+    from ncbi_analysis_spark.operators.similarity_search import (
+        reduced_rerank_topk,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r10 import _PCA_PARAMS
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    mean, comps, _ = em.pca_fit(e, **_PCA_PARAMS)
+    out = reduced_rerank_topk(
+        e, q, mean, comps, k=10, shortlist=_PCA_RERANK_SHORTLIST
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ann_pca_rerank_sql() -> str:
+    import numpy as np
+
+    from ncbi_analysis_spark.operators.embeddings import pca_fit_local
+    from ncbi_analysis_spark.plans.driver_queries import _cos_sql
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _dlit,
+        _oracle_sf_dir,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r10 import _PCA_PARAMS
+
+    mean, comps, _ = pca_fit_local(
+        f"{_oracle_sf_dir()}/embeddings.parquet", **_PCA_PARAMS
+    )
+    k, d = comps.shape
+    CT = comps.T
+    ct_lit = "[" + ", ".join(
+        "[" + ", ".join(_dlit(x) for x in CT[t]) + "]" for t in range(d)
+    ) + "]::DOUBLE[][]"
+    mc = [float(np.dot(mean, comps[j])) for j in range(k)]
+    mc_lit = "[" + ", ".join(_dlit(x) for x in mc) + "]::DOUBLE[]"
+    sl = _PCA_RERANK_SHORTLIST
+    return f"""
+WITH lit AS (SELECT {ct_lit} AS CT, {mc_lit} AS MC),
+pc AS (
+  SELECT vec_id,
+         list_transform(range({k}), j ->
+           list_reduce(list_transform(range({d}),
+                       t -> embedding[t + 1]::DOUBLE * CT[t + 1][j + 1]),
+                       (a, b) -> a + b) - MC[j + 1]) AS pv
+  FROM embeddings CROSS JOIN lit
+),
+pq AS (SELECT vec_id AS q_id, pv AS qv FROM pc WHERE vec_id < 48),
+shortscore AS (
+  SELECT pq.q_id, c.vec_id,
+         ROUND({_cos_sql('pq.qv', 'c.pv')}, 6) AS s
+  FROM pc c CROSS JOIN pq
+),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY s DESC, vec_id) AS rn
+    FROM shortscore
+  ) WHERE rn <= {sl}
+),
+qe AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+       WHERE vec_id < 48),
+scored AS (
+  SELECT s.q_id, s.vec_id,
+         ROUND({_cos_sql('qe.qv', 'e.embedding')}, 6) AS cos_sim
+  FROM short s
+  JOIN embeddings e ON s.vec_id = e.vec_id
+  JOIN qe ON s.q_id = qe.q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id)::BIGINT
+            AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # HLL cube (round-10)
 # ---------------------------------------------------------------------------
 
@@ -559,6 +658,7 @@ def queries_r11() -> dict:
         "stream_hll_user_distinct": stream_hll_user_distinct,
         "vocab_drift_report": vocab_drift_report,
         "hll_user_cube": hll_user_cube,
+        "ann_pca_rerank": ann_pca_rerank,
     }
 
 
@@ -571,4 +671,5 @@ def oracle_sql_r11() -> dict[str, str]:
         "stream_hll_user_distinct": _HLL_MERGE_SQL,
         "vocab_drift_report": _vocab_drift_sql(),
         "hll_user_cube": _HLL_CUBE_SQL,
+        "ann_pca_rerank": _ann_pca_rerank_sql(),
     }

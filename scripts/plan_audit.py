@@ -104,6 +104,10 @@ EXPECTED: dict[str, set[str]] = {
     # contamination_report class. All corpus-sized legs underneath are
     # keyed joins/aggregates.
     "vocab_drift_report": {"BroadcastNestedLoopJoin"},
+    # The reduced-space shortlist IS brute_force_topk's pinned shape
+    # (bounded query batch broadcast against the corpus); the exact
+    # re-rank joins are keyed.
+    "ann_pca_rerank": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -378,3 +378,46 @@ def test_append_to_ivf_index_layout_and_equivalence(spark, tmp_path):
                        assigned=ss.read_ivf_index(spark, rebuilt_path),
                        **kw).collect()
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_reduced_rerank_full_shortlist_equals_brute_force(spark):
+    """With shortlist = corpus size the reduced stage prunes nothing,
+    so the exact re-rank must reproduce brute force row-for-row —
+    pins that re-rank scoring and ordering are brute_force_topk's."""
+    from ncbi_analysis_spark.operators import embeddings as em
+
+    e = _emb(spark, n=120, dim=16)
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    mean, comps, _ = em.pca_fit(e, k=6, sample_cap=1000)
+    got = ss.reduced_rerank_topk(
+        e, q, mean, comps, k=10, shortlist=120).collect()
+    want = ss.brute_force_topk(e, q, k=10).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_reduced_rerank_recall_and_exactness(spark):
+    """A 6-of-16-dim shortlist of 30 over 200 vectors: recall@10 must
+    clear a floor even on THIS worst case (uniform-random vectors have
+    a flat spectrum, so PCA concentrates no variance — real embedding
+    corpora recall far higher; measured 0.77 here), and every returned
+    score must equal the exact brute-force score for that pair (the
+    re-rank is full-dimension by construction)."""
+    from ncbi_analysis_spark.operators import embeddings as em
+
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    mean, comps, _ = em.pca_fit(e, k=6, sample_cap=1000)
+    got = ss.reduced_rerank_topk(
+        e, q, mean, comps, k=10, shortlist=30).collect()
+    exact = ss.brute_force_topk(e, q, k=10).collect()
+    ex = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    hits = sum(1 for r in got if (r["q_id"], r["vec_id"]) in ex)
+    assert hits / len(ex) >= 0.7, hits
+    all_scores = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in ss.brute_force_topk(e, q, k=200).collect()
+    }
+    for r in got:
+        assert r["cos_sim"] == all_scores[(r["q_id"], r["vec_id"])]
