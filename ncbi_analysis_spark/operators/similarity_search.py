@@ -1165,9 +1165,15 @@ def reduced_rerank_topk(
     bandwidth, the scan's real cost at 100 TB); the exact leg touches
     ``shortlist`` rows per query. Unlike IVF there are no buckets to
     mis-probe — recall loss comes only from shortlist truncation in
-    the variance-preserving PCA space, measurable per query with
-    ``ann_recall_audit``'s pattern. Deterministic end to end (cos
-    rounded to 6dp, id tiebreaks — the family convention).
+    the reduced space, measurable per query with ``ann_recall_audit``'s
+    pattern. Deterministic end to end (cos rounded to 6dp, id
+    tiebreaks — the family convention).
+
+    Applicability check FIRST: this tier pays off only when the
+    spectrum concentrates (real embedding corpora do; near-isotropic
+    vectors don't) — read ``pca_variance_gate`` /
+    ``explained_variance_ratio`` before choosing it, and size
+    ``shortlist`` off the measured recall, not folklore.
 
     Output: ``(q_id, vec_id, cos_sim, rk)`` — exact cosines, so rows
     are directly comparable with ``brute_force_topk``'s.

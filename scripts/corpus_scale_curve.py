@@ -78,7 +78,7 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "kmv_content_overlap", "zorder_layout_events",
          # late-round-10 staged additions
          "stream_dedup_digests", "stream_hll_user_distinct",
-         "vocab_drift_report"]
+         "vocab_drift_report", "hll_user_cube", "ann_pca_rerank"]
 
 
 def _sf_dir(spark, sf: float) -> str:
