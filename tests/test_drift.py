@@ -7,8 +7,6 @@ from __future__ import annotations
 import hashlib
 from collections import Counter
 
-from pyspark.sql import functions as F
-
 from ncbi_analysis_spark.operators import drift as dr
 
 N_BUCKETS = 256
