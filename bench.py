@@ -125,8 +125,14 @@ def main() -> None:
 
     def _run(name: str, thunk: Callable[[], None]) -> None:
         """Time one query; a failure records an error entry instead of
-        aborting the run (round 4 lost ALL timings to one broken query)."""
+        aborting the run (round 4 lost ALL timings to one broken query).
+        EXTRA_RUNS shapes get one UNTIMED warm-up first — their driver
+        noise came from the cold first execution (scan caches, codegen
+        for the 1 Mbp literals), which min-of-N absorbs in the min but
+        not in the max/min noise figure."""
         try:
+            if name in EXTRA_RUNS:
+                thunk()
             timings[name], noise[name] = _time_best(
                 thunk, EXTRA_RUNS.get(name, N_RUNS)
             )
