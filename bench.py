@@ -509,6 +509,10 @@ BASELINE = {
     # projections + reduced BF + keyed rerank), standalone min-of-3
     # (noise control read 0.375 in the same session)
     "ann_pca_rerank": (2.523, 10),
+    # staged-r11 BM25 retrieval (doc lengths + filtered tf explode +
+    # driver model + keyed scoring), standalone min-of-3 (noise
+    # control read 0.422 in the same session)
+    "bm25_search": (1.145, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

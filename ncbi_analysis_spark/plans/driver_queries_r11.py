@@ -375,6 +375,84 @@ JOIN ex ON nu.lang = ex.lang
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval (round-10)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERY = "dup merge stream"
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval end-to-end
+    (operators/retrieval.py::bm25_topk): top-10 documents for a query
+    mixing one rare term ('dup', df≈25 at sf0.01) with two
+    near-ubiquitous ones — the idf spread that separates BM25 from
+    plain tf counting. idf is computed once driver-side in Python from
+    exact integer (N, df) and injected as literals; every other op is
+    pinned IEEE arithmetic with a term-order contribution fold, so the
+    oracle — which recomputes df/N/avgdl AND the log independently
+    (DuckDB ln, bit-identical to Python's math.log on this platform,
+    probed in tests) — matches the raw doubles exactly."""
+    from ncbi_analysis_spark.operators.retrieval import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return bm25_topk(d, _BM25_QUERY, k=10)
+
+
+def _bm25_sql() -> str:
+    from ncbi_analysis_spark.operators.retrieval import query_terms
+
+    terms = query_terms(_BM25_QUERY)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN length(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS dl
+  FROM d
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS g
+  FROM d
+),
+tf AS (
+  SELECT doc_id, g, count(*)::BIGINT AS tf
+  FROM toks WHERE g IN ({in_list}) GROUP BY doc_id, g
+),
+dfv AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g),
+st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+model AS (
+  SELECT t.g,
+         ln(1.0 + (st.n::DOUBLE - COALESCE(dfv.df, 0)::DOUBLE + 0.5)
+                  / (COALESCE(dfv.df, 0)::DOUBLE + 0.5)) AS idf
+  FROM (VALUES {vals}) t(g)
+  LEFT JOIN dfv ON t.g = dfv.g CROSS JOIN st
+),
+scored AS (
+  SELECT tf.doc_id, tf.g,
+         m.idf * (tf.tf::DOUBLE /
+           (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 *
+             (dl.dl::DOUBLE / (st.s::DOUBLE / st.n::DOUBLE))))) AS contrib
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN model m ON tf.g = m.g
+  CROSS JOIN st
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+         list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+                     (a, b) -> a + b) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, score
+FROM agg ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # PCA-shortlist ANN (round-10)
 # ---------------------------------------------------------------------------
 
@@ -659,6 +737,7 @@ def queries_r11() -> dict:
         "vocab_drift_report": vocab_drift_report,
         "hll_user_cube": hll_user_cube,
         "ann_pca_rerank": ann_pca_rerank,
+        "bm25_search": bm25_search,
     }
 
 
@@ -672,4 +751,5 @@ def oracle_sql_r11() -> dict[str, str]:
         "vocab_drift_report": _vocab_drift_sql(),
         "hll_user_cube": _HLL_CUBE_SQL,
         "ann_pca_rerank": _ann_pca_rerank_sql(),
+        "bm25_search": _bm25_sql(),
     }

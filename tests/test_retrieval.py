@@ -1,0 +1,108 @@
+"""BM25 retrieval tests: ranking semantics on hand-built corpora, the
+cross-library transcendental probe the oracle's exactness rests on,
+and input validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ncbi_analysis_spark.operators import retrieval as rt
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+
+def test_bm25_idf_favors_rare_terms(spark):
+    # 'zebra' appears in 1 doc, 'data' in all: the zebra doc must
+    # outrank every data-only doc for the query "zebra data"
+    texts = ["zebra data pipeline", "data data data", "data model",
+             "data lake", "big data"]
+    rows = rt.bm25_topk(_corpus(spark, texts), "zebra data", k=5).collect()
+    assert rows[0]["doc_id"] == 0
+    assert rows[0]["n_terms_matched"] == 2
+    assert rows[0]["score"] > rows[1]["score"]
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    # same tf, shorter doc wins (length normalization); higher tf wins
+    # at equal length but saturates (k1): going 1->2 occurrences gains
+    # more than 5->6
+    texts = [
+        "term filler filler filler filler filler filler filler",  # tf=1 long
+        "term filler",                                            # tf=1 short
+        "term term filler filler",                                # tf=2
+    ]
+    got = {r["doc_id"]: r["score"]
+           for r in rt.bm25_topk(_corpus(spark, texts), "term", k=5).collect()}
+    assert got[1] > got[0]          # shorter doc, same tf
+    assert got[2] > got[1]          # more tf at comparable length
+
+    sat = ["term a b c", "term term a b", "term term term a",
+           "term term term term", "x y z w"]
+    s = {r["doc_id"]: r["score"]
+         for r in rt.bm25_topk(_corpus(spark, sat), "term", k=5).collect()}
+    gain_12 = s[1] - s[0]
+    gain_23 = s[2] - s[1]
+    assert gain_12 > gain_23 > 0    # diminishing returns in tf
+
+
+def test_bm25_matches_python_model(spark):
+    """Full pinned-arithmetic replica: scores must equal a pure-Python
+    BM25 computed with the same operation order, bit-for-bit."""
+    texts = ["dup merge stream", "merge stream stream merge",
+             "dup dup alpha", "stream beta gamma delta", "omega phi"]
+    rows = rt.bm25_topk(_corpus(spark, texts), "dup stream", k=5).collect()
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    avgdl = float(sum(len(t) for t in toks)) / float(n)
+    df = {q: sum(1 for t in toks if q in t) for q in ("dup", "stream")}
+    idf = {q: math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+           for q in df}
+    want = {}
+    for i, t in enumerate(toks):
+        score, matched = 0.0, 0
+        for q in sorted(df):        # term-order fold, the pinned order
+            tf = t.count(q)
+            if tf:
+                matched += 1
+                score = score + idf[q] * (
+                    float(tf) / (float(tf) + 1.2 * (
+                        (1.0 - 0.75) + 0.75 * (float(len(t)) / avgdl))))
+        if matched:
+            want[i] = (matched, score)
+    got = {r["doc_id"]: (r["n_terms_matched"], r["score"]) for r in rows}
+    assert got == want
+
+
+def test_bm25_libm_probe():
+    """The oracle's exactness premise: Python math.log and DuckDB ln
+    resolve to the same correctly-rounded libm on this platform —
+    probed across the whole realistic (N, df) grid. If this ever
+    breaks, bm25_search's oracle must switch to generated idf
+    literals."""
+    import duckdb
+
+    con = duckdb.connect()
+    for n in (50, 500, 5000, 50000):
+        for dfv in list(range(0, 50)) + [n // 2, n - 1]:
+            py = math.log(1.0 + (n - dfv + 0.5) / (dfv + 0.5))
+            db = con.execute(
+                "SELECT ln(1.0 + (?::DOUBLE - ?::DOUBLE + 0.5)"
+                " / (?::DOUBLE + 0.5))", [n, dfv, dfv]).fetchone()[0]
+            assert py == db, (n, dfv)
+
+
+def test_bm25_validation_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no terms"):
+        rt.bm25_topk(df, "   ")
+    out = rt.bm25_topk(df, "alpha", k=5).collect()
+    assert [r["doc_id"] for r in out] == [0]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        rt.bm25_topk(empty, "alpha")
