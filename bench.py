@@ -513,6 +513,10 @@ BASELINE = {
     # driver model + keyed scoring), standalone min-of-3 (noise
     # control read 0.422 in the same session)
     "bm25_search": (1.145, 10),
+    # staged-r11 RRF hybrid search (the full BM25 leg + length-prior
+    # top-k + rank fusion), standalone min-of-3 (noise control read
+    # 0.402 in the same session)
+    "rrf_hybrid_search": (1.298, 10),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

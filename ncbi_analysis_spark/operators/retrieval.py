@@ -134,3 +134,45 @@ def bm25_topk(
         ).alias("score"),
     )
     return per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    to combine heterogeneous rankings (keyword BM25 + a quality prior,
+    or BM25 + embedding ANN) without calibrating their scores:
+    ``score(id) = Σ_lists 1 / (c + rank)``. Rank-only fusion means the
+    inputs' score scales never meet, and the arithmetic is exact
+    rational (integer ranks, one IEEE division per term, fold in list
+    order — pinned, bounded by len(rankings) per id).
+
+    Each input needs ``(id_col, rank_col)`` with rank 1-based within
+    that list. Output ``(id_col, n_lists, rrf_score)`` — ids missing
+    from a list simply contribute nothing for it (the standard
+    behavior). Scale: inputs are top-k tables (bounded); the fuse is a
+    groupBy over their union — broadcastable by construction.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col),
+            F.lit(i).alias("__src"),
+            F.col(rank_col).cast("long").alias("__rk"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pairs = F.array_sort(F.collect_list(F.struct("__src", "__rk")))
+    return tagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.lit(1.0) / (F.lit(float(c)) + s["__rk"].cast("double")),
+        ).alias("rrf_score"),
+    )

@@ -400,7 +400,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, _BM25_QUERY, k=10)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = 10) -> str:
     from ncbi_analysis_spark.operators.retrieval import query_terms
 
     terms = query_terms(_BM25_QUERY)
@@ -448,7 +448,94 @@ agg AS (
   FROM scored GROUP BY doc_id
 )
 SELECT doc_id, n_terms_matched, score
-FROM agg ORDER BY score DESC, doc_id LIMIT 10
+FROM agg ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank-fusion hybrid search (round-10)
+# ---------------------------------------------------------------------------
+
+_RRF_LIST_K = 50
+_RRF_OUT_K = 20
+
+
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion
+    (operators/retrieval.py::rrf_fuse): the BM25 top-50 for the
+    standing query fused with a length-prior top-50 (n_chars — the
+    score-scale-incompatible second signal RRF exists for), top-20 by
+    fused score. Ranks come from row_number over each BOUNDED top-50
+    list (TakeOrderedAndProject feeds a <=50-row window — not a corpus
+    funnel); the fuse itself is rrf_fuse's pinned (list, rank)-ordered
+    fold, so the oracle's identical fold matches bit-for-bit. Ties
+    across the output cut (single-list docs at equal rank score
+    identically) break on doc_id in both engines."""
+    from ncbi_analysis_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pyspark.sql.window import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    bm = bm25_topk(
+        d.select("doc_id", "text"), _BM25_QUERY, k=_RRF_LIST_K
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rk"),
+    )
+    lp = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_RRF_LIST_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rk"),
+        )
+    )
+    return (
+        rrf_fuse([bm, lp])
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_OUT_K)
+    )
+
+
+def _rrf_sql() -> str:
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM ({_bm25_sql(_RRF_LIST_K)})
+),
+lp AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM (
+    SELECT doc_id, n_chars FROM documents
+    WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    ORDER BY n_chars DESC, doc_id LIMIT {_RRF_LIST_K}
+  )
+),
+u AS (
+  SELECT doc_id, 0 AS src, rk FROM bm
+  UNION ALL
+  SELECT doc_id, 1 AS src, rk FROM lp
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lists,
+         list_reduce(
+           list_prepend(0.0,
+             list(1.0 / (60.0 + rk::DOUBLE) ORDER BY src, rk)),
+           (a, b) -> a + b) AS rrf_score
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, n_lists, rrf_score
+FROM agg ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_OUT_K}
 """
 
 
@@ -738,6 +825,7 @@ def queries_r11() -> dict:
         "hll_user_cube": hll_user_cube,
         "ann_pca_rerank": ann_pca_rerank,
         "bm25_search": bm25_search,
+        "rrf_hybrid_search": rrf_hybrid_search,
     }
 
 
@@ -752,4 +840,5 @@ def oracle_sql_r11() -> dict[str, str]:
         "hll_user_cube": _HLL_CUBE_SQL,
         "ann_pca_rerank": _ann_pca_rerank_sql(),
         "bm25_search": _bm25_sql(),
+        "rrf_hybrid_search": _rrf_sql(),
     }

@@ -106,3 +106,62 @@ def test_bm25_validation_and_nulls(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         rt.bm25_topk(empty, "alpha")
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id long, rk long")
+
+
+def test_rrf_fuse_matches_python_model(spark):
+    """Pinned-arithmetic replica: fused scores must equal a pure-Python
+    RRF folded in (list, rank) order, bit-for-bit."""
+    a = [(10, 1), (11, 2), (12, 3)]
+    b = [(12, 1), (10, 2), (13, 3), (14, 4)]
+    got = {
+        r["doc_id"]: (r["n_lists"], r["rrf_score"])
+        for r in rt.rrf_fuse(
+            [_ranking(spark, a), _ranking(spark, b)]
+        ).collect()
+    }
+    want = {}
+    for src, lst in enumerate([a, b]):
+        for doc, rk in lst:
+            n, s = want.get(doc, (0, 0.0))
+            want[doc] = (n + 1, s + 1.0 / (60.0 + float(rk)))
+    assert got == want
+    # 1/61+1/62 (doc 10) > 1/61+1/63 (doc 12): assert the hand-derived
+    # ordering, not just the replica equality
+    assert got[10][1] > got[12][1] > got[11][1]
+    assert got[11][1] > got[13][1] > got[14][1]
+    assert got[10][0] == 2 and got[13][0] == 1
+
+
+def test_rrf_fuse_consensus_beats_single_list(spark):
+    # a mid-rank doc on BOTH lists outranks either list's runner-up
+    # that the other list missed — the reason to fuse at all
+    a = [(1, 1), (2, 2), (3, 3)]
+    b = [(4, 1), (2, 2), (5, 3)]
+    rows = rt.rrf_fuse([_ranking(spark, a), _ranking(spark, b)]).collect()
+    top = max(rows, key=lambda r: (r["rrf_score"], -r["doc_id"]))
+    assert top["doc_id"] == 2 and top["n_lists"] == 2
+
+
+def test_rrf_fuse_input_order_invariant(spark):
+    """The fold sorts by (list index, rank), so partition/row order of
+    the inputs cannot change a single bit of the result; swapping the
+    LISTS swaps fold order and is allowed to differ (documented), but
+    here both orders are checked for self-consistency."""
+    a = [(i, i + 1) for i in range(8)]
+    b = [(i + 4, i + 1) for i in range(8)]
+    da = _ranking(spark, a).repartition(7)
+    db = _ranking(spark, list(reversed(b))).repartition(3)
+    r1 = {(r["doc_id"], r["n_lists"], r["rrf_score"])
+          for r in rt.rrf_fuse([da, db]).collect()}
+    r2 = {(r["doc_id"], r["n_lists"], r["rrf_score"])
+          for r in rt.rrf_fuse([da.repartition(2), db]).collect()}
+    assert r1 == r2
+
+
+def test_rrf_fuse_validation(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        rt.rrf_fuse([])
