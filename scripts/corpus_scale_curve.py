@@ -78,7 +78,9 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "kmv_content_overlap", "zorder_layout_events",
          # late-round-10 staged additions
          "stream_dedup_digests", "stream_hll_user_distinct",
-         "vocab_drift_report", "hll_user_cube", "ann_pca_rerank"]
+         "vocab_drift_report", "hll_user_cube", "ann_pca_rerank",
+         # round-10 retrieval additions (documents-only)
+         "bm25_search", "rrf_hybrid_search"]
 
 
 def _sf_dir(spark, sf: float) -> str:
