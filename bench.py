@@ -395,6 +395,11 @@ BASELINE = {
     # 1.56-2.10 with the dedup_exact_groups noise control normal) —
     # box drift, the pack_sequences pattern, not a plan change
     "j3_interval_binned_bigbig": (1.93, 7),
+    # r10 note: one full-session run read 4.74 min-of-3 (2.3x) while
+    # the noise control stayed normal; a fresh-session min-of-4 in the
+    # same hour read 1.239 — in-session JVM state noise, not a plan
+    # change (all three in-session runs were slow, so EXTRA_RUNS
+    # would not have absorbed it). Plan untouched since r6.
     "ngram_lm_quality": (2.059, 6),
     # reseeded r7 from the committed clean min-of-3 measurement
     # (BENCH_LOCAL_r07_clean.json, idle box), replacing r6's

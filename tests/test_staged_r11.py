@@ -113,3 +113,52 @@ def test_ann_pca_rerank_recall_vs_brute(spark):
         e, q, mean, comps, k=10, shortlist=200).collect()}
     r200 = len(wide & exact) / len(exact)
     assert r200 > r40
+
+
+def test_rrf_hybrid_search_semantics(spark):
+    """Properties the hash match can't see: every fused doc comes from
+    one of the two source lists with the rank that list actually
+    assigned it (recomputed independently here), n_lists counts its
+    list memberships, and the output ordering/cut is by fused score
+    with doc_id tiebreak."""
+    from ncbi_analysis_spark.operators.retrieval import bm25_topk
+    from ncbi_analysis_spark.plans.driver_queries_r11 import (
+        _BM25_QUERY,
+        _RRF_LIST_K,
+        rrf_hybrid_search,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    bm = bm25_topk(
+        d.select("doc_id", "text"), _BM25_QUERY, k=_RRF_LIST_K
+    ).collect()
+    bm_rk = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(bm, key=lambda r: (-r["score"], r["doc_id"]))
+        )
+    }
+    lp = d.select("doc_id", "n_chars").collect()
+    lp_rk = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            sorted(lp, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        )
+        if i < _RRF_LIST_K
+    }
+    rows = rrf_hybrid_search(spark, SF_DIR).collect()
+    for r in rows:
+        want_n = (r["doc_id"] in bm_rk) + (r["doc_id"] in lp_rk)
+        assert r["n_lists"] == want_n and want_n >= 1
+        want = sum(
+            1.0 / (60.0 + float(rk))
+            for rk in (
+                [bm_rk[r["doc_id"]]] if r["doc_id"] in bm_rk else []
+            )
+            + ([lp_rk[r["doc_id"]]] if r["doc_id"] in lp_rk else [])
+        )
+        assert r["rrf_score"] == want
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
