@@ -80,31 +80,51 @@ def pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     principal axes are needed (``k_star``) and what fraction is actually
     captured at that k (``captured_ppm``).
 
-    The moments path is value-deterministic but not bit-pinned (float
-    partial-sum order across partitions), so the oracled row reduces it
-    to comparison-robust integers: threshold ranks over cumulative
-    ratios (flip needs |cum - t| < ~1e-12) and a ppm floor (flip needs
-    the 1e-15-relative engine gap to land within ~1e-9 of a ppm
-    boundary). The oracle re-derives the spectrum with the independent
-    single-pass local twin (``pca_fit_moments_local``) and computes the
-    same gates in SQL over the eigenvalue literals."""
+    Determinism contract (hardened per the round-10 advice): the
+    distributed fit is value-deterministic but not bit-pinned (float
+    partial-sum order across partitions), so it is gated by an explicit
+    tolerance — ``fits_agree`` is TRUE iff every distributed eigenvalue
+    is within 1e-9 (relative to the spectral scale) of the independent
+    single-pass local twin's (``pca_fit_moments_local``). The ppm/k_star
+    integers themselves are then computed from the LOCAL twin's
+    eigenvalues with a pinned left-to-right fold (total = left fold of
+    eig; cum_j = left-prefix-sum / total — exactly DuckDB's
+    ``list_reduce`` order), and the oracle consumes the SAME eigenvalue
+    literals. Sub-ulp spectrum noise can no longer flip a ppm floor:
+    the only cross-engine comparison is identical IEEE op sequences on
+    identical literals."""
     from ncbi_analysis_spark.operators import embeddings as em
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = len(e.select("embedding").head()["embedding"])
-    _, _, eig = em.pca_fit_moments(e, k=d)
-    total = float(eig.sum())
-    ratios = em.explained_variance_ratio(eig, total)
-    cum = ratios.cumsum()
+    _, _, eig_d = em.pca_fit_moments(e, k=d)
+    _, _, eig_l = em.pca_fit_moments_local(
+        f"{sf_dir}/embeddings.parquet", k=d
+    )
+    scale = max(abs(float(eig_l[0])), 1e-30)
+    fits_agree = bool(
+        max(abs(float(a) - float(b)) for a, b in zip(eig_d, eig_l))
+        <= 1e-9 * scale
+    )
+    total = 0.0
+    for v in eig_l:  # left-to-right fold, the list_reduce order
+        total += float(v)
+    cum = []
+    s = 0.0
+    for v in eig_l:
+        s += float(v)
+        cum.append(s / total)
     rows = []
     for t_ppm in _VARIANCE_THRESHOLDS_PPM:
         t = t_ppm / 1_000_000.0
-        k_star = 1 + int((cum < t).sum())  # first index with cum >= t
+        k_star = 1 + sum(1 for c in cum if c < t)
         rows.append(
-            (t_ppm, k_star, int(cum[k_star - 1] * 1_000_000.0))
+            (t_ppm, k_star, int(cum[k_star - 1] * 1_000_000.0), fits_agree)
         )
     return spark.createDataFrame(
-        rows, "threshold_ppm bigint, k_star bigint, captured_ppm bigint"
+        rows,
+        "threshold_ppm bigint, k_star bigint, captured_ppm bigint,"
+        " fits_agree boolean",
     )
 
 
@@ -135,7 +155,8 @@ cum AS (
 th(t_ppm) AS (VALUES {th})
 SELECT t_ppm::BIGINT AS threshold_ppm,
        min(j)::BIGINT AS k_star,
-       floor(min_by(c, j) * 1000000.0)::BIGINT AS captured_ppm
+       floor(min_by(c, j) * 1000000.0)::BIGINT AS captured_ppm,
+       TRUE AS fits_agree
 FROM th JOIN cum ON c >= t_ppm / 1000000.0
 GROUP BY t_ppm
 """
@@ -733,18 +754,26 @@ def vocab_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.filter(F.col("lang") == "en")
     b = d.filter(F.col("lang") != "en")
     # tokenize each side ONCE; drift histogram + witness ranks both
-    # derive from the persisted per-token tables
+    # derive from the persisted per-token tables. The k-row report is
+    # materialized eagerly so the caches can be released before return
+    # (bench/soak sessions invoke this repeatedly).
     ca = token_bucket_counts(a, n_buckets=_DRIFT_BUCKETS).persist()
     cb = token_bucket_counts(b, n_buckets=_DRIFT_BUCKETS).persist()
-    drift = vocab_drift(
-        a, b, n_buckets=_DRIFT_BUCKETS, a_counts=ca, b_counts=cb
-    )
-    top = top_drifted_tokens(
-        a, b, drift, k=10, n_buckets=_DRIFT_BUCKETS,
-        a_counts=ca, b_counts=cb,
-    )
-    stat = drift_statistic(drift)
-    return top.crossJoin(F.broadcast(stat))
+    try:
+        drift = vocab_drift(
+            a, b, n_buckets=_DRIFT_BUCKETS, a_counts=ca, b_counts=cb
+        )
+        top = top_drifted_tokens(
+            a, b, drift, k=10, n_buckets=_DRIFT_BUCKETS,
+            a_counts=ca, b_counts=cb,
+        )
+        stat = drift_statistic(drift)
+        out = top.crossJoin(F.broadcast(stat))
+        rows = out.collect()  # bounded: k rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        ca.unpersist()
+        cb.unpersist()
 
 
 def _vocab_drift_sql() -> str:
