@@ -34,11 +34,14 @@ rows with doc lengths; top-k is orderBy+limit → TakeOrderedAndProject
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import DataFrame, functions as F
 
 from ncbi_analysis_spark.functions.text import token_count, tokens
+
+_BM25_PARAMS_FILE = "_BM25_PARAMS.json"
 
 
 def query_terms(query: str) -> list[str]:
@@ -63,13 +66,31 @@ def bm25_topk(
     with ``id_col`` as tiebreak; only documents matching at least one
     query term appear. NULL-text documents are excluded from the
     corpus statistics (COUNT semantics, the dedup posture).
+
+    This is the from-scratch convenience form: it derives the model
+    from the raw corpus on every call and returns EAGERLY (the top-k is
+    bounded at ``k`` rows, collected and rebuilt driver-side so the two
+    intermediate caches are released before return — the
+    vocab_drift_report lifecycle). The exact intra-pass work is
+    ``dl``/``tf`` persisted, so the corpus is genuinely scanned twice:
+    once for doc lengths, once for the token explode. For repeated or
+    multi-query search over the same corpus, build the index once with
+    ``write_bm25_index`` and use ``bm25_topk_batch``.
     """
     terms = query_terms(query)
     if not terms:
         raise ValueError("bm25_topk: query has no terms")
+    spark = corpus.sparkSession
     d = corpus.filter(F.col(text_col).isNotNull())
-    dl = d.select(F.col(id_col), token_count(F.col(text_col)).alias("dl"))
+    # corpus pass 1: doc lengths (persisted — reused by the stats agg
+    # and the scoring join)
+    dl = d.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    ).persist()
 
+    # corpus pass 2: token explode pruned to the |q| query terms BEFORE
+    # the (doc, term) groupBy (persisted — reused by the df collect and
+    # the scoring join)
     toks = d.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("g")
     )
@@ -77,63 +98,365 @@ def bm25_topk(
         toks.filter(F.col("g").isin(terms))
         .groupBy(id_col, "g")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
     )
 
-    # model state: |q| df rows + 2 scalars — driver-side by design
-    df_rows = {
-        r["g"]: r["n"]
-        for r in tf.groupBy("g").agg(F.count("*").cast("long").alias("n")).collect()
-    }
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("s"),
-    ).collect()[0]
-    n_docs, sum_dl = stats["n"], stats["s"]
-    if n_docs == 0:
-        raise ValueError("bm25_topk: empty corpus")
-    avgdl = float(sum_dl) / float(n_docs)
+    try:
+        # model state: |q| df rows + 2 scalars — driver-side by design
+        df_rows = {
+            r["g"]: r["n"]
+            for r in tf.groupBy("g")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect()
+        }
+        stats = dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+        ).collect()[0]
+        n_docs, sum_dl = stats["n"], stats["s"]
+        if n_docs == 0:
+            raise ValueError("bm25_topk: empty corpus")
+        avgdl = float(sum_dl) / float(n_docs)
 
-    # idf in Python from exact integers — injected as literals so both
-    # the plan and the oracle share one transcendental evaluation rule
-    idf = {
-        t: math.log(
-            1.0 + (n_docs - df_rows.get(t, 0) + 0.5)
-            / (df_rows.get(t, 0) + 0.5)
-        )
-        for t in terms
-    }
-    idf_col = F.col("g")
-    expr = F.lit(None).cast("double")
-    for t in terms:
-        expr = F.when(idf_col == t, F.lit(idf[t])).otherwise(expr)
-
-    scored = tf.join(dl, id_col).select(
-        id_col,
-        "g",
-        (
-            expr
-            * (
-                F.col("tf").cast("double")
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(float(k1))
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(float(b))
-                        * (F.col("dl").cast("double") / F.lit(avgdl))
-                    )
-                )
+        # idf in Python from exact integers — injected as literals so
+        # both the plan and the oracle share one transcendental
+        # evaluation rule
+        idf = {
+            t: math.log(
+                1.0 + (n_docs - df_rows.get(t, 0) + 0.5)
+                / (df_rows.get(t, 0) + 0.5)
             )
-        ).alias("contrib"),
+            for t in terms
+        }
+        scored = tf.join(dl, id_col).select(
+            id_col,
+            "g",
+            _contrib_expr(idf, k1, b, avgdl).alias("contrib"),
+        )
+        pairs = F.array_sort(F.collect_list(F.struct("g", "contrib")))
+        per_doc = scored.groupBy(id_col).agg(
+            F.count("*").cast("long").alias("n_terms_matched"),
+            F.aggregate(
+                pairs, F.lit(0.0), lambda acc, s: acc + s["contrib"]
+            ).alias("score"),
+        )
+        top = per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+        schema = top.schema
+        rows = top.collect()
+    finally:
+        tf.unpersist()
+        dl.unpersist()
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.desc("score"), F.asc(id_col)
     )
-    pairs = F.array_sort(F.collect_list(F.struct("g", "contrib")))
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_terms_matched"),
-        F.aggregate(
-            pairs, F.lit(0.0), lambda acc, s: acc + s["contrib"]
-        ).alias("score"),
+
+
+def _contrib_expr(idf: dict, k1: float, b: float, avgdl: float):
+    """The pinned per-(doc, term) BM25 contribution over columns
+    ``g`` / ``tf`` / ``dl``: ``idf * (tf / (tf + k1 * (1 - b + b *
+    (dl / avgdl))))`` with idf injected as per-term literals."""
+    expr = F.lit(None).cast("double")
+    for t in sorted(idf):
+        expr = F.when(F.col("g") == t, F.lit(idf[t])).otherwise(expr)
+    return expr * (
+        F.col("tf").cast("double")
+        / (
+            F.col("tf").cast("double")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - b)
+                + F.lit(float(b))
+                * (F.col("dl").cast("double") / F.lit(float(avgdl)))
+            )
+        )
     )
-    return per_doc.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index + batch-query search
+# ---------------------------------------------------------------------------
+#
+# The at-scale posture (the write_lsh_index / write_ivf_index family):
+# tokenize the corpus ONCE into a parquet inverted index, then serve
+# every search — including whole query *tables* for hard-negative
+# mining — from partition-pruned index reads, never re-scanning raw
+# text. Layout under ``path/``:
+#
+#   postings/   (g, doc_id, tf) partitioned by bucket = pmod(xxhash64(g),
+#               n_buckets) — a probe for |q| terms reads only the |q|
+#               buckets those terms hash to (partition pruning), not
+#               the whole index;
+#   doclens/    (doc_id, dl) — the per-doc length table; N and avgdl
+#               are one column-pruned aggregate over it at query time
+#               (no stale stats file to maintain on append);
+#   _BM25_PARAMS.json  parameter marker (n_buckets, tokenizer) via
+#               sources/fsutil — appends and probes validate it, so a
+#               bucketing-parameter drift fails loudly instead of
+#               silently pruning to the wrong partitions.
+#
+# Append ≡ rebuild: per-doc postings and doclens rows are independent,
+# so any split of the corpus across write/append calls yields the same
+# index CONTENTS (asserted by the staged oracle) — provided doc ids are
+# unique across batches (the caller's contract, same as the LSH/IVF
+# indexes).
+
+
+def _bm25_params_guard(
+    spark, path: str, n_buckets: int, write: bool = False
+) -> None:
+    from ncbi_analysis_spark.sources import fsutil
+
+    params = {"n_buckets": n_buckets, "tokenizer": "ws"}
+    marker = path.rstrip("/") + "/" + _BM25_PARAMS_FILE
+    if write:
+        fsutil.write_text(spark, marker, json.dumps(params))
+        return
+    if not fsutil.exists(spark, marker):
+        raise ValueError(
+            f"{path!r} is not a write_bm25_index directory (missing "
+            f"{_BM25_PARAMS_FILE}); build it with write_bm25_index first"
+        )
+    stored = json.loads(fsutil.read_text(spark, marker))
+    if stored != params:
+        raise ValueError(
+            f"BM25 index at {path!r} was built with {stored}, got "
+            f"{params}; term buckets are not comparable across parameter "
+            "changes — rebuild the index or match its parameters"
+        )
+
+
+def _bm25_index_rows(
+    corpus: DataFrame, text_col: str, id_col: str, n_buckets: int
+):
+    """(postings, doclens) DataFrames for one corpus batch."""
+    d = corpus.filter(F.col(text_col).isNotNull())
+    doclens = d.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("dl"),
+    )
+    postings = (
+        d.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets)))
+    )
+    return postings, doclens
+
+
+def write_bm25_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """Build the persisted BM25 inverted index from scratch: ONE
+    tokenize pass over the corpus writes term-bucketed postings and the
+    doc-length table, then records the parameter marker."""
+    postings, doclens = _bm25_index_rows(corpus, text_col, id_col, n_buckets)
+    # overwrite first (clears the directory), THEN record the params
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        path.rstrip("/") + "/postings"
+    )
+    doclens.write.mode("overwrite").parquet(path.rstrip("/") + "/doclens")
+    _bm25_params_guard(corpus.sparkSession, path, n_buckets, write=True)
+
+
+def read_bm25_index(spark, path: str) -> dict:
+    """Open a ``write_bm25_index`` directory for probing. Returns
+    ``{"postings": DataFrame, "doclens": DataFrame, "params": dict}``
+    (marker validated to exist; parameters come from the marker, not
+    the caller)."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    marker = path.rstrip("/") + "/" + _BM25_PARAMS_FILE
+    if not fsutil.exists(spark, marker):
+        raise ValueError(
+            f"{path!r} is not a write_bm25_index directory (missing "
+            f"{_BM25_PARAMS_FILE}); build it with write_bm25_index first"
+        )
+    params = json.loads(fsutil.read_text(spark, marker))
+    return {
+        "postings": spark.read.parquet(path.rstrip("/") + "/postings"),
+        "doclens": spark.read.parquet(path.rstrip("/") + "/doclens"),
+        "params": params,
+    }
+
+
+def append_to_bm25_index(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Incremental index maintenance: tokenize the NEW batch under the
+    index's (validated) parameters and parquet-partition-append its
+    postings + doclens — per-bucket directories gain files, nothing is
+    rewritten, ingest I/O scales with the batch (the
+    append_to_lsh_index posture). Returns per-bucket appended posting
+    counts (bounded by ``n_buckets``)."""
+    spark = new_df.sparkSession
+    _bm25_params_guard(spark, path, n_buckets, write=False)
+    postings, doclens = _bm25_index_rows(new_df, text_col, id_col, n_buckets)
+    postings = postings.persist()
+    try:
+        postings.write.mode("append").partitionBy("bucket").parquet(
+            path.rstrip("/") + "/postings"
+        )
+        doclens.write.mode("append").parquet(path.rstrip("/") + "/doclens")
+        counts = (
+            postings.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_appended"))
+            .collect()
+        )
+    finally:
+        postings.unpersist()
+    return spark.createDataFrame(
+        [(int(r["bucket"]), int(r["n_appended"])) for r in counts],
+        "bucket long, n_appended long",
+    )
+
+
+def tokenize_queries(
+    queries_df: DataFrame,
+    query_id: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """``(query_id, g)`` distinct term rows for a query table — the
+    corpus-side tokenizer applied to the query side, so batch search
+    joins term-to-term with identical semantics."""
+    return (
+        queries_df.filter(
+            F.col(query_col).isNotNull()
+            & (F.length(F.trim(F.col(query_col))) > 0)
+        )
+        .select(
+            F.col(query_id),
+            F.explode(tokens(F.col(query_col))).alias("g"),
+        )
+        .distinct()
+    )
+
+
+def bm25_topk_batch(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` per query for a whole query TABLE, served from a
+    persisted ``write_bm25_index`` directory — the hard-negative-mining
+    form: no raw-text scan, no per-query Python loop.
+
+    Output ``(query_id, doc_id, n_terms_matched, score, rk)`` with
+    ``rk`` 1-based per query (score desc, doc_id asc tiebreak).
+
+    Scale shape: the query table tokenizes into a bounded
+    ``(query_id, g)`` term table; the distinct terms' buckets prune the
+    postings read to |distinct terms| partitions; the pruned postings
+    join the BROADCAST query-term table, then doc lengths on doc_id
+    (keyed), then fold per (query, doc) in term order and window-top-k
+    per query. Model state collected driver-side is bounded: one
+    (N, Σdl) scalar row off the column-pruned doclens scan plus one df
+    row per distinct query term off the pruned postings — the idf
+    literals stay a pinned Python ``math.log`` chain, same determinism
+    contract as ``bm25_topk`` (idf table re-enters the plan as a
+    broadcast literal table keyed by term).
+    """
+    from pyspark.sql import Window
+
+    idx = read_bm25_index(spark, path)
+    postings, doclens = idx["postings"], idx["doclens"]
+    n_buckets = int(idx["params"]["n_buckets"])
+
+    qterms = tokenize_queries(queries_df, query_id, query_col).persist()
+    try:
+        # the distinct-term table is bounded by construction (queries
+        # are small); collect it once for the whole batch
+        terms = sorted(
+            {r["g"] for r in qterms.select("g").distinct().collect()}
+        )
+        if not terms:
+            raise ValueError("bm25_topk_batch: no query terms")
+        # buckets for the probe, computed by the SAME engine expression
+        # that bucketed the index (xxhash64 is not re-derived in Python)
+        tdf = spark.createDataFrame([(t,) for t in terms], "g string")
+        trows = tdf.withColumn(
+            "bucket", F.pmod(F.xxhash64("g"), F.lit(n_buckets))
+        ).collect()
+        buckets = sorted({int(r["bucket"]) for r in trows})
+
+        # partition-pruned postings for the |terms| probe terms, reused
+        # by the df collect and the scoring join
+        pruned = (
+            postings.filter(F.col("bucket").isin(buckets))
+            .filter(F.col("g").isin(terms))
+            .persist()
+        )
+        try:
+            df_rows = {
+                r["g"]: r["n"]
+                for r in pruned.groupBy("g")
+                .agg(F.count("*").cast("long").alias("n"))
+                .collect()
+            }
+            stats = doclens.agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("dl").cast("long").alias("s"),
+            ).collect()[0]
+            n_docs, sum_dl = stats["n"], stats["s"]
+            if n_docs == 0:
+                raise ValueError("bm25_topk_batch: empty index")
+            avgdl = float(sum_dl) / float(n_docs)
+            idf = {
+                t: math.log(
+                    1.0
+                    + (n_docs - df_rows.get(t, 0) + 0.5)
+                    / (df_rows.get(t, 0) + 0.5)
+                )
+                for t in terms
+            }
+
+            matched = pruned.join(F.broadcast(qterms), "g")
+            scored = matched.join(doclens, "doc_id").select(
+                query_id,
+                "doc_id",
+                "g",
+                _contrib_expr(idf, k1, b, avgdl).alias("contrib"),
+            )
+            pairs = F.array_sort(F.collect_list(F.struct("g", "contrib")))
+            per_doc = scored.groupBy(query_id, "doc_id").agg(
+                F.count("*").cast("long").alias("n_terms_matched"),
+                F.aggregate(
+                    pairs, F.lit(0.0), lambda acc, s: acc + s["contrib"]
+                ).alias("score"),
+            )
+            w = Window.partitionBy(query_id).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            out = (
+                per_doc.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+            )
+            # bounded output (|queries| * k rows): collect and rebuild
+            # so the two probe caches are released before return
+            schema = out.schema
+            rows = out.collect()
+        finally:
+            pruned.unpersist()
+    finally:
+        qterms.unpersist()
+    return spark.createDataFrame(rows, schema).orderBy(
+        query_id, F.asc("rk")
+    )
 
 
 def rrf_fuse(

@@ -69,6 +69,31 @@ FROM rr GROUP BY event_type, register
 
 _VARIANCE_THRESHOLDS_PPM = (250_000, 500_000, 750_000, 900_000)
 
+# local-twin eigen spectra cached per (parquet_path) so the Spark-side
+# query and the oracle-SQL builder don't each re-read the whole
+# embeddings table into driver memory (r11 advice) — this gate query is
+# bounded to oracle-scale data by design; the at-scale spectrum comes
+# from the distributed pca_fit_moments it is validating.
+_local_eig_cache: dict = {}
+
+
+def _local_eig_full(parquet_path: str):
+    """Full (k=d) local-twin eigen spectrum for ``parquet_path``,
+    computed once per process."""
+    if parquet_path not in _local_eig_cache:
+        import pyarrow.parquet as pq
+
+        from ncbi_analysis_spark.operators.embeddings import (
+            pca_fit_moments_local,
+        )
+
+        d = len(
+            pq.read_table(parquet_path, columns=["embedding"])["embedding"][0]
+        )
+        _, _, eig = pca_fit_moments_local(parquet_path, k=d)
+        _local_eig_cache[parquet_path] = (d, eig)
+    return _local_eig_cache[parquet_path]
+
 
 def pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle coverage for the distributed moments fit
@@ -96,11 +121,8 @@ def pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncbi_analysis_spark.operators import embeddings as em
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    d = len(e.select("embedding").head()["embedding"])
+    d, eig_l = _local_eig_full(f"{sf_dir}/embeddings.parquet")
     _, _, eig_d = em.pca_fit_moments(e, k=d)
-    _, _, eig_l = em.pca_fit_moments_local(
-        f"{sf_dir}/embeddings.parquet", k=d
-    )
     scale = max(abs(float(eig_l[0])), 1e-30)
     fits_agree = bool(
         max(abs(float(a) - float(b)) for a, b in zip(eig_d, eig_l))
@@ -109,6 +131,11 @@ def pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = 0.0
     for v in eig_l:  # left-to-right fold, the list_reduce order
         total += float(v)
+    if total <= 0.0:
+        raise ValueError(
+            "pca_variance_gate: degenerate corpus — total variance is "
+            "zero, explained-variance ratios are undefined"
+        )
     cum = []
     s = 0.0
     for v in eig_l:
@@ -129,19 +156,13 @@ def pca_variance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pca_variance_gate_sql() -> str:
-    from ncbi_analysis_spark.operators.embeddings import (
-        pca_fit_moments_local,
-    )
     from ncbi_analysis_spark.plans.driver_queries_r5 import (
         _dlit,
         _oracle_sf_dir,
     )
 
-    import pyarrow.parquet as pq
-
     path = f"{_oracle_sf_dir()}/embeddings.parquet"
-    d = len(pq.read_table(path, columns=["embedding"])["embedding"][0])
-    _, _, eig = pca_fit_moments_local(path, k=d)
+    d, eig = _local_eig_full(path)
     e_lit = "[" + ", ".join(_dlit(x) for x in eig) + "]::DOUBLE[]"
     th = ", ".join(f"({t})" for t in _VARIANCE_THRESHOLDS_PPM)
     return f"""

@@ -99,11 +99,11 @@ EXPECTED: dict[str, set[str]] = {
     # probe-construction cross join (ann_ivf's pinned shape).
     "ann_recall_audit": {"BroadcastNestedLoopJoin"},
     # --- staged r11 (audited pre-registration) ---
-    # Two ONE-ROW scalar cross joins over the <=n_buckets drift table
-    # (side totals; the pinned-fold global statistic) — the
-    # contamination_report class. All corpus-sized legs underneath are
-    # keyed joins/aggregates.
-    "vocab_drift_report": {"BroadcastNestedLoopJoin"},
+    # (vocab_drift_report: the r11 rework collects the bounded k-row
+    # report and rebuilds it via createDataFrame — the returned plan is
+    # a LocalTableScan with no markers, so no expectation entry; the
+    # corpus-sized legs execute during construction and are audited by
+    # their own operator tests.)
     # The reduced-space shortlist IS brute_force_topk's pinned shape
     # (bounded query batch broadcast against the corpus); the exact
     # re-rank joins are keyed.
@@ -144,7 +144,12 @@ def audit(
             # bpe_vocab's construction runs the histogram+merge train;
             # its returned frame is the literal merge table — nothing
             # to scan
-            "bpe_vocab"}
+            "bpe_vocab",
+            # vocab_drift_report's r11 construction executes the full
+            # drift pipeline (collects the bounded k-row report, then
+            # createDataFrame) — the returned plan is a LocalTableScan,
+            # nothing to scan (same class as bpe_vocab)
+            "vocab_drift_report"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11()}

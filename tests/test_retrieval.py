@@ -108,6 +108,74 @@ def test_bm25_validation_and_nulls(spark):
         rt.bm25_topk(empty, "alpha")
 
 
+# --- persisted BM25 index + batch search -----------------------------
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """Append ≡ rebuild: write(A) + append(B) must yield the same index
+    CONTENTS as write(A∪B), and batch search over the appended index
+    must bit-match the from-scratch single-query scorer."""
+    texts = ["dup merge stream", "merge stream stream merge",
+             "dup dup alpha", "stream beta gamma delta", "omega phi",
+             "alpha beta dup", "merge omega", "stream stream alpha"]
+    d = _corpus(spark, texts)
+    split_idx = str(tmp_path / "split")
+    full_idx = str(tmp_path / "full")
+    a = d.filter("doc_id < 4")
+    b = d.filter("doc_id >= 4")
+    rt.write_bm25_index(a, split_idx, n_buckets=4)
+    counts = rt.append_to_bm25_index(b, split_idx, n_buckets=4)
+    assert counts.agg({"n_appended": "sum"}).collect()[0][0] > 0
+    rt.write_bm25_index(d, full_idx, n_buckets=4)
+
+    def contents(p):
+        i = rt.read_bm25_index(spark, p)
+        post = {(r["g"], r["doc_id"], r["tf"], r["bucket"])
+                for r in i["postings"].collect()}
+        dls = {(r["doc_id"], r["dl"]) for r in i["doclens"].collect()}
+        return post, dls
+
+    assert contents(split_idx) == contents(full_idx)
+
+    qdf = spark.createDataFrame(
+        [(1, "dup stream"), (2, "omega alpha")],
+        "query_id long, query string")
+    out = rt.bm25_topk_batch(spark, split_idx, qdf, k=5).collect()
+    for qid, q in [(1, "dup stream"), (2, "omega alpha")]:
+        want = [(r["doc_id"], r["n_terms_matched"], r["score"])
+                for r in rt.bm25_topk(d, q, k=5).collect()]
+        got = [(r["doc_id"], r["n_terms_matched"], r["score"])
+               for r in sorted((r for r in out if r["query_id"] == qid),
+                               key=lambda r: r["rk"])]
+        assert got == want, qid
+
+
+def test_bm25_index_param_guard_and_validation(spark, tmp_path):
+    d = _corpus(spark, ["alpha beta", "beta gamma"])
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="not a write_bm25_index"):
+        rt.read_bm25_index(spark, idx)
+    rt.write_bm25_index(d, idx, n_buckets=8)
+    with pytest.raises(ValueError, match="built with"):
+        rt.append_to_bm25_index(d, idx, n_buckets=4)
+    qdf = spark.createDataFrame([(1, "   ")], "query_id long, query string")
+    with pytest.raises(ValueError, match="no query terms"):
+        rt.bm25_topk_batch(spark, idx, qdf)
+
+
+def test_bm25_batch_rank_and_miss_semantics(spark, tmp_path):
+    # a query whose terms miss the corpus entirely yields no rows for
+    # that query_id (not an error), and rk is 1-based contiguous
+    d = _corpus(spark, ["alpha beta", "beta gamma", "gamma delta"])
+    idx = str(tmp_path / "idx")
+    rt.write_bm25_index(d, idx, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(1, "beta"), (2, "zzz_missing")], "query_id long, query string")
+    rows = rt.bm25_topk_batch(spark, idx, qdf, k=10).collect()
+    assert {r["query_id"] for r in rows} == {1}
+    assert [r["rk"] for r in rows if r["query_id"] == 1] == [1, 2]
+
+
 def _ranking(spark, pairs):
     return spark.createDataFrame(pairs, "doc_id long, rk long")
 
