@@ -512,3 +512,186 @@ def hll_cube(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: a bottom-k-by-hash VALUE sample.
+#
+# Per-group score quantiles today need a corpus pass
+# (scale.py::quantile_threshold); a published quantile sketch lets the
+# gate run incrementally over sketch artifacts instead — the HLL/KMV
+# posture extended to order statistics.
+#
+# Design choice (why not KLL / t-digest): both have better error at
+# equal state, but neither fits this engine's two standing contracts.
+# Their compaction decisions are (a) randomized (KLL coin flips,
+# t-digest centroid seeding) and (b) ORDER-SENSITIVE — merging the same
+# data under a different partition layout or merge-tree shape yields a
+# different sketch, so a distributed build is not rerun-stable and can
+# never hash-match an independent oracle. A bottom-k sample (Cohen &
+# Kaplan 2007) is a pure SET operation: keep the k (hash, value) pairs
+# with the smallest md5-52bit hash of the row id. It is exactly
+# mergeable (min-k over set union — associative, commutative,
+# idempotent), layout-independent, deterministic, and cross-engine
+# reproducible in DuckDB. Error is that of a uniform k-sample:
+# |q_est - q| = O(sqrt(q(1-q)/k)) rank error — k=4096 gives ~0.8%
+# worst-case rank error, adequate for curation gates whose thresholds
+# are themselves heuristic. Callers needing tighter tails raise k (state
+# is k rows per group; the shuffle stays bounded by groups * k).
+#
+# No reference analog; LLM-pipeline extension (the quantile member of
+# the sketch family).
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    k: int = 4096,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Bottom-k value sample per group: the ``(h, v)`` pairs with the
+    ``k`` smallest 52-bit md5 hashes of ``id_col``. NULL values are
+    excluded (the quantile_threshold convention — engines disagree on
+    NULL order). ``id_col`` must be unique per row (the dedup/index
+    contract); duplicate ids would collapse to one sample slot.
+
+    Output ``(*group_by, h, v)``, <= k rows per group. When a group has
+    fewer than k rows the sketch IS the group's full value multiset and
+    estimates become exact.
+    """
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    if k < 2:
+        raise ValueError(f"quantile_sketch: k={k} must be >= 2")
+    gb = list(group_by or [])
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *gb,
+        _kmv_h52(id_col).alias("h"),
+        F.col(value_col).alias("v"),
+    )
+    if gb:
+        return topk_per_group(rows, gb, [F.col("h")], k, keep_rank=False)
+    return rows.orderBy("h").limit(k)
+
+
+def quantile_sketch_merge(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Merge two quantile sketches: the k smallest-hash samples of the
+    union — EXACTLY ``quantile_sketch`` of the unioned inputs (min-k
+    over sets; both sides must share the hash space and k, and row ids
+    must be unique ACROSS the inputs — the append-batch contract)."""
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    gb = list(group_by or [])
+    u = a.select(*gb, "h", "v").unionByName(b.select(*gb, "h", "v"))
+    if gb:
+        return topk_per_group(u, gb, [F.col("h")], k, keep_rank=False)
+    return u.orderBy("h").limit(k)
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    qs: list[float],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged) sketch.
+
+    Per group and per requested ``q``: ``est_v`` = the value at row
+    ``ceil(q * n)`` (1-based) of the retained values sorted ascending —
+    quantile_threshold's exact discrete-index convention (no
+    interpolation floats, so the oracle is bit-exact; q = 0 < q <= 1
+    validated). Ties sort by ``(v, h)`` so the picked row is unique in
+    both engines. Output ``(*group_by, q_ppm, n_sample, est_v)`` with
+    ``q_ppm = round(q * 1e6)`` (integer key, no float group column).
+    Scale: the sketch is <= k rows per group; the rank window shuffles
+    only sketch rows.
+    """
+    from pyspark.sql.window import Window
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(
+                f"quantile_sketch_estimate: q must be in (0, 1], got {q}"
+            )
+    if not qs:
+        raise ValueError("quantile_sketch_estimate: no quantiles requested")
+    gb = list(group_by or [])
+    w = Window.partitionBy(*[F.col(c) for c in gb]) if gb else Window.partitionBy(F.lit(1))
+    ranked = sketch.select(
+        *gb,
+        "h",
+        "v",
+        F.row_number().over(w.orderBy(F.asc("v"), F.asc("h"))).alias("__rk"),
+        F.count("*").over(w).alias("__n"),
+    )
+    out = None
+    for q in qs:
+        q_ppm = int(round(q * 1_000_000))
+        # ceil(q * n) via integer arithmetic on ppm: no float rounding
+        # drift between engines — ceil(a/b) = floor((a + b - 1)/b)
+        idx = F.floor(
+            (F.lit(q_ppm) * F.col("__n") + F.lit(999_999)) / F.lit(1_000_000)
+        ).cast("long")
+        sel = (
+            ranked.filter(F.col("__rk") == idx)
+            .select(
+                *gb,
+                F.lit(q_ppm).cast("long").alias("q_ppm"),
+                F.col("__n").cast("long").alias("n_sample"),
+                F.col("v").alias("est_v"),
+            )
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def quantile_sketch_threshold(
+    sketch: DataFrame,
+    q: float,
+) -> DataFrame:
+    """Single-row ``(threshold)`` frame from an UNGROUPED sketch — the
+    drop-in sketch-backed twin of ``scale.quantile_threshold``, so
+    ``filter_by_quantile``-style gates can run from a published
+    artifact without re-scanning the corpus (join/cross-join it exactly
+    like the corpus-pass threshold)."""
+    est = quantile_sketch_estimate(sketch, [q])
+    return est.select(F.col("est_v").alias("threshold"))
+
+
+def write_quantile_sketch(
+    sketch: DataFrame,
+    path: str,
+    k: int,
+    group_by: list[str] | None = None,
+) -> None:
+    """Publish a quantile sketch with its ``k``/grouping marker (hash
+    space is pinned by construction: md5-52bit of the row id)."""
+    sketch.write.mode("overwrite").parquet(path)
+    _sketch_marker_io(
+        sketch.sparkSession, path,
+        {"kind": "quantile_bottomk", "k": k,
+         "group_by": list(group_by or [])},
+        write=True,
+    )
+
+
+def read_quantile_sketch(
+    spark,
+    path: str,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a published quantile sketch, validating the marker."""
+    _sketch_marker_io(
+        spark, path,
+        {"kind": "quantile_bottomk", "k": k,
+         "group_by": list(group_by or [])},
+        write=False,
+    )
+    return spark.read.parquet(path)

@@ -327,3 +327,88 @@ def test_hll_cube_grouping_sets(spark):
 
     with pytest.raises(ValueError, match="at least one dim"):
         sk.hll_cube(df, "v", [])
+
+
+# --- quantile sketch (bottom-k value sample) --------------------------
+
+
+def _qdocs(spark, n, seed_mod=7):
+    # deterministic synthetic: value = (i * seed_mod) % n spreads 0..n-1
+    return spark.createDataFrame(
+        [(i, (i * seed_mod) % n) for i in range(n)], "id long, v long")
+
+
+def test_quantile_sketch_merge_equals_rebuild_saturated(spark):
+    d = _qdocs(spark, 400)
+    a, b = d.filter("id % 2 = 0"), d.filter("id % 2 = 1")
+    k = 64  # saturated: every part has 200 > 64 rows
+    sa = sk.quantile_sketch(a, "v", "id", k=k)
+    sb = sk.quantile_sketch(b, "v", "id", k=k)
+    merged = {(r["h"], r["v"])
+              for r in sk.quantile_sketch_merge(sa, sb, k).collect()}
+    rebuilt = {(r["h"], r["v"])
+               for r in sk.quantile_sketch(d, "v", "id", k=k).collect()}
+    assert merged == rebuilt and len(merged) == k
+
+
+def test_quantile_sketch_unsaturated_is_exact(spark):
+    # fewer rows than k: the sketch holds every value, estimates are
+    # the exact discrete quantiles (ceil-index convention)
+    vals = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    d = spark.createDataFrame(list(enumerate(vals)), "id long, v long")
+    s = sk.quantile_sketch(d, "v", "id", k=64)
+    est = {r["q_ppm"]: (r["n_sample"], r["est_v"])
+           for r in sk.quantile_sketch_estimate(
+               s, [0.1, 0.25, 0.5, 1.0]).collect()}
+    assert est[100_000] == (10, 10)     # ceil(0.1*10)=1 -> 10
+    assert est[250_000] == (10, 30)     # ceil(2.5)=3 -> 30
+    assert est[500_000] == (10, 50)     # ceil(5)=5 -> 50
+    assert est[1_000_000] == (10, 100)  # max
+
+
+def test_quantile_sketch_estimate_close_to_exact(spark):
+    n = 2000
+    d = _qdocs(spark, n, seed_mod=13)
+    s = sk.quantile_sketch(d, "v", "id", k=512)
+    est = {r["q_ppm"]: r["est_v"]
+           for r in sk.quantile_sketch_estimate(s, [0.25, 0.5, 0.9]).collect()}
+    # true quantile of 0..n-1 ~ q*n; rank error O(1/sqrt(k)) ~ 4.4% ->
+    # assert within 10% of n
+    for q_ppm, want in [(250_000, 500), (500_000, 1000), (900_000, 1800)]:
+        assert abs(est[q_ppm] - want) < 0.10 * n, (q_ppm, est[q_ppm])
+
+
+def test_quantile_sketch_grouped_and_threshold(spark):
+    d = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i) for i in range(300)],
+        "id long, g string, v long")
+    s = sk.quantile_sketch(d, "v", "id", k=32, group_by=["g"])
+    assert s.groupBy("g").count().agg({"count": "max"}).collect()[0][0] == 32
+    est = sk.quantile_sketch_estimate(s, [0.5], group_by=["g"]).collect()
+    assert {r["g"] for r in est} == {"a", "b"}
+    # threshold twin: single-row frame usable as a gate input
+    t = sk.quantile_sketch_threshold(
+        sk.quantile_sketch(d, "v", "id", k=64), 0.5).collect()
+    assert len(t) == 1 and 50 <= t[0]["threshold"] <= 250
+
+
+def test_quantile_sketch_nulls_validation_and_publish(spark, tmp_path):
+    import pytest as _pytest
+
+    d = spark.createDataFrame(
+        [(0, None), (1, 5), (2, 7)], "id long, v long")
+    s = sk.quantile_sketch(d, "v", "id", k=8)
+    assert s.count() == 2  # NULL value excluded
+    with _pytest.raises(ValueError, match="k=1"):
+        sk.quantile_sketch(d, "v", "id", k=1)
+    with _pytest.raises(ValueError, match="must be in"):
+        sk.quantile_sketch_estimate(s, [0.0])
+    with _pytest.raises(ValueError, match="no quantiles"):
+        sk.quantile_sketch_estimate(s, [])
+    p = str(tmp_path / "qsk")
+    sk.write_quantile_sketch(s, p, k=8)
+    back = sk.read_quantile_sketch(spark, p, k=8)
+    assert {(r["h"], r["v"]) for r in back.collect()} == \
+           {(r["h"], r["v"]) for r in s.collect()}
+    with _pytest.raises(ValueError, match="parameter spaces"):
+        sk.read_quantile_sketch(spark, p, k=16)
