@@ -880,3 +880,101 @@ def cluster_balanced_sample(
         .filter(F.col("rk") <= per_cluster)
         .select(id_col, "c_id", "rk")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "psample",
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Weighted-without-replacement sample of ``k`` rows (per group):
+    priority sampling (Duffield, Lund & Thorup 2007) — the
+    probability-proportional-to-weight mixture materializer the DSIR
+    importance weights feed (today they feed a deterministic top-k
+    cut, which over-selects the head; a weighted SAMPLE is the
+    statistically right way to hit a target mixture).
+
+    Each row gets priority ``q = w / u`` with ``u`` the row's pinned
+    md5-uniform: ``u = (h52 + 1) / 2^52`` ∈ (2^-52, 1] from the
+    52-bit md5 hash of (salt | id). The k highest-priority rows are
+    the sample; the (k+1)-th priority is the threshold ``tau``, and
+    each kept row's Horvitz-Thompson estimation weight is
+    ``max(w, tau)`` — sums of est_weight over any subset S of the
+    sample unbiasedly estimate the true total weight of S's population
+    (near-optimal variance; Szegedy 2006). Groups with <= k rows keep
+    everything with tau = 0 and est_weight = w (exact).
+
+    Why priority sampling and not A-ES (key = u^(1/w)): identical
+    sampling design family, but A-ES's key needs a per-row ``pow`` —
+    a libm transcendental whose last ulp differs between the JVM and
+    DuckDB, breaking the repo's bit-pinned oracle contract. The
+    priority key is ONE exact IEEE division (u is a dyadic rational —
+    (h+1) <= 2^52 divided by a power of two is EXACT), so sample
+    membership, tau, and est_weight are bit-reproducible cross-engine
+    and layout-independent (rerun-stable under retries/speculation,
+    the hash_split property).
+
+    Output: the sampled rows with ``__priority`` dropped, plus
+    ``est_weight`` (double) and ``tau`` (double, the group's
+    threshold). Requires ``weight_col`` > 0 (validated in-plan: a
+    non-positive weight raises at execution). NULL weights are
+    excluded (COUNT semantics).
+
+    Scale: ungrouped -> the corpus reduces by TakeOrderedAndProject
+    (partial per-partition top-(k+1), no global sort, no corpus-wide
+    single partition) before a window over the BOUNDED k+1-row
+    survivor set assigns ranks; grouped -> one rank window on the
+    group key (the topk_per_group shuffle), tau by a bounded per-group
+    max over the held-out (k+1)-th row.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"priority_sample: k={k} must be >= 1")
+    gb = list(group_by or [])
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+            1, 13,
+        ), 16, 10,
+    ).cast("long")
+    u = (h52 + F.lit(1)).cast("double") / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    guarded_w = F.when(w > 0.0, w).otherwise(
+        F.raise_error(F.concat(
+            F.lit("priority_sample: non-positive weight for id "),
+            F.col(id_col).cast("string"),
+        ))
+    )
+    d = df.filter(F.col(weight_col).isNotNull()).withColumn(
+        "__priority", guarded_w / u
+    )
+    order = [F.desc("__priority"), F.asc(id_col)]
+    if not gb:
+        # distributed partial top-(k+1) FIRST; the single-partition
+        # window below sees only those <= k+1 rows (bounded by design)
+        d = d.orderBy(*order).limit(k + 1)
+    win = Window.partitionBy(
+        *[F.col(c) for c in gb]
+    ) if gb else Window.partitionBy(F.lit(1))
+    ranked = d.withColumn(
+        "__rk", F.row_number().over(win.orderBy(*order))
+    ).filter(F.col("__rk") <= k + 1)
+    # tau = the (k+1)-th priority per group (0.0 when the group ran out)
+    tau = ranked.groupBy(*gb).agg(
+        F.max(F.when(F.col("__rk") == k + 1, F.col("__priority"))
+              ).alias("__tau")
+    ).select(*gb, F.coalesce(F.col("__tau"), F.lit(0.0)).alias("tau"))
+    kept = ranked.filter(F.col("__rk") <= k)
+    joined = kept.join(F.broadcast(tau), gb) if gb else kept.crossJoin(
+        F.broadcast(tau))
+    return (
+        joined.withColumn(
+            "est_weight",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+        .drop("__priority", "__rk")
+    )

@@ -560,3 +560,94 @@ def test_epoch_materialize_duplicate_target_guard(spark):
         epoch_materialize(df, dup, ["g"], "doc_id").collect()
     ok = spark.createDataFrame([("a", 3)], ["g", "quota"])
     assert epoch_materialize(df, ok, ["g"], "doc_id").count() == 3
+
+
+# --- priority sampling (weighted-without-replacement) -----------------
+
+
+def _wdocs(spark, n=400):
+    # weights 1..n: heavy tail ids get big weights
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id long, w long")
+
+
+def test_priority_sample_shape_and_determinism(spark):
+    import pytest as _pytest
+
+    d = _wdocs(spark)
+    s1 = scale.priority_sample(d, "w", 40, "id").collect()
+    s2 = scale.priority_sample(d.repartition(7), "w", 40, "id").collect()
+    assert len(s1) == 40
+    key = lambda rows: sorted((r["id"], r["est_weight"], r["tau"])
+                              for r in rows)
+    assert key(s1) == key(s2)  # layout-independent, rerun-stable
+    # different salt -> (almost surely) different sample
+    s3 = scale.priority_sample(d, "w", 40, "id", salt="other").collect()
+    assert {r["id"] for r in s3} != {r["id"] for r in s1}
+    with _pytest.raises(ValueError, match="k=0"):
+        scale.priority_sample(d, "w", 0, "id")
+
+
+def test_priority_sample_favors_heavy_weights(spark):
+    # inclusion probability ~ min(1, w/tau): the heaviest decile must
+    # be overrepresented vs the lightest
+    d = _wdocs(spark, 500)
+    ids = {r["id"] for r in scale.priority_sample(d, "w", 100, "id").collect()}
+    heavy = sum(1 for i in ids if i >= 450)
+    light = sum(1 for i in ids if i < 50)
+    # inclusion ~ w/tau with tau ~ W/k ~ 1250: heaviest decile ~0.37
+    # each (expect ~18), lightest ~0.02 (expect ~1)
+    assert heavy > light
+    assert heavy >= 10
+
+
+def test_priority_sample_ht_estimator_unbiased(spark):
+    # mean of the Horvitz-Thompson total over many independent salts
+    # approaches the true total (Duffield-Lund-Thorup unbiasedness)
+    d = _wdocs(spark, 300)
+    true_total = sum(i + 1 for i in range(300))
+    rel = []
+    for i in range(20):
+        rows = scale.priority_sample(d, "w", 60, "id", salt=f"t{i}").collect()
+        rel.append(sum(r["est_weight"] for r in rows) / true_total - 1.0)
+    mean_bias = sum(rel) / len(rel)
+    assert abs(mean_bias) < 0.08, mean_bias
+
+
+def test_priority_sample_small_group_exact(spark):
+    # groups with <= k rows: everything kept, tau = 0, est_weight = w
+    d = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+        "id long, g string, w long")
+    rows = scale.priority_sample(
+        d, "w", 5, "id", group_by=["g"]).collect()
+    assert len(rows) == 3
+    assert all(r["tau"] == 0.0 and r["est_weight"] == float(r["w"])
+               for r in rows)
+
+
+def test_priority_sample_grouped_k_per_group(spark):
+    d = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), 1 + i % 7) for i in range(120)],
+        "id long, g string, w long")
+    out = scale.priority_sample(d, "w", 8, "id", group_by=["g"])
+    cnt = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert cnt == {"g0": 8, "g1": 8, "g2": 8}
+    # tau is constant within a group and > 0 (every group saturated)
+    taus = {r["g"]: set() for r in out.collect()}
+    for r in out.collect():
+        taus[r["g"]].add(r["tau"])
+    assert all(len(v) == 1 and v.pop() > 0 for v in taus.values())
+
+
+def test_priority_sample_null_and_nonpositive_weights(spark):
+    import pytest as _pytest
+
+    d = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 7)], "id long, w long")
+    rows = scale.priority_sample(d, "w", 10, "id").collect()
+    assert {r["id"] for r in rows} == {1, 3}  # NULL weight excluded
+    bad = spark.createDataFrame([(1, 0)], "id long, w long")
+    with _pytest.raises(Exception, match="non-positive weight"):
+        scale.priority_sample(bad, "w", 2, "id").collect()
