@@ -179,6 +179,13 @@ def main() -> None:
     for name, fn in queries_r11().items():
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
+    # staged round-12 entries bench ahead of registration so their
+    # baselines are seeded before the driver ever times them
+    from ncbi_analysis_spark.plans.driver_queries_r12 import queries_r12
+
+    for name, fn in queries_r12().items():
+        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
     # strands with branch-and-bound floor (the scale configuration; the
     # exact no-floor parity mode scores every offset with the vectorized

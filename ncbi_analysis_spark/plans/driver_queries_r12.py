@@ -1,0 +1,425 @@
+"""Staged round-12 driver queries: persisted-BM25 batch retrieval, the
+quantile-sketch family, heavy hitters, and priority sampling.
+
+Registered into the driver gate next round (the stage-then-register
+cadence). Each query here follows the repo's determinism rules (see
+driver_queries.py header): every cross-engine comparison is either
+exact integer/string arithmetic or a pinned chain of IEEE ops shared
+with the DuckDB oracle; transcendentals (the BM25 idf logs) are
+evaluated ONCE driver-side from exact integers, or probed bit-identical
+(ln — tests/test_retrieval.py::test_bm25_libm_probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index + batch-query search (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+# three queries sharing terms with the standing _BM25_QUERY mix: a rare
+# term, mid-frequency terms, and near-ubiquitous ones — exercises the
+# idf spread AND cross-query posting reuse in one batch
+_BM25_BATCH = [
+    (1, "dup merge stream"),
+    (2, "join hash row"),
+    (3, "dup scan filter"),
+]
+_BM25_BATCH_K = 10
+
+
+def bm25_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-BM25 retrieval end-to-end
+    (operators/retrieval.py::write_bm25_index / append_to_bm25_index /
+    bm25_topk_batch): build the inverted index from the even-doc_id
+    half of the corpus, append the odd half as a crawl-delta batch
+    (append ≡ rebuild — any drift between the append path and a
+    from-scratch index hash-mismatches here), then serve a THREE-query
+    batch from partition-pruned index reads. The oracle recomputes
+    BM25 from the raw corpus independently — so this one row also pins
+    index-vs-corpus equivalence, the persisted-index contract."""
+    from ncbi_analysis_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_batch,
+        write_bm25_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = _staging_dir("spark_graft_bm25_index")
+    write_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path, n_buckets=32)
+    append_to_bm25_index(d.filter(F.col("doc_id") % 2 == 1), path,
+                         n_buckets=32)
+    qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
+    return bm25_topk_batch(spark, path, qdf, k=_BM25_BATCH_K)
+
+
+def _bm25_batch_sql() -> str:
+    from ncbi_analysis_spark.operators.retrieval import query_terms
+
+    all_terms = sorted({t for _, q in _BM25_BATCH for t in query_terms(q)})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in _BM25_BATCH for t in query_terms(q)
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN length(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS dl
+  FROM d
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS g
+  FROM d
+),
+q(query_id, g) AS (VALUES {qvals}),
+tf AS (
+  SELECT doc_id, g, count(*)::BIGINT AS tf
+  FROM toks WHERE g IN ({in_list}) GROUP BY doc_id, g
+),
+dfv AS (SELECT g, count(*)::BIGINT AS df FROM tf GROUP BY g),
+st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+model AS (
+  SELECT t.g,
+         ln(1.0 + (st.n::DOUBLE - COALESCE(dfv.df, 0)::DOUBLE + 0.5)
+                  / (COALESCE(dfv.df, 0)::DOUBLE + 0.5)) AS idf
+  FROM (SELECT DISTINCT g FROM q) t
+  LEFT JOIN dfv ON t.g = dfv.g CROSS JOIN st
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.g,
+         m.idf * (tf.tf::DOUBLE /
+           (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 *
+             (dl.dl::DOUBLE / (st.s::DOUBLE / st.n::DOUBLE))))) AS contrib
+  FROM tf
+  JOIN q ON tf.g = q.g
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN model m ON tf.g = m.g
+  CROSS JOIN st
+),
+agg AS (
+  SELECT query_id, doc_id, count(*)::BIGINT AS n_terms_matched,
+         list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+                     (a, b) -> a + b) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id)::BIGINT AS rk
+  FROM agg
+)
+SELECT query_id, doc_id, n_terms_matched, score, rk
+FROM rk WHERE rk <= {_BM25_BATCH_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (operators/sketches.py::quantile_sketch family)
+# ---------------------------------------------------------------------------
+
+_QSK_K = 128
+_QSK_QS = (0.25, 0.5, 0.9, 1.0)
+
+
+def quantile_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch end-to-end: sketch the even-doc_id and
+    odd-doc_id halves of the corpus INDEPENDENTLY, merge the two
+    sketches, estimate quantiles of n_chars from the merged sketch.
+    The oracle computes the bottom-k sample of the WHOLE corpus
+    directly — so a hash match proves merge(A, B) ≡ sketch(A ∪ B) (the
+    hll_merge_snapshots contract) AND pins the estimator's discrete
+    ceil(q*n) arithmetic cross-engine."""
+    from ncbi_analysis_spark.operators import sketches as sk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    merged = sk.quantile_sketch_merge(
+        sk.quantile_sketch(a, "n_chars", "doc_id", k=_QSK_K),
+        sk.quantile_sketch(b, "n_chars", "doc_id", k=_QSK_K),
+        _QSK_K,
+    )
+    return sk.quantile_sketch_estimate(merged, list(_QSK_QS))
+
+
+def _quantile_sketch_sql() -> str:
+    qvals = ", ".join(f"({int(round(q * 1_000_000))})" for q in _QSK_QS)
+    return f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
+         n_chars AS v
+  FROM documents WHERE n_chars IS NOT NULL
+  ORDER BY h LIMIT {_QSK_K}
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
+         count(*) OVER () AS n
+  FROM s
+),
+q(q_ppm) AS (VALUES {qvals})
+SELECT q_ppm::BIGINT AS q_ppm, r.n::BIGINT AS n_sample, r.v AS est_v
+FROM q JOIN r
+  ON r.rk = (q_ppm * r.n + 999999) // 1000000
+"""
+
+
+_QSK_GATE_Q = 0.5
+
+
+def quantile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter_by_quantile from a PUBLISHED sketch instead of a corpus
+    pass (the incremental-gate ask): publish the n_chars quantile
+    sketch, read it back (marker-validated), derive the median
+    threshold, and gate the corpus — per-lang survivor counts plus the
+    threshold column. The only corpus-sized work is the final filtered
+    aggregate; the threshold came from sketch artifacts."""
+    from ncbi_analysis_spark.operators import sketches as sk
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _staging_dir("spark_graft_qsketch")
+    sk.write_quantile_sketch(
+        sk.quantile_sketch(d, "n_chars", "doc_id", k=_QSK_K), path, k=_QSK_K
+    )
+    sketch = sk.read_quantile_sketch(spark, path, k=_QSK_K)
+    thr = sk.quantile_sketch_threshold(sketch, _QSK_GATE_Q)
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("threshold"))
+        .groupBy("lang", "threshold")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def _quantile_gate_sql() -> str:
+    q_ppm = int(round(_QSK_GATE_Q * 1_000_000))
+    return f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
+         n_chars AS v
+  FROM documents WHERE n_chars IS NOT NULL
+  ORDER BY h LIMIT {_QSK_K}
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
+         count(*) OVER () AS n
+  FROM s
+),
+thr AS (
+  SELECT v AS threshold FROM r
+  WHERE rk = ({q_ppm} * n + 999999) // 1000000
+)
+SELECT lang, threshold, count(*)::BIGINT AS n_kept
+FROM documents CROSS JOIN thr
+WHERE n_chars >= threshold
+GROUP BY lang, threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (operators/heavy_hitters.py)
+# ---------------------------------------------------------------------------
+
+_HH_N = 20
+_HH_M = 256
+
+
+def heavy_hitters_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass exact top-N tokens of the document corpus
+    (operators/heavy_hitters.py::heavy_hitters_topn): per-partition
+    top-m candidates (Misra-Gries coverage), exact recount of the
+    candidate set only, per-row layout-independence guarantee flag.
+    The oracle is the direct vocabulary-wide count — agreement proves
+    the bounded candidate pass lost nothing at this corpus's skew."""
+    from ncbi_analysis_spark.functions.text import tokens
+    from ncbi_analysis_spark.operators.heavy_hitters import heavy_hitters_topn
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.col("text"))).alias("g"))
+    )
+    return heavy_hitters_topn(toks, "g", n=_HH_N, m=_HH_M)
+
+
+def _heavy_hitters_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS g
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks)
+SELECT g AS token, count(*)::BIGINT AS cnt,
+       (count(*)::BIGINT * {_HH_M + 1} > tot.n) AS guaranteed
+FROM toks CROSS JOIN tot
+GROUP BY g, tot.n
+ORDER BY cnt DESC, token LIMIT {_HH_N}
+"""
+
+
+_CM_W = 512
+_CM_D = 3
+_CM_TOP = 15
+
+
+def cm_heavy_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min snapshot workflow: sketch the even/odd doc_id halves'
+    token streams INDEPENDENTLY, merge the register tables, and
+    estimate frequencies for the heavy-hitter candidate set
+    (heavy_hitters_topn's top-15 — the production pairing). The oracle
+    rebuilds the registers from the whole corpus in DuckDB (same md5
+    buckets, exact integer counts) — a hash match proves
+    merge ≡ rebuild AND pins the min-over-rows estimator."""
+    from ncbi_analysis_spark.functions.text import tokens
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        cm_estimate,
+        cm_merge,
+        cm_sketch,
+        heavy_hitters_topn,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+
+    def _toks(side):
+        return side.select(F.explode(tokens(F.col("text"))).alias("g"))
+
+    merged = cm_merge(
+        cm_sketch(_toks(docs.filter(F.col("doc_id") % 2 == 0)), "g",
+                  _CM_W, _CM_D),
+        cm_sketch(_toks(docs.filter(F.col("doc_id") % 2 == 1)), "g",
+                  _CM_W, _CM_D),
+    )
+    cands = heavy_hitters_topn(_toks(docs), "g", n=_CM_TOP, m=_HH_M).select(
+        F.col("token").alias("g"), F.col("cnt").alias("exact_cnt")
+    )
+    est = cm_estimate(merged, cands, "g", _CM_W, _CM_D)
+    return est.join(
+        F.broadcast(cands.withColumnRenamed("g", "item")), "item"
+    ).select("item", "est_cnt", "exact_cnt")
+
+
+def _cm_heavy_sql() -> str:
+    rows = ", ".join(f"({i})" for i in range(_CM_D))
+    return rf"""
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS g
+  FROM documents WHERE text IS NOT NULL
+),
+rws(i) AS (VALUES {rows}),
+regs AS (
+  SELECT i AS row,
+         ('0x' || substr(md5('cm' || i::VARCHAR || '|' || g), 1, 8))::BIGINT
+           % {_CM_W} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM toks CROSS JOIN rws
+  GROUP BY row, bucket
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM toks),
+cands AS (
+  SELECT g AS item, count(*)::BIGINT AS exact_cnt
+  FROM toks GROUP BY g ORDER BY exact_cnt DESC, item LIMIT {_CM_TOP}
+),
+probes AS (
+  SELECT item, exact_cnt, i AS row,
+         ('0x' || substr(md5('cm' || i::VARCHAR || '|' || item), 1, 8))::BIGINT
+           % {_CM_W} AS bucket
+  FROM cands CROSS JOIN rws
+)
+SELECT p.item, min(COALESCE(r.cnt, 0))::BIGINT AS est_cnt,
+       p.exact_cnt
+FROM probes p
+LEFT JOIN regs r ON p.row = r.row AND p.bucket = r.bucket
+GROUP BY p.item, p.exact_cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (operators/scale.py::priority_sample)
+# ---------------------------------------------------------------------------
+
+_PS_K = 64
+
+
+def priority_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-without-replacement corpus sample
+    (operators/scale.py::priority_sample): 64 documents drawn with
+    probability proportional to n_chars, with the Horvitz-Thompson
+    estimation weight and threshold tau. The key is one exact IEEE
+    division of pinned md5-uniforms (no transcendentals — the reason
+    this is priority sampling and not A-ES), so sample MEMBERSHIP, tau
+    and est_weight all hash-match the oracle bit-for-bit."""
+    from ncbi_analysis_spark.operators.scale import priority_sample
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select("doc_id", "n_chars")
+    )
+    s = priority_sample(d, "n_chars", _PS_K, "doc_id")
+    return s.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        "est_weight",
+        "tau",
+    )
+
+
+def _priority_sample_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+p AS (
+  SELECT doc_id, n_chars,
+         n_chars::DOUBLE /
+           ((('0x' || substr(md5('psample|' || doc_id::VARCHAR), 1, 13))::BIGINT
+             + 1)::DOUBLE / 4503599627370496.0) AS pr
+  FROM d
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pr DESC, doc_id) AS rk FROM p
+),
+tau AS (
+  SELECT COALESCE(max(CASE WHEN rk = {_PS_K + 1} THEN pr END), 0.0) AS tau
+  FROM r WHERE rk <= {_PS_K + 1}
+)
+SELECT doc_id, n_chars::BIGINT AS weight,
+       greatest(n_chars::DOUBLE, tau.tau) AS est_weight, tau.tau AS tau
+FROM r CROSS JOIN tau
+WHERE rk <= {_PS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries_r12() -> dict:
+    return {
+        "bm25_index_batch": bm25_index_batch,
+        "quantile_sketch_estimates": quantile_sketch_estimates,
+        "quantile_sketch_gate": quantile_sketch_gate,
+        "heavy_hitters_report": heavy_hitters_report,
+        "cm_heavy_estimates": cm_heavy_estimates,
+        "priority_sample_mixture": priority_sample_mixture,
+    }
+
+
+def oracle_sql_r12() -> dict[str, str]:
+    return {
+        "bm25_index_batch": _bm25_batch_sql(),
+        "quantile_sketch_estimates": _quantile_sketch_sql(),
+        "quantile_sketch_gate": _quantile_gate_sql(),
+        "heavy_hitters_report": _heavy_hitters_sql(),
+        "cm_heavy_estimates": _cm_heavy_sql(),
+        "priority_sample_mixture": _priority_sample_sql(),
+    }

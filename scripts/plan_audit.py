@@ -108,6 +108,15 @@ EXPECTED: dict[str, set[str]] = {
     # (bounded query batch broadcast against the corpus); the exact
     # re-rank joins are keyed.
     "ann_pca_rerank": {"BroadcastNestedLoopJoin"},
+    # --- staged r12 (audited pre-registration) ---
+    # One-row sketch-derived threshold broadcast cross-joined into the
+    # corpus filter — quality_quantile_gate's pinned shape (the
+    # threshold now comes from a published sketch, not a corpus pass).
+    "quantile_sketch_gate": {"BroadcastNestedLoopJoin"},
+    # One-row tau (the (k+1)-th priority) broadcast cross-joined into
+    # the bounded k-row sample — the same scalar-small-side class; the
+    # corpus already reduced via TakeOrderedAndProject upstream.
+    "priority_sample_mixture": {"BroadcastNestedLoopJoin"},
 }
 
 
@@ -134,6 +143,7 @@ def audit(
     from ncbi_analysis_spark.plans import driver_queries
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
     from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
+    from ncbi_analysis_spark.plans.driver_queries_r12 import queries_r12
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
@@ -152,7 +162,8 @@ def audit(
             "vocab_drift_report"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r10(), **queries_r11()}
+    qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
+          **queries_r12()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
