@@ -52,3 +52,17 @@ def read_text(spark: SparkSession, path_str: str) -> str:
         return bytes(sink.toByteArray()).decode("utf-8")
     finally:
         stream.close()
+
+
+def list_subdirs(spark: SparkSession, path_str: str) -> list[str]:
+    """Names of the immediate subdirectories of ``path_str`` (sorted),
+    resolved through the same Hadoop FileSystem as the data — a
+    driver-local ``os.listdir`` would miss object-store layouts."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        if st.isDirectory():
+            out.append(st.getPath().getName())
+    return sorted(out)

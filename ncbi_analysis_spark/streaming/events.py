@@ -930,3 +930,99 @@ def run_curation_job(
         **curation_kwargs,
     )
     stream_to_parquet(curated, out_path, checkpoint, timeout_s=timeout_s)
+
+
+def publish_hll_snapshots(
+    stream_df: DataFrame,
+    col: str,
+    out_root: str,
+    checkpoint: str,
+    p: int = 8,
+    group_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming sketch PUBLISHER: a ``foreachBatch`` job that turns an
+    unbounded stream into versioned, marker-guarded HLL snapshot
+    artifacts — the streaming producer side of the
+    ``hll_merge_snapshots`` consumption contract.
+
+    Each micro-batch's register table (``operators.sketches.
+    hll_registers`` over just that batch — bounded at
+    n_groups * 2^p rows) is published to ``{out_root}/batch={id}`` via
+    ``write_hll_sketch``, parameter marker included. Because HLL merge
+    is associative/commutative/IDEMPOTENT (register-wise max), the
+    union of all published snapshots merged by ``read_hll_snapshots``
+    equals the sketch of everything that ever flowed through —
+    regardless of how the stream was batched.
+
+    Restart idempotency (the ``stream_to_parquet`` contract, by a
+    different mechanism): the checkpoint resumes AFTER the last
+    committed batch, and a batch re-delivered after a mid-publish crash
+    OVERWRITES its own ``batch={id}`` directory (write_hll_sketch is
+    mode=overwrite), so re-publication cannot double-count — and even
+    a duplicated batch directory would be absorbed by the merge's
+    idempotence. ``available_now`` + timeout semantics match
+    ``stream_to_parquet`` (partial drains raise; retry is safe).
+    """
+    from ncbi_analysis_spark.operators.sketches import (
+        hll_registers,
+        write_hll_sketch,
+    )
+
+    def _publish(batch_df, batch_id: int) -> None:
+        regs = hll_registers(batch_df, col, p=p, group_by=group_by)
+        write_hll_sketch(
+            regs, f"{out_root.rstrip('/')}/batch={batch_id}",
+            p=p, group_by=group_by,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"publish_hll_snapshots drain overran {timeout_s}s and was "
+                f"stopped mid-batch; the checkpoint at {checkpoint!r} makes "
+                "a retry exactly-once safe"
+            )
+        return None
+    return w.start()
+
+
+def read_hll_snapshots(
+    spark,
+    out_root: str,
+    p: int = 8,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a ``publish_hll_snapshots`` directory as ONE merged
+    register table: validate every snapshot's parameter marker (a
+    cross-parameter merge must fail loudly, the read_hll_sketch
+    contract), union the per-batch registers, and merge by register-
+    wise max (``hll_rollup`` keyed on the full grouping). Feed to
+    ``hll_estimate`` for the corpus-lifetime cardinality readout, or
+    ``hll_merge`` with other published sketches."""
+    from ncbi_analysis_spark.operators.sketches import (
+        hll_rollup,
+        read_hll_sketch,
+    )
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = out_root.rstrip("/")
+    batches = [d for d in fsutil.list_subdirs(spark, root)
+               if d.startswith("batch=")]
+    if not batches:
+        raise ValueError(
+            f"{out_root!r} has no published batch=* snapshots"
+        )
+    merged = None
+    for b in batches:
+        t = read_hll_sketch(spark, f"{root}/{b}", p=p, group_by=group_by)
+        merged = t if merged is None else merged.unionByName(t)
+    return hll_rollup(merged, list(group_by or []))

@@ -80,7 +80,11 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "stream_dedup_digests", "stream_hll_user_distinct",
          "vocab_drift_report", "hll_user_cube", "ann_pca_rerank",
          # round-10 retrieval additions (documents-only)
-         "bm25_search", "rrf_hybrid_search"]
+         "bm25_search", "rrf_hybrid_search",
+         # round-12 staged additions (all documents-only)
+         "bm25_index_batch", "quantile_sketch_estimates",
+         "quantile_sketch_gate", "heavy_hitters_report",
+         "cm_heavy_estimates", "priority_sample_mixture"]
 
 
 def _sf_dir(spark, sf: float) -> str:
@@ -155,12 +159,13 @@ def main() -> None:
     from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
     from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
+    from ncbi_analysis_spark.plans.driver_queries_r12 import queries_r12
     from ncbi_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**e.queries(), **queries_r7(), **queries_r8(), **queries_r10(),
-          **queries_r11()}
+          **queries_r11(), **queries_r12()}
     # round-8-staged shapes: anchor-window span dedup, apportionment +
     # repeat explode, distinct-score cumulative scan, shard map + keyed
     # window, id-keyed full outer join, and the persisted composition

@@ -718,3 +718,60 @@ def test_stream_hll_registers_matches_batch(spark, stream_dir):
     assert got == want and len(got) > 0
     n_groups = batch.select("event_type").distinct().count()
     assert len(got) <= n_groups * 256
+
+
+def test_publish_hll_snapshots_restart_and_merge(spark, tmp_path):
+    """The streaming sketch publisher: versioned marker-guarded batch
+    snapshots; a restart over the same checkpoint publishes nothing
+    new; new files land as NEW snapshots; and the merged read equals
+    the batch sketch of everything that ever flowed through
+    (register-for-register — the associativity/idempotence contract)."""
+    import glob as _glob
+
+    from ncbi_analysis_spark.operators.sketches import hll_registers
+    from ncbi_analysis_spark.sources import fsutil
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "sketches"); ck = str(tmp_path / "ck")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+
+    def run():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.publish_hll_snapshots(
+            stream.select("user_id", "event_type"), "user_id", out, ck,
+            p=8, group_by=["event_type"])
+
+    run()
+    dirs1 = fsutil.list_subdirs(spark, out)
+    assert dirs1 and all(d.startswith("batch=") for d in dirs1)
+    # layout check: every snapshot carries its parameter marker
+    for d in dirs1:
+        assert fsutil.exists(spark, f"{out}/{d}/_SKETCH_PARAMS.json")
+    # restart, same source+checkpoint: no new snapshots
+    run()
+    assert fsutil.list_subdirs(spark, out) == dirs1
+    # new file between restarts -> new snapshot(s), exactly once
+    stage = str(tmp_path / "stage")
+    df2 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "user_id", F.col("user_id") + 777)
+    df2.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "b.parquet")
+    run()
+    dirs2 = fsutil.list_subdirs(spark, out)
+    assert len(dirs2) > len(dirs1)
+
+    # merged read == batch sketch of the union, register-for-register
+    merged = sev.read_hll_snapshots(spark, out, p=8,
+                                    group_by=["event_type"])
+    both = read_events(spark, f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_type").unionByName(
+        df2.select("user_id", "event_type"))
+    want = hll_registers(both, "user_id", p=8, group_by=["event_type"])
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, want.collect()))
+
+    # wrong-parameter read fails loudly
+    with pytest.raises(ValueError, match="parameter spaces"):
+        sev.read_hll_snapshots(spark, out, p=12, group_by=["event_type"])
+    with pytest.raises(ValueError, match="no published"):
+        sev.read_hll_snapshots(spark, str(tmp_path / "nothing"), p=8)
