@@ -72,9 +72,34 @@ def hashed_vocab_counts(
     """Unigram counts over the hashed vocabulary: ``(bucket, n)``, at
     most ``n_buckets`` rows. Empty/NULL texts contribute nothing.
     Pass ``counts`` (a persisted ``token_bucket_counts``) to reuse an
-    existing tokenize pass."""
+    existing tokenize pass — it must have been built with the SAME
+    ``n_buckets``: a mismatched table would silently mis-bucket the
+    drift comparison, so the reuse path validates the schema
+    driver-side and guards the bucket range IN-PLAN (the
+    temperature_quotas loud-failure pattern; a bucket id at or past
+    ``n_buckets`` proves a parameter mismatch and raises at
+    execution)."""
     if counts is None:
         counts = token_bucket_counts(df, text_col, n_buckets)
+    else:
+        missing = {"bucket", "g", "c"} - set(counts.columns)
+        if missing:
+            raise ValueError(
+                "hashed_vocab_counts: counts= is not a "
+                f"token_bucket_counts table (missing columns {sorted(missing)})"
+            )
+        guard = F.when(
+            F.col("bucket") < n_buckets, F.col("bucket")
+        ).otherwise(
+            F.raise_error(F.concat(
+                F.lit("hashed_vocab_counts: counts table has bucket "),
+                F.col("bucket").cast("string"),
+                F.lit(f" >= n_buckets={n_buckets} — it was built with a "
+                      "different n_buckets; rebuild or pass the matching "
+                      "value"),
+            ))
+        )
+        counts = counts.select(guard.alias("bucket"), "g", "c")
     return counts.groupBy("bucket").agg(
         F.sum("c").cast("long").alias("n")
     )

@@ -111,3 +111,29 @@ def test_vocab_drift_null_and_empty_text(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["n_a"], r["n_b"], r["contrib"]) == (1, 1, 0.0)
+
+
+def test_hashed_vocab_counts_reuse_validates_buckets(spark):
+    """The counts= reuse path must reject a non-counts table
+    driver-side and fail IN-PLAN when the table was built with a
+    larger n_buckets (silent mis-bucketing is the failure mode)."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators import drift as dr
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha")],
+        "doc_id long, text string")
+    counts = dr.token_bucket_counts(d, n_buckets=1024)
+    with _pytest.raises(ValueError, match="missing columns"):
+        dr.hashed_vocab_counts(d, counts=counts.drop("g"))
+    # matching reuse: identical to the direct computation
+    direct = {(r["bucket"], r["n"])
+              for r in dr.hashed_vocab_counts(d, n_buckets=1024).collect()}
+    reused = {(r["bucket"], r["n"])
+              for r in dr.hashed_vocab_counts(
+                  d, n_buckets=1024, counts=counts).collect()}
+    assert direct == reused
+    # mismatched n_buckets: loud in-plan failure at execution
+    with _pytest.raises(Exception, match="different n_buckets"):
+        dr.hashed_vocab_counts(d, n_buckets=2, counts=counts).collect()
