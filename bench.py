@@ -529,6 +529,17 @@ BASELINE = {
     # top-k + rank fusion), standalone min-of-3 (noise control read
     # 0.402 in the same session)
     "rrf_hybrid_search": (1.298, 10),
+    # staged-r12 entries, seeded from the round-12 full clean run
+    # (min-of-3, zero errors, noise control dedup_exact_groups read
+    # 0.225 — an idle box). bm25_index_batch's wall is dominated by
+    # the per-run index write+append (the amortized-in-production
+    # part); the 3-query batch search itself is the tail.
+    "bm25_index_batch": (5.966, 12),
+    "quantile_sketch_estimates": (0.529, 12),
+    "quantile_sketch_gate": (0.494, 12),
+    "heavy_hitters_report": (0.709, 12),
+    "cm_heavy_estimates": (1.117, 12),
+    "priority_sample_mixture": (0.29, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -401,6 +401,64 @@ WHERE rk <= {_PS_K}
 
 
 # ---------------------------------------------------------------------------
+# Streaming HLL snapshot publisher (streaming/events.py, round-12
+# stretch): versioned marker-guarded sketch artifacts from a stream
+# ---------------------------------------------------------------------------
+
+
+def stream_hll_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch publication end-to-end
+    (streaming/events.py::publish_hll_snapshots/read_hll_snapshots):
+    the events table as a file stream, each micro-batch's bounded
+    register table published as a versioned, marker-guarded snapshot
+    via foreachBatch, then the snapshot directory read back and merged
+    by register-wise max. The merged table must equal the batch sketch
+    of the whole corpus EXACTLY regardless of how the stream was
+    batched (associativity + idempotence of max) — the same
+    whole-corpus oracle the snapshot-merge and streaming-HLL queries
+    pin."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.plans.driver_queries import _events
+    from ncbi_analysis_spark.streaming.events import (
+        publish_hll_snapshots,
+        read_hll_snapshots,
+    )
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="stream_hll_pub_")
+    try:
+        from ncbi_analysis_spark.plans.driver_queries_r11 import (
+            _stage_as_stream,
+        )
+
+        src = _stage_as_stream(spark, ev, tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = f"{tmp}/sketches"
+        publish_hll_snapshots(
+            stream, "user_id", out, f"{tmp}/ck", p=8,
+            group_by=["event_type"],
+        )
+        merged = read_hll_snapshots(
+            spark, out, p=8, group_by=["event_type"]
+        )
+        # the snapshot directory dies with tmp: materialize the bounded
+        # (groups x 2^p) merged table before cleanup
+        rows = merged.collect()
+        schema = merged.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _hll_registers_sql() -> str:
+    """The whole-corpus register-table oracle — identical to
+    hll_merge_snapshots' / stream_hll_user_distinct's: any batching of
+    the input must merge to exactly this table."""
+    from ncbi_analysis_spark.plans.driver_queries_r11 import _HLL_MERGE_SQL
+
+    return _HLL_MERGE_SQL
 
 
 def queries_r12() -> dict:
@@ -411,6 +469,7 @@ def queries_r12() -> dict:
         "heavy_hitters_report": heavy_hitters_report,
         "cm_heavy_estimates": cm_heavy_estimates,
         "priority_sample_mixture": priority_sample_mixture,
+        "stream_hll_publish": stream_hll_publish,
     }
 
 
@@ -422,4 +481,5 @@ def oracle_sql_r12() -> dict[str, str]:
         "heavy_hitters_report": _heavy_hitters_sql(),
         "cm_heavy_estimates": _cm_heavy_sql(),
         "priority_sample_mixture": _priority_sample_sql(),
+        "stream_hll_publish": _hll_registers_sql(),
     }
