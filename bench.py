@@ -540,6 +540,9 @@ BASELINE = {
     "heavy_hitters_report": (0.709, 12),
     "cm_heavy_estimates": (1.117, 12),
     "priority_sample_mixture": (0.29, 12),
+    # staged-r12 streaming sketch publisher (stage + foreachBatch
+    # publish + merged read-back), from the second r12 session
+    "stream_hll_publish": (1.401, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed
