@@ -452,6 +452,190 @@ def stream_hll_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# DSIR -> priority-sampling integration (the r11 verdict's framing:
+# importance weights should feed a weighted SAMPLE, not a top-k cut)
+# ---------------------------------------------------------------------------
+
+_DSIR_PS_K = 64
+
+
+def dsir_priority_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a DSIR-weighted mixture the statistically right way:
+    per-doc DSIR importance (the registered dsir_importance fit —
+    English-target hashed-bigram log-ratios), converted to a sampling
+    weight ``w = max(round(exp(logw - max_logw), 6), 1e-6)`` (shift by
+    the corpus max makes exp overflow-free and scale-invariance of
+    priority sampling makes the shift semantics-free; the 6dp round
+    absorbs the last-ulp libm-vs-JVM exp difference — the
+    quality_classifier sigmoid precedent — and the 1e-6 floor keeps the
+    deep tail samplable instead of tripping the positive-weight guard),
+    then a 64-doc priority sample with Horvitz-Thompson estimation
+    weights. Replaces the deterministic top-k cut (curation_v2's
+    top-250-by-prob pattern) for mixture materialization: every doc has
+    inclusion probability ~min(1, w/tau) instead of the head being
+    certain and the tail impossible."""
+    from ncbi_analysis_spark.operators.scale import priority_sample
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios_pred,
+        dsir_score,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _DSIR_PARAMS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_logratios_pred(
+        d, F.col("lang") == "en", "text", "doc_id", **_DSIR_PARAMS
+    )
+    scored = dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS)
+    mx = scored.agg(F.max("logw")).collect()[0][0]
+    weighted = scored.select(
+        "doc_id",
+        "logw",
+        F.greatest(
+            F.round(F.exp(F.col("logw") - F.lit(float(mx))), 6),
+            F.lit(1e-6),
+        ).alias("w"),
+    )
+    samp = priority_sample(weighted, "w", _DSIR_PS_K, "doc_id",
+                           salt="dsir")
+    return samp.select("doc_id", "logw", "w", "est_weight", "tau")
+
+
+def _dsir_priority_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _dsir_sql
+
+    return f"""
+WITH dsirt AS ({_dsir_sql()}),
+mx AS (SELECT max(logw) AS m FROM dsirt),
+wtab AS (
+  SELECT doc_id, logw,
+         GREATEST(ROUND(exp(logw - mx.m), 6), 0.000001) AS w
+  FROM dsirt CROSS JOIN mx
+),
+p AS (
+  SELECT doc_id, logw, w,
+         w / ((('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 13))::BIGINT
+               + 1)::DOUBLE / 4503599627370496.0) AS pr
+  FROM wtab
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pr DESC, doc_id) AS rk FROM p
+),
+tau AS (
+  SELECT COALESCE(max(CASE WHEN rk = {_DSIR_PS_K + 1} THEN pr END), 0.0) AS tau
+  FROM r WHERE rk <= {_DSIR_PS_K + 1}
+)
+SELECT doc_id, logw, w, greatest(w, tau.tau) AS est_weight, tau.tau AS tau
+FROM r CROSS JOIN tau
+WHERE rk <= {_DSIR_PS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped forms of the r12 operators through the driver gate (the
+# per-group code paths are pytest-covered; these pin them cross-engine)
+# ---------------------------------------------------------------------------
+
+_PSG_K = 8
+
+
+def priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped priority sampling: 8 docs per language, weight n_chars —
+    the per-domain mixture-quota form (every group pays its own tau).
+    Output one row per kept doc with the group's tau; groups smaller
+    than k keep everything at tau 0."""
+    from ncbi_analysis_spark.operators.scale import priority_sample
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+            & F.col("lang").isNotNull()
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+    s = priority_sample(d, "n_chars", _PSG_K, "doc_id",
+                        group_by=["lang"])
+    return s.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        "est_weight", "tau",
+    )
+
+
+def _priority_per_lang_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND lang IS NOT NULL
+),
+p AS (
+  SELECT doc_id, lang, n_chars,
+         n_chars::DOUBLE /
+           ((('0x' || substr(md5('psample|' || doc_id::VARCHAR), 1, 13))::BIGINT
+             + 1)::DOUBLE / 4503599627370496.0) AS pr
+  FROM d
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY pr DESC, doc_id) AS rk
+  FROM p
+),
+tau AS (
+  SELECT lang,
+         COALESCE(max(CASE WHEN rk = {_PSG_K + 1} THEN pr END), 0.0) AS tau
+  FROM r WHERE rk <= {_PSG_K + 1} GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.n_chars::BIGINT AS weight,
+       greatest(r.n_chars::DOUBLE, tau.tau) AS est_weight, tau.tau AS tau
+FROM r JOIN tau ON r.lang = tau.lang
+WHERE r.rk <= {_PSG_K}
+"""
+
+
+def quantile_sketch_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch: per-language n_chars medians and p90s
+    from per-language bottom-k samples — the per-domain length-profile
+    a mixture designer reads before setting quotas. Pins the grouped
+    sketch + grouped estimator paths cross-engine."""
+    from ncbi_analysis_spark.operators import sketches as sk
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id", "lang", "n_chars")
+    )
+    s = sk.quantile_sketch(d, "n_chars", "doc_id", k=_QSK_K,
+                           group_by=["lang"])
+    return sk.quantile_sketch_estimate(s, [0.5, 0.9], group_by=["lang"])
+
+
+def _quantile_per_lang_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT lang,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
+         n_chars AS v,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+         ) AS hrk
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+),
+s AS (SELECT lang, h, v FROM h WHERE hrk <= {_QSK_K}),
+r AS (
+  SELECT lang, v,
+         row_number() OVER (PARTITION BY lang ORDER BY v, h) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM s
+),
+q(q_ppm) AS (VALUES (500000), (900000))
+SELECT r.lang, q.q_ppm::BIGINT AS q_ppm, r.n::BIGINT AS n_sample,
+       r.v AS est_v
+FROM q JOIN r ON r.rk = (q.q_ppm * r.n + 999999) // 1000000
+"""
+
+
 def _hll_registers_sql() -> str:
     """The whole-corpus register-table oracle — identical to
     hll_merge_snapshots' / stream_hll_user_distinct's: any batching of
@@ -470,6 +654,9 @@ def queries_r12() -> dict:
         "cm_heavy_estimates": cm_heavy_estimates,
         "priority_sample_mixture": priority_sample_mixture,
         "stream_hll_publish": stream_hll_publish,
+        "dsir_priority_mixture": dsir_priority_mixture,
+        "priority_sample_per_lang": priority_sample_per_lang,
+        "quantile_sketch_per_lang": quantile_sketch_per_lang,
     }
 
 
@@ -482,4 +669,7 @@ def oracle_sql_r12() -> dict[str, str]:
         "cm_heavy_estimates": _cm_heavy_sql(),
         "priority_sample_mixture": _priority_sample_sql(),
         "stream_hll_publish": _hll_registers_sql(),
+        "dsir_priority_mixture": _dsir_priority_sql(),
+        "priority_sample_per_lang": _priority_per_lang_sql(),
+        "quantile_sketch_per_lang": _quantile_per_lang_sql(),
     }

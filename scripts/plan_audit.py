@@ -117,6 +117,9 @@ EXPECTED: dict[str, set[str]] = {
     # the bounded k-row sample — the same scalar-small-side class; the
     # corpus already reduced via TakeOrderedAndProject upstream.
     "priority_sample_mixture": {"BroadcastNestedLoopJoin"},
+    # Same shape over the DSIR-weighted corpus (the grouped per-lang
+    # form joins tau on the group key — keyed hash join, no marker).
+    "dsir_priority_mixture": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -171,3 +171,68 @@ def test_priority_sample_mixture_semantics(spark):
     )
     again = priority_sample(d, "n_chars", _PS_K, "doc_id").collect()
     assert {r["doc_id"] for r in again} == {r["doc_id"] for r in rows}
+
+
+def test_dsir_priority_mixture_semantics(spark):
+    """Weights are the shifted-exp of logw: bounded in (0, 1] with the
+    1e-6 floor, 6dp-stable, monotone in logw; est_weight = max(w, tau)
+    with one positive tau."""
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        _DSIR_PS_K,
+        dsir_priority_mixture,
+    )
+
+    rows = dsir_priority_mixture(spark, SF_DIR).collect()
+    assert len(rows) == _DSIR_PS_K
+    assert max(r["w"] for r in rows) <= 1.0
+    assert all(1e-6 <= r["w"] == round(r["w"], 6) for r in rows)
+    assert all(r["est_weight"] == max(r["w"], r["tau"]) for r in rows)
+    taus = {r["tau"] for r in rows}
+    assert len(taus) == 1 and taus.pop() > 0
+    # w monotone in logw on the sampled rows (above the floor)
+    above = sorted((r["logw"], r["w"]) for r in rows if r["w"] > 1e-6)
+    ws = [w for _, w in above]
+    assert ws == sorted(ws)
+
+
+def test_priority_sample_per_lang_semantics(spark):
+    """k per saturated group, one tau per group, tau > 0 where the
+    group saturates, est_weight = max(weight, tau) row-wise."""
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        _PSG_K,
+        priority_sample_per_lang,
+    )
+
+    rows = priority_sample_per_lang(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        assert len(rs) <= _PSG_K
+        taus = {r["tau"] for r in rs}
+        assert len(taus) == 1
+        if len(rs) == _PSG_K:
+            assert all(r["tau"] > 0 for r in rs)
+        assert all(r["est_weight"] == max(float(r["weight"]), r["tau"])
+                   for r in rs)
+
+
+def test_quantile_sketch_per_lang_semantics(spark):
+    """Each language reports p50 <= p90 and every estimate is a real
+    n_chars value of that language."""
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        quantile_sketch_per_lang,
+    )
+
+    rows = quantile_sketch_per_lang(spark, SF_DIR).collect()
+    langs = {r["lang"] for r in rows}
+    assert len(langs) >= 2
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["q_ppm"]] = r["est_v"]
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for lang, qs in by_lang.items():
+        assert qs[500_000] <= qs[900_000]
+        domain = {r["n_chars"] for r in
+                  d.filter(F.col("lang") == lang).collect()}
+        assert qs[500_000] in domain and qs[900_000] in domain
