@@ -543,6 +543,12 @@ BASELINE = {
     # staged-r12 streaming sketch publisher (stage + foreachBatch
     # publish + merged read-back), from the second r12 session
     "stream_hll_publish": (1.401, 12),
+    # late-staged r12 entries, standalone min-of-3 (the session's noise
+    # control read 1.685 — a hot box, so these seeds are conservative:
+    # the clean-run numbers should come in at or under them)
+    "dsir_priority_mixture": (2.489, 12),
+    "priority_sample_per_lang": (0.422, 12),
+    "quantile_sketch_per_lang": (0.425, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

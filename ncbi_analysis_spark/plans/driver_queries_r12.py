@@ -486,19 +486,29 @@ def dsir_priority_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_logratios_pred(
         d, F.col("lang") == "en", "text", "doc_id", **_DSIR_PARAMS
     )
-    scored = dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS)
-    mx = scored.agg(F.max("logw")).collect()[0][0]
-    weighted = scored.select(
-        "doc_id",
-        "logw",
-        F.greatest(
-            F.round(F.exp(F.col("logw") - F.lit(float(mx))), 6),
-            F.lit(1e-6),
-        ).alias("w"),
-    )
-    samp = priority_sample(weighted, "w", _DSIR_PS_K, "doc_id",
-                           salt="dsir")
-    return samp.select("doc_id", "logw", "w", "est_weight", "tau")
+    # per-doc score table is (doc_id, n_feats, logw) — corpus-row-count
+    # sized but text-free; persist so the max collect and the sampling
+    # job score the corpus ONCE, then release via the eager bounded
+    # return (the bm25_topk lifecycle)
+    scored = dsir_score(d, "text", "doc_id", w, **_DSIR_PARAMS).persist()
+    try:
+        mx = scored.agg(F.max("logw")).collect()[0][0]
+        weighted = scored.select(
+            "doc_id",
+            "logw",
+            F.greatest(
+                F.round(F.exp(F.col("logw") - F.lit(float(mx))), 6),
+                F.lit(1e-6),
+            ).alias("w"),
+        )
+        samp = priority_sample(
+            weighted, "w", _DSIR_PS_K, "doc_id", salt="dsir"
+        ).select("doc_id", "logw", "w", "est_weight", "tau")
+        schema = samp.schema
+        rows = samp.collect()
+    finally:
+        scored.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def _dsir_priority_sql() -> str:

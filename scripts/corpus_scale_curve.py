@@ -84,7 +84,10 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          # round-12 staged additions (all documents-only)
          "bm25_index_batch", "quantile_sketch_estimates",
          "quantile_sketch_gate", "heavy_hitters_report",
-         "cm_heavy_estimates", "priority_sample_mixture"]
+         "cm_heavy_estimates", "priority_sample_mixture",
+         # late-round-12 staged additions (documents-only)
+         "dsir_priority_mixture", "priority_sample_per_lang",
+         "quantile_sketch_per_lang"]
 
 
 def _sf_dir(spark, sf: float) -> str:

@@ -117,9 +117,12 @@ EXPECTED: dict[str, set[str]] = {
     # the bounded k-row sample — the same scalar-small-side class; the
     # corpus already reduced via TakeOrderedAndProject upstream.
     "priority_sample_mixture": {"BroadcastNestedLoopJoin"},
-    # Same shape over the DSIR-weighted corpus (the grouped per-lang
-    # form joins tau on the group key — keyed hash join, no marker).
-    "dsir_priority_mixture": {"BroadcastNestedLoopJoin"},
+    # (dsir_priority_mixture: eager bounded return — the DSIR scoring
+    # is persisted, sampled, collected (64 rows) and rebuilt, so the
+    # returned plan is a LocalTableScan; in the skip set below, the
+    # vocab_drift_report/bpe_vocab class. The tau cross join inside is
+    # priority_sample_mixture's pinned shape. The grouped per-lang
+    # form joins tau on the group key — keyed hash join, no marker.)
 }
 
 
@@ -162,7 +165,11 @@ def audit(
             # drift pipeline (collects the bounded k-row report, then
             # createDataFrame) — the returned plan is a LocalTableScan,
             # nothing to scan (same class as bpe_vocab)
-            "vocab_drift_report"}
+            "vocab_drift_report",
+            # dsir_priority_mixture: same eager-bounded-return class
+            # (persisted DSIR scoring, 64-row sample collected and
+            # rebuilt)
+            "dsir_priority_mixture"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
