@@ -549,6 +549,9 @@ BASELINE = {
     "dsir_priority_mixture": (2.489, 12),
     "priority_sample_per_lang": (0.422, 12),
     "quantile_sketch_per_lang": (0.425, 12),
+    # exact drift top-N via HH candidates (same hot-box session class,
+    # noise control 1.356)
+    "drift_top_tokens": (1.232, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

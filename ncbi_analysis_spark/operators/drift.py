@@ -225,3 +225,94 @@ def top_drifted_tokens(
         top.join(wa, "bucket", "left")
         .join(wb, "bucket", "left")
     )
+
+
+def top_drifted_tokens_exact(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n: int = 20,
+    m: int = 256,
+) -> DataFrame:
+    """The ACTUAL top-``n`` drifted tokens between two snapshots —
+    exact unigram-share drift ``|p_a - p_b|`` per token, without a
+    vocabulary-sized shuffle (the round-11 gap: ``top_drifted_tokens``
+    names one witness per hashed bucket, not the global offenders).
+
+    Candidate coverage by the heavy-hitter bound: a token with
+    ``|p_a - p_b| > 1/(m+1)`` has ``p_a > 1/(m+1)`` or
+    ``p_b > 1/(m+1)``, so it is a Misra-Gries heavy hitter of THAT
+    side and must appear in that side's partition-top-``m`` candidates
+    (``heavy_hitters.partition_top_tokens``). Both sides' candidates
+    union (<= m * partitions rows), get exact recounts on both sides
+    (semi-join prunes each token explode BEFORE its groupBy), and the
+    top-``n`` by drift follows. Every returned row carries
+    ``guaranteed``: its drift clears ``1/(m+1)`` — checked in EXACT
+    integer arithmetic (``|n_a*N_b - n_b*N_a|*(m+1) > N_a*N_b``) — so
+    non-candidate tokens provably cannot out-drift it and its rank is
+    layout-independent. Rows below the bound are correct for this
+    layout (raise ``m`` to certify deeper).
+
+    Output ``(token, n_a, n_b, p_a, p_b, drift, guaranteed)`` ordered
+    (drift desc, token asc); shares are exact-integer IEEE divisions
+    and the drift one subtract + abs — bit-reproducible cross-engine
+    (the vocab_drift contribution convention).
+    """
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        partition_top_tokens,
+    )
+
+    if n < 1:
+        raise ValueError(f"top_drifted_tokens_exact: n={n} must be >= 1")
+    ta = (
+        a.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    tb = (
+        b.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    cands = (
+        partition_top_tokens(ta, "token", m).select("token")
+        .unionByName(partition_top_tokens(tb, "token", m).select("token"))
+        .distinct()
+    )
+    n_a_tot = ta.count()
+    n_b_tot = tb.count()
+    if n_a_tot == 0 or n_b_tot == 0:
+        raise ValueError(
+            "top_drifted_tokens_exact: empty token stream on one side — "
+            "shares are undefined"
+        )
+
+    def _counts(t, out):
+        return (
+            t.join(F.broadcast(cands), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    joined = _counts(ta, "n_a").join(_counts(tb, "n_b"), "token",
+                                     "full_outer")
+    na = F.coalesce(F.col("n_a"), F.lit(0)).cast("long")
+    nb = F.coalesce(F.col("n_b"), F.lit(0)).cast("long")
+    # totals as LONG literals: F.lit(int) under 2^31 makes an INT
+    # literal and the N_a * N_b product overflows 32 bits long before
+    # the corpus is big
+    lna = F.lit(n_a_tot).cast("long")
+    lnb = F.lit(n_b_tot).cast("long")
+    p_a = na.cast("double") / F.lit(float(n_a_tot))
+    p_b = nb.cast("double") / F.lit(float(n_b_tot))
+    scored = joined.select(
+        "token",
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        F.abs(p_a - p_b).alias("drift"),
+        (
+            F.abs(na * lnb - nb * lna) * F.lit(m + 1).cast("long")
+            > lna * lnb
+        ).alias("guaranteed"),
+    )
+    return scored.orderBy(F.desc("drift"), F.asc("token")).limit(n)

@@ -646,6 +646,78 @@ FROM q JOIN r ON r.rk = (q.q_ppm * r.n + 999999) // 1000000
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact top-N drifted tokens via heavy-hitter candidates (the r11
+# verdict's drift gap: actual offenders, not one witness per bucket)
+# ---------------------------------------------------------------------------
+
+_DRIFT_HH_N = 20
+_DRIFT_HH_M = 256
+
+
+def drift_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-share drift between the English and non-English
+    snapshots of the corpus, top-20 tokens by |p_a - p_b|
+    (operators/drift.py::top_drifted_tokens_exact): heavy-hitter
+    candidates from BOTH sides (coverage: drift past 1/(m+1) forces
+    heavy-hitterdom on one side), exact recounts of the candidate set
+    only, integer-arithmetic guarantee flags. The oracle computes the
+    drift over the FULL vocabulary — agreement proves the bounded
+    candidate pass lost nothing at this corpus's skew."""
+    from ncbi_analysis_spark.operators.drift import top_drifted_tokens_exact
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    return top_drifted_tokens_exact(
+        d.filter(F.col("lang") == "en"),
+        d.filter(F.col("lang") != "en"),
+        n=_DRIFT_HH_N,
+        m=_DRIFT_HH_M,
+    )
+
+
+def _drift_top_tokens_sql() -> str:
+    return rf"""
+WITH base AS (
+  SELECT lang, text FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+ta AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+  FROM base WHERE lang = 'en'
+),
+tb AS (
+  SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+  FROM base WHERE lang != 'en'
+),
+fa AS (SELECT token FROM ta WHERE length(token) > 0),
+fb AS (SELECT token FROM tb WHERE length(token) > 0),
+tot AS (SELECT (SELECT count(*) FROM fa)::BIGINT AS na,
+               (SELECT count(*) FROM fb)::BIGINT AS nb),
+ca AS (SELECT token, count(*)::BIGINT AS n_a FROM fa GROUP BY token),
+cb AS (SELECT token, count(*)::BIGINT AS n_b FROM fb GROUP BY token),
+j AS (
+  SELECT COALESCE(ca.token, cb.token) AS token,
+         COALESCE(ca.n_a, 0)::BIGINT AS n_a,
+         COALESCE(cb.n_b, 0)::BIGINT AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+),
+scored AS (
+  SELECT token, n_a, n_b,
+         n_a::DOUBLE / tot.na::DOUBLE AS p_a,
+         n_b::DOUBLE / tot.nb::DOUBLE AS p_b,
+         abs(n_a::DOUBLE / tot.na::DOUBLE
+             - n_b::DOUBLE / tot.nb::DOUBLE) AS drift,
+         (abs(n_a * tot.nb - n_b * tot.na) * {_DRIFT_HH_M + 1}
+            > tot.na * tot.nb) AS guaranteed
+  FROM j CROSS JOIN tot
+)
+SELECT token, n_a, n_b, p_a, p_b, drift, guaranteed
+FROM scored ORDER BY drift DESC, token LIMIT {_DRIFT_HH_N}
+"""
+
+
 def _hll_registers_sql() -> str:
     """The whole-corpus register-table oracle — identical to
     hll_merge_snapshots' / stream_hll_user_distinct's: any batching of
@@ -667,6 +739,7 @@ def queries_r12() -> dict:
         "dsir_priority_mixture": dsir_priority_mixture,
         "priority_sample_per_lang": priority_sample_per_lang,
         "quantile_sketch_per_lang": quantile_sketch_per_lang,
+        "drift_top_tokens": drift_top_tokens,
     }
 
 
@@ -682,4 +755,5 @@ def oracle_sql_r12() -> dict[str, str]:
         "dsir_priority_mixture": _dsir_priority_sql(),
         "priority_sample_per_lang": _priority_per_lang_sql(),
         "quantile_sketch_per_lang": _quantile_per_lang_sql(),
+        "drift_top_tokens": _drift_top_tokens_sql(),
     }

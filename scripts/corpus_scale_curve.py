@@ -87,7 +87,7 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "cm_heavy_estimates", "priority_sample_mixture",
          # late-round-12 staged additions (documents-only)
          "dsir_priority_mixture", "priority_sample_per_lang",
-         "quantile_sketch_per_lang"]
+         "quantile_sketch_per_lang", "drift_top_tokens"]
 
 
 def _sf_dir(spark, sf: float) -> str:

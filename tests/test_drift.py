@@ -137,3 +137,38 @@ def test_hashed_vocab_counts_reuse_validates_buckets(spark):
     # mismatched n_buckets: loud in-plan failure at execution
     with _pytest.raises(Exception, match="different n_buckets"):
         dr.hashed_vocab_counts(d, n_buckets=2, counts=counts).collect()
+
+
+def test_top_drifted_tokens_exact_matches_full_vocab(spark):
+    """The HH-candidate pass must reproduce the full-vocabulary top-N
+    on a skewed synthetic, with correct integer guarantee flags."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators import drift as dr
+
+    # side A: 'alpha' dominant; side B: 'beta' dominant; shared tail
+    a_rows = [("alpha " * 5,)] * 30 + [("tail%d common" % i,) for i in range(10)]
+    b_rows = [("beta " * 5,)] * 30 + [("tail%d common" % i,) for i in range(10)]
+    a = spark.createDataFrame(a_rows, "text string").repartition(4)
+    b = spark.createDataFrame(b_rows, "text string").repartition(4)
+    got = dr.top_drifted_tokens_exact(a, b, n=3, m=16).collect()
+    # full-vocab truth in Python
+    import collections
+    ca, cb = collections.Counter(), collections.Counter()
+    for (t,) in a_rows: ca.update(t.split())
+    for (t,) in b_rows: cb.update(t.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    drifts = sorted(
+        ((abs(ca[g] / na - cb[g] / nb), g) for g in set(ca) | set(cb)),
+        key=lambda x: (-x[0], x[1]))[:3]
+    assert [(r["token"], r["drift"]) for r in got] == \
+           [(g, d) for d, g in drifts]
+    for r in got:
+        want = abs(r["n_a"] * nb - r["n_b"] * na) * 17 > na * nb
+        assert r["guaranteed"] == want
+    # validation
+    empty = spark.createDataFrame([], "text string")
+    with _pytest.raises(ValueError, match="empty token stream"):
+        dr.top_drifted_tokens_exact(a, empty, n=3)
+    with _pytest.raises(ValueError, match="n=0"):
+        dr.top_drifted_tokens_exact(a, b, n=0)

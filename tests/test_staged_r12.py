@@ -236,3 +236,19 @@ def test_quantile_sketch_per_lang_semantics(spark):
         domain = {r["n_chars"] for r in
                   d.filter(F.col("lang") == lang).collect()}
         assert qs[500_000] in domain and qs[900_000] in domain
+
+
+def test_drift_top_tokens_semantics(spark):
+    """Drift non-increasing, shares consistent with counts, and the
+    en/non-en split's top offenders must include language-specific
+    tokens (drift > 0 everywhere in the top-20)."""
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        drift_top_tokens,
+    )
+
+    rows = drift_top_tokens(spark, SF_DIR).collect()
+    ds = [r["drift"] for r in rows]
+    assert ds == sorted(ds, reverse=True) and all(d > 0 for d in ds)
+    for r in rows:
+        assert r["drift"] == abs(r["p_a"] - r["p_b"])
+        assert (r["n_a"] > 0) or (r["n_b"] > 0)
