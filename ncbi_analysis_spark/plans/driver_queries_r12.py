@@ -1,13 +1,17 @@
 """Staged round-12 driver queries: persisted-BM25 batch retrieval, the
-quantile-sketch family, heavy hitters, and priority sampling.
+quantile-sketch family, Count-Min + heavy hitters (incl. the exact
+drift top-N), priority sampling (plain / per-group / DSIR-weighted),
+and the streaming HLL snapshot publisher.
 
 Registered into the driver gate next round (the stage-then-register
 cadence). Each query here follows the repo's determinism rules (see
 driver_queries.py header): every cross-engine comparison is either
 exact integer/string arithmetic or a pinned chain of IEEE ops shared
-with the DuckDB oracle; transcendentals (the BM25 idf logs) are
-evaluated ONCE driver-side from exact integers, or probed bit-identical
-(ln — tests/test_retrieval.py::test_bm25_libm_probe).
+with the DuckDB oracle; transcendentals are evaluated ONCE driver-side
+from exact integers (BM25 idf), probed bit-identical (ln —
+tests/test_retrieval.py::test_bm25_libm_probe), or absorbed by a 6dp
+round on identical operands (the DSIR mixture's exp — the
+quality-classifier sigmoid precedent).
 """
 
 from __future__ import annotations
