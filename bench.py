@@ -552,6 +552,10 @@ BASELINE = {
     # exact drift top-N via HH candidates (same hot-box session class,
     # noise control 1.356)
     "drift_top_tokens": (1.232, 12),
+    # two-phase pruned W1 (same session as its A/B: noise control 2.01,
+    # window form read 1.47 alongside — the pruned form wins 1.6x on
+    # the real lineitem shape)
+    "w1_topk_pruned": (0.936, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

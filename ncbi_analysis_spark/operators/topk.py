@@ -43,3 +43,61 @@ def global_topk(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     """Global top-k — ``orderBy().limit()`` so Catalyst plans
     TakeOrderedAndProject (no full sort, no single-partition shuffle)."""
     return df.orderBy(*order_by).limit(k)
+
+
+def topk_per_group_pruned(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[tuple[str, bool]],
+    k: int,
+    rank_col: str = "rk",
+    keep_rank: bool = True,
+) -> DataFrame:
+    """Two-phase EXACT per-group top-k — the 100 TB form of
+    ``topk_per_group`` (whose scale note this implements): the plain
+    rank window shuffles EVERY row of every group; this first reduces
+    each partition to its own per-group top-k (Arrow-batched, no
+    shuffle), so the window only ranks <= partitions * groups * k
+    surviving rows.
+
+    Exactness: each group's true global top-k rows live in some
+    partition, and within that partition each is among the group's
+    partition-local top-k (otherwise k better rows exist there, which
+    would also beat it globally — contradiction). The union therefore
+    contains the true top-k, and ranking it under the same total order
+    yields identical rows AND ranks to the unpruned operator (asserted
+    against ``topk_per_group`` in tests and by the staged driver
+    oracle).
+
+    ``order_by`` is ``[(column_name, ascending)]`` — plain columns, not
+    expressions, because phase 1 sorts in pandas. The order must be
+    TOTAL (append unique id tiebreakers) and the order columns must be
+    non-NULL: pandas and Spark disagree on NULL placement, which would
+    break phase-1/phase-2 agreement. Group keys may be NULL (both
+    engines group NULLs together; ``dropna=False``).
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"topk_per_group_pruned: k={k} must be >= 1")
+    if not order_by:
+        raise ValueError("topk_per_group_pruned: order_by is required")
+    cols = [c for c, _ in order_by]
+    asc = [a for _, a in order_by]
+    schema = df.schema
+
+    def _partial(batches):
+        acc = None
+        for pdf in batches:
+            cur = pd.concat([acc, pdf]) if acc is not None else pdf
+            cur = cur.sort_values(by=cols, ascending=asc, kind="mergesort")
+            acc = cur.groupby(partition_by, sort=False, dropna=False).head(k)
+        if acc is not None and len(acc):
+            yield acc
+
+    pruned = df.mapInPandas(_partial, schema)
+    order_cols = [
+        (F.asc(c) if a else F.desc(c)) for c, a in order_by
+    ]
+    return topk_per_group(pruned, list(partition_by), order_cols, k,
+                          rank_col, keep_rank)

@@ -722,6 +722,41 @@ FROM scored ORDER BY drift DESC, token LIMIT {_DRIFT_HH_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-phase pruned per-group top-k (W1's bandwidth-bound form)
+# ---------------------------------------------------------------------------
+
+
+def w1_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 per-group top-k through the two-phase pruned form
+    (operators/topk.py::topk_per_group_pruned): each partition reduces
+    to its per-group top-5 Arrow-side, then the rank window sees only
+    <= partitions * groups * 5 rows — shuffle BYTES bounded regardless
+    of group sizes (the network-bound-cluster variant; measured locally
+    at parity, SCALING.md round-12 A/B). Shares W1\'s oracle: rows AND
+    ranks must equal the full window form exactly."""
+    from ncbi_analysis_spark.operators.topk import topk_per_group_pruned
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber",
+        "l_extendedprice",
+    )
+    out = topk_per_group_pruned(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [("l_extendedprice", False), ("l_orderkey", True),
+         ("l_linenumber", True)],
+        5,
+    )
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _w1_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import W1_SQL
+
+    return W1_SQL
+
+
 def _hll_registers_sql() -> str:
     """The whole-corpus register-table oracle — identical to
     hll_merge_snapshots' / stream_hll_user_distinct's: any batching of
@@ -744,6 +779,7 @@ def queries_r12() -> dict:
         "priority_sample_per_lang": priority_sample_per_lang,
         "quantile_sketch_per_lang": quantile_sketch_per_lang,
         "drift_top_tokens": drift_top_tokens,
+        "w1_topk_pruned": w1_topk_pruned,
     }
 
 
@@ -760,4 +796,5 @@ def oracle_sql_r12() -> dict[str, str]:
         "priority_sample_per_lang": _priority_per_lang_sql(),
         "quantile_sketch_per_lang": _quantile_per_lang_sql(),
         "drift_top_tokens": _drift_top_tokens_sql(),
+        "w1_topk_pruned": _w1_sql(),
     }

@@ -606,3 +606,48 @@ def test_source_quality_report_and_blocklist(spark):
     # the corpus side must not shuffle: blocklist joins broadcast
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_topk_per_group_pruned_matches_window(spark):
+    """The two-phase form must equal the window form — rows AND ranks —
+    across partition layouts (the exactness argument: every group's
+    true top-k survives its partition's local top-k)."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators.topk import topk_per_group_pruned
+
+    rows = [(i % 5, i, (i * 37) % 101) for i in range(500)]
+    for parts in (1, 3, 13):
+        df = spark.createDataFrame(
+            rows, "g long, id long, score long").repartition(parts)
+        want = sorted(map(tuple, topk_per_group(
+            df, ["g"], [F.desc("score"), F.asc("id")], 4).collect()))
+        got = sorted(map(tuple, topk_per_group_pruned(
+            df, ["g"], [("score", False), ("id", True)], 4).collect()))
+        assert got == want, parts
+    # sub-k groups keep everything; keep_rank=False drops the column
+    small = spark.createDataFrame(
+        [(0, 1, 9), (0, 2, 8), (1, 3, 7)], "g long, id long, score long")
+    out = topk_per_group_pruned(
+        small, ["g"], [("score", False), ("id", True)], 5,
+        keep_rank=False).collect()
+    assert len(out) == 3 and "rk" not in out[0].asDict()
+    with _pytest.raises(ValueError, match="k=0"):
+        topk_per_group_pruned(small, ["g"], [("score", False)], 0)
+    with _pytest.raises(ValueError, match="order_by"):
+        topk_per_group_pruned(small, ["g"], [], 2)
+
+
+def test_topk_per_group_pruned_null_group_keys(spark):
+    """NULL group keys form their own group in both phases
+    (dropna=False in the pandas leg, standard grouping in the window)."""
+    from ncbi_analysis_spark.operators.topk import topk_per_group_pruned
+
+    df = spark.createDataFrame(
+        [(None, 1, 5), (None, 2, 9), ("a", 3, 1)],
+        "g string, id long, score long").repartition(2)
+    want = {tuple(r) for r in topk_per_group(
+        df, ["g"], [F.desc("score"), F.asc("id")], 1).collect()}
+    got = {tuple(r) for r in topk_per_group_pruned(
+        df, ["g"], [("score", False), ("id", True)], 1).collect()}
+    assert got == want and len(got) == 2
