@@ -556,6 +556,9 @@ BASELINE = {
     # window form read 1.47 alongside — the pruned form wins 1.6x on
     # the real lineitem shape)
     "w1_topk_pruned": (0.936, 12),
+    # KMV crawl-diff ledger (same hot-box session class, noise control
+    # 1.711)
+    "kmv_crawl_diff": (1.1, 12),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

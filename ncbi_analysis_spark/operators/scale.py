@@ -917,6 +917,10 @@ def priority_sample(
     and layout-independent (rerun-stable under retries/speculation,
     the hash_split property).
 
+    No reference analog (the reference's only sampling is the seeded
+    random split-triple generator, src/run_random_generate.py:16-25 —
+    covered by F17); LLM-pipeline extension.
+
     Output: the sampled rows with ``__priority`` dropped, plus
     ``est_weight`` (double) and ``tau`` (double, the group's
     threshold). Requires ``weight_col`` > 0 (validated in-plan: a

@@ -351,6 +351,80 @@ def kmv_jaccard(
     )
 
 
+def kmv_diff(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Set-DIFFERENCE cardinality estimates between two sketched value
+    sets — "how many values are new this crawl / gone since last
+    crawl", the question HLL cannot answer (no register subtraction)
+    and KMV can: within the union's sketch X (the k smallest of the
+    union — a uniform sample of A ∪ B's distinct values), count the
+    members seen only in A's sketch, only in B's, and in both; each
+    fraction of |X| times the union-cardinality estimate is the
+    standard bottom-k subset estimator.
+
+    Output ``(*group_by, n_union_sketch, n_only_a, n_only_b, n_both,
+    est_union, est_only_a, est_only_b, est_inter)``. Arithmetic is
+    pinned: integer memberships, the one-division union estimator
+    (``kmv_estimate``'s (k-1) * 2^52 / kth), and one
+    multiply-of-a-ratio per subset — bit-reproducible cross-engine.
+    Unsaturated unions (< k hashes) are exact: X IS the union and the
+    subset counts are the true distinct counts.
+
+    Scale: sketch-vs-sketch joins (<= k rows per group per side),
+    broadcastable by construction — crawl-ledger arithmetic from
+    published artifacts, no corpus re-scan (the hll_merge_snapshots
+    posture)."""
+    gb = list(group_by or [])
+    u = kmv_merge(a, b, k, group_by=gb)
+    keys = gb + ["h"]
+    in_a = a.select(*keys).withColumn("__in_a", F.lit(1))
+    in_b = b.select(*keys).withColumn("__in_b", F.lit(1))
+    tagged = (
+        u.join(in_a, keys, "left")
+        .join(in_b, keys, "left")
+        .select(
+            *gb,
+            "h",
+            F.coalesce("__in_a", F.lit(0)).alias("ia"),
+            F.coalesce("__in_b", F.lit(0)).alias("ib"),
+        )
+    )
+    agg = tagged.groupBy(*gb).agg(
+        F.count("h").cast("long").alias("n_union_sketch"),
+        F.max("h").alias("__kth"),
+        F.sum(F.col("ia") * (1 - F.col("ib"))).cast("long").alias("n_only_a"),
+        F.sum(F.col("ib") * (1 - F.col("ia"))).cast("long").alias("n_only_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_union_sketch") < k,
+        F.col("n_union_sketch").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1) * _KMV_SPACE) / F.col("__kth").cast("double")
+    )
+    ratio = lambda c: (  # noqa: E731 — one pinned multiply per subset
+        F.col(c).cast("double") / F.col("n_union_sketch").cast("double")
+    ) * F.col("est_union")
+    return (
+        agg.withColumn("est_union", est_union)
+        .select(
+            *gb,
+            "n_union_sketch",
+            "n_only_a",
+            "n_only_b",
+            "n_both",
+            "est_union",
+            ratio("n_only_a").alias("est_only_a"),
+            ratio("n_only_b").alias("est_only_b"),
+            ratio("n_both").alias("est_inter"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Published-sketch persistence with parameter markers. hll_merge /
 # kmv_merge are only sound when both sides share the hash space and

@@ -58,7 +58,10 @@ def topk_per_group_pruned(
     rank window shuffles EVERY row of every group; this first reduces
     each partition to its own per-group top-k (Arrow-batched, no
     shuffle), so the window only ranks <= partitions * groups * k
-    surviving rows.
+    surviving rows. Structurally this IS the reference's design,
+    distributed: a bounded heap per worker, merged and re-truncated
+    (src/analysis/gene_similarity_match.py:105-107,202-208) — phase 1
+    is the per-worker heap, phase 2 the merge.
 
     Exactness: each group's true global top-k rows live in some
     partition, and within that partition each is among the group's

@@ -751,6 +751,124 @@ def w1_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rk", F.col("rk").cast("long"))
 
 
+# ---------------------------------------------------------------------------
+# KMV crawl-diff ledger (operators/sketches.py::kmv_diff)
+# ---------------------------------------------------------------------------
+
+_KMV_DIFF_K = 64
+
+
+def kmv_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ledger set arithmetic from published sketches
+    (operators/sketches.py::kmv_diff): the kmv_content_overlap
+    snapshots (doc_id % 3 != 0 vs % 2 != 0), per-language estimates of
+    how much content is NEW in each snapshot and how much is shared —
+    the question HLL registers cannot answer — side-by-side with the
+    exact partition so each row shows the estimator's error. Integer
+    memberships + the one-division union estimator + one
+    multiply-of-a-ratio per subset: bit-exact cross-engine."""
+    from ncbi_analysis_spark.operators.sketches import kmv_diff, kmv_sketch
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    snap_a = d.filter(F.col("doc_id") % 3 != 0)
+    snap_b = d.filter(F.col("doc_id") % 2 != 0)
+    est = kmv_diff(
+        kmv_sketch(snap_a, "text", k=_KMV_DIFF_K, group_by=["lang"]),
+        kmv_sketch(snap_b, "text", k=_KMV_DIFF_K, group_by=["lang"]),
+        _KMV_DIFF_K,
+        group_by=["lang"],
+    )
+    per_h = d.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.max(F.when(F.col("doc_id") % 3 != 0, 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("doc_id") % 2 != 0, 1).otherwise(0)).alias("b"),
+    )
+    exact = per_h.filter((F.col("a") == 1) | (F.col("b") == 1)).groupBy(
+        "lang"
+    ).agg(
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("exact_only_a"),
+        F.sum(F.col("b") * (1 - F.col("a"))).cast("long").alias("exact_only_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("exact_inter"),
+    )
+    return est.join(exact, "lang")
+
+
+def _kmv_crawl_diff_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _dlit
+
+    k = _KMV_DIFF_K
+    numer = _dlit(float((k - 1) * (1 << 52)))
+    rank = (
+        "SELECT lang, h FROM (SELECT lang, h, row_number() OVER "
+        "(PARTITION BY lang ORDER BY h) AS rn FROM {src}) WHERE rn <= "
+        f"{k}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT lang, doc_id,
+         ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
+  FROM d
+),
+ha AS (SELECT DISTINCT lang, h FROM h WHERE doc_id % 3 != 0),
+hb AS (SELECT DISTINCT lang, h FROM h WHERE doc_id % 2 != 0),
+sa AS ({rank.format(src='ha')}),
+sb AS ({rank.format(src='hb')}),
+hu AS (SELECT lang, h FROM sa UNION SELECT lang, h FROM sb),
+su AS ({rank.format(src='hu')}),
+tagged AS (
+  SELECT su.lang, su.h,
+         CASE WHEN EXISTS (SELECT 1 FROM sa
+                           WHERE sa.lang = su.lang AND sa.h = su.h)
+              THEN 1 ELSE 0 END AS ia,
+         CASE WHEN EXISTS (SELECT 1 FROM sb
+                           WHERE sb.lang = su.lang AND sb.h = su.h)
+              THEN 1 ELSE 0 END AS ib
+  FROM su
+),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_union_sketch, max(h) AS kth,
+         sum(ia * (1 - ib))::BIGINT AS n_only_a,
+         sum(ib * (1 - ia))::BIGINT AS n_only_b,
+         sum(ia * ib)::BIGINT AS n_both
+  FROM tagged GROUP BY lang
+),
+est AS (
+  SELECT *, CASE WHEN n_union_sketch < {k} THEN n_union_sketch::DOUBLE
+                 ELSE {numer} / kth::DOUBLE END AS est_union
+  FROM agg
+),
+per AS (
+  SELECT lang, md5(text) AS hh,
+         max(CASE WHEN doc_id % 3 != 0 THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS b
+  FROM d GROUP BY lang, md5(text)
+),
+ex AS (
+  SELECT lang,
+         sum(a * (1 - b))::BIGINT AS exact_only_a,
+         sum(b * (1 - a))::BIGINT AS exact_only_b,
+         sum(a * b)::BIGINT AS exact_inter
+  FROM per WHERE a = 1 OR b = 1 GROUP BY lang
+)
+SELECT est.lang, est.n_union_sketch, est.n_only_a, est.n_only_b,
+       est.n_both, est.est_union,
+       (est.n_only_a::DOUBLE / est.n_union_sketch::DOUBLE) * est.est_union
+         AS est_only_a,
+       (est.n_only_b::DOUBLE / est.n_union_sketch::DOUBLE) * est.est_union
+         AS est_only_b,
+       (est.n_both::DOUBLE / est.n_union_sketch::DOUBLE) * est.est_union
+         AS est_inter,
+       ex.exact_only_a, ex.exact_only_b, ex.exact_inter
+FROM est JOIN ex ON est.lang = ex.lang
+"""
+
+
 def _w1_sql() -> str:
     from ncbi_analysis_spark.plans.driver_queries import W1_SQL
 
@@ -780,6 +898,7 @@ def queries_r12() -> dict:
         "quantile_sketch_per_lang": quantile_sketch_per_lang,
         "drift_top_tokens": drift_top_tokens,
         "w1_topk_pruned": w1_topk_pruned,
+        "kmv_crawl_diff": kmv_crawl_diff,
     }
 
 
@@ -797,4 +916,5 @@ def oracle_sql_r12() -> dict[str, str]:
         "quantile_sketch_per_lang": _quantile_per_lang_sql(),
         "drift_top_tokens": _drift_top_tokens_sql(),
         "w1_topk_pruned": _w1_sql(),
+        "kmv_crawl_diff": _kmv_crawl_diff_sql(),
     }

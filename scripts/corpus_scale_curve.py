@@ -87,7 +87,8 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "cm_heavy_estimates", "priority_sample_mixture",
          # late-round-12 staged additions (documents-only)
          "dsir_priority_mixture", "priority_sample_per_lang",
-         "quantile_sketch_per_lang", "drift_top_tokens"]
+         "quantile_sketch_per_lang", "drift_top_tokens",
+         "kmv_crawl_diff"]
          # (w1_topk_pruned is lineitem-table — the sf1 synthesis is
          # documents/events/embeddings only; its decade curve is
          # sf0.01 -> 0.1 via the default run, the

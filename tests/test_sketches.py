@@ -412,3 +412,85 @@ def test_quantile_sketch_nulls_validation_and_publish(spark, tmp_path):
            {(r["h"], r["v"]) for r in s.collect()}
     with _pytest.raises(ValueError, match="parameter spaces"):
         sk.read_quantile_sketch(spark, p, k=16)
+
+
+# --- KMV set-difference estimates -------------------------------------
+
+
+def test_kmv_diff_unsaturated_is_exact(spark):
+    # |A|,|B| < k: the union sketch IS the union; counts are exact
+    a = spark.createDataFrame([(f"a{i}",) for i in range(6)] +
+                              [(f"s{i}",) for i in range(4)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(3)] +
+                              [(f"s{i}",) for i in range(4)], "v string")
+    r = sk.kmv_diff(sk.kmv_sketch(a, "v", k=64),
+                    sk.kmv_sketch(b, "v", k=64), k=64).collect()[0]
+    assert (r["n_only_a"], r["n_only_b"], r["n_both"]) == (6, 3, 4)
+    assert r["est_union"] == 13.0
+    assert r["est_only_a"] == 6.0 / 13.0 * 13.0
+    assert r["est_inter"] == 4.0 / 13.0 * 13.0
+
+
+def test_kmv_diff_estimate_accuracy_saturated(spark):
+    """3000 A-only, 1000 B-only, 2000 shared at k=512: the engine must
+    match a from-scratch Python bottom-k model BIT-FOR-BIT (the strong
+    check — the deterministic md5 draw happens to run the smallest
+    stratum ~3 sigma low, so statistical bounds on it stay loose)."""
+    import hashlib
+
+    def h52(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+
+    A = [f"a{i}" for i in range(3000)] + [f"s{i}" for i in range(2000)]
+    B = [f"b{i}" for i in range(1000)] + [f"s{i}" for i in range(2000)]
+    a = spark.createDataFrame([(v,) for v in A], "v string")
+    b = spark.createDataFrame([(v,) for v in B], "v string")
+    k = 512
+    r = sk.kmv_diff(sk.kmv_sketch(a, "v", k=k),
+                    sk.kmv_sketch(b, "v", k=k), k=k).collect()[0]
+    sa = set(sorted(map(h52, A))[:k])
+    sb = set(sorted(map(h52, B))[:k])
+    x = sorted(sa | sb)[:k]
+    only_a = sum(1 for h in x if h in sa and h not in sb)
+    only_b = sum(1 for h in x if h in sb and h not in sa)
+    both = sum(1 for h in x if h in sa and h in sb)
+    est_u = (k - 1) * float(1 << 52) / max(x)
+    assert (r["n_only_a"], r["n_only_b"], r["n_both"]) == \
+           (only_a, only_b, both)
+    assert r["est_union"] == est_u
+    assert r["est_only_a"] == only_a / k * est_u
+    assert r["est_only_b"] == only_b / k * est_u
+    assert r["est_inter"] == both / k * est_u
+    # loose sanity on the big strata (the unlucky small stratum aside)
+    assert abs(r["est_union"] - 6000) / 6000 < 0.15
+    assert abs(r["est_only_a"] - 3000) / 3000 < 0.25
+    assert r["n_only_a"] + r["n_only_b"] + r["n_both"] == r["n_union_sketch"]
+
+
+def test_kmv_diff_grouped_and_python_model(spark):
+    """Grouped form + bit-exact check of the membership counts against
+    a from-scratch Python bottom-k model."""
+    import hashlib
+
+    def h52(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+
+    rows_a = [("g1", f"x{i}") for i in range(40)] + \
+             [("g2", f"y{i}") for i in range(10)]
+    rows_b = [("g1", f"x{i}") for i in range(20, 60)] + \
+             [("g2", f"z{i}") for i in range(10)]
+    k = 16
+    a = spark.createDataFrame(rows_a, "g string, v string")
+    b = spark.createDataFrame(rows_b, "g string, v string")
+    got = {r["g"]: r for r in sk.kmv_diff(
+        sk.kmv_sketch(a, "v", k=k, group_by=["g"]),
+        sk.kmv_sketch(b, "v", k=k, group_by=["g"]),
+        k=k, group_by=["g"]).collect()}
+    for g in ("g1", "g2"):
+        sa = set(sorted(h52(v) for gg, v in rows_a if gg == g)[:k])
+        sb = set(sorted(h52(v) for gg, v in rows_b if gg == g)[:k])
+        x = set(sorted(sa | sb)[:k])
+        r = got[g]
+        assert r["n_only_a"] == len({h for h in x if h in sa and h not in sb})
+        assert r["n_only_b"] == len({h for h in x if h in sb and h not in sa})
+        assert r["n_both"] == len({h for h in x if h in sa and h in sb})

@@ -252,3 +252,25 @@ def test_drift_top_tokens_semantics(spark):
     for r in rows:
         assert r["drift"] == abs(r["p_a"] - r["p_b"])
         assert (r["n_a"] > 0) or (r["n_b"] > 0)
+
+
+def test_kmv_crawl_diff_semantics(spark):
+    """Partition identity (only_a + only_b + both == sketch size),
+    exact columns consistent (snapshots overlap so exact_inter > 0),
+    and unsaturated languages report EXACT estimates."""
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        _KMV_DIFF_K,
+        kmv_crawl_diff,
+    )
+
+    rows = kmv_crawl_diff(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r["n_only_a"] + r["n_only_b"] + r["n_both"]
+                == r["n_union_sketch"])
+        assert r["exact_inter"] >= 0
+        if r["n_union_sketch"] < _KMV_DIFF_K:  # unsaturated -> exact
+            assert r["n_only_a"] == r["exact_only_a"]
+            assert r["n_only_b"] == r["exact_only_b"]
+            assert r["n_both"] == r["exact_inter"]
+            assert r["est_union"] == float(r["n_union_sketch"])
