@@ -38,6 +38,11 @@ N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 EXTRA_RUNS = {
     "flagship_scan_1mbp": max(N_RUNS, 5),
     "image_phash_near_dup": max(N_RUNS, 5),
+    # r12: the two cheap window shapes read noise 2.0-2.4 in the final
+    # r12 clean run (cold first execution dominates their ~1s wall);
+    # the standing rule is warm-up for any shape past 2
+    "w2_local_max_suppression": max(N_RUNS, 4),
+    "w7_gap_regions": max(N_RUNS, 4),
 }
 
 # Headline set: the scan-agg core, window ops, every join family, and the
