@@ -1674,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        **_r12().queries_r12(),
         **_r11().queries_r11(),
         **_r10().queries_r10(),
         **_r9().queries_r9(),
@@ -1736,6 +1737,7 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
     return {
+        **_r12().oracle_sql_r12(),
         **_r11().oracle_sql_r11(),
         **_r10().oracle_sql_r10(),
         **_r9().oracle_sql_r9(),
@@ -1838,6 +1840,12 @@ def _r11():
     from ncbi_analysis_spark.plans import driver_queries_r11
 
     return driver_queries_r11
+
+
+def _r12():
+    from ncbi_analysis_spark.plans import driver_queries_r12
+
+    return driver_queries_r12
 
 
 def _r3():

@@ -1,7 +1,10 @@
 """Physical-plan audit over the whole driver registry.
 
-Builds (does not execute) every ``queries()`` DataFrame at the given sf
-dir and scans its formatted physical plan for scale anti-patterns:
+Builds every ``queries()`` DataFrame at the given sf dir and scans its
+formatted physical plan for scale anti-patterns (construction is lazy —
+no execution — for all but the documented eager-bounded-return skip set
+below, which are excluded precisely because building them runs the job
+and returns a LocalTableScan with nothing to audit):
 
 - ``CartesianProduct``                — O(n*m) row pairing
 - ``BroadcastNestedLoopJoin``        — per-row scan of the broadcast side
@@ -149,7 +152,7 @@ def audit(
     from ncbi_analysis_spark.plans import driver_queries
     from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
     from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
-    from ncbi_analysis_spark.plans.driver_queries_r12 import queries_r12
+    from ncbi_analysis_spark.plans.driver_queries_r13 import queries_r13
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
@@ -169,11 +172,19 @@ def audit(
             # dsir_priority_mixture: same eager-bounded-return class
             # (persisted DSIR scoring, 64-row sample collected and
             # rebuilt)
-            "dsir_priority_mixture"}
+            "dsir_priority_mixture",
+            # bm25_search / bm25_index_batch: bm25_topk's r12 eager
+            # bounded return (top-k rows collected to release the
+            # postings caches, then rebuilt) means the returned plan is
+            # a LocalTableScan — the real pipeline's marker scans are
+            # not visible, and construction executes the job (same
+            # class as vocab_drift_report). rrf_hybrid_search keeps a
+            # live plan (its fusion join is lazy), so it stays audited.
+            "bm25_search", "bm25_index_batch"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
-          **queries_r12()}
+          **queries_r13()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:
