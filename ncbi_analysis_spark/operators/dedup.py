@@ -1492,8 +1492,58 @@ def write_lsh_index(
 
 
 def read_lsh_index(spark, path: str) -> DataFrame:
-    """Open a ``write_lsh_index`` directory for probing."""
-    return spark.read.parquet(path)
+    """Open a ``write_lsh_index`` directory for probing — the LIVE
+    view: if ``delete_from_lsh_index`` has tombstoned any ids, they are
+    anti-joined out here (broadcast small side), so every probe built
+    on this reader honors deletes without a rebuild. Never-deleted
+    indexes get the bare scan, zero plan overhead."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    return ts.apply_tombstones(spark.read.parquet(path), path, "id")
+
+
+def delete_from_lsh_index(ids: DataFrame, path: str,
+                          id_col: str = "id") -> int:
+    """Remove documents from a persisted LSH index without rewriting
+    it: append the ids to the index's tombstone table
+    (``operators/tombstones.py``). ``read_lsh_index`` then serves
+    exactly the index a rebuild without those docs would produce (the
+    staged ``lsh_delete_probe`` oracle pins this end-to-end); run
+    ``compact_lsh_index`` periodically to fold tombstones into the data
+    files. Idempotent — re-deletes and never-indexed ids are no-ops.
+    Returns the batch's distinct-id count."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    spark = ids.sparkSession
+    if not fsutil.exists(spark, path.rstrip("/") + "/" + _LSH_PARAMS_FILE):
+        raise ValueError(
+            f"{path!r} is not a write_lsh_index directory (missing "
+            f"{_LSH_PARAMS_FILE}); nothing to delete from"
+        )
+    n = ts.append_tombstones(ids.select(F.col(id_col).alias("id")),
+                             path, "id")
+    ts.warn_if_tombstones_large(spark, path)
+    return n
+
+
+def compact_lsh_index(spark, path: str) -> None:
+    """Fold accumulated tombstones into the index's data files and
+    coalesce each band to one file: rewrite the live view into a
+    hidden tmp dir (one shuffle keyed on band — probes reading the old
+    files never race a half-written swap), swap the band directories
+    in, clear the tombstones. Search results are identical before and
+    after (tests/test_index_delete.py); append/delete afterwards as
+    normal. Idempotent on crash — see ``tombstones.swap_partition_dirs``."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    live = ts.apply_tombstones(spark.read.parquet(path), path, "id")
+    tmp = "_compact_tmp"
+    # hash-repartition on the partition column: each band lands whole
+    # in one task, so the rewrite emits exactly one file per band
+    live.repartition("band").write.mode("overwrite").partitionBy(
+        "band").parquet(path.rstrip("/") + "/" + tmp)
+    ts.swap_partition_dirs(spark, path, tmp)
 
 
 def append_to_lsh_index(
@@ -1513,8 +1563,22 @@ def append_to_lsh_index(
     yields the same index contents (the ann_index_append property,
     asserted by the staged oracle). Returns per-band appended counts
     (bounded by ``bands``)."""
-    _lsh_params_guard(new_df.sparkSession, path, num_perm, bands,
+    from ncbi_analysis_spark.operators import tombstones as _ts
+
+    spark = new_df.sparkSession
+    _lsh_params_guard(spark, path, num_perm, bands,
                       shingle_n, write=False)
+    tomb = _ts.read_tombstones(spark, path)
+    if tomb is not None:
+        # a tombstoned id re-appended would be silently masked by the
+        # read_lsh_index anti-join until compaction — refuse
+        n_bad = new_df.select(F.col(id_col).alias("id")).join(
+            F.broadcast(tomb), "id", "left_semi").count()
+        if n_bad:
+            raise ValueError(
+                f"append batch contains {n_bad} id(s) tombstoned in "
+                f"{path!r}; run compact_lsh_index first, then append"
+            )
     rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
                               shingle_n).persist()
     try:

@@ -201,28 +201,54 @@ def _contrib_expr(idf: dict, k1: float, b: float, avgdl: float):
 # indexes).
 
 
-def _bm25_params_guard(
-    spark, path: str, n_buckets: int, write: bool = False
-) -> None:
+def _bm25_marker_read(spark, path: str) -> dict:
     from ncbi_analysis_spark.sources import fsutil
 
-    params = {"n_buckets": n_buckets, "tokenizer": "ws"}
     marker = path.rstrip("/") + "/" + _BM25_PARAMS_FILE
-    if write:
-        fsutil.write_text(spark, marker, json.dumps(params))
-        return
     if not fsutil.exists(spark, marker):
         raise ValueError(
             f"{path!r} is not a write_bm25_index directory (missing "
             f"{_BM25_PARAMS_FILE}); build it with write_bm25_index first"
         )
-    stored = json.loads(fsutil.read_text(spark, marker))
-    if stored != params:
+    return json.loads(fsutil.read_text(spark, marker))
+
+
+def _bm25_marker_write(spark, path: str, n_buckets: int,
+                       stats: dict | None) -> None:
+    from ncbi_analysis_spark.sources import fsutil
+
+    payload = {"n_buckets": n_buckets, "tokenizer": "ws"}
+    if stats is not None:
+        payload["stats"] = stats
+    marker = path.rstrip("/") + "/" + _BM25_PARAMS_FILE
+    fsutil.write_text(spark, marker, json.dumps(payload))
+
+
+def _bm25_params_guard(
+    spark, path: str, n_buckets: int, write: bool = False
+) -> None:
+    if write:
+        _bm25_marker_write(spark, path, n_buckets, stats=None)
+        return
+    stored = _bm25_marker_read(spark, path)
+    params = {"n_buckets": n_buckets, "tokenizer": "ws"}
+    mine = {k: stored.get(k) for k in params}
+    if mine != params:
         raise ValueError(
-            f"BM25 index at {path!r} was built with {stored}, got "
+            f"BM25 index at {path!r} was built with {mine}, got "
             f"{params}; term buckets are not comparable across parameter "
             "changes — rebuild the index or match its parameters"
         )
+
+
+def _doclen_stats(doclens) -> dict:
+    """Exact (n_docs, sum_dl) of one doclens frame — integer-exact, so
+    the running marker stats never drift from a recompute."""
+    row = doclens.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    return {"n_docs": int(row["n"]), "sum_dl": int(row["s"])}
 
 
 def _bm25_index_rows(
@@ -256,13 +282,25 @@ def write_bm25_index(
     """Build the persisted BM25 inverted index from scratch: ONE
     tokenize pass over the corpus writes term-bucketed postings and the
     doc-length table, then records the parameter marker."""
+    spark = corpus.sparkSession
     postings, doclens = _bm25_index_rows(corpus, text_col, id_col, n_buckets)
-    # overwrite first (clears the directory), THEN record the params
+    # overwrite first (clears the directory), THEN record the params —
+    # a rebuild over a previously-deleted-from path must also drop the
+    # old tombstones (the subdirectory writes don't clear the root)
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    ts.clear_tombstones(spark, path)
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         path.rstrip("/") + "/postings"
     )
     doclens.write.mode("overwrite").parquet(path.rstrip("/") + "/doclens")
-    _bm25_params_guard(corpus.sparkSession, path, n_buckets, write=True)
+    # the marker carries exact corpus stats (N docs, Σ doclen) so batch
+    # search never re-aggregates the doclens table per query batch;
+    # append/delete maintain them transactionally (data first, marker
+    # last — a crash in between is caught by the stats-vs-recompute
+    # assert in compact_bm25_index and healed by re-running the write)
+    stats = _doclen_stats(spark.read.parquet(path.rstrip("/") + "/doclens"))
+    _bm25_marker_write(spark, path, n_buckets, stats)
 
 
 def read_bm25_index(spark, path: str) -> dict:
@@ -270,18 +308,20 @@ def read_bm25_index(spark, path: str) -> dict:
     ``{"postings": DataFrame, "doclens": DataFrame, "params": dict}``
     (marker validated to exist; parameters come from the marker, not
     the caller)."""
-    from ncbi_analysis_spark.sources import fsutil
+    from ncbi_analysis_spark.operators import tombstones as ts
 
-    marker = path.rstrip("/") + "/" + _BM25_PARAMS_FILE
-    if not fsutil.exists(spark, marker):
-        raise ValueError(
-            f"{path!r} is not a write_bm25_index directory (missing "
-            f"{_BM25_PARAMS_FILE}); build it with write_bm25_index first"
-        )
-    params = json.loads(fsutil.read_text(spark, marker))
+    params = _bm25_marker_read(spark, path)
+    # LIVE views: ids tombstoned by delete_from_bm25_index are
+    # anti-joined out of both tables (broadcast small side); marker
+    # stats already exclude them, so searches over this dict are
+    # exactly searches over a rebuild without the deleted docs
     return {
-        "postings": spark.read.parquet(path.rstrip("/") + "/postings"),
-        "doclens": spark.read.parquet(path.rstrip("/") + "/doclens"),
+        "postings": ts.apply_tombstones(
+            spark.read.parquet(path.rstrip("/") + "/postings"),
+            path, "doc_id"),
+        "doclens": ts.apply_tombstones(
+            spark.read.parquet(path.rstrip("/") + "/doclens"),
+            path, "doc_id"),
         "params": params,
     }
 
@@ -299,10 +339,25 @@ def append_to_bm25_index(
     rewritten, ingest I/O scales with the batch (the
     append_to_lsh_index posture). Returns per-bucket appended posting
     counts (bounded by ``n_buckets``)."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
     spark = new_df.sparkSession
     _bm25_params_guard(spark, path, n_buckets, write=False)
     postings, doclens = _bm25_index_rows(new_df, text_col, id_col, n_buckets)
+    tomb = ts.read_tombstones(spark, path)
+    if tomb is not None:
+        # re-ingesting a tombstoned id would be silently masked by the
+        # probe anti-join (and would desync the marker stats from the
+        # live view) — refuse; compact first, then append
+        n_bad = doclens.join(F.broadcast(tomb), "doc_id", "left_semi").count()
+        if n_bad:
+            raise ValueError(
+                f"append batch contains {n_bad} doc_id(s) tombstoned in "
+                f"{path!r}; run compact_bm25_index first to fold the "
+                "deletes in, then append"
+            )
     postings = postings.persist()
+    doclens = doclens.persist()
     try:
         postings.write.mode("append").partitionBy("bucket").parquet(
             path.rstrip("/") + "/postings"
@@ -313,12 +368,116 @@ def append_to_bm25_index(
             .agg(F.count(F.lit(1)).alias("n_appended"))
             .collect()
         )
+        batch = _doclen_stats(doclens)
     finally:
         postings.unpersist()
+        doclens.unpersist()
+    stored = _bm25_marker_read(spark, path).get("stats")
+    if stored is not None:
+        _bm25_marker_write(spark, path, n_buckets, {
+            "n_docs": stored["n_docs"] + batch["n_docs"],
+            "sum_dl": stored["sum_dl"] + batch["sum_dl"],
+        })
     return spark.createDataFrame(
         [(int(r["bucket"]), int(r["n_appended"])) for r in counts],
         "bucket long, n_appended long",
     )
+
+
+def delete_from_bm25_index(ids: DataFrame, path: str,
+                           id_col: str = "doc_id") -> int:
+    """Remove documents from a persisted BM25 index without rewriting
+    it: append the ids to the index's tombstone table
+    (``operators/tombstones.py``) and subtract the removed docs'
+    (count, Σ doclen) from the marker's corpus stats — so
+    ``bm25_topk_batch`` keeps serving the exact scores a rebuild
+    without those docs would produce: idf (via live df counts), avgdl,
+    and N all move together (staged ``bm25_delete_search`` oracle).
+
+    The removed-stats delta is computed against the CURRENT live view
+    (existing tombstones excluded, batch ids distinct-ed), so
+    re-deletes and never-indexed ids subtract nothing — idempotent.
+    Run ``compact_bm25_index`` periodically; appending previously
+    deleted ids is refused until then. Returns the batch's distinct-id
+    count."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    spark = ids.sparkSession
+    stored = _bm25_marker_read(spark, path)  # raises on non-index dirs
+    batch = ids.select(F.col(id_col).alias("doc_id")).distinct().persist()
+    try:
+        live_dl = ts.apply_tombstones(
+            spark.read.parquet(path.rstrip("/") + "/doclens"),
+            path, "doc_id")
+        removed = _doclen_stats(
+            live_dl.join(F.broadcast(batch), "doc_id", "left_semi"))
+        n = ts.append_tombstones(batch, path, "doc_id")
+    finally:
+        batch.unpersist()
+    stats = stored.get("stats")
+    if stats is not None:
+        _bm25_marker_write(spark, path, int(stored["n_buckets"]), {
+            "n_docs": stats["n_docs"] - removed["n_docs"],
+            "sum_dl": stats["sum_dl"] - removed["sum_dl"],
+        })
+    ts.warn_if_tombstones_large(spark, path)
+    return n
+
+
+def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
+    """Fold accumulated tombstones into the postings/doclens files and
+    coalesce the small files each ``append_to_bm25_index`` call lands
+    (per-bucket file count grows linearly with appends — SCALING.md
+    records the curve): rewrite each table's live view into a hidden
+    tmp dir, swap, clear the tombstones, and refresh the marker stats
+    from an exact recompute over the compacted doclens (asserting they
+    match the transactionally-maintained running stats — a mismatch
+    means a crashed append/delete left the marker behind the data, and
+    the recompute heals it).
+
+    ``files_per_bucket`` bounds output file size at scale: postings are
+    hash-spread across that many files per term bucket (doc_id-salted),
+    so a 100 TB index compacts to buckets × files_per_bucket files
+    without any single writer owning a whole bucket. Search results are
+    bit-identical before/after (tests/test_index_delete.py)."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    root = path.rstrip("/")
+    stored = _bm25_marker_read(spark, path)
+    tmp = "_compact_tmp"
+
+    live_post = ts.apply_tombstones(
+        spark.read.parquet(root + "/postings"), path, "doc_id")
+    if files_per_bucket <= 1:
+        spread = live_post.repartition("bucket")
+    else:
+        spread = live_post.repartition(
+            F.col("bucket"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)))
+    spread.write.mode("overwrite").partitionBy("bucket").parquet(
+        root + "/postings/" + tmp)
+    ts.swap_partition_dirs(spark, root + "/postings", tmp)
+
+    live_dl = ts.apply_tombstones(
+        spark.read.parquet(root + "/doclens"), path, "doc_id")
+    # no partition column: the rewrite scan packs small files into
+    # maxPartitionBytes-sized tasks, so output file count tracks data
+    # size, not append count
+    live_dl.write.mode("overwrite").parquet(root + "/doclens/" + tmp)
+    ts.swap_partition_dirs(spark, root + "/doclens", tmp)
+    ts.clear_tombstones(spark, path)
+
+    fresh = _doclen_stats(spark.read.parquet(root + "/doclens"))
+    stats = stored.get("stats")
+    if stats is not None and stats != fresh:
+        import warnings
+
+        warnings.warn(
+            f"BM25 marker stats {stats} disagreed with recompute "
+            f"{fresh} at {path!r} (crashed append/delete?) — healed",
+            stacklevel=2,
+        )
+    _bm25_marker_write(spark, path, int(stored["n_buckets"]), fresh)
 
 
 def tokenize_queries(
@@ -364,8 +523,10 @@ def bm25_topk_batch(
     postings read to |distinct terms| partitions; the pruned postings
     join the BROADCAST query-term table, then doc lengths on doc_id
     (keyed), then fold per (query, doc) in term order and window-top-k
-    per query. Model state collected driver-side is bounded: one
-    (N, Σdl) scalar row off the column-pruned doclens scan plus one df
+    per query. Model state collected driver-side is bounded: (N, Σdl)
+    read straight from the index marker (maintained exactly by
+    write/append/delete — no per-batch doclens aggregation; legacy
+    stat-less markers fall back to one scalar agg) plus one df
     row per distinct query term off the pruned postings — the idf
     literals stay a pinned Python ``math.log`` chain, same determinism
     contract as ``bm25_topk`` (idf table re-enters the plan as a
@@ -408,11 +569,19 @@ def bm25_topk_batch(
                 .agg(F.count("*").cast("long").alias("n"))
                 .collect()
             }
-            stats = doclens.agg(
-                F.count("*").cast("long").alias("n"),
-                F.sum("dl").cast("long").alias("s"),
-            ).collect()[0]
-            n_docs, sum_dl = stats["n"], stats["s"]
+            # (N, Σdl) comes from the marker (maintained exactly at
+            # write/append/delete — integer arithmetic, no drift), so a
+            # query batch never pays a full doclens aggregation;
+            # pre-stats legacy indexes fall back to the live-view agg
+            stored = idx["params"].get("stats")
+            if stored is not None:
+                n_docs, sum_dl = stored["n_docs"], stored["sum_dl"]
+            else:
+                stats = doclens.agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("dl").cast("long").alias("s"),
+                ).collect()[0]
+                n_docs, sum_dl = stats["n"], stats["s"]
             if n_docs == 0:
                 raise ValueError("bm25_topk_batch: empty index")
             avgdl = float(sum_dl) / float(n_docs)

@@ -1079,9 +1079,56 @@ def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id",
                           c_id, write=True)
 
 
-def read_ivf_index(spark, path: str) -> DataFrame:
-    """Open a write_ivf_index directory for searching."""
-    return spark.read.parquet(path)
+def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Open a write_ivf_index directory for searching — the LIVE view:
+    ids tombstoned by ``delete_from_ivf_index`` are anti-joined out
+    (broadcast small side), so partition-pruned probes honor deletes
+    without a rebuild. Never-deleted indexes get the bare scan."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    return ts.apply_tombstones(spark.read.parquet(path), path, id_col)
+
+
+def delete_from_ivf_index(ids: DataFrame, path: str,
+                          id_col: str = "vec_id") -> int:
+    """Remove vectors from a persisted IVF index without rewriting it:
+    append the ids to the index's tombstone table. ``read_ivf_index``
+    then serves exactly the index a rebuild without those vectors would
+    produce (staged ``ivf_delete_search`` oracle); run
+    ``compact_ivf_index`` periodically. Idempotent — re-deletes and
+    never-indexed ids are no-ops. Returns the batch's distinct-id
+    count. Raises on a directory that was never ``write_ivf_index``-
+    stamped with a marker (un-guarded legacy dirs can still be deleted
+    from by writing the marker first — the same opt-in as append's
+    drift guard)."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    spark = ids.sparkSession
+    if not fsutil.exists(spark, path.rstrip("/") + "/" + _IVF_PARAMS_FILE):
+        raise ValueError(
+            f"{path!r} has no {_IVF_PARAMS_FILE} marker; stamp it with "
+            "write_ivf_index(..., centroids=...) before deleting"
+        )
+    n = ts.append_tombstones(ids.select(F.col(id_col)), path, id_col)
+    ts.warn_if_tombstones_large(spark, path)
+    return n
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
+                      c_id: str = "c_id") -> None:
+    """Fold accumulated tombstones into the IVF bucket files and
+    coalesce each bucket to one file (rewrite live view to a hidden tmp
+    dir, swap, clear tombstones — ``tombstones.swap_partition_dirs``).
+    Searches are identical before/after; the centroid-digest marker is
+    untouched, so append's drift guard keeps working."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    live = ts.apply_tombstones(spark.read.parquet(path), path, id_col)
+    tmp = "_compact_tmp"
+    live.repartition(c_id).write.mode("overwrite").partitionBy(
+        c_id).parquet(path.rstrip("/") + "/" + tmp)
+    ts.swap_partition_dirs(spark, path, tmp)
 
 
 def append_to_ivf_index(
@@ -1121,8 +1168,21 @@ def append_to_ivf_index(
     scalar-sized; the assignment itself is computed once (persisted
     across the write and the count, then released).
     """
-    _ivf_params_guard(new_vectors.sparkSession, path, centroids, vec,
-                      c_id, write=False)
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    spark = new_vectors.sparkSession
+    _ivf_params_guard(spark, path, centroids, vec, c_id, write=False)
+    tomb = ts.read_tombstones(spark, path)
+    if tomb is not None:
+        # a tombstoned id re-appended would be silently masked by the
+        # read_ivf_index anti-join until compaction — refuse
+        n_bad = new_vectors.select(id_col).join(
+            F.broadcast(tomb), id_col, "left_semi").count()
+        if n_bad:
+            raise ValueError(
+                f"append batch contains {n_bad} id(s) tombstoned in "
+                f"{path!r}; run compact_ivf_index first, then append"
+            )
     assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
                           method=method)
     assigned = assigned.persist()
@@ -1135,7 +1195,6 @@ def append_to_ivf_index(
         )
     finally:
         assigned.unpersist()
-    spark = new_vectors.sparkSession
     return spark.createDataFrame(
         [(int(r[c_id]), int(r["n_appended"])) for r in counts],
         f"{c_id} long, n_appended long",

@@ -1,0 +1,161 @@
+"""Tombstone deletion for the persisted index family.
+
+The persisted indexes (``write_lsh_index``, ``write_ivf_index``,
+``write_bm25_index``) are append-optimized: per-partition parquet
+directories gain files, nothing is rewritten. Real crawl pipelines also
+DELETE documents — takedowns, robots retro-opt-outs, licensing — and
+rewriting a 100 TB index per takedown batch is not an option. The
+standard shape (this module) is a **tombstone table**: deletes append
+the doomed ids to a small side table under the index directory; every
+probe anti-joins it out; a periodic **compaction** folds the tombstones
+into the data files and clears them.
+
+Layout: ``{index}/_tombstones/`` — an ordinary parquet directory whose
+single column is the index's id column. The ``_`` prefix keeps it
+invisible to the index's own ``spark.read.parquet(root)`` listing
+(Hadoop's hidden-path filter skips ``_``/``.`` entries), the same
+convention as the parameter markers.
+
+Contract pinned by the staged r13 oracles and tests/test_index_delete.py:
+for every family, ``delete(X)`` then search ≡ search over an index
+rebuilt without X — before AND after compaction, byte-for-byte.
+
+Scale notes:
+- The tombstone side of the probe anti-join is broadcast: tombstone
+  tables are delete *batches*, orders of magnitude smaller than the
+  index. Compaction is the pressure valve — run it before the
+  accumulated tombstones approach broadcast limits (the reader warns
+  past ``BROADCAST_WARN_ROWS``).
+- Deletes are idempotent: ids are distinct-ed per batch, and the
+  anti-join makes a re-delete (or a delete of an id the index never
+  had) a semantic no-op. Compaction is likewise idempotent — a crash
+  between the data swap and the tombstone clear leaves tombstones that
+  now match nothing.
+
+Reference has no counterpart (its index files are rebuilt wholesale);
+this is an LLM-pipeline/scale extension (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOMBSTONES_DIR = "_tombstones"
+
+# a tombstone table past this size still works, but the broadcast
+# anti-join starts to hurt — compact the index instead
+BROADCAST_WARN_ROWS = 5_000_000
+
+
+def tombstones_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/" + TOMBSTONES_DIR
+
+
+def has_tombstones(spark: SparkSession, index_path: str) -> bool:
+    from ncbi_analysis_spark.sources import fsutil
+
+    return fsutil.exists(spark, tombstones_path(index_path))
+
+
+def append_tombstones(ids: DataFrame, index_path: str, id_col: str) -> int:
+    """Append one delete batch (distinct ids, single column named
+    ``id_col``) to the index's tombstone table. Returns the number of
+    distinct ids in THIS batch (not the live-row count they remove —
+    deletes of absent or already-deleted ids are fine and count here)."""
+    batch = ids.select(F.col(id_col)).distinct().persist()
+    try:
+        batch.write.mode("append").parquet(tombstones_path(index_path))
+        n = batch.count()
+    finally:
+        batch.unpersist()
+    return int(n)
+
+
+def read_tombstones(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The accumulated tombstone ids (distinct), or None if no delete
+    has ever landed.
+
+    The read globs the data files rather than naming the directory:
+    ``_``-prefixed paths are hidden from Spark's path resolution (that
+    is WHY the dir is named ``_tombstones`` — the index's own root read
+    must skip it), and passing a hidden directory as the read path
+    works only through a deprecation-shaped "all paths were ignored"
+    warning. The file glob names visible leaves, so it resolves
+    cleanly."""
+    if not has_tombstones(spark, index_path):
+        return None
+    try:
+        df = spark.read.parquet(tombstones_path(index_path) + "/*.parquet")
+    except Exception:
+        # dir exists but no committed data file: a delete batch crashed
+        # before its first file landed — by write-ordering that delete
+        # never happened, so the live view correctly shows everything
+        return None
+    return df.distinct()
+
+
+def apply_tombstones(rows: DataFrame, index_path: str, id_col: str) -> DataFrame:
+    """The live view of an index's row table: anti-join the tombstones
+    out (broadcast — see module notes). No tombstones → ``rows``
+    unchanged, zero plan overhead for never-deleted indexes."""
+    spark = rows.sparkSession
+    ts = read_tombstones(spark, index_path)
+    if ts is None:
+        return rows
+    ts_cols = ts.columns
+    if ts_cols != [id_col]:
+        raise ValueError(
+            f"tombstone table at {tombstones_path(index_path)!r} holds "
+            f"column(s) {ts_cols}, probe expected [{id_col!r}] — the "
+            "index was deleted-from under a different id column"
+        )
+    return rows.join(F.broadcast(ts), on=id_col, how="left_anti")
+
+
+def clear_tombstones(spark: SparkSession, index_path: str) -> None:
+    from ncbi_analysis_spark.sources import fsutil
+
+    fsutil.delete(spark, tombstones_path(index_path))
+
+
+def warn_if_tombstones_large(spark: SparkSession, index_path: str) -> None:
+    ts = read_tombstones(spark, index_path)
+    if ts is not None and ts.limit(BROADCAST_WARN_ROWS + 1).count() > BROADCAST_WARN_ROWS:
+        warnings.warn(
+            f"index {index_path!r} carries >{BROADCAST_WARN_ROWS} "
+            "tombstoned ids; probe anti-joins broadcast this table — "
+            "compact the index",
+            stacklevel=2,
+        )
+
+
+def swap_partition_dirs(spark: SparkSession, index_path: str,
+                        tmp_name: str) -> None:
+    """Finish an in-place compaction: replace the index's VISIBLE
+    children (partition dirs, data files, _SUCCESS) with the children
+    of ``{index}/{tmp_name}``, then drop the tmp dir and the tombstones.
+
+    The rewrite job writes to the ``_``-hidden tmp dir first, so probes
+    reading the old files are never racing a half-written swap on a
+    rename-capable filesystem; a crash mid-swap is recovered by
+    re-running compaction (idempotent: the anti-join view is unchanged
+    by which files survived)."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = index_path.rstrip("/")
+    tmp = root + "/" + tmp_name
+    for child in fsutil.list_children(spark, root):
+        if child.startswith(("_", ".")):
+            continue
+        fsutil.delete(spark, root + "/" + child)
+    for child in fsutil.list_children(spark, tmp):
+        # the tmp job's _SUCCESS/. markers stay behind (the root keeps
+        # its own _SUCCESS from the original build; renaming onto an
+        # existing path is a Hadoop rename failure)
+        if not child.startswith(("_", ".")):
+            fsutil.rename(spark, tmp + "/" + child, root + "/" + child)
+    fsutil.delete(spark, tmp)
+    clear_tombstones(spark, index_path)

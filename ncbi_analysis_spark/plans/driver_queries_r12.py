@@ -61,7 +61,10 @@ def bm25_index_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_batch(spark, path, qdf, k=_BM25_BATCH_K)
 
 
-def _bm25_batch_sql() -> str:
+def _bm25_batch_sql(corpus_pred: str = "TRUE") -> str:
+    """The staged-r12 batch-BM25 oracle; ``corpus_pred`` narrows the
+    corpus (r13's delete oracles score against a corpus-without-X
+    rebuild — the tombstoned index must match it exactly)."""
     from ncbi_analysis_spark.operators.retrieval import query_terms
 
     all_terms = sorted({t for _, q in _BM25_BATCH for t in query_terms(q)})
@@ -70,7 +73,8 @@ def _bm25_batch_sql() -> str:
         f"({qid}, '{t}')" for qid, q in _BM25_BATCH for t in query_terms(q)
     )
     return rf"""
-WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND ({corpus_pred})),
 dl AS (
   SELECT doc_id,
          CASE WHEN length(TRIM(text)) = 0 THEN 0

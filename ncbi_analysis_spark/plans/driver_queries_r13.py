@@ -4,13 +4,208 @@ Queries added this round live here until they are registered into
 ``plans/driver_queries.py``'s build-order dicts at the start of round 14
 (the standing cadence — see COVERAGE.md's round-close checklist).
 ``scripts/check_oracle.py --staged`` runs these alongside the registry.
+
+This round's theme: **deletion support for the persisted index family**
+(operators/tombstones.py; ``delete_from_*`` / ``compact_*`` in
+dedup.py, similarity_search.py, retrieval.py). Each oracle row pins the
+tombstone contract end-to-end: delete(X) + search ≡ search over an
+index REBUILT without X — the oracle recomputes the search from the raw
+corpus with X filtered out, so any leak of a deleted doc through the
+anti-join, the marker stats, or a compaction swap hash-mismatches here.
 """
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def bm25_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion on the persisted BM25 index
+    (operators/retrieval.py::delete_from_bm25_index): build the index
+    over the WHOLE corpus, tombstone every doc_id % 3 == 0, then serve
+    the r12 three-query batch. The oracle recomputes BM25 from the raw
+    corpus with those docs filtered out — idf (live df counts), avgdl
+    and N (marker stats maintained at delete time) must all move
+    together, exactly. This is the pure tombstone path: no compaction,
+    every probe goes through the anti-join + adjusted marker stats."""
+    from ncbi_analysis_spark.operators.retrieval import (
+        bm25_topk_batch,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        _BM25_BATCH,
+        _BM25_BATCH_K,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = _staging_dir("spark_graft_bm25_del")
+    write_bm25_index(d, path, n_buckets=32)
+    delete_from_bm25_index(
+        d.filter(F.col("doc_id") % 3 == 0).select("doc_id"), path
+    )
+    qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
+    return bm25_topk_batch(spark, path, qdf, k=_BM25_BATCH_K)
+
+
+def _bm25_delete_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r12 import _bm25_batch_sql
+
+    return _bm25_batch_sql(corpus_pred="doc_id % 3 <> 0")
+
+
+def bm25_compacted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same delete as ``bm25_delete_search`` with
+    ``compact_bm25_index`` folded in before the search (and an append
+    AFTER the compaction — post-compaction the index must accept new
+    ids again): tombstones rewritten into the data files, per-bucket
+    small files coalesced, marker stats refreshed from the exact
+    recompute. Same oracle as the tombstone path — compaction must be
+    invisible to every score."""
+    from ncbi_analysis_spark.operators.retrieval import (
+        append_to_bm25_index,
+        bm25_topk_batch,
+        compact_bm25_index,
+        delete_from_bm25_index,
+        write_bm25_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+    from ncbi_analysis_spark.plans.driver_queries_r12 import (
+        _BM25_BATCH,
+        _BM25_BATCH_K,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    keep = d.filter(F.col("doc_id") % 3 != 0)
+    path = _staging_dir("spark_graft_bm25_compact")
+    # build from 2/3 of the keep-set, delete strays, compact, then
+    # append the last third — exercising write+delete+compact+append in
+    # one maintenance cycle that must land exactly on the oracle corpus
+    write_bm25_index(d.filter(F.col("doc_id") % 9 < 6), path, n_buckets=32)
+    delete_from_bm25_index(
+        d.filter((F.col("doc_id") % 9 < 6) & (F.col("doc_id") % 3 == 0))
+        .select("doc_id"),
+        path,
+    )
+    compact_bm25_index(spark, path)
+    append_to_bm25_index(keep.filter(F.col("doc_id") % 9 >= 6), path,
+                         n_buckets=32)
+    qdf = spark.createDataFrame(_BM25_BATCH, "query_id long, query string")
+    return bm25_topk_batch(spark, path, qdf, k=_BM25_BATCH_K)
+
+
+def lsh_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion on the persisted MinHash-LSH index
+    (operators/dedup.py::delete_from_lsh_index / compact_lsh_index):
+    the lsh_incremental_decon crawl-ingest loop with a takedown batch
+    folded in — index the old corpus (%7<>0), tombstone every indexed
+    doc_id % 5 == 0, COMPACT (the probe must not see the difference),
+    then probe with the new crawl batch (%7=0). Oracle: the recompute-
+    everything fuzzy-collision SQL over the corpus minus the deleted
+    docs, roles flipped (the lsh_incremental_decon shape)."""
+    from ncbi_analysis_spark.operators.dedup import (
+        compact_lsh_index,
+        delete_from_lsh_index,
+        lsh_index_collisions,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    kw = dict(num_perm=4, bands=2, shingle_n=3)
+
+    path = _staging_dir("spark_graft_lsh_del")
+    write_lsh_index(old, "text", "doc_id", path, **kw)
+    delete_from_lsh_index(
+        old.filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("id")),
+        path,
+    )
+    compact_lsh_index(spark, path)
+    index = read_lsh_index(spark, path)
+    return lsh_index_collisions(new, index, "text", "doc_id", **kw)
+
+
+def _lsh_delete_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    inner = _fuzzy_decon_sql(corpus_pred="doc_id % 5 <> 0")
+    return (f"SELECT bench_id AS doc_id, doc_id AS indexed_id "
+            f"FROM ({inner}) p")
+
+
+def ivf_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletion on the persisted IVF index
+    (operators/similarity_search.py::delete_from_ivf_index /
+    compact_ivf_index): the ann_index_append build with every
+    vec_id % 5 == 0 tombstoned afterwards, compacted, then searched
+    with partition-pruned probes. Oracle: the ann_ivf recompute with
+    the deleted vectors filtered out of the corpus (queries and the
+    frozen centroid set are untouched — centroids are parameters, not
+    index rows, so deleting their source vectors must not move any
+    bucket assignment)."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_assign,
+        ivf_topk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+
+    path = _staging_dir("spark_graft_ivf_del")
+    write_ivf_index(ivf_assign(e, cents), path, centroids=cents)
+    delete_from_ivf_index(
+        e.filter(F.col("vec_id") % 5 == 0).select("vec_id"), path
+    )
+    compact_ivf_index(spark, path)
+    index = read_ivf_index(spark, path)
+    out = ivf_topk(e, q, cents, k=10, nprobe=2, assigned=index,
+                   prefilter_partitions=True)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ivf_delete_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import ANN_IVF_SQL
+
+    old = "corpus AS (SELECT vec_id, embedding AS v FROM embeddings),"
+    new = ("corpus AS (SELECT vec_id, embedding AS v FROM embeddings "
+           "WHERE vec_id % 5 <> 0),")
+    if old not in ANN_IVF_SQL:
+        raise RuntimeError(
+            "ANN_IVF_SQL corpus CTE changed shape; update _ivf_delete_sql"
+        )
+    return ANN_IVF_SQL.replace(old, new)
+
 
 def queries_r13() -> dict:
-    return {}
+    return {
+        "bm25_delete_search": bm25_delete_search,
+        "bm25_compacted_search": bm25_compacted_search,
+        "lsh_delete_probe": lsh_delete_probe,
+        "ivf_delete_search": ivf_delete_search,
+    }
 
 
 def oracle_sql_r13() -> dict[str, str]:
-    return {}
+    return {
+        "bm25_delete_search": _bm25_delete_sql(),
+        "bm25_compacted_search": _bm25_delete_sql(),
+        "lsh_delete_probe": _lsh_delete_sql(),
+        "ivf_delete_search": _ivf_delete_sql(),
+    }

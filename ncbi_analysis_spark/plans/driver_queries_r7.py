@@ -585,7 +585,10 @@ def fuzzy_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fuzzy_decon_sql() -> str:
+def _fuzzy_decon_sql(corpus_pred: str = "TRUE") -> str:
+    """``corpus_pred`` narrows the corpus (%7<>0) side — r13's LSH
+    delete oracle compares the tombstoned index against a
+    corpus-without-X recompute."""
     from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
 
     band_rows = f"""
@@ -601,7 +604,7 @@ def _fuzzy_decon_sql() -> str:
   FROM SHG"""
     return f"""
 WITH csh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
-             WHERE doc_id % 7 <> 0),
+             WHERE doc_id % 7 <> 0 AND ({corpus_pred})),
 cm AS ({mh.replace('SHG', 'csh')}),
 cb AS ({band_rows.replace('MM', 'cm')}),
 bsh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents

@@ -66,3 +66,31 @@ def list_subdirs(spark: SparkSession, path_str: str) -> list[str]:
         if st.isDirectory():
             out.append(st.getPath().getName())
     return sorted(out)
+
+
+def list_children(spark: SparkSession, path_str: str) -> list[str]:
+    """Names of ALL immediate children (files and directories, sorted).
+    Unlike the parquet reader's listing this does NOT hide ``_``/``.``
+    prefixed entries — compaction uses it to enumerate exactly what a
+    swap must delete or move."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    if not fs.exists(jpath):
+        return []
+    return sorted(st.getPath().getName() for st in fs.listStatus(jpath))
+
+
+def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False if it didn't exist."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Atomic-where-the-FS-allows move (HDFS/local rename; object
+    stores emulate). Raises if the filesystem refuses."""
+    fs, jsrc, jvm = _fs_path(spark, src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise IOError(f"rename failed: {src} -> {dst}")

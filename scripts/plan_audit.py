@@ -76,6 +76,10 @@ EXPECTED: dict[str, set[str]] = {
     # Probe construction: bounded query set x centroid table —
     # ann_ivf's shape (the search over the appended index).
     "ann_index_append": {"BroadcastNestedLoopJoin"},
+    # --- staged r13 (audited pre-registration) ---
+    # Same probe-construction cross join over the tombstone-compacted
+    # index (ann_ivf's shape; the delete machinery is all equi-joins).
+    "ivf_delete_search": {"BroadcastNestedLoopJoin"},
     # Bounded PARITY mode by design (locate_matches(bounded=True) on the
     # committed reference fixture): non-equi broadcast candidate join
     # (BNLJ); the global rank over the ~7-row annotation table plans
@@ -180,7 +184,13 @@ def audit(
             # not visible, and construction executes the job (same
             # class as vocab_drift_report). rrf_hybrid_search keeps a
             # live plan (its fusion join is lazy), so it stays audited.
-            "bm25_search", "bm25_index_batch"}
+            "bm25_search", "bm25_index_batch",
+            # r13 staged: same eager-bounded-return class (index
+            # write+delete+compact executed during construction)
+            "bm25_delete_search", "bm25_compacted_search",
+            # construction writes+deletes+compacts the band index; the
+            # final plan is the probe read (lsh_incremental_decon class)
+            "lsh_delete_probe"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
