@@ -144,6 +144,48 @@ def cm_estimate(
     )
 
 
+def write_cm_sketch(
+    sketch: DataFrame,
+    path: str,
+    width: int,
+    depth: int,
+) -> None:
+    """Publish a Count-Min register table with its (width, depth)
+    marker — the ``write_hll_sketch`` contract for counts. Overwrite
+    mode: re-publishing the same logical sketch replaces it, which is
+    what makes the streaming publisher's per-batch directories
+    re-delivery-safe (CM merge is ADD, not max — a duplicated register
+    table would double-count, so idempotence must come from the
+    overwrite, not the merge)."""
+    from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
+
+    sketch.write.mode("overwrite").parquet(path)
+    _sketch_marker_io(
+        sketch.sparkSession, path,
+        {"kind": "cm", "width": width, "depth": depth},
+        write=True,
+    )
+
+
+def read_cm_sketch(
+    spark,
+    path: str,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Open a published Count-Min register table, failing loudly when
+    the reader's (width, depth) disagree with the marker — registers
+    from different parameter spaces must never be added."""
+    from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
+
+    _sketch_marker_io(
+        spark, path,
+        {"kind": "cm", "width": width, "depth": depth},
+        write=False,
+    )
+    return spark.read.parquet(path)
+
+
 def partition_top_tokens(
     df: DataFrame,
     col: str,

@@ -193,12 +193,76 @@ def _ivf_delete_sql() -> str:
     return ANN_IVF_SQL.replace(old, new)
 
 
+_SCM_W, _SCM_D = 64, 3
+
+
+def stream_cm_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitter state end-to-end
+    (streaming/events.py::publish_cm_snapshots/read_cm_snapshots — the
+    r12 verdict's missing streaming frequency tier): the events table
+    as a file stream, each micro-batch's Count-Min register table
+    published as a versioned marker-guarded snapshot via foreachBatch,
+    then the snapshot directory merged by elementwise add. The merged
+    registers must equal the batch sketch of the whole corpus EXACTLY
+    regardless of batching (integer + is associative/commutative; the
+    checkpoint + per-batch overwrite carry re-delivery safety, since
+    add — unlike HLL max — is not idempotent). Oracle: DuckDB register
+    rebuild over all events (same md5 buckets, exact integer counts)."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.plans.driver_queries import _events
+    from ncbi_analysis_spark.plans.driver_queries_r11 import (
+        _stage_as_stream,
+    )
+    from ncbi_analysis_spark.streaming.events import (
+        publish_cm_snapshots,
+        read_cm_snapshots,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id").filter(
+        F.col("user_id").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_cm_pub_")
+    try:
+        src = _stage_as_stream(spark, ev, tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = f"{tmp}/sketches"
+        publish_cm_snapshots(
+            stream, "user_id", out, f"{tmp}/ck",
+            width=_SCM_W, depth=_SCM_D,
+        )
+        merged = read_cm_snapshots(spark, out, width=_SCM_W, depth=_SCM_D)
+        # snapshot dir dies with tmp: materialize the depth×width-
+        # bounded register table before cleanup
+        rows = merged.collect()
+        schema = merged.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_cm_sql() -> str:
+    rows = ", ".join(f"({i})" for i in range(_SCM_D))
+    return f"""
+WITH vals AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+rws(i) AS (VALUES {rows})
+SELECT i::BIGINT AS row,
+       ('0x' || substr(md5('cm' || i::VARCHAR || '|' || user_id::VARCHAR),
+                       1, 8))::BIGINT % {_SCM_W} AS bucket,
+       count(*)::BIGINT AS cnt
+FROM vals CROSS JOIN rws
+GROUP BY row, bucket
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
         "bm25_compacted_search": bm25_compacted_search,
         "lsh_delete_probe": lsh_delete_probe,
         "ivf_delete_search": ivf_delete_search,
+        "stream_cm_publish": stream_cm_publish,
     }
 
 
@@ -208,4 +272,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "bm25_compacted_search": _bm25_delete_sql(),
         "lsh_delete_probe": _lsh_delete_sql(),
         "ivf_delete_search": _ivf_delete_sql(),
+        "stream_cm_publish": _stream_cm_sql(),
     }

@@ -997,6 +997,100 @@ def publish_hll_snapshots(
     return w.start()
 
 
+def publish_cm_snapshots(
+    stream_df: DataFrame,
+    col: str,
+    out_root: str,
+    checkpoint: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming **heavy-hitter** state publisher: the
+    ``publish_hll_snapshots`` posture for Count-Min registers — each
+    micro-batch's register table (``operators.heavy_hitters.cm_sketch``
+    over just that batch, bounded at depth×width rows) lands as a
+    versioned, marker-guarded snapshot at ``{out_root}/batch={id}``.
+    ``read_cm_snapshots`` merges them by elementwise add into exactly
+    the sketch of everything that ever flowed through, regardless of
+    batching (integer + is associative/commutative) — the streaming
+    frequency tracking the batch tier's ``cm_sketch``/``cm_estimate``
+    pairing was missing.
+
+    Restart idempotency differs from the HLL publisher in one
+    load-bearing way: CM merge is ADD, **not idempotent**, so a
+    duplicated snapshot would double-count. Safety comes from the
+    checkpoint (resume AFTER the last committed batch) plus
+    ``write_cm_sketch``'s overwrite mode — a batch re-delivered after a
+    mid-publish crash REPLACES its own ``batch={id}`` directory rather
+    than adding to it. ``available_now``/timeout semantics match
+    ``stream_to_parquet`` (partial drains raise; retry is safe)."""
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        cm_sketch,
+        write_cm_sketch,
+    )
+
+    def _publish(batch_df, batch_id: int) -> None:
+        regs = cm_sketch(batch_df, col, width=width, depth=depth,
+                         weight_col=weight_col)
+        write_cm_sketch(
+            regs, f"{out_root.rstrip('/')}/batch={batch_id}",
+            width=width, depth=depth,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"publish_cm_snapshots drain overran {timeout_s}s and was "
+                f"stopped mid-batch; the checkpoint at {checkpoint!r} makes "
+                "a retry exactly-once safe"
+            )
+        return None
+    return w.start()
+
+
+def read_cm_snapshots(
+    spark,
+    out_root: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Open a ``publish_cm_snapshots`` directory as ONE merged register
+    table: validate every snapshot's (width, depth) marker driver-side,
+    scan all batch directories in a single multi-path parquet read (the
+    ``read_hll_snapshots`` no-deep-union posture), and fold by
+    elementwise integer add. Feed to ``cm_estimate`` for streaming
+    point-frequency estimates, or ``cm_merge`` with batch-built
+    sketches of older corpora."""
+    from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = out_root.rstrip("/")
+    batches = [d for d in fsutil.list_subdirs(spark, root)
+               if d.startswith("batch=")]
+    if not batches:
+        raise ValueError(
+            f"{out_root!r} has no published batch=* snapshots"
+        )
+    params = {"kind": "cm", "width": width, "depth": depth}
+    for b in batches:
+        _sketch_marker_io(spark, f"{root}/{b}", params, write=False)
+    merged = spark.read.parquet(*[f"{root}/{b}" for b in batches])
+    return (
+        merged.groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def read_hll_snapshots(
     spark,
     out_root: str,
@@ -1009,10 +1103,18 @@ def read_hll_snapshots(
     contract), union the per-batch registers, and merge by register-
     wise max (``hll_rollup`` keyed on the full grouping). Feed to
     ``hll_estimate`` for the corpus-lifetime cardinality readout, or
-    ``hll_merge`` with other published sketches."""
+    ``hll_merge`` with other published sketches.
+
+    Every snapshot's marker is validated driver-side (tiny JSON reads),
+    then ALL batch directories are scanned in ONE multi-path parquet
+    read — a long-running stream publishes thousands of micro-batch
+    snapshots, and a per-batch union loop would build a linearly deep
+    plan (driver analysis blowup). Each register table is
+    n_groups×2^p-bounded, so even a many-thousand-snapshot union is a
+    modest scan before the rollup's register-wise max."""
     from ncbi_analysis_spark.operators.sketches import (
+        _sketch_marker_io,
         hll_rollup,
-        read_hll_sketch,
     )
     from ncbi_analysis_spark.sources import fsutil
 
@@ -1023,8 +1125,8 @@ def read_hll_snapshots(
         raise ValueError(
             f"{out_root!r} has no published batch=* snapshots"
         )
-    merged = None
+    params = {"kind": "hll", "p": p, "group_by": list(group_by or [])}
     for b in batches:
-        t = read_hll_sketch(spark, f"{root}/{b}", p=p, group_by=group_by)
-        merged = t if merged is None else merged.unionByName(t)
+        _sketch_marker_io(spark, f"{root}/{b}", params, write=False)
+    merged = spark.read.parquet(*[f"{root}/{b}" for b in batches])
     return hll_rollup(merged, list(group_by or []))

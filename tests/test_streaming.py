@@ -775,3 +775,61 @@ def test_publish_hll_snapshots_restart_and_merge(spark, tmp_path):
         sev.read_hll_snapshots(spark, out, p=12, group_by=["event_type"])
     with pytest.raises(ValueError, match="no published"):
         sev.read_hll_snapshots(spark, str(tmp_path / "nothing"), p=8)
+
+
+def test_publish_cm_snapshots_restart_and_merge(spark, tmp_path):
+    """The streaming Count-Min publisher (the HLL publisher's posture
+    for ADD-merged state): restart over the same checkpoint publishes
+    nothing new (add is NOT idempotent, so this is load-bearing, not
+    just tidy); new files land as new snapshots; and the merged read
+    equals the batch sketch of everything that ever flowed through,
+    register-for-register."""
+    import glob as _glob
+
+    from ncbi_analysis_spark.operators.heavy_hitters import cm_sketch
+    from ncbi_analysis_spark.sources import fsutil
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "sketches"); ck = str(tmp_path / "ck")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    W, D = 32, 3
+
+    def run():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.publish_cm_snapshots(
+            stream.select("user_id"), "user_id", out, ck,
+            width=W, depth=D)
+
+    run()
+    dirs1 = fsutil.list_subdirs(spark, out)
+    assert dirs1 and all(d.startswith("batch=") for d in dirs1)
+    # restart, same source+checkpoint: no new snapshots, and (the add
+    # semantics) the merged counts are unchanged
+    merged1 = sorted(map(tuple, sev.read_cm_snapshots(
+        spark, out, width=W, depth=D).collect()))
+    run()
+    assert fsutil.list_subdirs(spark, out) == dirs1
+    assert sorted(map(tuple, sev.read_cm_snapshots(
+        spark, out, width=W, depth=D).collect())) == merged1
+
+    # new file between restarts -> new snapshot(s), exactly once
+    stage = str(tmp_path / "stage")
+    df2 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "user_id", F.col("user_id") + 777)
+    df2.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "b.parquet")
+    run()
+    assert len(fsutil.list_subdirs(spark, out)) > len(dirs1)
+
+    merged = sev.read_cm_snapshots(spark, out, width=W, depth=D)
+    both = read_events(spark, f"{SF_DIR}/events.parquet").select(
+        "user_id").unionByName(df2.select("user_id"))
+    want = cm_sketch(both, "user_id", width=W, depth=D)
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, want.collect()))
+
+    # wrong-parameter read fails loudly
+    with pytest.raises(ValueError, match="parameter spaces"):
+        sev.read_cm_snapshots(spark, out, width=64, depth=D)
+    with pytest.raises(ValueError, match="no published"):
+        sev.read_cm_snapshots(spark, str(tmp_path / "nothing"))
