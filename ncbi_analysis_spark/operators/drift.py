@@ -75,10 +75,15 @@ def hashed_vocab_counts(
     existing tokenize pass — it must have been built with the SAME
     ``n_buckets``: a mismatched table would silently mis-bucket the
     drift comparison, so the reuse path validates the schema
-    driver-side and guards the bucket range IN-PLAN (the
-    temperature_quotas loud-failure pattern; a bucket id at or past
-    ``n_buckets`` proves a parameter mismatch and raises at
-    execution)."""
+    driver-side and re-derives each row's bucket from its token IN-PLAN
+    (the temperature_quotas loud-failure pattern). The recompute guard
+    is COMPLETE in both directions — ``bucket`` must equal
+    ``pmod(hash32(g), n_buckets)`` by definition, so a table built with
+    any other bucket count (larger OR smaller) raises at execution on
+    its first disagreeing row, and a table that fully agrees is
+    semantically correct for this ``n_buckets`` whatever parameter it
+    was built with. Cost: one md5 per counts row — the table is
+    vocabulary-bounded, not corpus-sized."""
     if counts is None:
         counts = token_bucket_counts(df, text_col, n_buckets)
     else:
@@ -88,15 +93,17 @@ def hashed_vocab_counts(
                 "hashed_vocab_counts: counts= is not a "
                 f"token_bucket_counts table (missing columns {sorted(missing)})"
             )
+        expected = F.pmod(_hash32(F.col("g")), F.lit(n_buckets))
         guard = F.when(
-            F.col("bucket") < n_buckets, F.col("bucket")
+            F.col("bucket") == expected, F.col("bucket")
         ).otherwise(
             F.raise_error(F.concat(
                 F.lit("hashed_vocab_counts: counts table has bucket "),
                 F.col("bucket").cast("string"),
-                F.lit(f" >= n_buckets={n_buckets} — it was built with a "
-                      "different n_buckets; rebuild or pass the matching "
-                      "value"),
+                F.lit(" for token whose bucket under "
+                      f"n_buckets={n_buckets} differs — the table was "
+                      "built with a different n_buckets; rebuild or pass "
+                      "the matching value"),
             ))
         )
         counts = counts.select(guard.alias("bucket"), "g", "c")
@@ -296,11 +303,15 @@ def top_drifted_tokens_exact(
                                      "full_outer")
     na = F.coalesce(F.col("n_a"), F.lit(0)).cast("long")
     nb = F.coalesce(F.col("n_b"), F.lit(0)).cast("long")
-    # totals as LONG literals: F.lit(int) under 2^31 makes an INT
-    # literal and the N_a * N_b product overflows 32 bits long before
-    # the corpus is big
-    lna = F.lit(n_a_tot).cast("long")
-    lnb = F.lit(n_b_tot).cast("long")
+    # the guarantee is computed in DecimalType(38,0): int64 would
+    # overflow once each side exceeds ~3e9 tokens (|n*N| passes 2^63 —
+    # a crash under ANSI mode, a silent mis-flag without), at odds with
+    # the operator's at-scale pitch; 38-digit decimals carry
+    # n*N*(m+1) ~ 1e22 with room to spare (oracle mirrors in HUGEINT)
+    dec = "decimal(38,0)"
+    dna, dnb = na.cast(dec), nb.cast(dec)
+    tna = F.lit(n_a_tot).cast(dec)
+    tnb = F.lit(n_b_tot).cast(dec)
     p_a = na.cast("double") / F.lit(float(n_a_tot))
     p_b = nb.cast("double") / F.lit(float(n_b_tot))
     scored = joined.select(
@@ -311,8 +322,8 @@ def top_drifted_tokens_exact(
         p_b.alias("p_b"),
         F.abs(p_a - p_b).alias("drift"),
         (
-            F.abs(na * lnb - nb * lna) * F.lit(m + 1).cast("long")
-            > lna * lnb
+            F.abs(dna * tnb - dnb * tna) * F.lit(m + 1).cast(dec)
+            > tna * tnb
         ).alias("guaranteed"),
     )
     return scored.orderBy(F.desc("drift"), F.asc("token")).limit(n)

@@ -241,25 +241,39 @@ def heavy_hitters_topn(
     Output ``(token, cnt, guaranteed)`` ordered (cnt desc, token asc);
     ``guaranteed`` = cnt * (m+1) > N_total, i.e. the Misra-Gries bound
     certifies this row is in the true top-n for ANY partition layout.
-    Scale: the recount explodes the corpus but semi-joins to <=
-    m*partitions candidate tokens BEFORE the groupBy, so the shuffle
-    carries only candidate occurrences; top-n is
-    TakeOrderedAndProject. N_total is one map-side count.
+    Scale: ONE recount pass serves both the candidate counts and
+    N_total — non-candidate occurrences fold into a single NULL-key
+    group (map-side combine collapses them per task), so the shuffle
+    carries candidate occurrences plus one row per task; N_total is an
+    all-rows window sum over that BOUNDED counted table (a deliberate
+    single-partition pass over <= m*partitions+tasks rows — the
+    scalar-small-side class), so the corpus is never scanned a second
+    time. Top-n is TakeOrderedAndProject.
     """
+    from pyspark.sql import Window
+
     if n < 1:
         raise ValueError(f"heavy_hitters_topn: n={n} must be >= 1")
     src = df.filter(F.col(col).isNotNull()).select(
         F.col(col).cast("string").alias("token"))
     cands = partition_top_tokens(df, col, m).select("token").distinct()
-    total = src.count()
-    exact = (
-        src.join(F.broadcast(cands), "token", "left_semi")
-        .groupBy("token")
+    marked = F.broadcast(cands.withColumn("__cand", F.lit(1)))
+    counted = (
+        src.join(marked, "token", "left")
+        .select(F.when(F.col("__cand").isNotNull(), F.col("token"))
+                .alias("tk"))
+        .groupBy("tk")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        counted.withColumn(
+            "__N", F.sum("cnt").over(Window.partitionBy(F.lit(1))))
+        .filter(F.col("tk").isNotNull())
+        .select(F.col("tk").alias("token"), "cnt", "__N")
     )
     out = exact.orderBy(F.desc("cnt"), F.asc("token")).limit(n)
     return out.select(
         "token",
         "cnt",
-        (F.col("cnt") * F.lit(m + 1) > F.lit(total)).alias("guaranteed"),
+        (F.col("cnt") * F.lit(m + 1) > F.col("__N")).alias("guaranteed"),
     )

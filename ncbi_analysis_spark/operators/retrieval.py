@@ -186,13 +186,18 @@ def _contrib_expr(idf: dict, k1: float, b: float, avgdl: float):
 #               n_buckets) — a probe for |q| terms reads only the |q|
 #               buckets those terms hash to (partition pruning), not
 #               the whole index;
-#   doclens/    (doc_id, dl) — the per-doc length table; N and avgdl
-#               are one column-pruned aggregate over it at query time
-#               (no stale stats file to maintain on append);
+#   doclens/    (doc_id, dl) — the per-doc length table;
 #   _BM25_PARAMS.json  parameter marker (n_buckets, tokenizer) via
 #               sources/fsutil — appends and probes validate it, so a
 #               bucketing-parameter drift fails loudly instead of
-#               silently pruning to the wrong partitions.
+#               silently pruning to the wrong partitions. Since r13 it
+#               also carries exact corpus stats {n_docs, sum_dl},
+#               maintained by write/append/delete (integer arithmetic,
+#               no drift; compact re-derives and asserts), so N/avgdl
+#               cost zero corpus I/O at query time;
+#   _tombstones/  optional delete batches (operators/tombstones.py) —
+#               probes anti-join them out until compact_bm25_index
+#               folds them in.
 #
 # Append ≡ rebuild: per-doc postings and doclens rows are independent,
 # so any split of the corpus across write/append calls yields the same
@@ -594,12 +599,36 @@ def bm25_topk_batch(
                 for t in terms
             }
 
+            # idf re-enters the plan as a broadcast literal TABLE keyed
+            # by term, not _contrib_expr's chained WHEN — the per-term
+            # expression chain is fine for human-sized single queries
+            # but a 1,000-term synthetic batch would hit codegen
+            # expression-depth pain; a hash-join lookup has no such
+            # cliff and carries the exact same doubles
+            idf_tbl = F.broadcast(spark.createDataFrame(
+                [(t, float(idf[t])) for t in sorted(terms)],
+                "g string, __idf double"))
             matched = pruned.join(F.broadcast(qterms), "g")
-            scored = matched.join(doclens, "doc_id").select(
+            contrib = F.col("__idf") * (
+                F.col("tf").cast("double")
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(float(b))
+                        * (F.col("dl").cast("double")
+                           / F.lit(float(avgdl)))
+                    )
+                )
+            )
+            scored = matched.join(doclens, "doc_id").join(
+                idf_tbl, "g"
+            ).select(
                 query_id,
                 "doc_id",
                 "g",
-                _contrib_expr(idf, k1, b, avgdl).alias("contrib"),
+                contrib.alias("contrib"),
             )
             pairs = F.array_sort(F.collect_list(F.struct("g", "contrib")))
             per_doc = scored.groupBy(query_id, "doc_id").agg(

@@ -631,6 +631,13 @@ def quantile_sketch(
     NULL order). ``id_col`` must be unique per row (the dedup/index
     contract); duplicate ids would collapse to one sample slot.
 
+    The cut orders by ``(h, v)`` — the value as secondary key makes
+    membership at the k-boundary a total-order function of the row set
+    even under a (measure-zero but possible) hash tie between different
+    rows, so sketch contents never depend on partition layout and the
+    DuckDB oracle's identical ``ORDER BY h, v`` window always agrees
+    (the repo's append-a-tiebreaker convention).
+
     Output ``(*group_by, h, v)``, <= k rows per group. When a group has
     fewer than k rows the sketch IS the group's full value multiset and
     estimates become exact.
@@ -646,8 +653,9 @@ def quantile_sketch(
         F.col(value_col).alias("v"),
     )
     if gb:
-        return topk_per_group(rows, gb, [F.col("h")], k, keep_rank=False)
-    return rows.orderBy("h").limit(k)
+        return topk_per_group(rows, gb, [F.col("h"), F.col("v")], k,
+                              keep_rank=False)
+    return rows.orderBy("h", "v").limit(k)
 
 
 def quantile_sketch_merge(
@@ -665,8 +673,9 @@ def quantile_sketch_merge(
     gb = list(group_by or [])
     u = a.select(*gb, "h", "v").unionByName(b.select(*gb, "h", "v"))
     if gb:
-        return topk_per_group(u, gb, [F.col("h")], k, keep_rank=False)
-    return u.orderBy("h").limit(k)
+        return topk_per_group(u, gb, [F.col("h"), F.col("v")], k,
+                              keep_rank=False)
+    return u.orderBy("h", "v").limit(k)
 
 
 def quantile_sketch_estimate(

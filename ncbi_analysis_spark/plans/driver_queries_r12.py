@@ -164,7 +164,7 @@ WITH s AS (
   SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
          n_chars AS v
   FROM documents WHERE n_chars IS NOT NULL
-  ORDER BY h LIMIT {_QSK_K}
+  ORDER BY h, v LIMIT {_QSK_K}
 ),
 r AS (
   SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
@@ -213,7 +213,7 @@ WITH s AS (
   SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
          n_chars AS v
   FROM documents WHERE n_chars IS NOT NULL
-  ORDER BY h LIMIT {_QSK_K}
+  ORDER BY h, v LIMIT {_QSK_K}
 ),
 r AS (
   SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
@@ -636,7 +636,8 @@ WITH h AS (
          n_chars AS v,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT,
+                    n_chars
          ) AS hrk
   FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
 ),
@@ -717,8 +718,9 @@ scored AS (
          n_b::DOUBLE / tot.nb::DOUBLE AS p_b,
          abs(n_a::DOUBLE / tot.na::DOUBLE
              - n_b::DOUBLE / tot.nb::DOUBLE) AS drift,
-         (abs(n_a * tot.nb - n_b * tot.na) * {_DRIFT_HH_M + 1}
-            > tot.na * tot.nb) AS guaranteed
+         (abs(n_a::HUGEINT * tot.nb::HUGEINT - n_b::HUGEINT * tot.na::HUGEINT)
+            * {_DRIFT_HH_M + 1}::HUGEINT
+            > tot.na::HUGEINT * tot.nb::HUGEINT) AS guaranteed
   FROM j CROSS JOIN tot
 )
 SELECT token, n_a, n_b, p_a, p_b, drift, guaranteed

@@ -116,7 +116,8 @@ def test_vocab_drift_null_and_empty_text(spark):
 def test_hashed_vocab_counts_reuse_validates_buckets(spark):
     """The counts= reuse path must reject a non-counts table
     driver-side and fail IN-PLAN when the table was built with a
-    larger n_buckets (silent mis-bucketing is the failure mode)."""
+    mismatched n_buckets in either direction (silent mis-bucketing is
+    the failure mode)."""
     import pytest as _pytest
 
     from ncbi_analysis_spark.operators import drift as dr
@@ -134,9 +135,14 @@ def test_hashed_vocab_counts_reuse_validates_buckets(spark):
               for r in dr.hashed_vocab_counts(
                   d, n_buckets=1024, counts=counts).collect()}
     assert direct == reused
-    # mismatched n_buckets: loud in-plan failure at execution
+    # mismatched n_buckets: loud in-plan failure at execution, BOTH
+    # directions (the recompute guard: a table built with a smaller
+    # n_buckets used to pass the old range check silently)
     with _pytest.raises(Exception, match="different n_buckets"):
         dr.hashed_vocab_counts(d, n_buckets=2, counts=counts).collect()
+    small = dr.token_bucket_counts(d, n_buckets=2)
+    with _pytest.raises(Exception, match="different n_buckets"):
+        dr.hashed_vocab_counts(d, n_buckets=1024, counts=small).collect()
 
 
 def test_top_drifted_tokens_exact_matches_full_vocab(spark):
