@@ -641,6 +641,16 @@ def quantile_sketch(
     Output ``(*group_by, h, v)``, <= k rows per group. When a group has
     fewer than k rows the sketch IS the group's full value multiset and
     estimates become exact.
+
+    Accuracy (measured — SCALING.md round 13): the retained rows are a
+    uniform sample, so a q-quantile estimate's true rank deviates from
+    ``q`` with std ≈ ``sqrt(q*(1-q)/k)`` (empirical max over trials
+    lands at 1–4σ). Rule of thumb from the measured table: k=1024 is
+    comfortable for medians/p90 gates; for TAIL gates (p99.9, the
+    max-sequence-length question) use k >= 4096 — at k=1024 the worst
+    observed p99.9 rank error is 4× the tail mass itself. Raising k is
+    the intended tail path: it keeps merge(A,B) ≡ sketch(A∪B) exact,
+    which a KLL/t-digest compaction tier would give up.
     """
     from ncbi_analysis_spark.operators.topk import topk_per_group
 

@@ -494,3 +494,28 @@ def test_kmv_diff_grouped_and_python_model(spark):
         assert r["n_only_a"] == len({h for h in x if h in sa and h not in sb})
         assert r["n_only_b"] == len({h for h in x if h in sb and h not in sa})
         assert r["n_both"] == len({h for h in x if h in sa and h in sb})
+
+
+def test_quantile_sketch_tail_error_bound(spark):
+    """The measured-accuracy envelope (SCALING.md round 13): on a
+    known-rank corpus the q-quantile estimate's true rank must sit
+    within 5*sqrt(q(1-q)/k) of q — the binomial order-statistic bound
+    with headroom. Everything here is deterministic (md5 of fixed ids),
+    so this pins the sampling uniformity of the hash+cut: a regression
+    that biases the bottom-k sample fails loudly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import sketches as sk
+
+    n = 20_000
+    base = spark.range(1, n + 1).select(
+        F.col("id").alias("rid"), F.col("id").alias("v"))
+    for k in (256, 1024):
+        s = sk.quantile_sketch(base, "v", "rid", k=k)
+        for q in (0.5, 0.9, 0.99, 0.999):
+            est = sk.quantile_sketch_estimate(s, [q]).collect()[0]
+            err = abs(est["est_v"] / n - q)
+            bound = 5 * math.sqrt(q * (1 - q) / k)
+            assert err <= bound, (k, q, err, bound)
