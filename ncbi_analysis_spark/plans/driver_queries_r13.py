@@ -256,6 +256,91 @@ GROUP BY row, bucket
 """
 
 
+def span_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup recall, measured on PLANTED unaligned
+    duplicates (operators/dedup.py::span_recall_audit — the r12 verdict
+    gap: the content-defined anchor approximation of Lee et al.'s
+    suffix-array exact mode had no recall measurement): every tenth
+    document gets a copy with a per-doc variable-length pad prepended
+    (1–7 chars, so the copies are UNALIGNED — the geometry fixed-stride
+    sampling fails on and anchoring exists for), then the audit
+    compares anchored duplicated-char coverage against the brute-force
+    every-position truth. Expected recall at anchor density 1/16 with
+    32-char windows is ≈ 1-(15/16)^32 ≈ 0.87 — strictly inside (0,1),
+    which the oracle pins exactly (same md5 window/anchor rules in
+    DuckDB)."""
+    from ncbi_analysis_spark.operators.dedup import span_recall_audit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("text").isNotNull())
+    base = d.filter(F.col("doc_id") % 10 == 0)
+    planted = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.substring(F.lit("##########"), 1,
+                        (F.col("doc_id") % 7 + 1).cast("int")),
+            F.col("text"),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    return span_recall_audit(corpus, "text", "doc_id", window=32,
+                             anchor_k=8, anchor_bits=4, min_docs=2)
+
+
+_SPAN_RECALL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text AS tx FROM documents
+  WHERE text IS NOT NULL AND doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, tx FROM base
+  UNION ALL
+  SELECT doc_id + 1000000,
+         substr('##########', 1, (doc_id % 7 + 1)::INT) || tx
+  FROM base
+),
+w AS (
+  SELECT doc_id, s::BIGINT AS span_start, (s + 32)::BIGINT AS span_end,
+         md5(substr(tx, (s + 1)::INT, 32)) AS wh,
+         substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) AS a1
+  FROM (SELECT doc_id, tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM corpus)
+),
+tdup AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+tpos AS (
+  SELECT DISTINCT doc_id, UNNEST(range(span_start, span_end)) AS pos
+  FROM w JOIN tdup USING (wh)
+),
+aw AS (SELECT * FROM w WHERE a1 = '0'),
+adup AS (SELECT wh FROM aw GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+apos AS (
+  SELECT DISTINCT doc_id, UNNEST(range(span_start, span_end)) AS pos
+  FROM aw JOIN adup USING (wh)
+),
+j AS (
+  SELECT COALESCE(t.doc_id, a.doc_id) AS doc_id,
+         (t.doc_id IS NOT NULL)::INT AS in_truth,
+         (a.doc_id IS NOT NULL)::INT AS in_cand
+  FROM tpos t FULL OUTER JOIN apos a
+    ON t.doc_id = a.doc_id AND t.pos = a.pos
+),
+agg AS (
+  SELECT COALESCE(SUM(in_truth), 0)::BIGINT AS truth_chars,
+         COALESCE(SUM(in_cand), 0)::BIGINT AS anchored_chars,
+         COALESCE(SUM(in_truth * in_cand), 0)::BIGINT AS hit_chars
+  FROM j
+),
+ns AS (SELECT COUNT(*)::BIGINT AS n_sample FROM corpus)
+SELECT ns.n_sample, agg.truth_chars, agg.anchored_chars, agg.hit_chars,
+       CASE WHEN agg.truth_chars > 0
+            THEN ROUND(agg.hit_chars::DOUBLE / agg.truth_chars::DOUBLE, 6)
+       END AS recall
+FROM ns CROSS JOIN agg
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -263,6 +348,7 @@ def queries_r13() -> dict:
         "lsh_delete_probe": lsh_delete_probe,
         "ivf_delete_search": ivf_delete_search,
         "stream_cm_publish": stream_cm_publish,
+        "span_recall_planted": span_recall_planted,
     }
 
 
@@ -273,4 +359,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "lsh_delete_probe": _lsh_delete_sql(),
         "ivf_delete_search": _ivf_delete_sql(),
         "stream_cm_publish": _stream_cm_sql(),
+        "span_recall_planted": _SPAN_RECALL_SQL,
     }
