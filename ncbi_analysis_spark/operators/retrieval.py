@@ -465,10 +465,21 @@ def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
 
     live_dl = ts.apply_tombstones(
         spark.read.parquet(root + "/doclens"), path, "doc_id")
-    # no partition column: the rewrite scan packs small files into
-    # maxPartitionBytes-sized tasks, so output file count tracks data
-    # size, not append count
-    live_dl.write.mode("overwrite").parquet(root + "/doclens/" + tmp)
+    # explicit size-based repartition: the scan alone does NOT fold
+    # small files (spark.sql.files.minPartitionNum defaults to the core
+    # count, so a many-small-files read stays many partitions — the
+    # measured 20-appends run kept 20 doclens files without this);
+    # target the session's maxPartitionBytes so output file count
+    # tracks data size, not append count
+    from ncbi_analysis_spark.sources import fsutil
+
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_pb = 128 << 20
+    n_out = max(1, -(-fsutil.dir_size(spark, root + "/doclens") // max_pb))
+    live_dl.repartition(n_out).write.mode("overwrite").parquet(
+        root + "/doclens/" + tmp)
     ts.swap_partition_dirs(spark, root + "/doclens", tmp)
     ts.clear_tombstones(spark, path)
 

@@ -94,3 +94,13 @@ def rename(spark: SparkSession, src: str, dst: str) -> None:
     jdst = jvm.org.apache.hadoop.fs.Path(dst)
     if not fs.rename(jsrc, jdst):
         raise IOError(f"rename failed: {src} -> {dst}")
+
+
+def dir_size(spark: SparkSession, path_str: str) -> int:
+    """Total bytes under a directory (recursive), via the same Hadoop
+    FileSystem as the data — compaction sizes its output file count
+    from this."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    if not fs.exists(jpath):
+        return 0
+    return int(fs.getContentSummary(jpath).getLength())

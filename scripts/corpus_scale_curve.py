@@ -88,7 +88,15 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          # late-round-12 staged additions (documents-only)
          "dsir_priority_mixture", "priority_sample_per_lang",
          "quantile_sketch_per_lang", "drift_top_tokens",
-         "kmv_crawl_diff"]
+         "kmv_crawl_diff",
+         # round-13 staged additions: the index-delete family
+         # (documents-table), streaming CM, and the span-recall audit
+         # (its brute-force truth leg is the deliberate cost);
+         # ivf_delete_search is embeddings-table — synthesized at sf1
+         # since v2
+         "bm25_delete_search", "bm25_compacted_search",
+         "lsh_delete_probe", "ivf_delete_search",
+         "stream_cm_publish", "span_recall_planted"]
          # (w1_topk_pruned is lineitem-table — the sf1 synthesis is
          # documents/events/embeddings only; its decade curve is
          # sf0.01 -> 0.1 via the default run, the
