@@ -590,6 +590,9 @@ BASELINE = {
     # span-recall audit: the brute-force every-position truth leg on
     # the planted-duplicate tenth-sample IS the cost, by design
     "span_recall_planted": (2.141, 13),
+    # late-staged r13 three-genome flagship scan (Arrow pool pre-warmed
+    # as in the bench run; control dedup_exact_groups read 0.28)
+    "flagship_multi_accession": (1.334, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -7,11 +7,17 @@ Queries added this round live here until they are registered into
 
 This round's theme: **deletion support for the persisted index family**
 (operators/tombstones.py; ``delete_from_*`` / ``compact_*`` in
-dedup.py, similarity_search.py, retrieval.py). Each oracle row pins the
-tombstone contract end-to-end: delete(X) + search ≡ search over an
-index REBUILT without X — the oracle recomputes the search from the raw
-corpus with X filtered out, so any leak of a deleted doc through the
-anti-join, the marker stats, or a compaction swap hash-mismatches here.
+dedup.py, similarity_search.py, retrieval.py). Each delete oracle row
+pins the tombstone contract end-to-end: delete(X) + search ≡ search
+over an index REBUILT without X — the oracle recomputes the search from
+the raw corpus with X filtered out, so any leak of a deleted doc
+through the anti-join, the marker stats, or a compaction swap
+hash-mismatches here. Also staged: the streaming Count-Min publisher
+(``stream_cm_publish`` — batching invariance vs a whole-corpus register
+rebuild), the exact-substring span-recall audit on planted unaligned
+duplicates (``span_recall_planted``), and the three-genome flagship
+scan pinning cross-accession top-k competition
+(``flagship_multi_accession``).
 """
 from __future__ import annotations
 
@@ -341,6 +347,76 @@ FROM ns CROSS JOIN agg
 """
 
 
+def flagship_multi_accession(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship scan over THREE genomes in ONE plan (the r12
+    verdict stretch: the chunked layout keys on accession, but no
+    oracle row had ever pinned CROSS-genome semantics): documents are
+    dealt round-robin into three synthetic accessions, both strands of
+    all three scanned together, suppression per (query, accession,
+    strand), and the top-k a single per-QUERY ranking in which the
+    genomes COMPETE (ties broken accession asc — the registered
+    flagship's ordering, now load-bearing). Oracle: FLAGSHIP_SQL with
+    the genome/strands CTEs swapped for grouped 3-accession builds; the
+    scoring/suppression/rank tail is accession-generic and shared
+    verbatim."""
+    from ncbi_analysis_spark.plans.driver_queries import (
+        _t,
+        flagship_select,
+    )
+    from ncbi_analysis_spark.plans.similarity_scan import similarity_scan
+
+    d = _t(spark, sf_dir, "documents")
+    base = F.translate(F.md5(F.col("text")), "0123456789abcdef",
+                       "acgtacgtacgtacgt")
+    parts = d.filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") % 3).alias("k"),
+        F.struct(F.col("doc_id"), base.alias("h")).alias("s"),
+    )
+    genome_df = (
+        parts.groupBy("k")
+        .agg(F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["h"]),
+        ).alias("seq"))
+        .select(F.concat(F.lit("acc"), F.col("k")).alias("accession"),
+                "seq")
+    )
+    queries_df = d.filter(F.col("doc_id") < 2).select(
+        F.concat(F.lit("q"), F.col("doc_id")).alias("name"),
+        F.substring(base, 1, 12).alias("gene"),
+    )
+    return flagship_select(similarity_scan(
+        genome_df, queries_df, {"direct": 1.0, "consistency": 2.0},
+        top_k=10, candidate_distance=5, patience=2, chunk_size=1024,
+    ))
+
+
+def _flagship_multi_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import FLAGSHIP_SQL
+
+    old_g = ("g AS (SELECT string_agg(h, '' ORDER BY doc_id) AS seq "
+             "FROM d),")
+    new_g = ("g AS (SELECT 'acc' || (doc_id % 3)::VARCHAR AS accession,\n"
+             "            string_agg(h, '' ORDER BY doc_id) AS seq\n"
+             "     FROM d GROUP BY doc_id % 3),")
+    old_s = """strands AS (
+  SELECT 'synthetic' AS accession, '+' AS strand, seq, LENGTH(seq)::BIGINT AS db_len FROM g
+  UNION ALL
+  SELECT 'synthetic', '-', reverse(translate(seq, 'acgt', 'tgca')), LENGTH(seq)::BIGINT FROM g
+),"""
+    new_s = """strands AS (
+  SELECT accession, '+' AS strand, seq, LENGTH(seq)::BIGINT AS db_len FROM g
+  UNION ALL
+  SELECT accession, '-', reverse(translate(seq, 'acgt', 'tgca')), LENGTH(seq)::BIGINT FROM g
+),"""
+    if old_g not in FLAGSHIP_SQL or old_s not in FLAGSHIP_SQL:
+        raise RuntimeError(
+            "FLAGSHIP_SQL genome CTEs changed shape; update "
+            "_flagship_multi_sql"
+        )
+    return FLAGSHIP_SQL.replace(old_g, new_g).replace(old_s, new_s)
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -349,6 +425,7 @@ def queries_r13() -> dict:
         "ivf_delete_search": ivf_delete_search,
         "stream_cm_publish": stream_cm_publish,
         "span_recall_planted": span_recall_planted,
+        "flagship_multi_accession": flagship_multi_accession,
     }
 
 
@@ -360,4 +437,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "ivf_delete_search": _ivf_delete_sql(),
         "stream_cm_publish": _stream_cm_sql(),
         "span_recall_planted": _SPAN_RECALL_SQL,
+        "flagship_multi_accession": _flagship_multi_sql(),
     }

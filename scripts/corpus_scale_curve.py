@@ -97,6 +97,9 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "bm25_delete_search", "bm25_compacted_search",
          "lsh_delete_probe", "ivf_delete_search",
          "stream_cm_publish", "span_recall_planted"]
+         # (flagship_multi_accession is scale-CAPPED by design — its
+         # genome is doc_id < 200 at every sf, so a soak would measure
+         # a constant; the 1 Mbp bench shapes cover scan scaling)
          # (w1_topk_pruned is lineitem-table — the sf1 synthesis is
          # documents/events/embeddings only; its decade curve is
          # sf0.01 -> 0.1 via the default run, the

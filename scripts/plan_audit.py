@@ -80,6 +80,13 @@ EXPECTED: dict[str, set[str]] = {
     # Same probe-construction cross join over the tombstone-compacted
     # index (ann_ivf's shape; the delete machinery is all equi-joins).
     "ivf_delete_search": {"BroadcastNestedLoopJoin"},
+    # Scalar-small-side report join: the one-row sample count
+    # cross-joined onto the one-row coverage aggregate (the
+    # lsh_recall_audit / contamination_report class).
+    "span_recall_planted": {"BroadcastNestedLoopJoin"},
+    # The flagship's pinned shape (queries x chunks scoring cross join —
+    # flagship_similarity_scan's expectation), now over 3 accessions.
+    "flagship_multi_accession": {"BroadcastNestedLoopJoin"},
     # Bounded PARITY mode by design (locate_matches(bounded=True) on the
     # committed reference fixture): non-equi broadcast candidate join
     # (BNLJ); the global rank over the ~7-row annotation table plans
