@@ -43,6 +43,10 @@ EXTRA_RUNS = {
     # the standing rule is warm-up for any shape past 2
     "w2_local_max_suppression": max(N_RUNS, 4),
     "w7_gap_regions": max(N_RUNS, 4),
+    # r13: retrains the merge table per execution — the cold first run
+    # (histogram collect + driver merge loop warmup) read 3.6x noise at
+    # seeding; warm-up keeps the min a steady-state reading
+    "bpe_encode_ids": max(N_RUNS, 4),
 }
 
 # Headline set: the scan-agg core, window ops, every join family, and the
@@ -593,6 +597,9 @@ BASELINE = {
     # late-staged r13 three-genome flagship scan (Arrow pool pre-warmed
     # as in the bench run; control dedup_exact_groups read 0.28)
     "flagship_multi_accession": (1.334, 13),
+    # late-staged r13 BPE encode-to-ids (train + Arrow-batched encode;
+    # control read 0.399)
+    "bpe_encode_ids": (0.792, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

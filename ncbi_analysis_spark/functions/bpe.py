@@ -34,6 +34,7 @@ from __future__ import annotations
 from collections import Counter
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -220,3 +221,82 @@ def bpe_token_counts(
 
     udf = token_count_udf(bpe_batch_counter(merges, lowercase))
     return df.withColumn(out_col, udf(F.col(text)))
+
+
+UNK_ID = 0
+
+
+def bpe_vocab_map(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic piece -> id vocabulary from a trained merge table:
+    id 0 is reserved for ``<unk>`` (characters never seen in training),
+    ids 1.. are the BASE symbols (every single character appearing in
+    any merge side, plus ``</w>``) in sorted order, then the merge
+    PRODUCTS in merge order (first occurrence wins when two different
+    merges concatenate to the same string, e.g. ('ab','c') and
+    ('a','bc') both yielding 'abc'). A pure function of the merges, so
+    any two engines holding the same merge table assign identical ids —
+    the shard-interchange contract."""
+    base = {EOW}
+    for a, b in merges:
+        for piece in (a, b):
+            for ch in piece.replace(EOW, ""):
+                base.add(ch)
+    vocab: dict[str, int] = {"<unk>": UNK_ID}
+    for s in sorted(base):
+        vocab.setdefault(s, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return vocab
+
+
+def bpe_batch_encoder(
+    merges: list[tuple[str, str]], lowercase: bool = True
+) -> Callable[[list], list]:
+    """``list[str] -> list[list[int]]`` batch ENCODER over a trained
+    merge table — the token-ID sibling of ``bpe_batch_counter``, for
+    pipelines that write actual id sequences to training shards rather
+    than just budgeting by counts. Per-word encodings memoized per
+    batch (Zipf); pieces outside the vocabulary (characters unseen in
+    training) map to ``UNK_ID``."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab_map(merges)
+
+    def encode(texts: list) -> list:
+        cache: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            t = "" if t is None else (t.lower() if lowercase else t)
+            ids: list[int] = []
+            for w in t.split():
+                k = cache.get(w)
+                if k is None:
+                    k = cache[w] = [vocab.get(p, UNK_ID)
+                                    for p in encode_word(w, ranks)]
+                ids.extend(k)
+            out.append(ids)
+        return out
+
+    return encode
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    out_col: str = "token_ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Append the trained-BPE token-ID sequence (``array<int>``) per
+    document — what a training-shard writer actually persists; compose
+    with ``F.size`` for the budget, ``packing.pack_fragments`` for
+    sequence packing, and ``sources.sinks.write_training_shards`` for
+    the shard layout. Arrow-batched pandas UDF; the merge table and the
+    derived vocabulary ride the closure (vocabulary-scale literals,
+    never corpus-scale)."""
+    enc = bpe_batch_encoder(merges, lowercase)
+
+    @F.pandas_udf("array<int>")
+    def _enc(s: pd.Series) -> pd.Series:
+        return pd.Series(enc(s.tolist()))
+
+    return df.withColumn(out_col, _enc(F.col(text)))

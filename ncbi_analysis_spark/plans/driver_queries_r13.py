@@ -417,6 +417,87 @@ def _flagship_multi_sql() -> str:
     return FLAGSHIP_SQL.replace(old_g, new_g).replace(old_s, new_s)
 
 
+def bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE token-ID encoding end-to-end (functions/bpe.py::
+    bpe_encode — the shard-writer's payload, closing the train→count→
+    ENCODE gap: bpe_vocab pinned the merge table and bpe_token_counts
+    the budget, but nothing pinned the actual id sequences a training
+    pipeline persists). Distributed train (120 merges) + Arrow-batched
+    encode; output (doc_id, n_tokens, ids_md5) — the id sequence
+    hashed for a compact driver payload. Oracle: the generated-oracle
+    pattern (bpe_vocab / ann_ivf_trained) — the Spark-free local twin
+    trains from the same parquet and encodes every distinct WORD, and
+    the SQL reassembles per-document id strings from that literal
+    word→ids table in word order, so the deterministic vocab-id rule
+    (unk=0, sorted base symbols, merge products in order) is pinned
+    cross-implementation."""
+    from ncbi_analysis_spark.functions.bpe import bpe_encode, train_bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(d, "text", num_merges=120)
+    enc = bpe_encode(d, merges, "text")
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(",", F.col("token_ids"))).alias("ids_md5"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    from ncbi_analysis_spark.functions.bpe import (
+        bpe_batch_encoder,
+        bpe_train_local,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _oracle_sf_dir
+
+    import duckdb
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    merges = bpe_train_local(path, num_merges=120)
+    enc = bpe_batch_encoder(merges)
+    con = duckdb.connect()
+    words = [r[0] for r in con.execute(
+        r"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS w FROM read_parquet(?) "
+        "WHERE text IS NOT NULL ORDER BY w", [path]).fetchall()
+        if r[0] != ""]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(w)}, {q(','.join(str(i) for i in ids))}, {len(ids)})"
+        for w, ids in ((w, enc([w])[0]) for w in words)
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents),
+enc(w, ids, n) AS (VALUES {vals}),
+ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                        '\s+'), x -> x <> '') AS l
+  FROM d
+),
+wpos AS (
+  SELECT doc_id, t.i, l[t.i] AS w
+  FROM ws, UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+agg AS (
+  SELECT wpos.doc_id,
+         string_agg(e.ids, ',' ORDER BY wpos.i) AS idstr,
+         SUM(e.n)::BIGINT AS n_tokens
+  FROM wpos JOIN enc e ON wpos.w = e.w
+  GROUP BY wpos.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       md5(COALESCE(agg.idstr, '')) AS ids_md5
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -426,6 +507,7 @@ def queries_r13() -> dict:
         "stream_cm_publish": stream_cm_publish,
         "span_recall_planted": span_recall_planted,
         "flagship_multi_accession": flagship_multi_accession,
+        "bpe_encode_ids": bpe_encode_ids,
     }
 
 
@@ -438,4 +520,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "stream_cm_publish": _stream_cm_sql(),
         "span_recall_planted": _SPAN_RECALL_SQL,
         "flagship_multi_accession": _flagship_multi_sql(),
+        "bpe_encode_ids": _bpe_encode_sql(),
     }

@@ -197,7 +197,11 @@ def audit(
             "bm25_delete_search", "bm25_compacted_search",
             # construction writes+deletes+compacts the band index; the
             # final plan is the probe read (lsh_incremental_decon class)
-            "lsh_delete_probe"}
+            "lsh_delete_probe",
+            # bpe_encode_ids trains the merge table during construction
+            # (the bpe_vocab class); the returned plan is the encode
+            # projection, worth nothing to a marker scan
+            "bpe_encode_ids"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),

@@ -33,3 +33,45 @@ def test_span_recall_audit_semantics(spark):
         [(1, "alpha " * 10), (2, "omega " * 10)], "doc_id long, text string")
     rn = span_recall_audit(nodup, "text", "doc_id").collect()[0]
     assert rn["recall"] is None and rn["truth_chars"] == 0
+
+
+def test_bpe_encode_ids_semantics(spark):
+    """bpe_encode: deterministic vocab-id rule (unk=0, sorted base
+    symbols, merge products in merge order, first-occurrence dedupe),
+    id-sequence consistency with the counter (len(ids) == count), and
+    OOV characters mapping to UNK."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.functions import bpe
+
+    rows = [(1, "aa ab aa"), (2, "ab aa ab aa"), (3, "aa aa")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(d, "text", num_merges=4)
+    vocab = bpe.bpe_vocab_map(merges)
+    assert vocab["<unk>"] == 0
+    # base symbols sorted after unk; products appended in merge order
+    base = sorted({bpe.EOW, "a", "b"})
+    for i, s in enumerate(base):
+        assert vocab[s] == 1 + i
+    enc = bpe.bpe_encode(d, merges, "text")
+    got = {r["doc_id"]: r["token_ids"] for r in enc.collect()}
+    # local replica
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    for doc_id, text in rows:
+        want = []
+        for w in text.split():
+            want += [vocab.get(p, 0) for p in bpe.encode_word(w, ranks)]
+        assert got[doc_id] == want, doc_id
+    # count parity with the budget counter
+    cnt = {r["doc_id"]: r["n_tokens"]
+           for r in bpe.bpe_token_counts(d, merges).select(
+               "doc_id", "n_tokens").collect()}
+    assert all(len(got[k]) == cnt[k] for k in got)
+    # OOV char -> unk id 0; NULL text -> empty sequence
+    oov = spark.createDataFrame([(9, "zz"), (10, None)],
+                                "doc_id long, text string")
+    o = {r["doc_id"]: r["token_ids"]
+         for r in bpe.bpe_encode(oov, merges, "text").collect()}
+    assert set(o[9]) == {0, vocab[bpe.EOW]} or o[9] == [0, 0, vocab[bpe.EOW]]
+    assert all(i == 0 or i == vocab[bpe.EOW] for i in o[9])
+    assert o[10] == []
