@@ -600,6 +600,10 @@ BASELINE = {
     # late-staged r13 BPE encode-to-ids (train + Arrow-batched encode;
     # control read 0.399)
     "bpe_encode_ids": (0.792, 13),
+    # late-staged r13 streaming quantile publisher (stage + foreachBatch
+    # publish + merged read + estimates; control read 0.485 — same
+    # hot-box class as the dsir_priority_mixture seed, conservative)
+    "stream_quantile_publish": (1.906, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -498,6 +498,78 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+_SQP_K = 128
+_SQP_QS = (0.5, 0.9, 0.99)
+
+
+def stream_quantile_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile state end-to-end
+    (streaming/events.py::publish_quantile_snapshots/
+    read_quantile_snapshots — completing the snapshot-publisher family:
+    HLL r12, CM r13, quantile/KMV here): the events table as a file
+    stream, each micro-batch's bottom-k value sample published as a
+    versioned marker-guarded snapshot, the directory folded by min-k
+    over the (h, v) total order, and per-group quantiles estimated from
+    the merged sketch. Must equal the batch sketch of the whole corpus
+    EXACTLY regardless of batching (min-k over disjoint-id batches is
+    associative) — the oracle rebuilds the bottom-k sample and the
+    discrete ceil(q·n) estimates from all events in DuckDB."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.sketches import (
+        quantile_sketch_estimate,
+    )
+    from ncbi_analysis_spark.plans.driver_queries import _events
+    from ncbi_analysis_spark.plans.driver_queries_r11 import (
+        _stage_as_stream,
+    )
+    from ncbi_analysis_spark.streaming.events import (
+        publish_quantile_snapshots,
+        read_quantile_snapshots,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_q_pub_")
+    try:
+        src = _stage_as_stream(spark, ev, tmp)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = f"{tmp}/sketches"
+        publish_quantile_snapshots(
+            stream, "value", "event_id", out, f"{tmp}/ck", k=_SQP_K,
+        )
+        merged = read_quantile_snapshots(spark, out, k=_SQP_K)
+        est = quantile_sketch_estimate(merged, list(_SQP_QS))
+        rows = est.collect()
+        schema = est.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_quantile_sql() -> str:
+    qvals = ", ".join(f"({int(round(q * 1_000_000))})" for q in _SQP_QS)
+    return f"""
+WITH s AS (
+  SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 13))::BIGINT AS h,
+         value AS v
+  FROM events WHERE value IS NOT NULL
+  ORDER BY h, v LIMIT {_SQP_K}
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
+         count(*) OVER () AS n
+  FROM s
+),
+q(q_ppm) AS (VALUES {qvals})
+SELECT q_ppm::BIGINT AS q_ppm, r.n::BIGINT AS n_sample, r.v AS est_v
+FROM q JOIN r
+  ON r.rk = (q_ppm * r.n + 999999) // 1000000
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -508,6 +580,7 @@ def queries_r13() -> dict:
         "span_recall_planted": span_recall_planted,
         "flagship_multi_accession": flagship_multi_accession,
         "bpe_encode_ids": bpe_encode_ids,
+        "stream_quantile_publish": stream_quantile_publish,
     }
 
 
@@ -521,4 +594,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "span_recall_planted": _SPAN_RECALL_SQL,
         "flagship_multi_accession": _flagship_multi_sql(),
         "bpe_encode_ids": _bpe_encode_sql(),
+        "stream_quantile_publish": _stream_quantile_sql(),
     }

@@ -934,6 +934,181 @@ def run_curation_job(
     stream_to_parquet(curated, out_path, checkpoint, timeout_s=timeout_s)
 
 
+def _run_snapshot_publisher(
+    stream_df: DataFrame,
+    publish_fn,
+    checkpoint: str,
+    available_now: bool,
+    timeout_s: int,
+    what: str,
+):
+    """Shared drain logic of the snapshot-publisher family (HLL / CM /
+    quantile / KMV): foreachBatch + checkpoint, availableNow with the
+    stream_to_parquet timeout contract (partial drains raise; a retry
+    is exactly-once safe because the checkpoint resumes after the last
+    committed batch and each batch overwrites its own directory)."""
+    w = (
+        stream_df.writeStream.foreachBatch(publish_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"{what} drain overran {timeout_s}s and was stopped "
+                f"mid-batch; the checkpoint at {checkpoint!r} makes a "
+                "retry exactly-once safe"
+            )
+        return None
+    return w.start()
+
+
+def _snapshot_batch_dirs(spark, out_root: str) -> list[str]:
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = out_root.rstrip("/")
+    batches = [d for d in fsutil.list_subdirs(spark, root)
+               if d.startswith("batch=")]
+    if not batches:
+        raise ValueError(
+            f"{out_root!r} has no published batch=* snapshots"
+        )
+    return [f"{root}/{b}" for b in batches]
+
+
+def publish_quantile_snapshots(
+    stream_df: DataFrame,
+    value_col: str,
+    id_col: str,
+    out_root: str,
+    checkpoint: str,
+    k: int = 4096,
+    group_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming QUANTILE state publisher (the publish_hll_snapshots
+    posture for order statistics): each micro-batch's bottom-k value
+    sample (``operators.sketches.quantile_sketch`` over just that
+    batch, <= k rows per group) lands as a versioned marker-guarded
+    snapshot at ``{out_root}/batch={id}``. ``read_quantile_snapshots``
+    folds them by min-k over the union — exactly the sketch of
+    everything that ever flowed through (ids unique across batches by
+    the append contract), so a streaming pipeline gets corpus-lifetime
+    quantile gates (p50/p90/p99 thresholds) from bounded artifacts.
+
+    Re-delivery safety is the CM posture, not the HLL one: the merge is
+    min-k over a row MULTISET, so a duplicated snapshot could seat the
+    same sample row twice — the checkpoint plus per-batch overwrite
+    (write_quantile_sketch is mode=overwrite) is what prevents
+    double-publication, not merge idempotence."""
+    from ncbi_analysis_spark.operators.sketches import (
+        quantile_sketch,
+        write_quantile_sketch,
+    )
+
+    def _publish(batch_df, batch_id: int) -> None:
+        s = quantile_sketch(batch_df, value_col, id_col, k=k,
+                            group_by=group_by)
+        write_quantile_sketch(
+            s, f"{out_root.rstrip('/')}/batch={batch_id}",
+            k=k, group_by=group_by,
+        )
+
+    return _run_snapshot_publisher(
+        stream_df, _publish, checkpoint, available_now, timeout_s,
+        "publish_quantile_snapshots",
+    )
+
+
+def read_quantile_snapshots(
+    spark,
+    out_root: str,
+    k: int = 4096,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a ``publish_quantile_snapshots`` directory as ONE merged
+    sketch: validate every snapshot's (k, grouping) marker driver-side,
+    scan all batch directories in a single multi-path read, and cut the
+    k smallest by the (h, v) total order — feed to
+    ``quantile_sketch_estimate`` / ``quantile_sketch_threshold``."""
+    from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    dirs = _snapshot_batch_dirs(spark, out_root)
+    params = {"kind": "quantile_bottomk", "k": k,
+              "group_by": list(group_by or [])}
+    for d in dirs:
+        _sketch_marker_io(spark, d, params, write=False)
+    merged = spark.read.parquet(*dirs)
+    gb = list(group_by or [])
+    if gb:
+        return topk_per_group(merged, gb, [F.col("h"), F.col("v")], k,
+                              keep_rank=False)
+    return merged.orderBy("h", "v").limit(k)
+
+
+def publish_kmv_snapshots(
+    stream_df: DataFrame,
+    col: str,
+    out_root: str,
+    checkpoint: str,
+    k: int = 256,
+    group_by: list[str] | None = None,
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming KMV (distinct-value sample) publisher — per-batch
+    ``operators.sketches.kmv_sketch`` snapshots, versioned and
+    marker-guarded. Like HLL (and unlike CM/quantile), the merge is
+    idempotent (min-k over hash SETS), so even a duplicated snapshot
+    directory would be absorbed by the read-side fold; checkpoint +
+    overwrite still keep the directory tidy. Feed the merged sketch to
+    ``kmv_estimate`` / ``kmv_overlap`` / ``kmv_crawl_diff`` for
+    streaming distinct counts, content overlap, and crawl ledgers."""
+    from ncbi_analysis_spark.operators.sketches import (
+        kmv_sketch,
+        write_kmv_sketch,
+    )
+
+    def _publish(batch_df, batch_id: int) -> None:
+        s = kmv_sketch(batch_df, col, k=k, group_by=group_by)
+        write_kmv_sketch(
+            s, f"{out_root.rstrip('/')}/batch={batch_id}",
+            k=k, group_by=group_by,
+        )
+
+    return _run_snapshot_publisher(
+        stream_df, _publish, checkpoint, available_now, timeout_s,
+        "publish_kmv_snapshots",
+    )
+
+
+def read_kmv_snapshots(
+    spark,
+    out_root: str,
+    k: int = 256,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Open a ``publish_kmv_snapshots`` directory as ONE merged sketch:
+    marker-validated multi-path read, distinct hashes, k smallest per
+    group (kmv_merge's fold generalized to N snapshots)."""
+    from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    dirs = _snapshot_batch_dirs(spark, out_root)
+    params = {"kind": "kmv", "k": k, "group_by": list(group_by or [])}
+    for d in dirs:
+        _sketch_marker_io(spark, d, params, write=False)
+    gb = list(group_by or [])
+    u = spark.read.parquet(*dirs).select(*gb, "h").distinct()
+    if gb:
+        return topk_per_group(u, gb, [F.col("h")], k, keep_rank=False)
+    return u.orderBy("h").limit(k)
+
+
 def publish_hll_snapshots(
     stream_df: DataFrame,
     col: str,
@@ -979,22 +1154,10 @@ def publish_hll_snapshots(
             p=p, group_by=group_by,
         )
 
-    w = (
-        stream_df.writeStream.foreachBatch(_publish)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _run_snapshot_publisher(
+        stream_df, _publish, checkpoint, available_now, timeout_s,
+        "publish_hll_snapshots",
     )
-    if available_now:
-        q = w.trigger(availableNow=True).start()
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"publish_hll_snapshots drain overran {timeout_s}s and was "
-                f"stopped mid-batch; the checkpoint at {checkpoint!r} makes "
-                "a retry exactly-once safe"
-            )
-        return None
-    return w.start()
 
 
 def publish_cm_snapshots(
@@ -1040,22 +1203,10 @@ def publish_cm_snapshots(
             width=width, depth=depth,
         )
 
-    w = (
-        stream_df.writeStream.foreachBatch(_publish)
-        .option("checkpointLocation", checkpoint)
-        .outputMode("update")
+    return _run_snapshot_publisher(
+        stream_df, _publish, checkpoint, available_now, timeout_s,
+        "publish_cm_snapshots",
     )
-    if available_now:
-        q = w.trigger(availableNow=True).start()
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"publish_cm_snapshots drain overran {timeout_s}s and was "
-                f"stopped mid-batch; the checkpoint at {checkpoint!r} makes "
-                "a retry exactly-once safe"
-            )
-        return None
-    return w.start()
 
 
 def read_cm_snapshots(
@@ -1072,19 +1223,12 @@ def read_cm_snapshots(
     point-frequency estimates, or ``cm_merge`` with batch-built
     sketches of older corpora."""
     from ncbi_analysis_spark.operators.sketches import _sketch_marker_io
-    from ncbi_analysis_spark.sources import fsutil
 
-    root = out_root.rstrip("/")
-    batches = [d for d in fsutil.list_subdirs(spark, root)
-               if d.startswith("batch=")]
-    if not batches:
-        raise ValueError(
-            f"{out_root!r} has no published batch=* snapshots"
-        )
+    dirs = _snapshot_batch_dirs(spark, out_root)
     params = {"kind": "cm", "width": width, "depth": depth}
-    for b in batches:
-        _sketch_marker_io(spark, f"{root}/{b}", params, write=False)
-    merged = spark.read.parquet(*[f"{root}/{b}" for b in batches])
+    for d in dirs:
+        _sketch_marker_io(spark, d, params, write=False)
+    merged = spark.read.parquet(*dirs)
     return (
         merged.groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
@@ -1116,17 +1260,10 @@ def read_hll_snapshots(
         _sketch_marker_io,
         hll_rollup,
     )
-    from ncbi_analysis_spark.sources import fsutil
 
-    root = out_root.rstrip("/")
-    batches = [d for d in fsutil.list_subdirs(spark, root)
-               if d.startswith("batch=")]
-    if not batches:
-        raise ValueError(
-            f"{out_root!r} has no published batch=* snapshots"
-        )
+    dirs = _snapshot_batch_dirs(spark, out_root)
     params = {"kind": "hll", "p": p, "group_by": list(group_by or [])}
-    for b in batches:
-        _sketch_marker_io(spark, f"{root}/{b}", params, write=False)
-    merged = spark.read.parquet(*[f"{root}/{b}" for b in batches])
+    for d in dirs:
+        _sketch_marker_io(spark, d, params, write=False)
+    merged = spark.read.parquet(*dirs)
     return hll_rollup(merged, list(group_by or []))

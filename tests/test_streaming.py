@@ -833,3 +833,69 @@ def test_publish_cm_snapshots_restart_and_merge(spark, tmp_path):
         sev.read_cm_snapshots(spark, out, width=64, depth=D)
     with pytest.raises(ValueError, match="no published"):
         sev.read_cm_snapshots(spark, str(tmp_path / "nothing"))
+
+
+def test_publish_quantile_and_kmv_snapshots(spark, tmp_path):
+    """The round-13 completion of the snapshot-publisher family:
+    quantile (min-k by (h,v) — overwrite-guarded like CM) and KMV
+    (min-k over hash sets — merge-idempotent like HLL). Restart over
+    the same checkpoint publishes nothing new; the merged reads equal
+    the batch sketches of everything that flowed through; and for KMV a
+    DUPLICATED snapshot directory is absorbed by the fold."""
+    import shutil as _sh
+
+    from ncbi_analysis_spark.operators.sketches import (
+        kmv_sketch,
+        quantile_sketch,
+    )
+    from ncbi_analysis_spark.sources import fsutil
+
+    src = tmp_path / "src"; src.mkdir()
+    qout = str(tmp_path / "qs"); qck = str(tmp_path / "qck")
+    kout = str(tmp_path / "ks"); kck = str(tmp_path / "kck")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    K = 64
+
+    def run_q():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.publish_quantile_snapshots(
+            stream.select("event_id", "value"), "value", "event_id",
+            qout, qck, k=K)
+
+    def run_k():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.publish_kmv_snapshots(
+            stream.select("user_id"), "user_id", kout, kck, k=K)
+
+    run_q(); run_k()
+    dirs_q = fsutil.list_subdirs(spark, qout)
+    assert dirs_q and all(d.startswith("batch=") for d in dirs_q)
+    run_q(); run_k()  # restart: no new snapshots
+    assert fsutil.list_subdirs(spark, qout) == dirs_q
+
+    ev = read_events(spark, f"{SF_DIR}/events.parquet")
+    want_q = sorted(map(tuple, quantile_sketch(
+        ev.filter(F.col("value").isNotNull()), "value", "event_id",
+        k=K).collect()))
+    got_q = sorted(map(tuple, sev.read_quantile_snapshots(
+        spark, qout, k=K).collect()))
+    assert got_q == want_q
+
+    want_k = sorted(map(tuple, kmv_sketch(ev, "user_id", k=K).collect()))
+    got_k = sorted(map(tuple, sev.read_kmv_snapshots(
+        spark, kout, k=K).collect()))
+    assert got_k == want_k
+
+    # KMV fold absorbs a duplicated snapshot dir (merge idempotence)
+    b0 = fsutil.list_subdirs(spark, kout)[0]
+    _sh.copytree(f"{kout}/{b0}", f"{kout}/batch=999")
+    assert sorted(map(tuple, sev.read_kmv_snapshots(
+        spark, kout, k=K).collect())) == want_k
+
+    # wrong-parameter reads fail loudly
+    with pytest.raises(ValueError, match="parameter spaces"):
+        sev.read_quantile_snapshots(spark, qout, k=K * 2)
+    with pytest.raises(ValueError, match="parameter spaces"):
+        sev.read_kmv_snapshots(spark, kout, k=K * 2)
+    with pytest.raises(ValueError, match="no published"):
+        sev.read_quantile_snapshots(spark, str(tmp_path / "none"), k=K)
