@@ -17,7 +17,10 @@ hash-mismatches here. Also staged: the streaming Count-Min publisher
 rebuild), the exact-substring span-recall audit on planted unaligned
 duplicates (``span_recall_planted``), and the three-genome flagship
 scan pinning cross-accession top-k competition
-(``flagship_multi_accession``).
+(``flagship_multi_accession``); BPE encode-to-ids, the shard-writer
+payload (``bpe_encode_ids`` — generated oracle pins the deterministic
+vocab-id rule); and the streaming quantile publisher completing the
+snapshot family (``stream_quantile_publish``).
 """
 from __future__ import annotations
 
