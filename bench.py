@@ -604,6 +604,9 @@ BASELINE = {
     # publish + merged read + estimates; control read 0.485 — same
     # hot-box class as the dsir_priority_mixture seed, conservative)
     "stream_quantile_publish": (1.906, 13),
+    # late-staged r13 per-group heavy hitters (grouped candidate sweep
+    # + one grouped recount; control read 0.414)
+    "heavy_hitters_per_lang": (1.085, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -277,3 +277,116 @@ def heavy_hitters_topn(
         "cnt",
         (F.col("cnt") * F.lit(m + 1) > F.col("__N")).alias("guaranteed"),
     )
+
+
+def partition_top_tokens_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    m: int,
+) -> DataFrame:
+    """Grouped candidate pass: each partition's exact top-``m`` values
+    of ``col`` PER ``group_col`` value (ties: value asc) — the
+    ``partition_top_tokens`` sweep with a per-group accumulator, so the
+    Misra-Gries coverage argument holds within every group: any token
+    with group-share > 1/(m+1) must appear in some partition's
+    per-group top-m. Emits <= m rows per (partition, group);
+    per-partition memory is O(distinct (group, token) pairs in the
+    partition). NULL groups are skipped (grouped-aggregate semantics)."""
+    import pandas as pd
+
+    if m < 1:
+        raise ValueError(f"partition_top_tokens_grouped: m={m} must be >= 1")
+
+    src = df.filter(
+        F.col(col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(col).cast("string").alias("token"),
+    )
+
+    def _top(batches):
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(["grp", "token"], sort=False).size()
+            for (g, tok), cnt in vc.items():
+                key = (g, tok)
+                acc[key] = acc.get(key, 0) + int(cnt)
+        if not acc:
+            return
+        t = pd.DataFrame(
+            [(g, tok, c) for (g, tok), c in acc.items()],
+            columns=["grp", "token", "part_cnt"],
+        )
+        top = (
+            t.sort_values(["grp", "part_cnt", "token"],
+                          ascending=[True, False, True])
+            .groupby("grp", sort=False)
+            .head(m)
+        )
+        yield top
+
+    return src.mapInPandas(_top, "grp string, token string, part_cnt long")
+
+
+def heavy_hitters_topn_grouped(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    n: int = 20,
+    m: int = 256,
+) -> DataFrame:
+    """Exact top-``n`` values of ``col`` by count PER GROUP, without
+    shuffling any group's vocabulary — ``heavy_hitters_topn``'s grouped
+    form (per-language / per-domain offender tokens, the curation
+    question "what is the spam token in THIS slice"). Same two-pass
+    shape: per-(partition, group) candidates, then ONE recount pass
+    whose shuffle carries candidate occurrences plus one NULL-key fold
+    row per (task, group); per-group totals are a window sum over the
+    bounded counted table.
+
+    Output ``(grp, token, cnt, guaranteed)`` ordered within each group
+    (cnt desc, token asc); ``guaranteed`` = cnt*(m+1) > N_group — the
+    per-group Misra-Gries certificate."""
+    from pyspark.sql import Window
+
+    from ncbi_analysis_spark.operators.topk import topk_per_group
+
+    if n < 1:
+        raise ValueError(f"heavy_hitters_topn_grouped: n={n} must be >= 1")
+    src = df.filter(
+        F.col(col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(col).cast("string").alias("token"),
+    )
+    cands = (
+        partition_top_tokens_grouped(df, col, group_col, m)
+        .select("grp", "token").distinct()
+    )
+    marked = F.broadcast(cands.withColumn("__cand", F.lit(1)))
+    counted = (
+        src.join(marked, ["grp", "token"], "left")
+        .select(
+            "grp",
+            F.when(F.col("__cand").isNotNull(), F.col("token")).alias("tk"),
+        )
+        .groupBy("grp", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        counted.withColumn(
+            "__N", F.sum("cnt").over(Window.partitionBy("grp")))
+        .filter(F.col("tk").isNotNull())
+        .select("grp", F.col("tk").alias("token"), "cnt", "__N")
+    )
+    out = topk_per_group(
+        exact, ["grp"], [F.desc("cnt"), F.asc("token")], n,
+        keep_rank=False,
+    )
+    return out.select(
+        "grp",
+        "token",
+        "cnt",
+        (F.col("cnt") * F.lit(m + 1) > F.col("__N")).alias("guaranteed"),
+    )

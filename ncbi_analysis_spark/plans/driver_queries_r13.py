@@ -573,6 +573,55 @@ FROM q JOIN r
 """
 
 
+_HHG_N, _HHG_M = 5, 64
+
+
+def heavy_hitters_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact top-N heavy hitters
+    (operators/heavy_hitters.py::heavy_hitters_topn_grouped — the
+    curation question "what is the spam token in THIS language slice"):
+    per-(partition, lang) Misra-Gries candidates, one recount pass with
+    a per-group NULL-key fold for the group totals, per-group top-5
+    with per-group guarantee flags. The oracle recounts every
+    (lang, token) exactly in DuckDB — so candidate coverage, the
+    grouped fold, and the N_group certificate arithmetic are all pinned
+    in one row set."""
+    from ncbi_analysis_spark.functions.text import tokens
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        heavy_hitters_topn_grouped,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = d.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("g")
+    )
+    return heavy_hitters_topn_grouped(toks, "g", "lang",
+                                      n=_HHG_N, m=_HHG_M)
+
+
+def _hh_per_lang_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT lang AS grp, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+cnt AS (
+  SELECT grp, token, count(*)::BIGINT AS cnt FROM toks GROUP BY grp, token
+),
+tot AS (SELECT grp, count(*)::BIGINT AS n FROM toks GROUP BY grp),
+rk AS (
+  SELECT cnt.*, row_number() OVER (
+    PARTITION BY grp ORDER BY cnt DESC, token) AS r
+  FROM cnt
+)
+SELECT rk.grp, rk.token, rk.cnt,
+       (rk.cnt * {_HHG_M + 1} > tot.n) AS guaranteed
+FROM rk JOIN tot USING (grp) WHERE r <= {_HHG_N}
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -584,6 +633,7 @@ def queries_r13() -> dict:
         "flagship_multi_accession": flagship_multi_accession,
         "bpe_encode_ids": bpe_encode_ids,
         "stream_quantile_publish": stream_quantile_publish,
+        "heavy_hitters_per_lang": heavy_hitters_per_lang,
     }
 
 
@@ -598,4 +648,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "flagship_multi_accession": _flagship_multi_sql(),
         "bpe_encode_ids": _bpe_encode_sql(),
         "stream_quantile_publish": _stream_quantile_sql(),
+        "heavy_hitters_per_lang": _hh_per_lang_sql(),
     }

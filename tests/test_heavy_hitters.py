@@ -105,3 +105,37 @@ def test_partition_top_tokens_bounds_and_nulls(spark):
     # <= 1 row per partition, nulls skipped
     assert 1 <= len(rows) <= 2
     assert all(r["token"] in ("a", "b") for r in rows)
+
+
+def test_heavy_hitters_topn_grouped_matches_model(spark):
+    """Grouped two-pass top-N vs a pure-Python per-group recount, on a
+    skewed synthetic spread over 4 partitions; per-group guarantee
+    flags must use the GROUP total, not the corpus total."""
+    from collections import Counter
+
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        heavy_hitters_topn_grouped,
+    )
+
+    rows = (
+        [("en", "the")] * 40 + [("en", "cat")] * 9
+        + [("en", f"t{i}") for i in range(12)]
+        + [("fr", "le")] * 25 + [("fr", "chat")] * 7
+        + [("fr", f"f{i}") for i in range(8)]
+        + [(None, "skipme"), ("en", None)]
+    )
+    d = spark.createDataFrame(rows, "lang string, tok string").repartition(4)
+    m, n = 8, 3
+    got = heavy_hitters_topn_grouped(d, "tok", "lang", n=n, m=m).collect()
+
+    by_grp: dict = {}
+    for g, t in rows:
+        if g is None or t is None:
+            continue
+        by_grp.setdefault(g, Counter())[t] += 1
+    want = []
+    for g in sorted(by_grp):
+        tot = sum(by_grp[g].values())
+        top = sorted(by_grp[g].items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+        want += [(g, t, c, c * (m + 1) > tot) for t, c in top]
+    assert sorted(map(tuple, got)) == sorted(want)
