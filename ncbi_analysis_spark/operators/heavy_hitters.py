@@ -102,12 +102,38 @@ def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     (width, depth): elementwise add — EXACTLY the sketch of the
     concatenated inputs (integer + is associative/commutative), the
     hll_merge contract for counts."""
-    return (
+    merged = (
         a.select("row", "bucket", "cnt")
         .unionByName(b.select("row", "bucket", "cnt"))
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+    # canonical form: absent == 0 (all-positive merges never hit this;
+    # a cm_subtract re-add can cancel a register to exactly zero)
+    return merged.filter(F.col("cnt") != 0)
+
+
+def cm_subtract(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Remove one batch's contribution from a Count-Min register table
+    (same (width, depth)): elementwise integer subtract, zero rows
+    dropped to preserve the absent=0 convention. Count-Min is a
+    TURNSTILE sketch — counts are exact integers, so
+    ``cm_subtract(cm_merge(A, B), B) ≡ A`` exactly (pytest-pinned):
+    the takedown path for published count state, which the max-merged
+    HLL registers fundamentally cannot offer (max is not invertible).
+    By contract ``b`` must be (a sketch of) data previously merged into
+    ``a`` — subtracting unmerged data drives registers negative, which
+    is kept (not clamped) so a later re-add still cancels exactly."""
+    diff = (
+        a.select("row", "bucket", "cnt")
+        .unionByName(
+            b.select("row", "bucket",
+                     (-F.col("cnt")).cast("long").alias("cnt"))
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return diff.filter(F.col("cnt") != 0)
 
 
 def cm_estimate(

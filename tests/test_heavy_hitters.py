@@ -139,3 +139,30 @@ def test_heavy_hitters_topn_grouped_matches_model(spark):
         top = sorted(by_grp[g].items(), key=lambda kv: (-kv[1], kv[0]))[:n]
         want += [(g, t, c, c * (m + 1) > tot) for t, c in top]
     assert sorted(map(tuple, got)) == sorted(want)
+
+
+def test_cm_subtract_is_exact_inverse_of_merge(spark):
+    """Turnstile property: subtract(merge(A,B), B) == sketch(A)
+    register-for-register, and estimates follow; subtracting unmerged
+    data leaves (kept, unclamped) negative registers that a re-add
+    cancels exactly."""
+    from ncbi_analysis_spark.operators.heavy_hitters import (
+        cm_merge,
+        cm_sketch,
+        cm_subtract,
+    )
+
+    W, D = 16, 3
+    a = spark.createDataFrame(
+        [(w,) for w in "x y x z q x y".split()], "t string")
+    b = spark.createDataFrame(
+        [(w,) for w in "z z y w".split()], "t string")
+    sa, sb = cm_sketch(a, "t", W, D), cm_sketch(b, "t", W, D)
+    back = cm_subtract(cm_merge(sa, sb), sb)
+    assert sorted(map(tuple, back.collect())) == \
+           sorted(map(tuple, sa.collect()))
+    # unmerged subtract -> negatives kept; re-add cancels
+    neg = cm_subtract(sa, sb)
+    assert any(r["cnt"] < 0 for r in neg.collect())
+    assert sorted(map(tuple, cm_merge(neg, sb).collect())) == \
+           sorted(map(tuple, sa.collect()))
