@@ -607,6 +607,11 @@ BASELINE = {
     # late-staged r13 per-group heavy hitters (grouped candidate sweep
     # + one grouped recount; control read 0.414)
     "heavy_hitters_per_lang": (1.085, 13),
+    # late-staged r13 crawl-refresh composition (LSH-index decon +
+    # published-sketch gate + BPE encode + real-token packing; control
+    # read 0.412 — wall is dominated by the per-run index/sketch/train
+    # builds, the amortized-in-production part)
+    "curation_v5": (3.521, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

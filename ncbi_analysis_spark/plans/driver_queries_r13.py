@@ -622,6 +622,183 @@ FROM rk JOIN tot USING (grp) WHERE r <= {_HHG_N}
 """
 
 
+_V5_K, _V5_CAP, _V5_SHARDS = 128, 128, 4
+
+
+def curation_v5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation v5 — the round-13 tiers composed into one
+    crawl-refresh pipeline, every stage an already-oracled primitive:
+
+      1. history decon (persisted LSH index): the new crawl (%7=0)
+         probed against the indexed archive (%7<>0); colliding docs
+         dropped (``lsh_index_collisions`` over ``read_lsh_index``);
+      2. quality gate from a PUBLISHED quantile sketch: the archive's
+         median n_chars, derived from ``write_quantile_sketch`` /
+         ``quantile_sketch_threshold`` artifacts — no archive re-scan;
+      3. BPE encode-to-ids (``bpe_encode``, tokenizer trained on the
+         whole crawl archive) — the real token budget;
+      4. sequence packing by those REAL token counts
+         (``pack_fragments(tokens=F.size(ids))``).
+
+    Returns the training-batch manifest ``(shard, bin_id, doc_id,
+    n_tokens, frag_start, frag_end, bin_off)`` for the curated new
+    crawl. The oracle recomputes all four stages in one DuckDB chain
+    (band-collision set → bottom-k discrete median → per-word literal
+    token counts from the Spark-free local twin → the PACK_SQL stream
+    fold), so stage boundaries AND values agree exactly end to end.
+
+    Scale shape: stage 1 broadcasts the new batch's band rows against
+    the partition-pruned index; stage 2 is k-row artifacts + one
+    broadcast threshold; stage 3 is Arrow map-only; stage 4's only
+    shuffle is the per-shard running-sum window over (doc_id, count)
+    rows — no stage shuffles document text."""
+    from ncbi_analysis_spark.functions.bpe import bpe_encode, train_bpe
+    from ncbi_analysis_spark.operators.dedup import (
+        lsh_index_collisions,
+        read_lsh_index,
+        write_lsh_index,
+    )
+    from ncbi_analysis_spark.operators.packing import pack_fragments
+    from ncbi_analysis_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_threshold,
+        read_quantile_sketch,
+        write_quantile_sketch,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    new = d.filter(F.col("doc_id") % 7 == 0)
+    kw = dict(num_perm=4, bands=2, shingle_n=3)
+
+    ipath = _staging_dir("spark_graft_v5_lsh")
+    write_lsh_index(old.select("doc_id", "text"), "text", "doc_id",
+                    ipath, **kw)
+    hits = lsh_index_collisions(
+        new.select("doc_id", "text"), read_lsh_index(spark, ipath),
+        "text", "doc_id", **kw,
+    ).select("doc_id").distinct()
+    survivors = new.join(hits, "doc_id", "left_anti")
+
+    spath = _staging_dir("spark_graft_v5_qs")
+    write_quantile_sketch(
+        quantile_sketch(old, "n_chars", "doc_id", k=_V5_K),
+        spath, k=_V5_K,
+    )
+    thr = quantile_sketch_threshold(
+        read_quantile_sketch(spark, spath, k=_V5_K), 0.5
+    )
+    kept = (
+        survivors.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("threshold"))
+        .drop("threshold")
+    )
+
+    merges = train_bpe(d, "text", num_merges=120)
+    enc = bpe_encode(kept, merges, "text")
+    return pack_fragments(
+        enc, tokens=F.size("token_ids"),
+        capacity=_V5_CAP, n_shards=_V5_SHARDS,
+    )
+
+
+def _curation_v5_sql() -> str:
+    import duckdb
+
+    from ncbi_analysis_spark.functions.bpe import (
+        bpe_batch_encoder,
+        bpe_train_local,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _oracle_sf_dir
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    merges = bpe_train_local(path, num_merges=120)
+    enc = bpe_batch_encoder(merges)
+    con = duckdb.connect()
+    words = [r[0] for r in con.execute(
+        r"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS w FROM read_parquet(?) "
+        "WHERE text IS NOT NULL ORDER BY w", [path]).fetchall()
+        if r[0] != ""]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(w)}, {len(enc([w])[0])})" for w in words
+    )
+    return rf"""
+WITH hits AS (
+  SELECT DISTINCT bench_id AS doc_id FROM ({_fuzzy_decon_sql()}) p
+),
+survivors AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+),
+qs AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS h,
+         n_chars AS v
+  FROM documents WHERE doc_id % 7 <> 0 AND n_chars IS NOT NULL
+  ORDER BY h, v LIMIT {_V5_K}
+),
+thr AS (
+  SELECT v AS threshold FROM (
+    SELECT v, row_number() OVER (ORDER BY v, h) AS rk,
+           count(*) OVER () AS n
+    FROM qs
+  ) WHERE rk = (500000 * n + 999999) // 1000000
+),
+kept AS (
+  SELECT s.* FROM survivors s CROSS JOIN thr
+  WHERE s.n_chars >= thr.threshold
+),
+encw(w, n) AS (VALUES {vals}),
+ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                        '\s+'), x -> x <> '') AS l
+  FROM kept
+),
+wpos AS (
+  SELECT doc_id, l[t.i] AS w
+  FROM ws, UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+ntok AS (
+  SELECT ws.doc_id, COALESCE(SUM(e.n), 0)::BIGINT AS n_tokens
+  FROM ws LEFT JOIN wpos ON ws.doc_id = wpos.doc_id
+  LEFT JOIN encw e ON wpos.w = e.w
+  GROUP BY ws.doc_id
+),
+base AS (
+  SELECT doc_id, n_tokens,
+         (('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % {_V5_SHARDS})::INT AS shard,
+         md5('pack|' || doc_id::VARCHAR) AS ord_
+  FROM ntok WHERE n_tokens > 0
+),
+stream AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord_, doc_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS tok_end
+  FROM base
+),
+s2 AS (SELECT *, tok_end - n_tokens AS tok_start FROM stream),
+frag AS (
+  SELECT shard, doc_id, n_tokens, tok_start, tok_end, b.bin_id
+  FROM s2, LATERAL (SELECT UNNEST(generate_series(tok_start // {_V5_CAP},
+                    (tok_end - 1) // {_V5_CAP})) AS bin_id) b
+)
+SELECT shard, bin_id, doc_id, n_tokens,
+       GREATEST(tok_start, bin_id * {_V5_CAP}) - tok_start AS frag_start,
+       LEAST(tok_end, (bin_id + 1) * {_V5_CAP}) - tok_start AS frag_end,
+       GREATEST(tok_start, bin_id * {_V5_CAP}) - bin_id * {_V5_CAP} AS bin_off
+FROM frag
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -634,6 +811,7 @@ def queries_r13() -> dict:
         "bpe_encode_ids": bpe_encode_ids,
         "stream_quantile_publish": stream_quantile_publish,
         "heavy_hitters_per_lang": heavy_hitters_per_lang,
+        "curation_v5": curation_v5,
     }
 
 
@@ -649,4 +827,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "bpe_encode_ids": _bpe_encode_sql(),
         "stream_quantile_publish": _stream_quantile_sql(),
         "heavy_hitters_per_lang": _hh_per_lang_sql(),
+        "curation_v5": _curation_v5_sql(),
     }

@@ -98,7 +98,7 @@ STEEP = ["dedup_ngram_jaccard", "quality_quantile_gate",
          "lsh_delete_probe", "ivf_delete_search",
          "stream_cm_publish", "span_recall_planted",
          "bpe_encode_ids", "stream_quantile_publish",
-         "heavy_hitters_per_lang"]
+         "heavy_hitters_per_lang", "curation_v5"]
          # (flagship_multi_accession is scale-CAPPED by design — its
          # genome is doc_id < 200 at every sf, so a soak would measure
          # a constant; the 1 Mbp bench shapes cover scan scaling)

@@ -201,7 +201,11 @@ def audit(
             # bpe_encode_ids trains the merge table during construction
             # (the bpe_vocab class); the returned plan is the encode
             # projection, worth nothing to a marker scan
-            "bpe_encode_ids"}
+            "bpe_encode_ids",
+            # curation_v5's construction writes the LSH index, publishes
+            # the quantile sketch, and trains the BPE table (the
+            # lsh_incremental_decon + bpe_vocab classes combined)
+            "curation_v5"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
