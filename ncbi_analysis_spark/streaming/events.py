@@ -978,6 +978,110 @@ def _snapshot_batch_dirs(spark, out_root: str) -> list[str]:
     return [f"{root}/{b}" for b in batches]
 
 
+def _compact_snapshots(spark, out_root: str, read_fn,
+                       write_fn) -> None:
+    """Shared snapshot-directory compaction: replace all ``batch=*``
+    dirs with ONE merged snapshot at ``batch=0`` — the pressure valve
+    for a long-running stream's linear directory growth (the
+    read-side multi-path scan already avoids deep plans; this reclaims
+    the listing/open cost itself). MAINTENANCE op by contract: run it
+    between drains (the availableNow publisher model), not against a
+    live continuous query.
+
+    Crash-safe swap protocol (the tombstones.swap_partition_dirs
+    posture): (1) write the merged snapshot to a hidden tmp dir;
+    (2) retire every ``batch=*`` dir to a hidden ``_retired_*`` name;
+    (3) rename tmp → ``batch=0``; (4) delete the retired dirs. A crash
+    before (3) leaves NO visible snapshots — readers fail LOUDLY ("no
+    published batch=*"), never silently partial — and re-running the
+    compaction completes the swap from the surviving tmp. Future
+    micro-batches land as ``batch=<checkpoint id>`` (ids only grow, so
+    they never collide with the compacted ``batch=0``)."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = out_root.rstrip("/")
+    tmp = root + "/_compact_tmp"
+    batches = [d for d in fsutil.list_subdirs(spark, root)
+               if d.startswith("batch=")]
+    if batches:
+        write_fn(read_fn(), tmp)
+        for b in batches:
+            fsutil.rename(spark, f"{root}/{b}", f"{root}/_retired_{b}")
+    elif not fsutil.exists(spark, tmp):
+        raise ValueError(
+            f"{out_root!r} has no batch=* snapshots and no pending "
+            "_compact_tmp — nothing to compact or recover"
+        )
+    # (re)complete the swap — also the crash-recovery path
+    fsutil.rename(spark, tmp, root + "/batch=0")
+    for d in fsutil.list_subdirs(spark, root):
+        if d.startswith("_retired_"):
+            fsutil.delete(spark, f"{root}/{d}")
+
+
+def compact_hll_snapshots(spark, out_root: str, p: int = 8,
+                          group_by: list[str] | None = None) -> None:
+    """Fold a ``publish_hll_snapshots`` directory to one merged
+    snapshot (see ``_compact_snapshots``). Reads before and after are
+    identical — HLL merge is associative and idempotent, so folding the
+    published set is exactly a re-batching."""
+    from ncbi_analysis_spark.operators.sketches import write_hll_sketch
+
+    _compact_snapshots(
+        spark, out_root,
+        lambda: read_hll_snapshots(spark, out_root, p=p,
+                                   group_by=group_by),
+        lambda df, path: write_hll_sketch(df, path, p=p,
+                                          group_by=group_by))
+
+
+def compact_cm_snapshots(spark, out_root: str, width: int = 1024,
+                         depth: int = 4) -> None:
+    """Fold a ``publish_cm_snapshots`` directory to one merged
+    snapshot. CM merge is add — folding the published set once is
+    exactly a re-batching (the swap protocol guarantees each batch
+    contributes exactly once)."""
+    from ncbi_analysis_spark.operators.heavy_hitters import write_cm_sketch
+
+    _compact_snapshots(
+        spark, out_root,
+        lambda: read_cm_snapshots(spark, out_root, width=width,
+                                  depth=depth),
+        lambda df, path: write_cm_sketch(df, path, width=width,
+                                         depth=depth))
+
+
+def compact_quantile_snapshots(spark, out_root: str, k: int = 4096,
+                               group_by: list[str] | None = None) -> None:
+    """Fold a ``publish_quantile_snapshots`` directory to one merged
+    snapshot (the min-k cut of the union — the merged sketch IS the
+    sketch of everything published)."""
+    from ncbi_analysis_spark.operators.sketches import (
+        write_quantile_sketch,
+    )
+
+    _compact_snapshots(
+        spark, out_root,
+        lambda: read_quantile_snapshots(spark, out_root, k=k,
+                                        group_by=group_by),
+        lambda df, path: write_quantile_sketch(df, path, k=k,
+                                               group_by=group_by))
+
+
+def compact_kmv_snapshots(spark, out_root: str, k: int = 256,
+                          group_by: list[str] | None = None) -> None:
+    """Fold a ``publish_kmv_snapshots`` directory to one merged
+    snapshot."""
+    from ncbi_analysis_spark.operators.sketches import write_kmv_sketch
+
+    _compact_snapshots(
+        spark, out_root,
+        lambda: read_kmv_snapshots(spark, out_root, k=k,
+                                   group_by=group_by),
+        lambda df, path: write_kmv_sketch(df, path, k=k,
+                                          group_by=group_by))
+
+
 def publish_quantile_snapshots(
     stream_df: DataFrame,
     value_col: str,

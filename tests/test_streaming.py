@@ -899,3 +899,81 @@ def test_publish_quantile_and_kmv_snapshots(spark, tmp_path):
         sev.read_kmv_snapshots(spark, kout, k=K * 2)
     with pytest.raises(ValueError, match="no published"):
         sev.read_quantile_snapshots(spark, str(tmp_path / "none"), k=K)
+
+
+def test_compact_snapshots_fold_and_crash_recovery(spark, tmp_path):
+    """Snapshot-directory compaction: N batch dirs fold to ONE with
+    identical reads (all four families share the swap; HLL exercised
+    for the merge, CM for the add — each-batch-exactly-once), a fresh
+    micro-batch lands beside the compacted dir without collision, and
+    the crash-recovery path (tmp written, batches retired, rename
+    missed) completes on re-run."""
+    import glob as _glob
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    src = tmp_path / "src"; src.mkdir()
+    out = str(tmp_path / "sk"); ck = str(tmp_path / "ck")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+    W, D = 32, 3
+
+    def run():
+        stream = sev.read_event_stream(spark, str(src))
+        sev.publish_cm_snapshots(
+            stream.select("user_id"), "user_id", out, ck,
+            width=W, depth=D)
+
+    run()
+    # a second file -> second batch dir, so the fold is non-trivial
+    stage = str(tmp_path / "stage")
+    df2 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "user_id", F.col("user_id") + 777)
+    df2.coalesce(1).write.parquet(stage)
+    shutil.copy(_glob.glob(f"{stage}/part-*.parquet")[0], src / "b.parquet")
+    run()
+    before = sorted(map(tuple, sev.read_cm_snapshots(
+        spark, out, width=W, depth=D).collect()))
+    assert len(fsutil.list_subdirs(spark, out)) >= 2
+
+    sev.compact_cm_snapshots(spark, out, width=W, depth=D)
+    assert fsutil.list_subdirs(spark, out) == ["batch=0"]
+    assert sorted(map(tuple, sev.read_cm_snapshots(
+        spark, out, width=W, depth=D).collect())) == before
+
+    # a post-compaction micro-batch continues from the checkpoint id
+    df3 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "user_id", F.col("user_id") + 555_000)
+    stage3 = str(tmp_path / "stage3")
+    df3.coalesce(1).write.parquet(stage3)
+    shutil.copy(_glob.glob(f"{stage3}/part-*.parquet")[0], src / "c.parquet")
+    run()
+    dirs = fsutil.list_subdirs(spark, out)
+    assert "batch=0" in dirs and len(dirs) == 2
+
+    # crash simulation: retire the batch dirs by hand after writing tmp
+    # (the state a crash between steps 2 and 3 leaves), then recover
+    merged = sev.read_cm_snapshots(spark, out, width=W, depth=D)
+    want = sorted(map(tuple, merged.collect()))
+    from ncbi_analysis_spark.operators.heavy_hitters import write_cm_sketch
+    write_cm_sketch(merged, out + "/_compact_tmp", width=W, depth=D)
+    for d in dirs:
+        fsutil.rename(spark, f"{out}/{d}", f"{out}/_retired_{d}")
+    with pytest.raises(ValueError, match="no published"):
+        sev.read_cm_snapshots(spark, out, width=W, depth=D)
+    sev.compact_cm_snapshots(spark, out, width=W, depth=D)  # recovery
+    assert fsutil.list_subdirs(spark, out) == ["batch=0"]
+    assert sorted(map(tuple, sev.read_cm_snapshots(
+        spark, out, width=W, depth=D).collect())) == want
+
+    # HLL family shares the swap: quick fold-equality check
+    hout = str(tmp_path / "hll"); hck = str(tmp_path / "hck")
+    stream = sev.read_event_stream(spark, str(src))
+    sev.publish_hll_snapshots(
+        stream.select("user_id", "event_type"), "user_id", hout, hck,
+        p=8, group_by=["event_type"])
+    hb = sorted(map(tuple, sev.read_hll_snapshots(
+        spark, hout, p=8, group_by=["event_type"]).collect()))
+    sev.compact_hll_snapshots(spark, hout, p=8, group_by=["event_type"])
+    assert fsutil.list_subdirs(spark, hout) == ["batch=0"]
+    assert sorted(map(tuple, sev.read_hll_snapshots(
+        spark, hout, p=8, group_by=["event_type"]).collect())) == hb
