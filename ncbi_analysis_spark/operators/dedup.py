@@ -1537,6 +1537,7 @@ def compact_lsh_index(spark, path: str) -> None:
     normal. Idempotent on crash — see ``tombstones.swap_partition_dirs``."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
+    ts.resume_pending_swap(spark, path)
     live = ts.apply_tombstones(spark.read.parquet(path), path, "id")
     tmp = "_compact_tmp"
     # hash-repartition on the partition column: each band lands whole

@@ -450,6 +450,10 @@ def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
     root = path.rstrip("/")
     stored = _bm25_marker_read(spark, path)
     tmp = "_compact_tmp"
+    # finish any swap a previous compaction crashed out of (either
+    # table) before deriving live views
+    ts.resume_pending_swap(spark, root + "/postings")
+    ts.resume_pending_swap(spark, root + "/doclens")
 
     live_post = ts.apply_tombstones(
         spark.read.parquet(root + "/postings"), path, "doc_id")

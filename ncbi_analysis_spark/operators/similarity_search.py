@@ -1124,6 +1124,7 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
     untouched, so append's drift guard keeps working."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
+    ts.resume_pending_swap(spark, path)
     live = ts.apply_tombstones(spark.read.parquet(path), path, id_col)
     tmp = "_compact_tmp"
     live.repartition(c_id).write.mode("overwrite").partitionBy(

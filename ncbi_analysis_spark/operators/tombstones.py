@@ -132,6 +132,61 @@ def warn_if_tombstones_large(spark: SparkSession, index_path: str) -> None:
         )
 
 
+SWAP_MOVING_MARKER = "_SWAP_MOVING"
+
+
+def resume_pending_swap(spark: SparkSession, index_path: str,
+                        tmp_name: str = "_compact_tmp") -> bool:
+    """Recover from a compaction swap a previous process crashed out
+    of — called at the top of every ``compact_*`` so a re-run NEVER
+    derives a live view from a half-swapped directory (which would
+    silently compact away data). Returns True if there was anything to
+    recover.
+
+    Old and new partition children share names (``band=0`` exists in
+    both), so recovery needs to know WHICH phase crashed; the
+    ``_SWAP_MOVING`` marker (written only after every old child has
+    been retired to a hidden ``_retired_*`` name) is that bit:
+
+    - marker ABSENT, but retired children or a tmp dir exist: the
+      retire phase crashed — nothing was moved yet, so every retired
+      child's original name is free: restore them, drop the stale tmp,
+      and let the caller redo the compaction from the intact index.
+    - marker PRESENT: every old child is retired, the move phase (or
+      cleanup) crashed — visible children are NEW; finish moving the
+      remaining tmp children (their destinations are free: a completed
+      rename removes its tmp source), then clean up.
+    """
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = index_path.rstrip("/")
+    tmp = root + "/" + tmp_name
+    moving = fsutil.exists(spark, root + "/" + SWAP_MOVING_MARKER)
+    retired = [c for c in fsutil.list_children(spark, root)
+               if c.startswith("_retired_")]
+    if moving:
+        if fsutil.exists(spark, tmp):
+            for child in fsutil.list_children(spark, tmp):
+                if child.startswith(("_", ".")):
+                    continue
+                if not fsutil.exists(spark, f"{root}/{child}"):
+                    fsutil.rename(spark, f"{tmp}/{child}",
+                                  f"{root}/{child}")
+            fsutil.delete(spark, tmp)
+        for c in retired:
+            fsutil.delete(spark, f"{root}/{c}")
+        clear_tombstones(spark, root)
+        fsutil.delete(spark, root + "/" + SWAP_MOVING_MARKER)
+        return True
+    if retired or fsutil.exists(spark, tmp):
+        for c in retired:
+            fsutil.rename(spark, f"{root}/{c}",
+                          f"{root}/{c[len('_retired_'):]}")
+        fsutil.delete(spark, tmp)
+        return True
+    return False
+
+
 def swap_partition_dirs(spark: SparkSession, index_path: str,
                         tmp_name: str) -> None:
     """Finish an in-place compaction: replace the index's VISIBLE
@@ -139,10 +194,16 @@ def swap_partition_dirs(spark: SparkSession, index_path: str,
     of ``{index}/{tmp_name}``, then drop the tmp dir and the tombstones.
 
     The rewrite job writes to the ``_``-hidden tmp dir first, so probes
-    reading the old files are never racing a half-written swap on a
-    rename-capable filesystem; a crash mid-swap is recovered by
-    re-running compaction (idempotent: the anti-join view is unchanged
-    by which files survived)."""
+    reading the old files never race a half-written rewrite. The swap
+    is crash-safe by a two-phase protocol: every old child is RETIRED
+    (renamed hidden — never deleted before its replacement is in
+    place), the ``_SWAP_MOVING`` marker is written, tmp children move
+    in, and only then are the retired children, tmp, tombstones, and
+    marker dropped. A crash at any point is recovered by
+    ``resume_pending_swap`` (run automatically by every ``compact_*``):
+    pre-marker crashes restore the index exactly as it was; post-marker
+    crashes complete the swap. Data is never deleted until the
+    replacement set is fully in place."""
     from ncbi_analysis_spark.sources import fsutil
 
     root = index_path.rstrip("/")
@@ -150,12 +211,17 @@ def swap_partition_dirs(spark: SparkSession, index_path: str,
     for child in fsutil.list_children(spark, root):
         if child.startswith(("_", ".")):
             continue
-        fsutil.delete(spark, root + "/" + child)
+        fsutil.rename(spark, f"{root}/{child}", f"{root}/_retired_{child}")
+    fsutil.write_text(spark, root + "/" + SWAP_MOVING_MARKER, "")
     for child in fsutil.list_children(spark, tmp):
         # the tmp job's _SUCCESS/. markers stay behind (the root keeps
         # its own _SUCCESS from the original build; renaming onto an
         # existing path is a Hadoop rename failure)
         if not child.startswith(("_", ".")):
-            fsutil.rename(spark, tmp + "/" + child, root + "/" + child)
+            fsutil.rename(spark, f"{tmp}/{child}", f"{root}/{child}")
     fsutil.delete(spark, tmp)
+    for child in fsutil.list_children(spark, root):
+        if child.startswith("_retired_"):
+            fsutil.delete(spark, f"{root}/{child}")
     clear_tombstones(spark, index_path)
+    fsutil.delete(spark, root + "/" + SWAP_MOVING_MARKER)

@@ -988,31 +988,43 @@ def _compact_snapshots(spark, out_root: str, read_fn,
     between drains (the availableNow publisher model), not against a
     live continuous query.
 
-    Crash-safe swap protocol (the tombstones.swap_partition_dirs
-    posture): (1) write the merged snapshot to a hidden tmp dir;
-    (2) retire every ``batch=*`` dir to a hidden ``_retired_*`` name;
-    (3) rename tmp → ``batch=0``; (4) delete the retired dirs. A crash
-    before (3) leaves NO visible snapshots — readers fail LOUDLY ("no
-    published batch=*"), never silently partial — and re-running the
-    compaction completes the swap from the surviving tmp. Future
-    micro-batches land as ``batch=<checkpoint id>`` (ids only grow, so
-    they never collide with the compacted ``batch=0``)."""
+    Crash-safe swap protocol: (1) write the merged snapshot to a
+    hidden tmp dir; (2) retire every ``batch=*`` dir to a hidden
+    ``_retired_*`` name; (3) rename tmp → ``batch=0``; (4) delete the
+    retired dirs. Snapshot names are unique (ids only grow), so
+    recovery needs no phase marker: a surviving tmp means (3) never
+    happened — the retired dirs are RESTORED (their names are free),
+    the stale tmp dropped, and the compaction redone from the complete
+    visible set (which also folds in any batches published since the
+    crash); retired dirs WITHOUT a tmp mean (3) completed — the merged
+    ``batch=0`` already contains them, so they are just cleaned up.
+    Mid-crash reads fail LOUDLY ("no published batch=*"), never
+    silently partial."""
     from ncbi_analysis_spark.sources import fsutil
 
     root = out_root.rstrip("/")
     tmp = root + "/_compact_tmp"
+    retired = [d for d in fsutil.list_children(spark, root)
+               if d.startswith("_retired_")]
+    if fsutil.exists(spark, tmp):
+        # crashed before the tmp -> batch=0 rename: restore and redo
+        for d in retired:
+            fsutil.rename(spark, f"{root}/{d}",
+                          f"{root}/{d[len('_retired_'):]}")
+        fsutil.delete(spark, tmp)
+    elif retired:
+        # crashed after the rename: merged batch=0 is live; clean up
+        for d in retired:
+            fsutil.delete(spark, f"{root}/{d}")
     batches = [d for d in fsutil.list_subdirs(spark, root)
                if d.startswith("batch=")]
-    if batches:
-        write_fn(read_fn(), tmp)
-        for b in batches:
-            fsutil.rename(spark, f"{root}/{b}", f"{root}/_retired_{b}")
-    elif not fsutil.exists(spark, tmp):
+    if not batches:
         raise ValueError(
-            f"{out_root!r} has no batch=* snapshots and no pending "
-            "_compact_tmp — nothing to compact or recover"
+            f"{out_root!r} has no batch=* snapshots — nothing to compact"
         )
-    # (re)complete the swap — also the crash-recovery path
+    write_fn(read_fn(), tmp)
+    for b in batches:
+        fsutil.rename(spark, f"{root}/{b}", f"{root}/_retired_{b}")
     fsutil.rename(spark, tmp, root + "/batch=0")
     for d in fsutil.list_subdirs(spark, root):
         if d.startswith("_retired_"):

@@ -287,3 +287,77 @@ def test_tombstone_column_mismatch_raises(spark, tmp_path):
         ts.tombstones_path(path))
     with pytest.raises(ValueError, match="different id column"):
         rt.read_bm25_index(spark, path)["postings"].count()
+
+
+def test_tombstone_broadcast_warn(spark, tmp_path, monkeypatch):
+    """warn_if_tombstones_large fires once the accumulated tombstones
+    pass the broadcast-comfort bound (threshold shrunk for the test)."""
+    import warnings as _w
+
+    path = str(tmp_path / "idx")
+    rt.write_bm25_index(_docs(spark), path, n_buckets=2)
+    monkeypatch.setattr(ts, "BROADCAST_WARN_ROWS", 2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        rt.delete_from_bm25_index(
+            spark.createDataFrame([(1,), (2,), (3,)], "doc_id long"), path)
+    assert any("compact the index" in str(w.message) for w in rec)
+
+
+def test_lsh_compaction_crash_recovery_at_every_rename(spark, tmp_path,
+                                                       monkeypatch):
+    """Fault injection across the whole swap: kill compaction at the
+    k-th rename for every k (covers crashes in the retire phase, at the
+    phase marker boundary, and in the move phase), then re-run
+    compaction — resume_pending_swap must leave probes identical to a
+    never-crashed compaction, with no leftover swap state."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    d = _docs(spark)
+    kw = dict(num_perm=4, bands=2, shingle_n=3)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    ref = str(tmp_path / "ref")
+    dd.write_lsh_index(
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") != 2)),
+        "text", "doc_id", ref, **_lsh_kw())
+    want = _rows(_lsh_probe(spark, new, ref), "doc_id", "indexed_id")
+
+    real_rename = fsutil.rename
+    k = 0
+    while True:
+        path = str(tmp_path / f"idx_{k}")
+        dd.write_lsh_index(d.filter(F.col("doc_id") % 2 == 0), "text",
+                           "doc_id", path, **_lsh_kw())
+        dd.delete_from_lsh_index(
+            spark.createDataFrame([(2,)], "id long"), path)
+
+        calls = {"n": 0}
+
+        def crashing(spark_, src, dst, _k=k):
+            if calls["n"] >= _k:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return real_rename(spark_, src, dst)
+
+        monkeypatch.setattr(fsutil, "rename", crashing)
+        try:
+            dd.compact_lsh_index(spark, path)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(fsutil, "rename", real_rename)
+
+        # recovery: the next compaction call must land on the exact
+        # same probe results, with clean swap state
+        dd.compact_lsh_index(spark, path)
+        assert _rows(_lsh_probe(spark, new, path),
+                     "doc_id", "indexed_id") == want, k
+        children = fsutil.list_children(spark, path)
+        assert not any(c.startswith(("_retired_", "_SWAP_MOVING",
+                                     "_compact_tmp")) for c in children), k
+        assert not ts.has_tombstones(spark, path), k
+        if not crashed:
+            break  # k exceeded the total rename count — swap completed
+        k += 1
+    assert k >= 4  # retire(2 bands) + move(2 bands) at minimum
