@@ -977,3 +977,76 @@ def test_compact_snapshots_fold_and_crash_recovery(spark, tmp_path):
     assert fsutil.list_subdirs(spark, hout) == ["batch=0"]
     assert sorted(map(tuple, sev.read_hll_snapshots(
         spark, hout, p=8, group_by=["event_type"]).collect())) == hb
+
+
+def test_snapshot_compaction_crash_recovery_at_every_rename(
+        spark, tmp_path, monkeypatch):
+    """Fault injection for the snapshot swap (the index-swap test's
+    sibling): kill compact_cm_snapshots at the k-th rename for every k,
+    re-run, and require the merged read to equal the never-crashed
+    fold — including when new batches were published BETWEEN the crash
+    and the recovery (the restore-and-redo semantics must fold them
+    in)."""
+    import glob as _glob
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    W, D = 16, 2
+    src_all = tmp_path / "srcall"; src_all.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_all / "a.parquet")
+    stage = str(tmp_path / "stage")
+    df2 = read_events(spark, f"{SF_DIR}/events.parquet").withColumn(
+        "user_id", F.col("user_id") + 777)
+    df2.coalesce(1).write.parquet(stage)
+    part2 = _glob.glob(f"{stage}/part-*.parquet")[0]
+
+    real_rename = fsutil.rename
+    k = 0
+    while True:
+        src = tmp_path / f"src_{k}"; src.mkdir()
+        out = str(tmp_path / f"sk_{k}"); ck = str(tmp_path / f"ck_{k}")
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "a.parquet")
+
+        def run():
+            stream = sev.read_event_stream(spark, str(src))
+            sev.publish_cm_snapshots(
+                stream.select("user_id"), "user_id", out, ck,
+                width=W, depth=D)
+
+        run()
+        calls = {"n": 0}
+
+        def crashing(spark_, s, d, _k=k):
+            if calls["n"] >= _k:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return real_rename(spark_, s, d)
+
+        monkeypatch.setattr(fsutil, "rename", crashing)
+        try:
+            sev.compact_cm_snapshots(spark, out, width=W, depth=D)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(fsutil, "rename", real_rename)
+
+        # a batch published AFTER the crash must survive recovery
+        shutil.copy(part2, src / "b.parquet")
+        run()
+        sev.compact_cm_snapshots(spark, out, width=W, depth=D)
+
+        from ncbi_analysis_spark.operators.heavy_hitters import cm_sketch
+        both = read_events(spark, f"{SF_DIR}/events.parquet").select(
+            "user_id").unionByName(df2.select("user_id"))
+        want = sorted(map(tuple, cm_sketch(both, "user_id", W, D).collect()))
+        got = sorted(map(tuple, sev.read_cm_snapshots(
+            spark, out, width=W, depth=D).collect()))
+        assert got == want, k
+        assert fsutil.list_subdirs(spark, out) == ["batch=0"], k
+        assert not any(c.startswith(("_retired_", "_compact_tmp"))
+                       for c in fsutil.list_children(spark, out)), k
+        if not crashed:
+            break
+        k += 1
+    assert k >= 2  # at least one retire + the final rename
