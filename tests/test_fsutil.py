@@ -89,3 +89,38 @@ def test_ivf_centroid_drift_guard(spark, tmp_path):
     legacy = f"file:{tmp_path}/ivf_legacy"
     write_ivf_index(ivf_assign(base, cents), legacy)
     append_to_ivf_index(delta, drifted, legacy)  # no marker -> no check
+
+
+def test_fsutil_children_delete_rename_dir_size(spark, tmp_path):
+    """Direct coverage of the r13 helpers the compaction swaps are
+    built on: list_children includes hidden entries (unlike the parquet
+    reader's listing), delete is recursive and False on absent paths,
+    rename moves directories whole, and dir_size sums recursively."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = f"file:{tmp_path}/fsroot"
+    fsutil.write_text(spark, f"{root}/_marker.json", "{}")
+    fsutil.write_text(spark, f"{root}/sub/a.txt", "aaaa")
+    fsutil.write_text(spark, f"{root}/sub/b.txt", "bb")
+    fsutil.write_text(spark, f"{root}/vis.txt", "cc")
+
+    assert fsutil.list_children(spark, root) == [
+        "_marker.json", "sub", "vis.txt"]
+    assert fsutil.list_subdirs(spark, root) == ["sub"]
+    assert fsutil.dir_size(spark, f"{root}/sub") == 6
+    assert fsutil.dir_size(spark, root) == 6 + 2 + 2  # + marker "{}"
+    assert fsutil.dir_size(spark, f"{root}/nope") == 0
+
+    fsutil.rename(spark, f"{root}/sub", f"{root}/_retired_sub")
+    assert "sub" not in fsutil.list_children(spark, root)
+    assert fsutil.read_text(spark, f"{root}/_retired_sub/a.txt") == "aaaa"
+    # rename onto an existing path refuses (the swap protocol relies
+    # on this to never clobber a moved-in child)
+    fsutil.write_text(spark, f"{root}/dst.txt", "x")
+    import pytest as _pytest
+    with _pytest.raises(IOError, match="rename failed"):
+        fsutil.rename(spark, f"{root}/vis.txt", f"{root}/dst.txt")
+
+    assert fsutil.delete(spark, f"{root}/_retired_sub") is True
+    assert fsutil.delete(spark, f"{root}/_retired_sub") is False
+    assert fsutil.list_subdirs(spark, root) == []
