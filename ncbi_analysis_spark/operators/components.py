@@ -152,3 +152,72 @@ def component_dups(
     """
     comp = connected_components(edges, id_a, id_b)
     return comp.filter(F.col("id") != F.col("component")).select("id")
+
+
+def connected_components_incremental(
+    prior: DataFrame,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold a NEW batch of edges into an existing component labeling
+    without re-clustering the whole graph.
+
+    ``prior`` is a correct ``(id, component)`` labeling of all edges
+    seen so far (the output of :func:`connected_components` or of a
+    previous incremental fold); ``new_edges`` is the incoming batch.
+    Returns the ``(id, component)`` labeling of the UNION graph —
+    exactly what ``connected_components(old_edges UNION new_edges)``
+    would return, because a min-id component labeling is a star forest
+    that preserves connectivity: CC(star(prior) ∪ new) = CC(old ∪ new).
+
+    Only the AFFECTED region is re-clustered: components incident to a
+    new-edge endpoint are pulled in (all their members, via the prior
+    star edges, so a merged component's new minimum is found wherever
+    it lives), everything else passes through one anti-join untouched —
+    no new edge lands on an untouched component, so its label cannot
+    change. The iterative loop therefore runs over
+    O(|batch| + |touched members|) rows, not the full corpus: a daily
+    crawl append re-clusters the day's near-dup neighborhoods, not the
+    multi-billion-node history. Star edges have depth 1, so the
+    pointer-jumping fixpoint converges in O(log(batch chain length))
+    rounds regardless of how large the prior components are.
+
+    Multi-batch folding composes: fold(fold(CC(E1), E2), E3) ≡
+    CC(E1 ∪ E2 ∪ E3) (property-tested over random interleavings).
+    """
+    new_sym = (
+        new_edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(new_edges.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    # One materialization of the batch: endpoints, touched components,
+    # and the sub-clustering all reuse it (its lineage is often a full
+    # LSH pair-generation pipeline — see connected_components).
+    new_sym = new_sym.localCheckpoint(eager=True)
+    ends = new_sym.select(F.col("u").alias("id")).distinct()
+    # Materialized so the returned (lazy) result no longer reads the
+    # batch checkpoint — one component id per touched component, the
+    # small side of every join below.
+    touched_comps = (
+        prior.join(ends, "id").select("component").distinct()
+        .localCheckpoint(eager=True)
+    )
+    affected = prior.join(touched_comps, "component")
+    untouched = prior.join(touched_comps, "component", "left_anti")
+    # Prior labeling as star edges (id -> component); self-loops of the
+    # representatives carry no connectivity, but a representative with
+    # no other member must still enter the subgraph — it does, either
+    # as a new-edge endpoint (how else could its singleton component be
+    # touched?) or via a member's star edge.
+    star = (
+        affected.filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("id_a"), F.col("component").alias("id_b"))
+    )
+    batch = new_sym.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    sub = connected_components(star.union(batch), "id_a", "id_b", max_iter)
+    _unpersist_checkpoint(new_sym)
+    return untouched.select("id", "component").union(
+        sub.select("id", "component")
+    )

@@ -799,6 +799,42 @@ FROM frag
 """
 
 
+def cc_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components fold (crawl-append clustering):
+    the LSH pair edges over ``documents`` are split into a deterministic
+    'history' ((ida+idb) % 3 != 0) and a 'today's batch' (the rest);
+    the history is clustered with the full algorithm, then the batch is
+    FOLDED in with ``connected_components_incremental`` — which
+    re-clusters only components incident to a batch endpoint and passes
+    everything else through an anti-join. The oracle is the full
+    recursive-CTE recompute over ALL edges (the ``dedup_dup_clusters``
+    fixpoint), so any fold error — a missed cross-batch merge, a stale
+    label on a touched component, a lost batch-only node — is an exact
+    hash mismatch. The split is intentionally invisible to the oracle:
+    incremental ≡ full recompute is the whole contract."""
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    ).localCheckpoint(eager=True)
+    is_new = (F.col("id_a") + F.col("id_b")) % 3 == 0
+    prior = connected_components(pairs.filter(~is_new))
+    folded = connected_components_incremental(prior, pairs.filter(is_new))
+    return folded.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _cc_incremental_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r3 import _dup_clusters_sql
+
+    return _dup_clusters_sql()
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -812,6 +848,7 @@ def queries_r13() -> dict:
         "stream_quantile_publish": stream_quantile_publish,
         "heavy_hitters_per_lang": heavy_hitters_per_lang,
         "curation_v5": curation_v5,
+        "cc_incremental_clusters": cc_incremental_clusters,
     }
 
 
@@ -828,4 +865,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "stream_quantile_publish": _stream_quantile_sql(),
         "heavy_hitters_per_lang": _hh_per_lang_sql(),
         "curation_v5": _curation_v5_sql(),
+        "cc_incremental_clusters": _cc_incremental_sql(),
     }

@@ -391,6 +391,73 @@ def test_connected_components_random_vs_union_find(spark):
     assert got == want
 
 
+def test_connected_components_incremental_basic(spark):
+    """A new edge merging two prior components relabels BOTH to the
+    union's min id; untouched components keep their labels; brand-new
+    nodes get labeled; a batch edge internal to one prior component
+    changes nothing."""
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    prior = connected_components(old)
+    batch = spark.createDataFrame(
+        [(3, 10),     # merges {1,2,3} with {10,11} -> all label 1
+         (20, 21),    # internal to an existing component — no-op
+         (30, 31)],   # brand-new nodes
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components_incremental(prior, batch).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1,
+                   20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_connected_components_incremental_folds_match_full(spark):
+    """Random edges split into 3 arbitrary batches: CC(E1) folded with
+    E2 then E3 must equal CC(E1 ∪ E2 ∪ E3) exactly — including chains
+    that only connect ACROSS batches and min-ids that live in a
+    component only reachable through the last batch."""
+    import random
+
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    for seed in (3, 11):
+        rnd = random.Random(seed)
+        edges = [(rnd.randrange(80), rnd.randrange(80)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut1, cut2 = len(edges) // 3, 2 * len(edges) // 3
+        e1, e2, e3 = edges[:cut1], edges[cut1:cut2], edges[cut2:]
+
+        full = connected_components(
+            spark.createDataFrame(edges, ["id_a", "id_b"]))
+        want = {r["id"]: r["component"] for r in full.collect()}
+
+        labels = connected_components(
+            spark.createDataFrame(e1, ["id_a", "id_b"]))
+        for batch in (e2, e3):
+            labels = connected_components_incremental(
+                labels, spark.createDataFrame(batch, ["id_a", "id_b"]))
+        got = {r["id"]: r["component"] for r in labels.collect()}
+        assert got == want
+
+
+def test_connected_components_incremental_empty_batch(spark):
+    """An empty batch is an identity fold."""
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    prior = connected_components(
+        spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"]))
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components_incremental(prior, empty).collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
 def test_benchmark_ngram_overlap(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e"),      # grams: "a b c","b c d","c d e"
