@@ -1124,6 +1124,13 @@ def _anchored_windows(
     t = F.coalesce(F.col(text), F.lit(""))
 
     def seed_pred(gram: Column) -> Column:
+        if anchor_bits == 0:
+            # EXACT mode: every position is an anchor, so every
+            # duplicated `window`-char substring is found — Lee et
+            # al.'s suffix-array exact tier, at ~L window rows per
+            # document instead of ~L/2^anchor_bits (span_recall_audit's
+            # truth leg; first-class via dup_span_removal_exact)
+            return F.lit(True)
         if anchor_method == "md5":
             # cross-engine reproducible (DuckDB oracle); ~2x the cost of
             # the xxhash64 form on the anchor probe
@@ -1284,6 +1291,15 @@ def remove_dup_spans(
     and the overlap-merge + complement-rebuild run as codegen'd array
     folds over that per-row array; no window function, no global sort,
     no Python.
+
+    ``anchor_bits=0`` is EXACT mode: every position anchors, so every
+    duplicated ``window``-char substring in the corpus is found and
+    removed — the guarantee of Lee et al.'s suffix-array exact tier
+    (recall 1.0 by construction, measured rather than assumed by
+    ``span_recall_audit``'s truth leg) at ~L window rows per document
+    through the digest shuffle instead of ~L/2^anchor_bits. Use it when
+    the corpus budget allows one window-sized digest row per char;
+    anchored mode is the same pipeline at a fraction of the shuffle.
     """
     spans = dup_span_windows(df, text, id_col, window, anchor_k,
                              anchor_bits, min_docs, anchor_method,

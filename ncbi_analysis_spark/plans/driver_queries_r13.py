@@ -835,6 +835,39 @@ def _cc_incremental_sql() -> str:
     return _dup_clusters_sql()
 
 
+def dup_span_removal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT span-level substring dedup (``remove_dup_spans`` with
+    ``anchor_bits=0`` — every position anchors, so every duplicated
+    32-char window in the corpus is found and cut; the guarantee of Lee
+    et al. 2022's suffix-array exact tier, previously exercised only as
+    ``span_recall_audit``'s truth leg). The oracle is the anchored
+    ``dup_span_removal`` SQL minus the anchor filter: DuckDB probes
+    every start position, merges overlaps and rebuilds the complement —
+    so a missed unaligned duplicate, an off-by-one at a window
+    boundary, or an overlap-merge bug in the exact path is an exact
+    hash mismatch on the rebuilt text."""
+    from ncbi_analysis_spark.operators.dedup import remove_dup_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    out = remove_dup_spans(d, "text", "doc_id", window=32, min_docs=2,
+                           anchor_bits=0)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_spans_removed",
+        "n_chars_removed",
+    )
+
+
+def _dup_span_exact_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r8 import DUP_SPAN_SQL
+
+    anchored = "  WHERE substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) = '0'"
+    assert anchored in DUP_SPAN_SQL, "anchored SQL drifted; update the strip"
+    return DUP_SPAN_SQL.replace(anchored, "")
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -849,6 +882,7 @@ def queries_r13() -> dict:
         "heavy_hitters_per_lang": heavy_hitters_per_lang,
         "curation_v5": curation_v5,
         "cc_incremental_clusters": cc_incremental_clusters,
+        "dup_span_removal_exact": dup_span_removal_exact,
     }
 
 
@@ -866,4 +900,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "heavy_hitters_per_lang": _hh_per_lang_sql(),
         "curation_v5": _curation_v5_sql(),
         "cc_incremental_clusters": _cc_incremental_sql(),
+        "dup_span_removal_exact": _dup_span_exact_sql(),
     }

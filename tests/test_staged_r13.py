@@ -35,6 +35,38 @@ def test_span_recall_audit_semantics(spark):
     assert rn["recall"] is None and rn["truth_chars"] == 0
 
 
+def test_remove_dup_spans_exact_catches_unaligned_copy(spark):
+    """anchor_bits=0 (exact mode) must remove an UNALIGNED duplicated
+    passage entirely from the non-keeper — recall 1.0 by construction —
+    while leaving the keeper and unrelated text intact; the removed
+    char count equals the union of every duplicated 32-char window."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.dedup import remove_dup_spans
+
+    passage = "duplicated passage body shared verbatim!"  # 40 chars
+    rows = [
+        (1, "AAA " + passage + " tail one"),
+        (2, "longer unaligned prefix>> " + passage + " other tail"),
+        (3, "no shared content whatsoever here at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_spans(
+        d, "text", "doc_id", window=32, min_docs=2, anchor_bits=0
+    ).collect()}
+    # keeper (min doc_id holding each window) keeps its copy
+    assert out[1]["text"] == rows[0][1]
+    assert out[1]["n_spans_removed"] == 0
+    # the non-keeper loses every char covered by a duplicated window:
+    # both docs share ' ' + the 40-char passage + ' ' -> 42 shared
+    # chars, 11 window start positions, union = 42 chars
+    assert out[2]["n_spans_removed"] == 1
+    assert out[2]["n_chars_removed"] == 42
+    assert passage not in out[2]["text"]
+    assert out[2]["text"] == "longer unaligned prefix>>other tail"
+    assert out[3]["text"] == rows[2][1]
+
+
 def test_bpe_encode_ids_semantics(spark):
     """bpe_encode: deterministic vocab-id rule (unk=0, sorted base
     symbols, merge products in merge order, first-occurrence dedupe),
