@@ -1483,6 +1483,24 @@ def _lsh_params_guard(spark, path: str, num_perm: int, bands: int,
         )
 
 
+def read_lsh_params(spark, path: str) -> dict:
+    """The (num_perm, bands, shingle_n) a ``write_lsh_index`` directory
+    was built with — for callers that must match the index rather than
+    dictate to it (the streaming gate probes with whatever the index
+    uses). Raises on a non-index directory."""
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    marker = path.rstrip("/") + "/" + _LSH_PARAMS_FILE
+    if not fsutil.exists(spark, marker):
+        raise ValueError(
+            f"{path!r} is not a write_lsh_index directory (missing "
+            f"{_LSH_PARAMS_FILE}); build it with write_lsh_index first"
+        )
+    return json.loads(fsutil.read_text(spark, marker))
+
+
 def write_lsh_index(
     df: DataFrame,
     text: str,

@@ -868,6 +868,72 @@ def _dup_span_exact_sql() -> str:
     return DUP_SPAN_SQL.replace(anchored, "")
 
 
+def stream_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup gate against the PERSISTED LSH index end-to-end
+    (streaming/events.py::stream_index_decon): the old corpus
+    (doc_id % 7 != 0) is indexed with ``write_lsh_index``, a takedown
+    batch (% 5 == 0) is tombstoned WITHOUT compaction, then the new
+    crawl (% 7 == 0) flows through as a file stream — each micro-batch
+    probed against the live index view via foreachBatch, survivors
+    written per batch. The gated output must equal the batch recompute:
+    new docs with no band collision against (old corpus minus deleted
+    docs). Pins three things at once: the gate's verdicts are
+    batching-invariant, mid-life tombstones are honored by a stream
+    with NO compaction or restart, and the index-side join sees exactly
+    the live view."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.dedup import (
+        delete_from_lsh_index,
+        write_lsh_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r11 import _stage_as_stream
+    from ncbi_analysis_spark.streaming.events import (
+        read_gated_docs,
+        stream_index_decon,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+
+    tmp = tempfile.mkdtemp(prefix="stream_lsh_gate_")
+    try:
+        idx = f"{tmp}/index"
+        write_lsh_index(old, "text", "doc_id", idx,
+                        num_perm=4, bands=2, shingle_n=3)
+        delete_from_lsh_index(
+            old.filter(F.col("doc_id") % 5 == 0)
+            .select(F.col("doc_id").alias("id")),
+            idx,
+        )
+        src = _stage_as_stream(spark, new, tmp)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        stream_index_decon(stream, idx, f"{tmp}/gated", f"{tmp}/ck")
+        gated = read_gated_docs(spark, f"{tmp}/gated").select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        )
+        rows = gated.collect()
+        schema = gated.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_lsh_gate_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r7 import _fuzzy_decon_sql
+
+    coll = _fuzzy_decon_sql(corpus_pred="doc_id % 5 <> 0")
+    return f"""
+SELECT doc_id, md5(COALESCE(text, '')) AS text_md5
+FROM documents
+WHERE doc_id % 7 = 0
+  AND doc_id NOT IN (SELECT bench_id FROM ({coll}) p)
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -883,6 +949,7 @@ def queries_r13() -> dict:
         "curation_v5": curation_v5,
         "cc_incremental_clusters": cc_incremental_clusters,
         "dup_span_removal_exact": dup_span_removal_exact,
+        "stream_lsh_gate": stream_lsh_gate,
     }
 
 
@@ -901,4 +968,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "curation_v5": _curation_v5_sql(),
         "cc_incremental_clusters": _cc_incremental_sql(),
         "dup_span_removal_exact": _dup_span_exact_sql(),
+        "stream_lsh_gate": _stream_lsh_gate_sql(),
     }

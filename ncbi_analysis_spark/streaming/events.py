@@ -1383,3 +1383,83 @@ def read_hll_snapshots(
         _sketch_marker_io(spark, d, params, write=False)
     merged = spark.read.parquet(*dirs)
     return hll_rollup(merged, list(group_by or []))
+
+
+def stream_index_decon(
+    stream_df: DataFrame,
+    index_path: str,
+    out_root: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "clean",
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming dedup/decon gate against a PERSISTED LSH index — the
+    index-backed big brother of ``fuzzy_decon_stream``: that gate
+    collects the reference side to a driver literal (hard-capped at
+    ``max_bench_bands`` because a literal probe set stops making sense
+    past ~10^5 keys); this one joins each micro-batch against a
+    ``write_lsh_index`` directory of ANY size — the full ingested
+    corpus, billions of band rows — so a crawl stream deduplicates
+    against all of history, not just a benchmark suite.
+
+    Each micro-batch runs as a bounded BATCH job (``foreachBatch``):
+    the batch's band rows broadcast into the index join
+    (``lsh_index_collisions`` — the corpus-sized index is never
+    shuffled), colliding documents are dropped (``keep='clean'``) or
+    emitted alone (``keep='flagged'``, the audit stream), and survivors
+    land in ``{out_root}/batch={id}``. The index is read through
+    ``read_lsh_index`` EVERY batch, so tombstones written by
+    ``delete_from_lsh_index`` mid-stream (takedowns) take effect from
+    the next micro-batch without restarting the query, and index
+    parameters come from the directory's own marker (a probe can't
+    drift from its index).
+
+    Per-row verdicts depend only on the index — no cross-batch state —
+    so the gated OUTPUT is batching-invariant, and restart is
+    exactly-once: the checkpoint resumes after the last committed
+    batch, a re-delivered batch overwrites its own directory. The
+    standing crawl-ingest loop closes OUTSIDE the drain:
+    ``append_to_lsh_index(read_gated_docs(...))`` after the stream
+    stops, so the next drain deduplicates against this one (appending
+    inside foreachBatch would make batch N's verdicts depend on the
+    replay-vs-first-run history of batch N-1 — at-least-once, not
+    exactly-once; the drain-then-append loop keeps every artifact
+    exact).
+
+    Read the gate's output back with ``read_gated_docs``.
+    """
+    from ncbi_analysis_spark.operators import dedup as dd
+
+    if keep not in ("clean", "flagged"):
+        raise ValueError(f"keep must be 'clean' or 'flagged', got {keep!r}")
+    spark = stream_df.sparkSession
+    # fail fast (and once) on a missing/foreign directory; the per-batch
+    # reads below revalidate nothing but tombstones, which CAN change
+    params = dd.read_lsh_params(spark, index_path)
+    root = out_root.rstrip("/")
+    how = "left_semi" if keep == "flagged" else "left_anti"
+
+    def _gate(batch_df, batch_id: int) -> None:
+        idx = dd.read_lsh_index(batch_df.sparkSession, index_path)
+        hit_ids = (
+            dd.lsh_index_collisions(batch_df, idx, text, id_col, **params)
+            .select(id_col).distinct()
+        )
+        kept = batch_df.join(F.broadcast(hit_ids), id_col, how)
+        kept.write.mode("overwrite").parquet(f"{root}/batch={batch_id}")
+
+    return _run_snapshot_publisher(
+        stream_df, _gate, checkpoint, available_now, timeout_s,
+        "stream_index_decon",
+    )
+
+
+def read_gated_docs(spark, out_root: str) -> DataFrame:
+    """Open a ``stream_index_decon`` output directory as one DataFrame:
+    every ``batch=*`` directory in a single multi-path scan (no
+    per-batch union loop — the ``read_hll_snapshots`` plan-depth
+    lesson). Raises if the gate never committed a batch."""
+    return spark.read.parquet(*_snapshot_batch_dirs(spark, out_root))

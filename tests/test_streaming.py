@@ -1050,3 +1050,69 @@ def test_snapshot_compaction_crash_recovery_at_every_rename(
             break
         k += 1
     assert k >= 2  # at least one retire + the final rename
+
+
+def test_stream_index_decon_gate(spark, tmp_path):
+    """Index-backed streaming gate: clean/flagged partition the stream
+    by collision with the persisted index's LIVE view; tombstoning the
+    only colliding indexed doc (no compaction) flips its stream twin to
+    clean; output is invariant to how the stream was batched; params
+    come from the index marker (a foreign dir fails fast)."""
+    from ncbi_analysis_spark.operators.dedup import (
+        delete_from_lsh_index, write_lsh_index)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different indexed content here")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    write_lsh_index(corpus, "text", "doc_id", idx,
+                    num_perm=4, bands=2, shingle_n=3)
+
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (101, "fresh never-seen document body"),
+         (102, None)],                                          # NULL text
+        "doc_id long, text string")
+    src = str(tmp_path / "src")
+    new.repartition(3).write.parquet(src)
+
+    def drain(out, keep):
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        sev.stream_index_decon(
+            stream, idx, str(tmp_path / out), str(tmp_path / (out + "_ck")),
+            keep=keep)
+        return {r["doc_id"] for r in
+                sev.read_gated_docs(spark, str(tmp_path / out)).collect()}
+
+    assert drain("clean1", "clean") == {101, 102}
+    assert drain("flag1", "flagged") == {100}
+
+    # different batching (one file per row vs whatever repartition(3)
+    # gave) -> same union
+    src2 = str(tmp_path / "src2")
+    new.repartition(1).write.parquet(src2)
+    stream = spark.readStream.schema(new.schema).parquet(src2)
+    sev.stream_index_decon(
+        stream, idx, str(tmp_path / "clean2"), str(tmp_path / "ck2"))
+    got = {r["doc_id"] for r in
+           sev.read_gated_docs(spark, str(tmp_path / "clean2")).collect()}
+    assert got == {101, 102}
+
+    # tombstone the colliding indexed doc: its stream twin is now clean
+    delete_from_lsh_index(
+        spark.createDataFrame([(1,)], "id long"), idx)
+    assert drain("clean3", "clean") == {100, 101, 102}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep must be"):
+        sev.stream_index_decon(
+            spark.readStream.schema(new.schema).parquet(src), idx,
+            str(tmp_path / "x"), str(tmp_path / "xck"), keep="bogus")
+    with _pytest.raises(ValueError, match="not a write_lsh_index"):
+        sev.stream_index_decon(
+            spark.readStream.schema(new.schema).parquet(src),
+            str(tmp_path / "nonindex"),
+            str(tmp_path / "y"), str(tmp_path / "yck"))
+    with _pytest.raises(ValueError, match="no published batch"):
+        sev.read_gated_docs(spark, str(tmp_path / "never_ran"))
