@@ -1555,8 +1555,9 @@ def delete_from_lsh_index(ids: DataFrame, path: str,
             f"{path!r} is not a write_lsh_index directory (missing "
             f"{_LSH_PARAMS_FILE}); nothing to delete from"
         )
-    n = ts.append_tombstones(ids.select(F.col(id_col).alias("id")),
-                             path, "id")
+    with ts.maintenance_lock(spark, path, "delete_from_lsh_index"):
+        n = ts.append_tombstones(ids.select(F.col(id_col).alias("id")),
+                                 path, "id")
     ts.warn_if_tombstones_large(spark, path)
     return n
 
@@ -1571,14 +1572,16 @@ def compact_lsh_index(spark, path: str) -> None:
     normal. Idempotent on crash — see ``tombstones.swap_partition_dirs``."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
-    ts.resume_pending_swap(spark, path)
-    live = ts.apply_tombstones(spark.read.parquet(path), path, "id")
-    tmp = "_compact_tmp"
-    # hash-repartition on the partition column: each band lands whole
-    # in one task, so the rewrite emits exactly one file per band
-    live.repartition("band").write.mode("overwrite").partitionBy(
-        "band").parquet(path.rstrip("/") + "/" + tmp)
-    ts.swap_partition_dirs(spark, path, tmp)
+    with ts.maintenance_lock(spark, path, "compact_lsh_index"):
+        ts.resume_pending_swap(spark, path)
+        live = ts.apply_tombstones(spark.read.parquet(path), path, "id")
+        tmp = "_compact_tmp"
+        # hash-repartition on the partition column: each band lands
+        # whole in one task, so the rewrite emits exactly one file per
+        # band
+        live.repartition("band").write.mode("overwrite").partitionBy(
+            "band").parquet(path.rstrip("/") + "/" + tmp)
+        ts.swap_partition_dirs(spark, path, tmp)
 
 
 def append_to_lsh_index(
@@ -1603,25 +1606,29 @@ def append_to_lsh_index(
     spark = new_df.sparkSession
     _lsh_params_guard(spark, path, num_perm, bands,
                       shingle_n, write=False)
-    tomb = _ts.read_tombstones(spark, path)
-    if tomb is not None:
-        # a tombstoned id re-appended would be silently masked by the
-        # read_lsh_index anti-join until compaction — refuse
-        n_bad = new_df.select(F.col(id_col).alias("id")).join(
-            F.broadcast(tomb), "id", "left_semi").count()
-        if n_bad:
-            raise ValueError(
-                f"append batch contains {n_bad} id(s) tombstoned in "
-                f"{path!r}; run compact_lsh_index first, then append"
-            )
-    rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
-                              shingle_n).persist()
-    try:
-        rows.write.mode("append").partitionBy("band").parquet(path)
-        counts = rows.groupBy("band").agg(
-            F.count(F.lit(1)).alias("n_appended")).collect()
-    finally:
-        rows.unpersist()
+    with _ts.maintenance_lock(spark, path, "append_to_lsh_index"):
+        # the tombstone check lives INSIDE the lock: a concurrent
+        # delete landing between check and append would silently mask
+        # the re-appended ids
+        tomb = _ts.read_tombstones(spark, path)
+        if tomb is not None:
+            # a tombstoned id re-appended would be silently masked by
+            # the read_lsh_index anti-join until compaction — refuse
+            n_bad = new_df.select(F.col(id_col).alias("id")).join(
+                F.broadcast(tomb), "id", "left_semi").count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch contains {n_bad} id(s) tombstoned in "
+                    f"{path!r}; run compact_lsh_index first, then append"
+                )
+        rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
+                                  shingle_n).persist()
+        try:
+            rows.write.mode("append").partitionBy("band").parquet(path)
+            counts = rows.groupBy("band").agg(
+                F.count(F.lit(1)).alias("n_appended")).collect()
+        finally:
+            rows.unpersist()
     return new_df.sparkSession.createDataFrame(
         [(int(r["band"]), int(r["n_appended"])) for r in counts],
         "band long, n_appended long",

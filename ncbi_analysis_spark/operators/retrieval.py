@@ -349,40 +349,47 @@ def append_to_bm25_index(
     spark = new_df.sparkSession
     _bm25_params_guard(spark, path, n_buckets, write=False)
     postings, doclens = _bm25_index_rows(new_df, text_col, id_col, n_buckets)
-    tomb = ts.read_tombstones(spark, path)
-    if tomb is not None:
-        # re-ingesting a tombstoned id would be silently masked by the
-        # probe anti-join (and would desync the marker stats from the
-        # live view) — refuse; compact first, then append
-        n_bad = doclens.join(F.broadcast(tomb), "doc_id", "left_semi").count()
-        if n_bad:
-            raise ValueError(
-                f"append batch contains {n_bad} doc_id(s) tombstoned in "
-                f"{path!r}; run compact_bm25_index first to fold the "
-                "deletes in, then append"
+    # the lock covers the tombstone check (a concurrent delete landing
+    # after the check would silently mask the batch) AND the marker
+    # stats read-modify-write (two concurrent appends would lose one
+    # delta)
+    with ts.maintenance_lock(spark, path, "append_to_bm25_index"):
+        tomb = ts.read_tombstones(spark, path)
+        if tomb is not None:
+            # re-ingesting a tombstoned id would be silently masked by
+            # the probe anti-join (and would desync the marker stats
+            # from the live view) — refuse; compact first, then append
+            n_bad = doclens.join(
+                F.broadcast(tomb), "doc_id", "left_semi").count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch contains {n_bad} doc_id(s) tombstoned "
+                    f"in {path!r}; run compact_bm25_index first to fold "
+                    "the deletes in, then append"
+                )
+        postings = postings.persist()
+        doclens = doclens.persist()
+        try:
+            postings.write.mode("append").partitionBy("bucket").parquet(
+                path.rstrip("/") + "/postings"
             )
-    postings = postings.persist()
-    doclens = doclens.persist()
-    try:
-        postings.write.mode("append").partitionBy("bucket").parquet(
-            path.rstrip("/") + "/postings"
-        )
-        doclens.write.mode("append").parquet(path.rstrip("/") + "/doclens")
-        counts = (
-            postings.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_appended"))
-            .collect()
-        )
-        batch = _doclen_stats(doclens)
-    finally:
-        postings.unpersist()
-        doclens.unpersist()
-    stored = _bm25_marker_read(spark, path).get("stats")
-    if stored is not None:
-        _bm25_marker_write(spark, path, n_buckets, {
-            "n_docs": stored["n_docs"] + batch["n_docs"],
-            "sum_dl": stored["sum_dl"] + batch["sum_dl"],
-        })
+            doclens.write.mode("append").parquet(
+                path.rstrip("/") + "/doclens")
+            counts = (
+                postings.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n_appended"))
+                .collect()
+            )
+            batch = _doclen_stats(doclens)
+        finally:
+            postings.unpersist()
+            doclens.unpersist()
+        stored = _bm25_marker_read(spark, path).get("stats")
+        if stored is not None:
+            _bm25_marker_write(spark, path, n_buckets, {
+                "n_docs": stored["n_docs"] + batch["n_docs"],
+                "sum_dl": stored["sum_dl"] + batch["sum_dl"],
+            })
     return spark.createDataFrame(
         [(int(r["bucket"]), int(r["n_appended"])) for r in counts],
         "bucket long, n_appended long",
@@ -408,23 +415,28 @@ def delete_from_bm25_index(ids: DataFrame, path: str,
     from ncbi_analysis_spark.operators import tombstones as ts
 
     spark = ids.sparkSession
-    stored = _bm25_marker_read(spark, path)  # raises on non-index dirs
-    batch = ids.select(F.col(id_col).alias("doc_id")).distinct().persist()
-    try:
-        live_dl = ts.apply_tombstones(
-            spark.read.parquet(path.rstrip("/") + "/doclens"),
-            path, "doc_id")
-        removed = _doclen_stats(
-            live_dl.join(F.broadcast(batch), "doc_id", "left_semi"))
-        n = ts.append_tombstones(batch, path, "doc_id")
-    finally:
-        batch.unpersist()
-    stats = stored.get("stats")
-    if stats is not None:
-        _bm25_marker_write(spark, path, int(stored["n_buckets"]), {
-            "n_docs": stats["n_docs"] - removed["n_docs"],
-            "sum_dl": stats["sum_dl"] - removed["sum_dl"],
-        })
+    _bm25_marker_read(spark, path)  # raises on non-index dirs
+    with ts.maintenance_lock(spark, path, "delete_from_bm25_index"):
+        # marker read INSIDE the lock: the stats update below is a
+        # read-modify-write against it
+        stored = _bm25_marker_read(spark, path)
+        batch = ids.select(F.col(id_col).alias("doc_id")).distinct() \
+                   .persist()
+        try:
+            live_dl = ts.apply_tombstones(
+                spark.read.parquet(path.rstrip("/") + "/doclens"),
+                path, "doc_id")
+            removed = _doclen_stats(
+                live_dl.join(F.broadcast(batch), "doc_id", "left_semi"))
+            n = ts.append_tombstones(batch, path, "doc_id")
+        finally:
+            batch.unpersist()
+        stats = stored.get("stats")
+        if stats is not None:
+            _bm25_marker_write(spark, path, int(stored["n_buckets"]), {
+                "n_docs": stats["n_docs"] - removed["n_docs"],
+                "sum_dl": stats["sum_dl"] - removed["sum_dl"],
+            })
     ts.warn_if_tombstones_large(spark, path)
     return n
 
@@ -450,6 +462,15 @@ def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
     root = path.rstrip("/")
     stored = _bm25_marker_read(spark, path)
     tmp = "_compact_tmp"
+    with ts.maintenance_lock(spark, path, "compact_bm25_index"):
+        _compact_bm25_locked(spark, path, root, tmp, stored,
+                             files_per_bucket)
+
+
+def _compact_bm25_locked(spark, path, root, tmp, stored,
+                         files_per_bucket) -> None:
+    from ncbi_analysis_spark.operators import tombstones as ts
+
     # finish any swap a previous compaction crashed out of (either
     # table) before deriving live views
     ts.resume_pending_swap(spark, root + "/postings")

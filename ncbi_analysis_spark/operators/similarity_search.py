@@ -1110,7 +1110,8 @@ def delete_from_ivf_index(ids: DataFrame, path: str,
             f"{path!r} has no {_IVF_PARAMS_FILE} marker; stamp it with "
             "write_ivf_index(..., centroids=...) before deleting"
         )
-    n = ts.append_tombstones(ids.select(F.col(id_col)), path, id_col)
+    with ts.maintenance_lock(spark, path, "delete_from_ivf_index"):
+        n = ts.append_tombstones(ids.select(F.col(id_col)), path, id_col)
     ts.warn_if_tombstones_large(spark, path)
     return n
 
@@ -1124,12 +1125,13 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
     untouched, so append's drift guard keeps working."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
-    ts.resume_pending_swap(spark, path)
-    live = ts.apply_tombstones(spark.read.parquet(path), path, id_col)
-    tmp = "_compact_tmp"
-    live.repartition(c_id).write.mode("overwrite").partitionBy(
-        c_id).parquet(path.rstrip("/") + "/" + tmp)
-    ts.swap_partition_dirs(spark, path, tmp)
+    with ts.maintenance_lock(spark, path, "compact_ivf_index"):
+        ts.resume_pending_swap(spark, path)
+        live = ts.apply_tombstones(spark.read.parquet(path), path, id_col)
+        tmp = "_compact_tmp"
+        live.repartition(c_id).write.mode("overwrite").partitionBy(
+            c_id).parquet(path.rstrip("/") + "/" + tmp)
+        ts.swap_partition_dirs(spark, path, tmp)
 
 
 def append_to_ivf_index(
@@ -1173,29 +1175,32 @@ def append_to_ivf_index(
 
     spark = new_vectors.sparkSession
     _ivf_params_guard(spark, path, centroids, vec, c_id, write=False)
-    tomb = ts.read_tombstones(spark, path)
-    if tomb is not None:
-        # a tombstoned id re-appended would be silently masked by the
-        # read_ivf_index anti-join until compaction — refuse
-        n_bad = new_vectors.select(id_col).join(
-            F.broadcast(tomb), id_col, "left_semi").count()
-        if n_bad:
-            raise ValueError(
-                f"append batch contains {n_bad} id(s) tombstoned in "
-                f"{path!r}; run compact_ivf_index first, then append"
+    with ts.maintenance_lock(spark, path, "append_to_ivf_index"):
+        # tombstone check INSIDE the lock: a concurrent delete landing
+        # between check and append would silently mask the batch
+        tomb = ts.read_tombstones(spark, path)
+        if tomb is not None:
+            # a tombstoned id re-appended would be silently masked by
+            # the read_ivf_index anti-join until compaction — refuse
+            n_bad = new_vectors.select(id_col).join(
+                F.broadcast(tomb), id_col, "left_semi").count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch contains {n_bad} id(s) tombstoned in "
+                    f"{path!r}; run compact_ivf_index first, then append"
+                )
+        assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
+                              method=method)
+        assigned = assigned.persist()
+        try:
+            assigned.write.mode("append").partitionBy(c_id).parquet(path)
+            counts = (
+                assigned.groupBy(c_id)
+                .agg(F.count(F.lit(1)).alias("n_appended"))
+                .collect()
             )
-    assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
-                          method=method)
-    assigned = assigned.persist()
-    try:
-        assigned.write.mode("append").partitionBy(c_id).parquet(path)
-        counts = (
-            assigned.groupBy(c_id)
-            .agg(F.count(F.lit(1)).alias("n_appended"))
-            .collect()
-        )
-    finally:
-        assigned.unpersist()
+        finally:
+            assigned.unpersist()
     return spark.createDataFrame(
         [(int(r[c_id]), int(r["n_appended"])) for r in counts],
         f"{c_id} long, n_appended long",

@@ -32,6 +32,13 @@ Scale notes:
   between the data swap and the tombstone clear leaves tombstones that
   now match nothing.
 
+Concurrency: every index MUTATION (append/delete/compact, all three
+families) runs under :class:`maintenance_lock` — an atomic
+create-if-absent marker file with owner/TTL. Readers never lock; two
+writers serialize or fail loudly (``ConcurrentMaintenanceError``)
+instead of corrupting each other (a compaction swap can drop a
+concurrent append's files; BM25's marker stats are a read-modify-write).
+
 Reference has no counterpart (its index files are rebuilt wholesale);
 this is an LLM-pipeline/scale extension (SURVEY §2 extensions).
 """
@@ -130,6 +137,137 @@ def warn_if_tombstones_large(spark: SparkSession, index_path: str) -> None:
             "compact the index",
             stacklevel=2,
         )
+
+
+LOCK_FILE = "_maintenance_lock.json"
+
+
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another process holds the index's maintenance lock."""
+
+
+def _lock_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/" + LOCK_FILE
+
+
+def break_maintenance_lock(spark: SparkSession, index_path: str) -> bool:
+    """Forcibly remove an index's maintenance lock — the manual
+    override for a lock whose holder is KNOWN dead (crashed before its
+    TTL ran out). Returns False if there was no lock. Never call this
+    while the holder might still be running: two concurrent mutations
+    are exactly what the lock exists to prevent."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    return fsutil.delete(spark, _lock_path(index_path))
+
+
+class maintenance_lock:
+    """Mutual exclusion for index MUTATIONS (append / delete / compact
+    — every ``append_to_*`` / ``delete_from_*`` / ``compact_*`` runs
+    inside one). Readers never lock: probes see either the pre- or
+    post-mutation file set (appends add whole files; compaction swaps
+    behind hidden dirs), so only writers can corrupt each other —
+    compaction's retire-and-swap can drop a file a concurrent append
+    just landed, and BM25's marker stats are a read-modify-write that
+    loses one of two concurrent updates.
+
+    Claim = atomically creating ``{index}/_maintenance_lock.json``
+    (create-if-absent; ``fsutil.create_exclusive``) holding owner id,
+    operation name, acquire time, and TTL. A second writer fails with
+    :class:`ConcurrentMaintenanceError` naming the holder — retry after
+    it finishes. A lock whose TTL has lapsed is presumed crashed and is
+    stolen (one delete + one re-claim; the claim stays atomic, so two
+    stealers still serialize). ``ttl_s`` must comfortably exceed the
+    longest mutation on the index — default one hour; a crashed
+    holder's lock blocks mutations (never reads) until steal or
+    ``break_maintenance_lock``.
+
+    Scope note: on object stores without atomic create-if-absent the
+    claim can race within one marker-write window; there, front the
+    mutation path with a real coordinator (or rely on single-writer
+    pipeline design). On HDFS/local — and any FS with atomic
+    ``create(overwrite=false)`` — the claim is exact.
+    """
+
+    def __init__(self, spark: SparkSession, index_path: str, what: str,
+                 ttl_s: int = 3600):
+        self._spark = spark
+        self._path = _lock_path(index_path)
+        self._what = what
+        self._ttl_s = ttl_s
+        import uuid
+
+        self._owner = uuid.uuid4().hex
+
+    def _try_claim(self) -> bool:
+        import json
+        import time
+
+        from ncbi_analysis_spark.sources import fsutil
+
+        return fsutil.create_exclusive(
+            self._spark, self._path,
+            json.dumps({
+                "owner": self._owner,
+                "what": self._what,
+                "acquired_unix": time.time(),
+                "ttl_s": self._ttl_s,
+            }),
+        )
+
+    def __enter__(self):
+        import json
+        import time
+
+        from ncbi_analysis_spark.sources import fsutil
+
+        if self._try_claim():
+            return self
+        try:
+            held = json.loads(fsutil.read_text(self._spark, self._path))
+        except Exception:
+            # holder released (or broke) between our claim and read —
+            # one immediate retry; a live holder fails it again
+            held = None
+        if held is not None:
+            expired = (
+                time.time()
+                > held.get("acquired_unix", 0) + held.get("ttl_s", 0)
+            )
+            if not expired:
+                raise ConcurrentMaintenanceError(
+                    f"index maintenance lock at {self._path!r} is held "
+                    f"by {held.get('what')!r} (owner "
+                    f"{held.get('owner', '?')[:8]}, ttl "
+                    f"{held.get('ttl_s')}s); concurrent index mutations "
+                    "are unsafe — retry after it finishes, or "
+                    "break_maintenance_lock() if the holder is known dead"
+                )
+            # TTL lapsed: presume the holder crashed and steal — the
+            # delete may race another stealer, but the re-claim below
+            # is still atomic, so exactly one of us proceeds
+            fsutil.delete(self._spark, self._path)
+        if not self._try_claim():
+            raise ConcurrentMaintenanceError(
+                f"index maintenance lock at {self._path!r} was re-claimed "
+                "by another writer during steal/retry — retry later"
+            )
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        import json
+
+        from ncbi_analysis_spark.sources import fsutil
+
+        # release only what we own: after a TTL steal, deleting blindly
+        # could drop the STEALER's lock
+        try:
+            held = json.loads(fsutil.read_text(self._spark, self._path))
+            if held.get("owner") == self._owner:
+                fsutil.delete(self._spark, self._path)
+        except Exception:
+            pass
+        return False
 
 
 SWAP_MOVING_MARKER = "_SWAP_MOVING"

@@ -42,6 +42,30 @@ def write_text(spark: SparkSession, path_str: str, content: str) -> None:
         out.close()
 
 
+def create_exclusive(spark: SparkSession, path_str: str,
+                     content: str) -> bool:
+    """Create a small text file ONLY if it does not already exist —
+    the atomic claim primitive behind the maintenance lock (Hadoop
+    ``create(path, overwrite=false)``, atomic on HDFS and local
+    filesystems; object stores without atomic create-if-absent can
+    admit a race the size of one marker write — see
+    ``tombstones.maintenance_lock``'s scope note). Returns False if the
+    path already exists (somebody else holds the claim)."""
+    fs, jpath, _ = _fs_path(spark, path_str)
+    parent = jpath.getParent()
+    if parent is not None:
+        fs.mkdirs(parent)
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def read_text(spark: SparkSession, path_str: str) -> str:
     fs, jpath, jvm = _fs_path(spark, path_str)
     stream = fs.open(jpath)

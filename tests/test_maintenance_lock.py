@@ -1,0 +1,119 @@
+"""Maintenance-lock tests: index mutations (append/delete/compact on
+the persisted LSH/IVF/BM25 family) are mutually exclusive via an
+atomic create-if-absent marker — a second writer fails loudly instead
+of corrupting the index (compaction swaps can drop a concurrent
+append's files; BM25's marker stats are a read-modify-write)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ncbi_analysis_spark.operators import tombstones as ts
+from ncbi_analysis_spark.sources import fsutil
+
+
+def test_create_exclusive_is_single_winner(spark, tmp_path):
+    p = str(tmp_path / "claim")
+    assert fsutil.create_exclusive(spark, p, "a") is True
+    assert fsutil.create_exclusive(spark, p, "b") is False
+    assert fsutil.read_text(spark, p) == "a"  # loser wrote nothing
+
+
+def test_lock_blocks_second_writer_and_releases(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    with ts.maintenance_lock(spark, idx, "compact_test"):
+        with pytest.raises(ts.ConcurrentMaintenanceError,
+                           match="compact_test"):
+            with ts.maintenance_lock(spark, idx, "append_test"):
+                pass
+    # released on exit -> a new writer gets in
+    with ts.maintenance_lock(spark, idx, "append_test"):
+        pass
+
+
+def test_lock_released_on_body_exception(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="boom"):
+        with ts.maintenance_lock(spark, idx, "op"):
+            raise RuntimeError("boom")
+    with ts.maintenance_lock(spark, idx, "op2"):
+        pass
+
+
+def test_expired_lock_is_stolen_but_live_lock_is_not(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    lock = idx + "/" + ts.LOCK_FILE
+    # a holder whose TTL lapsed long ago (crashed process)
+    fsutil.write_text(spark, lock, json.dumps(
+        {"owner": "deadbeef", "what": "compact", "acquired_unix": 1.0,
+         "ttl_s": 1}))
+    with ts.maintenance_lock(spark, idx, "steal_test"):
+        held = json.loads(fsutil.read_text(spark, lock))
+        assert held["what"] == "steal_test"
+    # gone after release
+    assert not fsutil.exists(spark, lock)
+
+
+def test_release_only_drops_own_lock(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    lock = idx + "/" + ts.LOCK_FILE
+    m = ts.maintenance_lock(spark, idx, "victim", ttl_s=1)
+    m.__enter__()
+    # TTL lapses; a second writer steals
+    import time
+
+    time.sleep(1.1)
+    m2 = ts.maintenance_lock(spark, idx, "stealer")
+    m2.__enter__()
+    # the victim's (late) release must NOT drop the stealer's lock
+    m.__exit__(None, None, None)
+    held = json.loads(fsutil.read_text(spark, lock))
+    assert held["what"] == "stealer"
+    m2.__exit__(None, None, None)
+    assert not fsutil.exists(spark, lock)
+
+
+def test_break_maintenance_lock(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    assert ts.break_maintenance_lock(spark, idx) is False
+    m = ts.maintenance_lock(spark, idx, "dead")
+    m.__enter__()
+    assert ts.break_maintenance_lock(spark, idx) is True
+    with ts.maintenance_lock(spark, idx, "next"):
+        pass
+
+
+def test_mutators_respect_held_lock(spark, tmp_path):
+    """One representative per family: delete/append/compact raise
+    while another writer holds the index's lock, and succeed after."""
+    from ncbi_analysis_spark.operators.dedup import (
+        append_to_lsh_index, compact_lsh_index, delete_from_lsh_index,
+        write_lsh_index)
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "lsh")
+    kw = dict(num_perm=4, bands=2, shingle_n=3)
+    write_lsh_index(df, "text", "doc_id", idx, **kw)
+
+    holder = ts.maintenance_lock(spark, idx, "other_pipeline")
+    holder.__enter__()
+    try:
+        one = spark.createDataFrame([(1,)], "id long")
+        more = spark.createDataFrame([(3, "iota kappa lambda mu")],
+                                     "doc_id long, text string")
+        with pytest.raises(ts.ConcurrentMaintenanceError):
+            delete_from_lsh_index(one, idx)
+        with pytest.raises(ts.ConcurrentMaintenanceError):
+            append_to_lsh_index(more, "text", "doc_id", idx, **kw)
+        with pytest.raises(ts.ConcurrentMaintenanceError):
+            compact_lsh_index(spark, idx)
+    finally:
+        holder.__exit__(None, None, None)
+    delete_from_lsh_index(one, idx)
+    compact_lsh_index(spark, idx)
+    append_to_lsh_index(more, "text", "doc_id", idx, **kw)
