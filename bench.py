@@ -612,6 +612,20 @@ BASELINE = {
     # read 0.412 — wall is dominated by the per-run index/sketch/train
     # builds, the amortized-in-production part)
     "curation_v5": (3.521, 13),
+    # second-session r13 entries, standalone min-of-3 at sf0.1 (noise
+    # control dedup_exact_groups read 0.317 min — an idle box).
+    # cc_incremental: LSH pair gen + full CC over the history split +
+    # the incremental fold of the batch split (two iterative fixpoints
+    # per run — the oracle-parity shape; production folds ONE batch).
+    "cc_incremental_clusters": (4.705, 13),
+    # exact-mode span dedup: every-position windows through the digest
+    # shuffle (~16x the anchored row count at anchor_bits=4) — the
+    # deliberate exact-tier cost; the anchored form is the scale path
+    "dup_span_removal_exact": (6.022, 13),
+    # streaming LSH gate: index write + tombstone + stage + foreachBatch
+    # probe drain + gated read-back (wall dominated by the per-run
+    # index build, the amortized-in-production part)
+    "stream_lsh_gate": (3.619, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

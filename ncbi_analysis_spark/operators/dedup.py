@@ -1635,6 +1635,59 @@ def append_to_lsh_index(
     )
 
 
+def verify_lsh_index(spark, path: str) -> list[dict]:
+    """Integrity audit (fsck) of a ``write_lsh_index`` directory — the
+    read-only check you run after a restore, migration, or suspicious
+    crash, before trusting probes again. Returns
+    ``[{check, ok, detail}, ...]`` (driver-sized); raises only when the
+    directory is not an LSH index at all. Checks: parameter marker
+    parseable and well-formed; data schema is exactly
+    ``(id, band_hash) partitioned by band``; every band id within
+    ``[0, bands)`` (an out-of-range band means the dir was appended to
+    under different parameters despite the guard — e.g. hand-copied
+    files); plus the shared maintenance-state legs (no crashed swap
+    residue, no stale lock, tombstone schema). Never repairs —
+    ``compact_lsh_index`` resumes crashed swaps,
+    ``tombstones.break_maintenance_lock`` clears dead locks."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    params = read_lsh_params(spark, path)  # raises on non-index dirs
+    out = [{
+        "check": "params_marker",
+        "ok": set(params) == {"num_perm", "bands", "shingle_n"},
+        "detail": f"marker: {params}",
+    }]
+    # maintenance-state legs FIRST: a half-swapped root is exactly when
+    # fsck runs, and there the data scan below fails loudly by design
+    out.extend(ts.shared_integrity_checks(spark, path, "id"))
+    try:
+        rows = spark.read.parquet(path)
+        cols = sorted(rows.columns)
+    except Exception as exc:  # noqa: BLE001 — report, never crash fsck
+        out.append({"check": "readable", "ok": False,
+                    "detail": str(exc).split("\n")[0][:200]})
+        return out
+    out.append({"check": "readable", "ok": True, "detail": ""})
+    out.append({
+        "check": "schema",
+        "ok": cols == ["band", "band_hash", "id"],
+        "detail": ("" if cols == ["band", "band_hash", "id"]
+                   else f"columns {cols}, expected [band, band_hash, id]"),
+    })
+    if cols == ["band", "band_hash", "id"]:
+        bad = rows.filter(
+            (F.col("band") < 0) | (F.col("band") >= params["bands"])
+            | F.col("band_hash").isNull() | F.col("id").isNull()
+        ).count()
+        out.append({
+            "check": "band_range",
+            "ok": bad == 0,
+            "detail": "" if bad == 0 else
+                      f"{bad} rows out of band range / null-keyed",
+        })
+    return out
+
+
 def lsh_index_collisions(
     new_df: DataFrame,
     index: DataFrame,

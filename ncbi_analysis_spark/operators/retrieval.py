@@ -331,6 +331,75 @@ def read_bm25_index(spark, path: str) -> dict:
     }
 
 
+def verify_bm25_index(spark, path: str) -> list[dict]:
+    """Integrity audit (fsck) of a ``write_bm25_index`` directory —
+    read-only, run after a restore/migration or a suspicious crash
+    before trusting searches. Returns ``[{check, ok, detail}, ...]``.
+    Checks: every postings bucket within ``[0, n_buckets)`` (out of
+    range ⇒ files appended under different parameters despite the
+    guard, e.g. hand-copied); every postings doc_id has a doclens row
+    (a missing length breaks that doc's score silently — its rows
+    drop from the score join); the marker's running ``{n_docs,
+    sum_dl}`` equals an exact recompute over the live doclens (a
+    mismatch means a crashed append/delete left the marker behind the
+    data — searches use subtly wrong idf/avgdl until
+    ``compact_bm25_index`` heals it); plus the shared
+    maintenance-state legs (swap residue checked in the postings/ and
+    doclens/ subdirs where BM25 swaps run). Never repairs."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    params = _bm25_marker_read(spark, path)  # raises on non-index dirs
+    root = path.rstrip("/")
+    # maintenance-state legs FIRST: a half-swapped subdir is exactly
+    # when fsck runs, and there the data scans fail loudly by design
+    out = ts.shared_integrity_checks(
+        spark, path, "doc_id",
+        swap_roots=[root + "/postings", root + "/doclens"])
+    try:
+        # spark.read.parquet inside resolves both scans — a half-swapped
+        # subdir raises right here
+        idx = read_bm25_index(spark, path)
+        postings, doclens = idx["postings"], idx["doclens"]
+    except Exception as exc:  # noqa: BLE001 — report, never crash fsck
+        out.append({"check": "readable", "ok": False,
+                    "detail": str(exc).split("\n")[0][:200]})
+        return out
+    out.append({"check": "readable", "ok": True, "detail": ""})
+    n_buckets = int(params["n_buckets"])
+    bad = postings.filter(
+        (F.col("bucket") < 0) | (F.col("bucket") >= n_buckets)
+    ).count()
+    out.append({"check": "bucket_range", "ok": bad == 0,
+                "detail": "" if bad == 0 else
+                          f"{bad} postings outside [0, {n_buckets})"})
+    orphans = (
+        postings.select("doc_id").distinct()
+        .join(doclens.select("doc_id"), "doc_id", "left_anti").count()
+    )
+    out.append({
+        "check": "postings_have_doclens",
+        "ok": orphans == 0,
+        "detail": "" if orphans == 0 else
+                  f"{orphans} posted doc_id(s) with no doclens row — "
+                  "their scores silently vanish from searches",
+    })
+    stats = params.get("stats")
+    if stats is None:
+        out.append({"check": "marker_stats", "ok": True,
+                    "detail": "pre-r13 stat-less marker (batch search "
+                              "falls back to the live aggregate)"})
+    else:
+        fresh = _doclen_stats(doclens)
+        out.append({
+            "check": "marker_stats",
+            "ok": stats == fresh,
+            "detail": ("" if stats == fresh else
+                       f"marker {stats} != live recompute {fresh} — "
+                       "crashed append/delete; compact_bm25_index heals"),
+        })
+    return out
+
+
 def append_to_bm25_index(
     new_df: DataFrame,
     path: str,

@@ -1089,6 +1089,75 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     return ts.apply_tombstones(spark.read.parquet(path), path, id_col)
 
 
+def verify_ivf_index(spark, path: str, centroids: DataFrame | None = None,
+                     id_col: str = "vec_id", c_id: str = "c_id",
+                     vec: str = "embedding") -> list[dict]:
+    """Integrity audit (fsck) of a ``write_ivf_index`` directory —
+    read-only, run after a restore/migration before trusting searches.
+    Returns ``[{check, ok, detail}, ...]``. Checks: the id and bucket
+    columns exist and are never null; with ``centroids`` given, the
+    directory's digest marker matches them (the append drift guard,
+    replayed on demand — a mismatch means probes assign queries to
+    buckets the data was not bucketed by, so searches quietly miss) and
+    every stored bucket id actually exists in the quantizer; plus the
+    shared maintenance-state legs. Never repairs."""
+    import json
+
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    # maintenance-state legs FIRST: a half-swapped root is exactly when
+    # fsck runs, and there the data scan fails loudly by design
+    out = ts.shared_integrity_checks(spark, path, id_col)
+    try:
+        rows = spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 — report, never crash fsck
+        out.append({"check": "readable", "ok": False,
+                    "detail": str(exc).split("\n")[0][:200]})
+        return out
+    out.append({"check": "readable", "ok": True, "detail": ""})
+    have = set(rows.columns)
+    out.append({
+        "check": "schema",
+        "ok": {id_col, c_id} <= have,
+        "detail": ("" if {id_col, c_id} <= have else
+                   f"columns {sorted(have)} missing {id_col!r}/{c_id!r}"),
+    })
+    if {id_col, c_id} <= have:
+        bad = rows.filter(
+            F.col(id_col).isNull() | F.col(c_id).isNull()).count()
+        out.append({"check": "null_keys", "ok": bad == 0,
+                    "detail": "" if bad == 0 else f"{bad} null-keyed rows"})
+    marker = path.rstrip("/") + "/" + _IVF_PARAMS_FILE
+    if centroids is not None:
+        if fsutil.exists(spark, marker):
+            stored = json.loads(fsutil.read_text(spark, marker))
+            want = _centroid_digest(centroids, vec, c_id)
+            out.append({
+                "check": "centroid_digest",
+                "ok": stored.get("centroid_digest") == want,
+                "detail": ("" if stored.get("centroid_digest") == want else
+                           "quantizer drifted from the one the index was "
+                           "built with — searches quietly miss; retrain + "
+                           "rebuild"),
+            })
+        else:
+            out.append({"check": "centroid_digest", "ok": False,
+                        "detail": "no digest marker to validate against "
+                                  "(pre-guard directory)"})
+        known = {r[c_id] for r in centroids.select(c_id).collect()}
+        orphans = rows.filter(~F.col(c_id).isin(*known)).count() \
+            if known else rows.count()
+        out.append({
+            "check": "buckets_known",
+            "ok": orphans == 0,
+            "detail": "" if orphans == 0 else
+                      f"{orphans} rows in buckets absent from the "
+                      "quantizer — unreachable by any probe",
+        })
+    return out
+
+
 def delete_from_ivf_index(ids: DataFrame, path: str,
                           id_col: str = "vec_id") -> int:
     """Remove vectors from a persisted IVF index without rewriting it:

@@ -270,6 +270,76 @@ class maintenance_lock:
         return False
 
 
+def shared_integrity_checks(spark: SparkSession, index_path: str,
+                            id_col: str,
+                            swap_roots: list[str] | None = None,
+                            ) -> list[dict]:
+    """The family-independent legs of the ``verify_*_index`` fsck
+    tools: maintenance-state findings every persisted index shares.
+    Returns ``[{check, ok, detail}, ...]``; callers append their
+    family-specific checks. Read-only — never repairs (compact_*
+    resumes crashed swaps; break_maintenance_lock clears dead locks).
+    ``swap_roots`` overrides where swap residue is looked for (BM25
+    swaps inside its postings/ and doclens/ subdirs).
+    """
+    import json
+    import time
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = index_path.rstrip("/")
+    out: list[dict] = []
+
+    pending = []
+    for sr in (swap_roots or [root]):
+        for c in fsutil.list_children(spark, sr.rstrip("/")):
+            if (c.startswith(("_retired_", "_compact_tmp"))
+                    or c == SWAP_MOVING_MARKER):
+                pending.append(f"{sr.rstrip('/')}/{c}")
+    out.append({
+        "check": "no_pending_swap",
+        "ok": not pending,
+        "detail": ("" if not pending else
+                   f"crashed compaction state present: {sorted(pending)} "
+                   "— reads of this root FAIL LOUDLY (retired dirs keep "
+                   "their '=' and collide with the live partition column "
+                   "— by design: the failure mode is noisy, never an "
+                   "empty or partial view) until the next compact_* "
+                   "resumes/rolls the swap back"),
+    })
+
+    lock = root + "/" + LOCK_FILE
+    if fsutil.exists(spark, lock):
+        try:
+            held = json.loads(fsutil.read_text(spark, lock))
+            expired = (time.time()
+                       > held.get("acquired_unix", 0) + held.get("ttl_s", 0))
+            detail = (f"maintenance lock held by {held.get('what')!r}"
+                      + (" (TTL EXPIRED — holder presumed crashed; next "
+                         "mutation steals it)" if expired else " (live)"))
+        except Exception:
+            expired, detail = True, "unparseable maintenance lock file"
+        out.append({"check": "no_stale_lock", "ok": not expired,
+                    "detail": detail})
+    else:
+        out.append({"check": "no_stale_lock", "ok": True, "detail": ""})
+
+    ts = read_tombstones(spark, index_path)
+    if ts is None:
+        out.append({"check": "tombstones_schema", "ok": True,
+                    "detail": "no tombstones"})
+    else:
+        cols = ts.columns
+        out.append({
+            "check": "tombstones_schema",
+            "ok": cols == [id_col],
+            "detail": ("" if cols == [id_col] else
+                       f"tombstone table holds {cols}, index id column "
+                       f"is {id_col!r} — probes will raise"),
+        })
+    return out
+
+
 SWAP_MOVING_MARKER = "_SWAP_MOVING"
 
 
