@@ -626,6 +626,11 @@ BASELINE = {
     # probe drain + gated read-back (wall dominated by the per-run
     # index build, the amortized-in-production part)
     "stream_lsh_gate": (3.619, 13),
+    # dedup-centric crawl-refresh composition (uncapped oracle-parity
+    # LSH pairs + full-CC-on-history + incremental fold + EXACT-mode
+    # span scrub over survivors — two iterative fixpoints and the
+    # every-position window shuffle in one plan; control 0.380)
+    "curation_v6": (10.761, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -934,6 +934,129 @@ WHERE doc_id % 7 = 0
 """
 
 
+def curation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh curation, dedup-centric (the v5 sibling focused on
+    the round's clustering tiers): (1) LSH pair edges over the corpus,
+    split into retained-history edges and today's-batch edges (any edge
+    touching a new doc); (2) history clustered once, the batch FOLDED
+    in with ``connected_components_incremental`` — the production shape
+    where yesterday's labels are an artifact, not a recompute; (3)
+    component dedup keeps each cluster's min doc_id (plus all unnoded
+    docs); (4) the survivor corpus gets EXACT span-level substring
+    dedup (``anchor_bits=0`` — every duplicated 32-char window cut from
+    non-keepers). Output: one row per surviving doc with its rebuilt
+    text digest and span-removal counts. The oracle recomputes the
+    whole chain from raw documents (full recursive-CTE components —
+    the history/batch split must be invisible — then every-position
+    span SQL over survivors), so a fold error, a lost survivor, or a
+    span off-by-one all hash-mismatch."""
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    ).localCheckpoint(eager=True)
+    is_new = (F.col("id_a") % 7 == 0) | (F.col("id_b") % 7 == 0)
+    prior = connected_components(pairs.filter(~is_new))
+    labels = connected_components_incremental(prior, pairs.filter(is_new))
+    losers = labels.filter(F.col("id") != F.col("component")) \
+                   .select(F.col("id").alias("doc_id"))
+    survivors = d.join(losers, "doc_id", "left_anti")
+    out = dd.remove_dup_spans(survivors, "text", "doc_id", window=32,
+                              min_docs=2, anchor_bits=0)
+    return out.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+        "n_spans_removed",
+        "n_chars_removed",
+    )
+
+
+def _curation_v6_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _SHINGLES_SQL
+
+    return f"""
+WITH RECURSIVE
+shg AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM shg),
+bandrows AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM m
+),
+lsh_pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM bandrows a JOIN bandrows b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+cedges AS (SELECT ida AS u, idb AS v FROM lsh_pairs
+           UNION SELECT idb, ida FROM lsh_pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM cedges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM cedges e JOIN reach ON e.v = reach.id
+),
+labels AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+surv AS (
+  SELECT d.doc_id, COALESCE(d.text, '') AS tx
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL OR l.comp = d.doc_id),
+w AS (
+  SELECT doc_id, s::INT AS span_start, (s + 32)::INT AS span_end,
+         md5(substr(tx, (s + 1)::INT, 32)) AS wh
+  FROM (SELECT doc_id, tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM surv)),
+dups AS (
+  SELECT wh, MIN(doc_id) AS keeper
+  FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (
+  SELECT w.doc_id, span_start, span_end
+  FROM w JOIN dups USING (wh) WHERE w.doc_id <> dups.keeper),
+marked AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start <= MAX(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM rem),
+isl AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked),
+mspans AS (
+  SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+  FROM isl GROUP BY doc_id, g),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+         s AS ke
+  FROM mspans),
+reb AS (
+  SELECT segs.doc_id,
+         string_agg(substr(surv.tx, ks + 1, ke - ks), '' ORDER BY ks) AS head
+  FROM segs JOIN surv USING (doc_id) GROUP BY segs.doc_id),
+fin AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS n_chars, MAX(e) AS last_e
+  FROM mspans GROUP BY doc_id)
+SELECT surv.doc_id,
+       md5(CASE WHEN fin.doc_id IS NULL THEN surv.tx
+                ELSE COALESCE(reb.head, '') || substr(surv.tx, (fin.last_e + 1)::INT)
+           END) AS text_md5,
+       COALESCE(fin.n_spans, 0)::BIGINT AS n_spans_removed,
+       COALESCE(fin.n_chars, 0)::BIGINT AS n_chars_removed
+FROM surv LEFT JOIN fin USING (doc_id) LEFT JOIN reb USING (doc_id)
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -950,6 +1073,7 @@ def queries_r13() -> dict:
         "cc_incremental_clusters": cc_incremental_clusters,
         "dup_span_removal_exact": dup_span_removal_exact,
         "stream_lsh_gate": stream_lsh_gate,
+        "curation_v6": curation_v6,
     }
 
 
@@ -969,4 +1093,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "cc_incremental_clusters": _cc_incremental_sql(),
         "dup_span_removal_exact": _dup_span_exact_sql(),
         "stream_lsh_gate": _stream_lsh_gate_sql(),
+        "curation_v6": _curation_v6_sql(),
     }
