@@ -119,3 +119,34 @@ def test_bm25_index_random_maintenance_tracks_stats(spark, tmp_path):
                 pending.extend(sorted(tombstoned))
                 tombstoned.clear()
             check()
+
+
+def test_cc_incremental_fold_is_idempotent_and_order_tolerant(spark):
+    """Replaying an already-folded batch must be a no-op (the
+    at-least-once delivery property a crawl scheduler relies on), and
+    folding batches in a different order must converge to the same
+    labeling as the full recompute."""
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    rnd = random.Random(41)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e1, e2 = edges[: len(edges) // 2], edges[len(edges) // 2:]
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+
+    want = {r["id"]: r["component"]
+            for r in connected_components(df(edges)).collect()}
+
+    base = connected_components(df(e1))
+    once = connected_components_incremental(base, df(e2))
+    twice = connected_components_incremental(once, df(e2))  # replay
+    got_once = {r["id"]: r["component"] for r in once.collect()}
+    got_twice = {r["id"]: r["component"] for r in twice.collect()}
+    assert got_once == want
+    assert got_twice == want
+
+    # reversed batch order, same fixpoint
+    rev = connected_components_incremental(
+        connected_components(df(e2)), df(e1))
+    assert {r["id"]: r["component"] for r in rev.collect()} == want
