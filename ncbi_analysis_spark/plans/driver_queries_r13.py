@@ -21,6 +21,14 @@ scan pinning cross-accession top-k competition
 payload (``bpe_encode_ids`` — generated oracle pins the deterministic
 vocab-id rule); and the streaming quantile publisher completing the
 snapshot family (``stream_quantile_publish``).
+
+Second-session r13 additions: incremental connected components
+(``cc_incremental_clusters`` — fold ≡ full recompute, the oracle is the
+full recursive-CTE fixpoint), EXACT-mode span dedup
+(``dup_span_removal_exact`` — anchor_bits=0, every duplicated window
+found), the streaming gate against the persisted LSH index
+(``stream_lsh_gate`` — mid-life tombstones honored without restart),
+and the dedup-centric crawl-refresh composition (``curation_v6``).
 """
 from __future__ import annotations
 
