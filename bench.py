@@ -631,6 +631,9 @@ BASELINE = {
     # span scrub over survivors — two iterative fixpoints and the
     # every-position window shuffle in one plan; control 0.380)
     "curation_v6": (10.761, 13),
+    # doc-level duplication-mass gate (anchored window pipeline +
+    # coverage fold, counts-only projection; control 0.361)
+    "span_dup_ratio_gate": (2.648, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

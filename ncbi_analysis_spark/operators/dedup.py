@@ -1393,6 +1393,83 @@ def _remove_spans(df: DataFrame, spans: DataFrame, text: str,
     )
 
 
+def span_dup_stats(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    window: int = 32,
+    anchor_k: int = 8,
+    anchor_bits: int = 4,
+    min_docs: int = 2,
+    anchor_method: str = "md5",
+    max_nonascii_probe: int = 32_768,
+) -> DataFrame:
+    """Per-document duplication mass: what fraction of each document's
+    chars is covered by a ``window``-char substring that also occurs in
+    >= ``min_docs`` distinct documents (keeper-INCLUSIVE — both copies
+    of a duplicated passage count as duplicated content; this measures
+    mass, it does not pick survivors). The doc-level signal behind the
+    "drop documents that are mostly boilerplate/duplication" rule of
+    the RefinedWeb/Gopher-style cleaning recipes — span REMOVAL
+    (``remove_dup_spans``) edits documents; this gate drops the ones
+    not worth editing.
+
+    Returns ``(id_col, n_chars, dup_chars, dup_ratio_ppm)`` — one row
+    per input document; ``dup_ratio_ppm`` is integer parts-per-million
+    (floor), exact across engines (no float division on the oracle
+    path). Empty/NULL docs report 0 ppm.
+
+    Scale: the window pipeline is ``dup_span_windows``'s (anchored by
+    default — ``anchor_bits=0`` for the exact tier); coverage reuses
+    the span-removal overlap-merge fold, and Catalyst prunes the
+    unused text-rebuild expression from the plan (counts only).
+    """
+    wins = _anchored_windows(df, text, id_col, window, anchor_k,
+                             anchor_bits, anchor_method,
+                             max_nonascii_probe)
+    dups = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("wh")
+    )
+    spans = wins.join(dups, "wh").select(id_col, "span_start", "span_end")
+    cov = _remove_spans(df, spans, text, id_col)
+    # _remove_spans returns the REBUILT text: original length =
+    # complement + removed (no join back to df needed)
+    n_chars = (F.length(F.coalesce(F.col(text), F.lit("")))
+               + F.col("n_chars_removed"))
+    return cov.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        F.col("n_chars_removed").alias("dup_chars"),
+        F.when(n_chars > 0,
+               (F.col("n_chars_removed") * F.lit(1_000_000)
+                / n_chars).cast("long"))
+        .otherwise(F.lit(0)).alias("dup_ratio_ppm"),
+    )
+
+
+def drop_high_dup_docs(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    max_dup_ratio_ppm: int = 500_000,
+    **span_kwargs,
+) -> DataFrame:
+    """Keep only documents whose duplication mass is UNDER the
+    threshold (default: drop docs that are >= 50% duplicated windows).
+    The whole-document sibling of ``remove_dup_spans`` — use this
+    first to discard documents not worth span-editing, then
+    span-remove what survives. Returns surviving rows of ``df``
+    unchanged (the gate is a semi-join on the stats, broadcast-sized
+    per partition of ids)."""
+    stats = span_dup_stats(df, text, id_col, **span_kwargs)
+    keep = stats.filter(
+        F.col("dup_ratio_ppm") < max_dup_ratio_ppm).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def remove_bench_spans(
     df: DataFrame,
     bench_df: DataFrame,

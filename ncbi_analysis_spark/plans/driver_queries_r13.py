@@ -1065,6 +1065,72 @@ FROM surv LEFT JOIN fin USING (doc_id) LEFT JOIN reb USING (doc_id)
 """
 
 
+def span_dup_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication mass + keep verdict
+    (operators/dedup.py::span_dup_stats — the RefinedWeb-style "drop
+    documents that are mostly duplicated content" doc-level gate, the
+    whole-document sibling of span removal): every doc's chars covered
+    by 32-char windows occurring in >=2 docs (keeper-inclusive,
+    anchored at the production density), as exact integer
+    parts-per-million, plus the kept flag at the 50% threshold. The
+    oracle rebuilds coverage with the anchored window SQL and the same
+    overlap-merge — ratio arithmetic is integer ppm on both engines, so
+    the match is exact, never float-close."""
+    from ncbi_analysis_spark.operators.dedup import span_dup_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    stats = span_dup_stats(d, "text", "doc_id", window=32, min_docs=2)
+    return stats.select(
+        "doc_id", "n_chars", "dup_chars", "dup_ratio_ppm",
+        (F.col("dup_ratio_ppm") < 500_000).alias("kept"),
+    )
+
+
+_SPAN_RATIO_SQL = r"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS tx FROM documents),
+w AS (
+  SELECT doc_id, s::INT AS span_start, (s + 32)::INT AS span_end,
+         md5(substr(tx, (s + 1)::INT, 32)) AS wh
+  FROM (SELECT doc_id, tx,
+               UNNEST(range(0, GREATEST(LENGTH(tx) - 32 + 1, 0))) AS s
+        FROM d)
+  WHERE substr(md5(substr(tx, (s + 1)::INT, 8)), 1, 1) = '0'),
+dups AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (SELECT DISTINCT w.doc_id, span_start, span_end
+        FROM w JOIN dups USING (wh)),
+marked AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN span_start <= MAX(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start, span_end
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 0 ELSE 1 END AS brk
+  FROM marked_src),
+isl AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY span_start, span_end
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked),
+cov AS (
+  SELECT doc_id, SUM(e - s) AS dup_chars
+  FROM (SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+        FROM isl GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       LENGTH(d.tx)::BIGINT AS n_chars,
+       COALESCE(cov.dup_chars, 0)::BIGINT AS dup_chars,
+       CASE WHEN LENGTH(d.tx) > 0
+            THEN (COALESCE(cov.dup_chars, 0) * 1000000)
+                 // LENGTH(d.tx)
+            ELSE 0 END::BIGINT AS dup_ratio_ppm,
+       (CASE WHEN LENGTH(d.tx) > 0
+             THEN (COALESCE(cov.dup_chars, 0) * 1000000)
+                  // LENGTH(d.tx)
+             ELSE 0 END) < 500000 AS kept
+FROM d LEFT JOIN cov USING (doc_id)
+""".replace("marked_src", "rem")
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -1082,6 +1148,7 @@ def queries_r13() -> dict:
         "dup_span_removal_exact": dup_span_removal_exact,
         "stream_lsh_gate": stream_lsh_gate,
         "curation_v6": curation_v6,
+        "span_dup_ratio_gate": span_dup_ratio_gate,
     }
 
 
@@ -1102,4 +1169,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "dup_span_removal_exact": _dup_span_exact_sql(),
         "stream_lsh_gate": _stream_lsh_gate_sql(),
         "curation_v6": _curation_v6_sql(),
+        "span_dup_ratio_gate": _SPAN_RATIO_SQL,
     }

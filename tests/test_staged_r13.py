@@ -67,6 +67,42 @@ def test_remove_dup_spans_exact_catches_unaligned_copy(spark):
     assert out[3]["text"] == rows[2][1]
 
 
+def test_span_dup_stats_and_gate(spark):
+    """Keeper-INCLUSIVE duplication mass in exact integer ppm: a doc
+    wholly contained in another reads 1,000,000 ppm and is dropped by
+    the gate; the superset doc's ratio is its shared-substring coverage
+    over its own length; unrelated and NULL docs read 0 and survive."""
+    from ncbi_analysis_spark.operators.dedup import (
+        drop_high_dup_docs, span_dup_stats)
+
+    shared = "this passage is duplicated between the documents"  # 48
+    rows = [
+        (1, shared),                                  # fully duplicated
+        (2, shared + " plus a long unique tail making it mostly fresh "
+                      "content and then some more padding words here"),
+        (3, "entirely unrelated body of text with no overlap at all"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(window=32, min_docs=2, anchor_bits=0)
+    stats = {r["doc_id"]: r for r in
+             span_dup_stats(d, "text", "doc_id", **kw).collect()}
+    assert stats[1]["dup_chars"] == stats[1]["n_chars"] == len(shared)
+    assert stats[1]["dup_ratio_ppm"] == 1_000_000
+    # doc 1 IS the shared passage exactly, so the common region in
+    # doc 2 is precisely those chars (no surrounding context is shared)
+    assert stats[2]["dup_chars"] == len(shared)
+    assert (stats[2]["dup_ratio_ppm"]
+            == len(shared) * 1_000_000 // stats[2]["n_chars"])
+    assert 0 < stats[2]["dup_ratio_ppm"] < 500_000
+    assert stats[3]["dup_ratio_ppm"] == 0
+    assert stats[4]["n_chars"] == 0 and stats[4]["dup_ratio_ppm"] == 0
+
+    kept = {r["doc_id"] for r in drop_high_dup_docs(
+        d, "text", "doc_id", **kw).collect()}
+    assert kept == {2, 3, 4}
+
+
 def test_bpe_encode_ids_semantics(spark):
     """bpe_encode: deterministic vocab-id rule (unk=0, sorted base
     symbols, merge products in merge order, first-occurrence dedupe),
