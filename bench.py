@@ -634,6 +634,10 @@ BASELINE = {
     # doc-level duplication-mass gate (anchored window pipeline +
     # coverage fold, counts-only projection; control 0.361)
     "span_dup_ratio_gate": (2.648, 13),
+    # streaming IVF gate: index write + tombstone + stage + foreachBatch
+    # probe drain + gated read-back (wall dominated by per-run build,
+    # the amortized-in-production part; control 0.381)
+    "stream_ivf_gate": (4.32, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

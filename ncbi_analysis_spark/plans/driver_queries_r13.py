@@ -1131,6 +1131,83 @@ FROM d LEFT JOIN cov USING (doc_id)
 """.replace("marked_src", "rem")
 
 
+def stream_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding near-dup gate against the persisted IVF
+    index end-to-end (streaming/events.py::stream_ivf_decon — the
+    vector twin of ``stream_lsh_gate``): old vectors (% 7 != 0) are
+    indexed under a frozen quantizer, a takedown batch (% 5 == 0) is
+    tombstoned WITHOUT compaction, then the new vectors (% 7 == 0)
+    stream through — each micro-batch IVF-probed against the live
+    index, rows whose best probed cosine >= 0.32 dropped, survivors
+    written per batch. Oracle: the ANN_IVF recompute (same assignment
+    and probe SQL, k=1) over the corpus minus the deleted vectors,
+    keeping new ids whose best cos is under the threshold or absent.
+    Pins batching-invariance, the mid-life tombstone path, and the
+    probe-bucket equivalence of index and recompute in one row set."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        delete_from_ivf_index,
+        ivf_assign,
+        write_ivf_index,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r11 import _stage_as_stream
+    from ncbi_analysis_spark.streaming.events import (
+        read_gated_docs,
+        stream_ivf_decon,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 7 != 0).select("vec_id", "embedding")
+    new = e.filter(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+
+    tmp = tempfile.mkdtemp(prefix="stream_ivf_gate_")
+    try:
+        idx = f"{tmp}/index"
+        write_ivf_index(ivf_assign(old, cents), idx, centroids=cents)
+        delete_from_ivf_index(
+            old.filter(F.col("vec_id") % 5 == 0).select("vec_id"), idx)
+        src = _stage_as_stream(spark, new, tmp)
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        stream_ivf_decon(stream, idx, cents, f"{tmp}/gated", f"{tmp}/ck",
+                         threshold=0.32, nprobe=2)
+        gated = read_gated_docs(spark, f"{tmp}/gated").select("vec_id")
+        rows = gated.collect()
+        schema = gated.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_ivf_gate_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import ANN_IVF_SQL
+
+    old_c = "corpus AS (SELECT vec_id, embedding AS v FROM embeddings),"
+    new_c = ("corpus AS (SELECT vec_id, embedding AS v FROM embeddings "
+             "WHERE vec_id % 7 <> 0 AND vec_id % 5 <> 0),")
+    old_q = ("q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings "
+             "WHERE vec_id < 48),")
+    new_q = ("q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings "
+             "WHERE vec_id % 7 = 0),")
+    for frag in (old_c, old_q):
+        if frag not in ANN_IVF_SQL:
+            raise RuntimeError(
+                "ANN_IVF_SQL CTE changed shape; update _stream_ivf_gate_sql")
+    probe = ANN_IVF_SQL.replace(old_c, new_c).replace(old_q, new_q)
+    return f"""
+WITH best AS (
+  SELECT q_id, MAX(cos_sim) AS best_cos
+  FROM ({probe}) p WHERE rk = 1 GROUP BY q_id)
+SELECT e.vec_id
+FROM embeddings e LEFT JOIN best ON e.vec_id = best.q_id
+WHERE e.vec_id % 7 = 0
+  AND (best.q_id IS NULL OR best.best_cos < 0.32)
+"""
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -1149,6 +1226,7 @@ def queries_r13() -> dict:
         "stream_lsh_gate": stream_lsh_gate,
         "curation_v6": curation_v6,
         "span_dup_ratio_gate": span_dup_ratio_gate,
+        "stream_ivf_gate": stream_ivf_gate,
     }
 
 
@@ -1170,4 +1248,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "stream_lsh_gate": _stream_lsh_gate_sql(),
         "curation_v6": _curation_v6_sql(),
         "span_dup_ratio_gate": _SPAN_RATIO_SQL,
+        "stream_ivf_gate": _stream_ivf_gate_sql(),
     }

@@ -1463,3 +1463,69 @@ def read_gated_docs(spark, out_root: str) -> DataFrame:
     per-batch union loop — the ``read_hll_snapshots`` plan-depth
     lesson). Raises if the gate never committed a batch."""
     return spark.read.parquet(*_snapshot_batch_dirs(spark, out_root))
+
+
+def stream_ivf_decon(
+    stream_df: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    keep: str = "clean",
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming EMBEDDING near-dup gate against a persisted IVF index
+    — the vector twin of ``stream_index_decon``: drop (``keep='clean'``)
+    or emit alone (``keep='flagged'``) stream rows whose best
+    IVF-probed cosine against the indexed corpus reaches ``threshold``.
+    Each micro-batch runs as a bounded batch job: the batch's probe set
+    broadcasts into the bucket join and only the probed c_id partition
+    directories are read (``ivf_topk(assigned=..., prefilter_
+    partitions=True)``), so per-batch cost scales with
+    batch × nprobe/k_centroids of the index, whatever its total size.
+
+    The quantizer is validated against the index's digest marker ONCE
+    up front (drifted centroids would probe buckets the data was not
+    bucketed by — that fails loudly here instead of silently missing),
+    and the index is re-read through the LIVE view every batch, so
+    mid-stream tombstones take effect at the next micro-batch. Verdicts
+    depend only on the (fixed) index → batching-invariant; per-batch
+    directory overwrite → exactly-once on restart. Cosines compare at
+    the family's 6dp round, so the threshold cut is deterministic.
+    Read the output back with ``read_gated_docs``."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+    from ncbi_analysis_spark.operators.similarity_search import (
+        _ivf_params_guard,
+    )
+
+    if keep not in ("clean", "flagged"):
+        raise ValueError(f"keep must be 'clean' or 'flagged', got {keep!r}")
+    spark = stream_df.sparkSession
+    _ivf_params_guard(spark, index_path, centroids, vec, "c_id",
+                      write=False)
+    root = out_root.rstrip("/")
+    how = "left_semi" if keep == "flagged" else "left_anti"
+
+    def _gate(batch_df, batch_id: int) -> None:
+        idx = ss.read_ivf_index(batch_df.sparkSession, index_path)
+        q = batch_df.select(F.col(id_col).alias("__q_id"),
+                            F.col(vec).alias(vec))
+        best = ss.ivf_topk(idx, q, centroids, vec=vec, q_id="__q_id",
+                           k=1, nprobe=nprobe, assigned=idx,
+                           prefilter_partitions=True)
+        hit_ids = (
+            best.filter(F.col("cos_sim") >= threshold)
+            .select(F.col("__q_id").alias(id_col)).distinct()
+        )
+        kept = batch_df.join(F.broadcast(hit_ids), id_col, how)
+        kept.write.mode("overwrite").parquet(f"{root}/batch={batch_id}")
+
+    return _run_snapshot_publisher(
+        stream_df, _gate, checkpoint, available_now, timeout_s,
+        "stream_ivf_decon",
+    )

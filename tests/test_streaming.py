@@ -1116,3 +1116,54 @@ def test_stream_index_decon_gate(spark, tmp_path):
             str(tmp_path / "y"), str(tmp_path / "yck"))
     with _pytest.raises(ValueError, match="no published batch"):
         sev.read_gated_docs(spark, str(tmp_path / "never_ran"))
+
+
+def test_stream_ivf_decon_gate(spark, tmp_path):
+    """Vector gate: near-dup stream rows (cos >= threshold vs the
+    indexed corpus) drop under keep='clean' and are the only output
+    under 'flagged'; tombstoning the colliding indexed vector (no
+    compaction) flips its stream twin to clean; a drifted quantizer
+    fails loudly up front."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        delete_from_ivf_index, ivf_assign, write_ivf_index)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(corpus, cents), idx, centroids=cents)
+
+    new = spark.createDataFrame(
+        [(100, [0.999, 0.01]),   # near-dup of 1
+         (101, [0.7, 0.7])],     # ~0.7 cos to both -> clean at 0.95
+        "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    new.repartition(2).write.parquet(src)
+
+    def drain(out, keep):
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        sev.stream_ivf_decon(
+            stream, idx, cents, str(tmp_path / out),
+            str(tmp_path / (out + "_ck")), threshold=0.95, keep=keep)
+        return {r["vec_id"] for r in
+                sev.read_gated_docs(spark, str(tmp_path / out)).collect()}
+
+    assert drain("clean1", "clean") == {101}
+    assert drain("flag1", "flagged") == {100}
+
+    # takedown of the colliding indexed vector: twin becomes clean
+    delete_from_ivf_index(
+        spark.createDataFrame([(1,)], "vec_id long"), idx)
+    assert drain("clean2", "clean") == {100, 101}
+
+    import pytest as _pytest
+    drifted = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="drift"):
+        sev.stream_ivf_decon(
+            spark.readStream.schema(new.schema).parquet(src), idx,
+            drifted, str(tmp_path / "x"), str(tmp_path / "xck"))
