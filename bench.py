@@ -638,6 +638,11 @@ BASELINE = {
     # probe drain + gated read-back (wall dominated by per-run build,
     # the amortized-in-production part; control 0.381)
     "stream_ivf_gate": (4.32, 13),
+    # persisted labels loop: full CC on the first bucket + two locked
+    # fold-rewrite-swap cycles (three iterative fixpoints per run — the
+    # oracle-parity shape; production folds ONE batch into the
+    # artifact; control 0.478, a busier box — conservative seed)
+    "cc_labels_artifact": (7.414, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

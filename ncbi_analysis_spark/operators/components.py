@@ -221,3 +221,90 @@ def connected_components_incremental(
     return untouched.select("id", "component").union(
         sub.select("id", "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted component-labels artifact — the production crawl loop, where
+# yesterday's clustering is a durable table and each day FOLDS its new
+# edges in rather than re-clustering history.
+# ---------------------------------------------------------------------------
+
+_CC_PARAMS_FILE = "_cc_params.json"
+
+
+def write_cc_labels(edges: DataFrame, path: str,
+                    id_a: str = "id_a", id_b: str = "id_b") -> None:
+    """Cluster ``edges`` and persist the ``(id, component)`` labeling as
+    a parquet artifact with a parameter marker — the starting point of
+    the incremental loop (``fold_into_cc_labels`` thereafter). The
+    labels table is two narrow columns, one row per noded id."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    labels = connected_components(edges, id_a, id_b)
+    labels.write.mode("overwrite").parquet(path)
+    fsutil.write_text(edges.sparkSession, path.rstrip("/") + "/"
+                      + _CC_PARAMS_FILE, '{"kind": "cc_labels"}')
+
+
+def read_cc_labels(spark, path: str) -> DataFrame:
+    """Open a ``write_cc_labels`` artifact (marker validated)."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    if not fsutil.exists(spark, path.rstrip("/") + "/" + _CC_PARAMS_FILE):
+        raise ValueError(
+            f"{path!r} is not a write_cc_labels directory (missing "
+            f"{_CC_PARAMS_FILE}); build it with write_cc_labels first"
+        )
+    return spark.read.parquet(path)
+
+
+def fold_into_cc_labels(new_edges: DataFrame, path: str,
+                        id_a: str = "id_a", id_b: str = "id_b",
+                        max_iter: int = 25) -> None:
+    """Fold a new edge batch into the persisted labels IN PLACE:
+    read the artifact, run :func:`connected_components_incremental`
+    (only components incident to the batch re-cluster), rewrite through
+    the hidden-tmp + two-phase swap (``tombstones.swap_partition_dirs``
+    — a crash at any rename is recovered by the next fold, and
+    mid-crash readers fail loudly rather than see a partial table), all
+    under the index family's maintenance lock (two concurrent folds
+    would each base their rewrite on the same prior and lose one
+    batch's merges).
+
+    Folding is replay-idempotent (re-folding an already-folded batch is
+    a semantic no-op — the property test), so an at-least-once crawl
+    scheduler needs no dedup ledger around this call.
+
+    Scale note: the FOLD touches only affected components, but the
+    rewrite currently lands the whole labels table (two narrow columns;
+    ~16 bytes/row of parquet before encoding). At billions of nodes,
+    partition the artifact by a stable hash of ``id`` and rewrite only
+    partitions containing touched ids — the layout is compatible with
+    that upgrade; the contract (fold ≡ full recompute) is what the
+    oracle pins either way."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    spark = new_edges.sparkSession
+    # marker-only guard (NOT read_cc_labels): a half-swapped artifact —
+    # exactly what a crashed fold leaves — has all its data files
+    # retired, so a parquet read here would fail before the recovery
+    # below could run
+    if not fsutil.exists(spark, path.rstrip("/") + "/" + _CC_PARAMS_FILE):
+        raise ValueError(
+            f"{path!r} is not a write_cc_labels directory (missing "
+            f"{_CC_PARAMS_FILE}); build it with write_cc_labels first"
+        )
+    with ts.maintenance_lock(spark, path, "fold_into_cc_labels"):
+        ts.resume_pending_swap(spark, path)
+        prior = spark.read.parquet(path)
+        folded = connected_components_incremental(
+            prior, new_edges, id_a, id_b, max_iter)
+        tmp = "_compact_tmp"
+        # the fold's plan reads the CURRENT files; materialize before
+        # the swap replaces them underneath it
+        folded = folded.localCheckpoint(eager=True)
+        folded.write.mode("overwrite").parquet(
+            path.rstrip("/") + "/" + tmp)
+        ts.swap_partition_dirs(spark, path, tmp)
+        _unpersist_checkpoint(folded)

@@ -1208,6 +1208,49 @@ WHERE e.vec_id % 7 = 0
 """
 
 
+def cc_labels_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted component-labels artifact end-to-end
+    (operators/components.py::write_cc_labels/fold_into_cc_labels/
+    read_cc_labels — the production crawl loop where yesterday's
+    clustering is a durable table): history edges clustered and
+    WRITTEN, then two successive edge batches FOLDED IN PLACE (each
+    fold re-clusters only touched components and rewrites through the
+    locked two-phase swap), then the artifact read back. Must equal
+    the full recursive-CTE recompute over all edges — a fold that
+    loses a batch, a swap that drops files, or a stale-prior rewrite
+    all hash-mismatch."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import (
+        fold_into_cc_labels,
+        read_cc_labels,
+        write_cc_labels,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    ).localCheckpoint(eager=True)
+    bucket = (F.col("id_a") + F.col("id_b")) % 3
+
+    tmp = tempfile.mkdtemp(prefix="cc_labels_")
+    try:
+        path = f"{tmp}/labels"
+        write_cc_labels(pairs.filter(bucket == 0), path)
+        fold_into_cc_labels(pairs.filter(bucket == 1), path)
+        fold_into_cc_labels(pairs.filter(bucket == 2), path)
+        out = read_cc_labels(spark, path).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -1227,6 +1270,7 @@ def queries_r13() -> dict:
         "curation_v6": curation_v6,
         "span_dup_ratio_gate": span_dup_ratio_gate,
         "stream_ivf_gate": stream_ivf_gate,
+        "cc_labels_artifact": cc_labels_artifact,
     }
 
 
@@ -1249,4 +1293,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "curation_v6": _curation_v6_sql(),
         "span_dup_ratio_gate": _SPAN_RATIO_SQL,
         "stream_ivf_gate": _stream_ivf_gate_sql(),
+        "cc_labels_artifact": _cc_incremental_sql(),
     }

@@ -718,3 +718,80 @@ def test_topk_per_group_pruned_null_group_keys(spark):
     got = {tuple(r) for r in topk_per_group_pruned(
         df, ["g"], [("score", False), ("id", True)], 1).collect()}
     assert got == want and len(got) == 2
+
+
+def test_cc_labels_artifact_fold_and_crash_recovery(spark, tmp_path,
+                                                    monkeypatch):
+    """Persisted labels loop: write + two folds ≡ full CC; a concurrent
+    fold is refused by the maintenance lock; fault injection — crash
+    the fold at the k-th rename for every k, re-fold, and require the
+    artifact to equal the never-crashed result (replay idempotence +
+    swap recovery together)."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.operators.components import (
+        connected_components, fold_into_cc_labels, read_cc_labels,
+        write_cc_labels)
+    from ncbi_analysis_spark.sources import fsutil
+
+    e1 = [(1, 2), (10, 11)]
+    e2 = [(2, 3), (20, 21)]
+    e3 = [(3, 10)]  # merges {1,2,3} with {10,11}
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+    want = {r["id"]: r["component"]
+            for r in connected_components(df(e1 + e2 + e3)).collect()}
+
+    path = str(tmp_path / "labels")
+    write_cc_labels(df(e1), path)
+    fold_into_cc_labels(df(e2), path)
+    fold_into_cc_labels(df(e3), path)
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels(spark, path).collect()}
+    assert got == want
+
+    # lock enforcement
+    import pytest as _pytest
+    with ts.maintenance_lock(spark, path, "other"):
+        with _pytest.raises(ts.ConcurrentMaintenanceError):
+            fold_into_cc_labels(df([(50, 51)]), path)
+
+    # marker guard
+    with _pytest.raises(ValueError, match="not a write_cc_labels"):
+        read_cc_labels(spark, str(tmp_path / "nope"))
+
+    # fault injection: crash at every k-th rename during a fold
+    real_rename = fsutil.rename
+    k = 0
+    while True:
+        p2 = str(tmp_path / f"labels_{k}")
+        write_cc_labels(df(e1 + e2), p2)
+        calls = {"n": 0}
+
+        def crashing(spark_, s, d, _k=k):
+            if calls["n"] >= _k:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return real_rename(spark_, s, d)
+
+        monkeypatch.setattr(fsutil, "rename", crashing)
+        try:
+            fold_into_cc_labels(df(e3), p2)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(fsutil, "rename", real_rename)
+        if not crashed:
+            # fold completed without hitting the injection: every
+            # rename site has been exercised
+            break
+        # the crashed fold left its lock behind (the holder died) —
+        # the production path is break + re-fold
+        ts.break_maintenance_lock(spark, p2)
+        fold_into_cc_labels(df(e3), p2)  # recover + replay
+        k += 1
+    assert k >= 1  # the injection actually fired at least once
+    for i in list(range(k)) + [k]:
+        p2 = str(tmp_path / f"labels_{i}")
+        got = {r["id"]: r["component"]
+               for r in read_cc_labels(spark, p2).collect()}
+        assert got == want, f"crash at rename {i} diverged"
