@@ -205,7 +205,16 @@ def audit(
             # curation_v5's construction writes the LSH index, publishes
             # the quantile sketch, and trains the BPE table (the
             # lsh_incremental_decon + bpe_vocab classes combined)
-            "curation_v5"}
+            "curation_v5",
+            # second-session r13: constructions that EXECUTE the
+            # iterative CC fixpoints (eager localCheckpoints per round)
+            # — the returned plan is checkpoint scans + the final
+            # joins, so a marker scan audits the wrong thing; and
+            # cc_labels_artifact additionally writes/swaps the staged
+            # artifact and returns a LocalTableScan (the
+            # lsh_delete_probe class)
+            "cc_incremental_clusters", "curation_v6",
+            "cc_labels_artifact"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
