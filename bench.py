@@ -558,7 +558,12 @@ BASELINE = {
     "quantile_sketch_gate": (0.494, 12),
     "heavy_hitters_report": (0.709, 12),
     "cm_heavy_estimates": (1.117, 12),
-    "priority_sample_mixture": (0.29, 12),
+    # Reseeded r13 as box drift (code unchanged since r12): the final
+    # r13 clean run read 0.562 (1.94x) against a control of 0.267-0.382
+    # vs the r12 seed session's 0.225 — a standalone min-of-5 re-measure
+    # on the same box read 0.549 with control 0.382 (1.70x box-wide),
+    # which explains most of the 1.89x. History: (0.29, 12).
+    "priority_sample_mixture": (0.549, 13),
     # staged-r12 streaming sketch publisher (stage + foreachBatch
     # publish + merged read-back), from the second r12 session
     "stream_hll_publish": (1.401, 12),
@@ -672,6 +677,11 @@ RESEED_CONTROLS = {
     # guard, md5-complete since r13 — see the BASELINE comment
     "vocab_drift_report": {"round": 13, "control": 0.332,
                            "control_seed": 0.4},
+    # r13 second-session box-drift reseed: min-of-5 standalone session
+    # control 0.382 vs the r12 seed session's 0.225 (1.70x), query
+    # 0.549 vs 0.29 (1.89x) — drift explains most of it; residual 1.11
+    "priority_sample_mixture": {"round": 13, "control": 0.382,
+                                "control_seed": 0.225},
 }
 
 
