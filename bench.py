@@ -648,6 +648,10 @@ BASELINE = {
     # oracle-parity shape; production folds ONE batch into the
     # artifact; control 0.478, a busier box — conservative seed)
     "cc_labels_artifact": (7.414, 13),
+    # one-scan 5-column documents profile, exact distincts (Expand);
+    # the eager one-row collect dominates its sub-second wall; cold
+    # first run read 2.7x noise at seeding (control 0.324)
+    "table_profile": (1.066, 13),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -1251,6 +1251,34 @@ def cc_labels_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile (operators/profile.py::profile_table —
+    the "what is in this table" pre-curation scan): row/null/distinct
+    counts, string-cast min/max, and total string length for every
+    documents column, one corpus scan, exact integer arithmetic. The
+    oracle recomputes each column's row from raw SQL aggregates."""
+    from ncbi_analysis_spark.operators.profile import profile_table
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(d)
+
+
+def _table_profile_sql() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    legs = []
+    for c in cols:
+        legs.append(f"""
+SELECT '{c}' AS "column",
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+       MIN({c}::VARCHAR) AS min_value,
+       MAX({c}::VARCHAR) AS max_value,
+       COALESCE(SUM(LENGTH({c}::VARCHAR)), 0)::BIGINT AS sum_len
+FROM documents""")
+    return "\nUNION ALL\n".join(legs)
+
+
 def queries_r13() -> dict:
     return {
         "bm25_delete_search": bm25_delete_search,
@@ -1271,6 +1299,7 @@ def queries_r13() -> dict:
         "span_dup_ratio_gate": span_dup_ratio_gate,
         "stream_ivf_gate": stream_ivf_gate,
         "cc_labels_artifact": cc_labels_artifact,
+        "table_profile": table_profile,
     }
 
 
@@ -1294,4 +1323,5 @@ def oracle_sql_r13() -> dict[str, str]:
         "span_dup_ratio_gate": _SPAN_RATIO_SQL,
         "stream_ivf_gate": _stream_ivf_gate_sql(),
         "cc_labels_artifact": _cc_incremental_sql(),
+        "table_profile": _table_profile_sql(),
     }

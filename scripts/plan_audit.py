@@ -214,7 +214,11 @@ def audit(
             # artifact and returns a LocalTableScan (the
             # lsh_delete_probe class)
             "cc_incremental_clusters", "curation_v6",
-            "cc_labels_artifact"}
+            "cc_labels_artifact",
+            # table_profile collects its one aggregate row during
+            # construction (the bounded-model convention) and returns a
+            # LocalTableScan
+            "table_profile"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
     qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),

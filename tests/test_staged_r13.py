@@ -143,3 +143,37 @@ def test_bpe_encode_ids_semantics(spark):
     assert set(o[9]) == {0, vocab[bpe.EOW]} or o[9] == [0, 0, vocab[bpe.EOW]]
     assert all(i == 0 or i == vocab[bpe.EOW] for i in o[9])
     assert o[10] == []
+
+
+def test_profile_table_semantics(spark):
+    """Exact mode: null/distinct/min/max/sum_len per column on a frame
+    with NULLs and duplicates; approx mode still returns plausible
+    counts; guards on unknown/empty column lists; the all-NULL column
+    profiles to NULL min/max and zero sum_len."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "bb", None), (2, None, None)],
+        "k long, s string, dead string")
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert list(rows) == ["dead", "k", "s"]  # name-ordered
+    assert rows["k"]["n_rows"] == 3 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "2"
+    assert rows["k"]["sum_len"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["sum_len"] == 4
+    assert rows["dead"]["n_nulls"] == 3 and rows["dead"]["n_distinct"] == 0
+    assert rows["dead"]["min_value"] is None
+    assert rows["dead"]["sum_len"] == 0
+
+    approx = {r["column"]: r for r in
+              profile_table(df, ["k"], exact_distinct=False).collect()}
+    assert approx["k"]["n_distinct"] >= 1  # HLL++ estimate, not pinned
+
+    with _pytest.raises(ValueError, match="no such column"):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="no columns"):
+        profile_table(df, [])
