@@ -45,16 +45,37 @@ def write_text(spark: SparkSession, path_str: str, content: str) -> None:
 def create_exclusive(spark: SparkSession, path_str: str,
                      content: str) -> bool:
     """Create a small text file ONLY if it does not already exist —
-    the atomic claim primitive behind the maintenance lock (Hadoop
-    ``create(path, overwrite=false)``, atomic on HDFS and local
-    filesystems; object stores without atomic create-if-absent can
-    admit a race the size of one marker write — see
-    ``tombstones.maintenance_lock``'s scope note). Returns False if the
-    path already exists (somebody else holds the claim)."""
+    the atomic claim primitive behind the maintenance lock. Returns
+    False if the path already exists (somebody else holds the claim).
+
+    Scheme-dependent implementation, because atomicity is:
+
+    - ``file`` (and scheme-less local): ``os.open(O_CREAT|O_EXCL)`` —
+      kernel-atomic. Hadoop's ``RawLocalFileSystem.create(path,
+      overwrite=false)`` is exists-then-create (a TOCTOU window a
+      16-thread stress test loses reliably — test_maintenance_lock),
+      so it must NOT be used for claims on local paths.
+    - HDFS and friends: ``fs.create(path, overwrite=false)`` — the
+      namenode makes create-if-absent atomic.
+    - object stores without atomic create-if-absent can still admit a
+      race the size of one marker write — see
+      ``tombstones.maintenance_lock``'s scope note."""
     fs, jpath, _ = _fs_path(spark, path_str)
     parent = jpath.getParent()
     if parent is not None:
         fs.mkdirs(parent)
+    uri = jpath.toUri()
+    if uri.getScheme() in (None, "file"):
+        import os
+
+        try:
+            fd = os.open(uri.getPath(),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(content.encode("utf-8"))
+        return True
     try:
         out = fs.create(jpath, False)
     except Exception:

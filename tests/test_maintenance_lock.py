@@ -117,3 +117,48 @@ def test_mutators_respect_held_lock(spark, tmp_path):
     delete_from_lsh_index(one, idx)
     compact_lsh_index(spark, idx)
     append_to_lsh_index(more, "text", "doc_id", idx, **kw)
+
+
+def test_lock_claim_race_has_single_winner(spark, tmp_path):
+    """16 threads race maintenance_lock on one index path; at every
+    instant at most ONE holds it (tracked with a critical-section
+    counter), every thread eventually gets a turn by retrying, and the
+    lock file is gone at the end. Exercises the create-if-absent claim
+    under real concurrency, not just sequential calls."""
+    import threading
+    import time
+
+    idx = str(tmp_path / "idx")
+    inside = []
+    max_inside = []
+    mu = threading.Lock()
+    errors = []
+
+    def worker(i):
+        for _ in range(200):  # retry loop
+            try:
+                with ts.maintenance_lock(spark, idx, f"w{i}"):
+                    with mu:
+                        inside.append(i)
+                        max_inside.append(len(inside))
+                    time.sleep(0.01)
+                    with mu:
+                        inside.remove(i)
+                return
+            except ts.ConcurrentMaintenanceError:
+                time.sleep(0.005)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+        errors.append(RuntimeError(f"worker {i} never acquired"))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert max(max_inside) == 1  # never two holders at once
+    assert len(max_inside) == 16  # everyone got a turn
+    assert not fsutil.exists(spark, f"{idx}/{ts.LOCK_FILE}")
