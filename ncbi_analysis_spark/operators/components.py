@@ -232,22 +232,7 @@ def connected_components_incremental(
 _CC_PARAMS_FILE = "_cc_params.json"
 
 
-def write_cc_labels(edges: DataFrame, path: str,
-                    id_a: str = "id_a", id_b: str = "id_b") -> None:
-    """Cluster ``edges`` and persist the ``(id, component)`` labeling as
-    a parquet artifact with a parameter marker — the starting point of
-    the incremental loop (``fold_into_cc_labels`` thereafter). The
-    labels table is two narrow columns, one row per noded id."""
-    from ncbi_analysis_spark.sources import fsutil
-
-    labels = connected_components(edges, id_a, id_b)
-    labels.write.mode("overwrite").parquet(path)
-    fsutil.write_text(edges.sparkSession, path.rstrip("/") + "/"
-                      + _CC_PARAMS_FILE, '{"kind": "cc_labels"}')
-
-
-def read_cc_labels(spark, path: str) -> DataFrame:
-    """Open a ``write_cc_labels`` artifact (marker validated)."""
+def _cc_marker_guard(spark, path: str) -> None:
     from ncbi_analysis_spark.sources import fsutil
 
     if not fsutil.exists(spark, path.rstrip("/") + "/" + _CC_PARAMS_FILE):
@@ -255,56 +240,101 @@ def read_cc_labels(spark, path: str) -> DataFrame:
             f"{path!r} is not a write_cc_labels directory (missing "
             f"{_CC_PARAMS_FILE}); build it with write_cc_labels first"
         )
-    return spark.read.parquet(path)
+
+
+def _cc_current_version(spark, path: str) -> int:
+    """Highest COMMITTED version under the artifact: a ``v{n}`` child
+    counts only once its ``_SUCCESS`` file exists (parquet's commit
+    marker, written last — one atomic create is the publish point).
+    Raises if no committed version exists (crash before the first
+    commit; rebuild with write_cc_labels)."""
+    import re
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = path.rstrip("/")
+    best = -1
+    for d in fsutil.list_subdirs(spark, root):
+        m = re.fullmatch(r"v(\d+)", d)
+        if m and fsutil.exists(spark, f"{root}/{d}/_SUCCESS"):
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        raise ValueError(
+            f"{path!r} has no committed v* version — the initial "
+            "write_cc_labels never finished; rebuild it"
+        )
+    return best
+
+
+def write_cc_labels(edges: DataFrame, path: str,
+                    id_a: str = "id_a", id_b: str = "id_b") -> None:
+    """Cluster ``edges`` and persist the ``(id, component)`` labeling as
+    a VERSIONED parquet artifact — the starting point of the
+    incremental loop (``fold_into_cc_labels`` thereafter). Layout:
+    ``{path}/v{n}/`` parquet dirs plus the ``_cc_params.json`` marker;
+    readers use the highest version whose ``_SUCCESS`` exists, so a
+    reader NEVER sees a partially-written table (the flat-directory
+    swap would expose a shrinking file set mid-rewrite; a versioned
+    publish point — one atomic ``_SUCCESS`` create — cannot)."""
+    from ncbi_analysis_spark.sources import fsutil
+
+    labels = connected_components(edges, id_a, id_b)
+    labels.write.mode("overwrite").parquet(path.rstrip("/") + "/v0")
+    fsutil.write_text(edges.sparkSession, path.rstrip("/") + "/"
+                      + _CC_PARAMS_FILE, '{"kind": "cc_labels"}')
+
+
+def read_cc_labels(spark, path: str) -> DataFrame:
+    """Open a ``write_cc_labels`` artifact: the highest COMMITTED
+    version (marker validated). Safe to call concurrently with a fold —
+    the fold publishes a new version atomically and never touches the
+    one being read."""
+    _cc_marker_guard(spark, path)
+    n = _cc_current_version(spark, path)
+    return spark.read.parquet(f"{path.rstrip('/')}/v{n}")
 
 
 def fold_into_cc_labels(new_edges: DataFrame, path: str,
                         id_a: str = "id_a", id_b: str = "id_b",
                         max_iter: int = 25) -> None:
-    """Fold a new edge batch into the persisted labels IN PLACE:
-    read the artifact, run :func:`connected_components_incremental`
-    (only components incident to the batch re-cluster), rewrite through
-    the hidden-tmp + two-phase swap (``tombstones.swap_partition_dirs``
-    — a crash at any rename is recovered by the next fold, and
-    mid-crash readers fail loudly rather than see a partial table), all
-    under the index family's maintenance lock (two concurrent folds
-    would each base their rewrite on the same prior and lose one
-    batch's merges).
+    """Fold a new edge batch into the persisted labels: read the
+    current version, run :func:`connected_components_incremental`
+    (only components incident to the batch re-cluster), publish the
+    result as version n+1, retire older versions. Runs under the index
+    family's maintenance lock (two concurrent folds would each base
+    their rewrite on the same prior and lose one batch's merges) —
+    but READERS never lock and never see partial data: the publish
+    point is ``v{n+1}/_SUCCESS`` (one atomic create), and the prior
+    version's files are untouched until the new one is committed.
 
+    Crash anywhere → the artifact still reads as version n (an
+    uncommitted ``v{n+1}`` has no ``_SUCCESS`` and is ignored, then
+    overwritten by the retry); crash between commit and retire → both
+    versions committed, readers use n+1, the next fold cleans up.
     Folding is replay-idempotent (re-folding an already-folded batch is
     a semantic no-op — the property test), so an at-least-once crawl
     scheduler needs no dedup ledger around this call.
 
     Scale note: the FOLD touches only affected components, but the
-    rewrite currently lands the whole labels table (two narrow columns;
+    publish lands the whole labels table (two narrow columns;
     ~16 bytes/row of parquet before encoding). At billions of nodes,
-    partition the artifact by a stable hash of ``id`` and rewrite only
-    partitions containing touched ids — the layout is compatible with
+    hash-partition the version dirs and republish only partitions
+    containing touched ids — the versioned layout is compatible with
     that upgrade; the contract (fold ≡ full recompute) is what the
     oracle pins either way."""
     from ncbi_analysis_spark.operators import tombstones as ts
     from ncbi_analysis_spark.sources import fsutil
 
     spark = new_edges.sparkSession
-    # marker-only guard (NOT read_cc_labels): a half-swapped artifact —
-    # exactly what a crashed fold leaves — has all its data files
-    # retired, so a parquet read here would fail before the recovery
-    # below could run
-    if not fsutil.exists(spark, path.rstrip("/") + "/" + _CC_PARAMS_FILE):
-        raise ValueError(
-            f"{path!r} is not a write_cc_labels directory (missing "
-            f"{_CC_PARAMS_FILE}); build it with write_cc_labels first"
-        )
-    with ts.maintenance_lock(spark, path, "fold_into_cc_labels"):
-        ts.resume_pending_swap(spark, path)
-        prior = spark.read.parquet(path)
+    _cc_marker_guard(spark, path)
+    root = path.rstrip("/")
+    with ts.maintenance_lock(spark, root, "fold_into_cc_labels"):
+        n = _cc_current_version(spark, root)
+        prior = spark.read.parquet(f"{root}/v{n}")
         folded = connected_components_incremental(
             prior, new_edges, id_a, id_b, max_iter)
-        tmp = "_compact_tmp"
-        # the fold's plan reads the CURRENT files; materialize before
-        # the swap replaces them underneath it
-        folded = folded.localCheckpoint(eager=True)
-        folded.write.mode("overwrite").parquet(
-            path.rstrip("/") + "/" + tmp)
-        ts.swap_partition_dirs(spark, path, tmp)
-        _unpersist_checkpoint(folded)
+        # overwrite clears any uncommitted v{n+1} a crashed fold left
+        folded.write.mode("overwrite").parquet(f"{root}/v{n + 1}")
+        for d in fsutil.list_subdirs(spark, root):
+            if d.startswith("v") and d != f"v{n + 1}":
+                fsutil.delete(spark, f"{root}/{d}")

@@ -525,7 +525,17 @@ def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
     hash-spread across that many files per term bucket (doc_id-salted),
     so a 100 TB index compacts to buckets × files_per_bucket files
     without any single writer owning a whole bucket. Search results are
-    bit-identical before/after (tests/test_index_delete.py)."""
+    bit-identical before/after (tests/test_index_delete.py).
+
+    Reader caveat: the lock serializes WRITERS only. A search that
+    LISTS the index during the few-second swap window sees, for the
+    partitioned postings, retired ``band=``-style children that make
+    the read fail loudly (safe); for the FLAT doclens dir it can see a
+    partial file set — silently fewer docs for that one query. Run
+    compaction in a read-quiet window, or re-run queries that overlap
+    a compaction (the components labels artifact shows the versioned
+    layout that removes this window; doclens keeps the flat layout for
+    append-path compatibility)."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
     root = path.rstrip("/")

@@ -758,34 +758,43 @@ def test_cc_labels_artifact_fold_and_crash_recovery(spark, tmp_path,
     with _pytest.raises(ValueError, match="not a write_cc_labels"):
         read_cc_labels(spark, str(tmp_path / "nope"))
 
-    # fault injection: crash at every k-th rename during a fold
-    real_rename = fsutil.rename
+    # fault injection on the versioned publish: crash at every k-th
+    # delete (the only post-commit mutation) and once BEFORE commit
+    # (uncommitted v{n+1} dir with no _SUCCESS); in every case the
+    # artifact must read as a complete labeling — prior OR folded,
+    # never partial — and break-lock + re-fold must converge
+    from ncbi_analysis_spark.sources import fsutil as _fs
+
+    real_delete = _fs.delete
     k = 0
     while True:
         p2 = str(tmp_path / f"labels_{k}")
         write_cc_labels(df(e1 + e2), p2)
         calls = {"n": 0}
 
-        def crashing(spark_, s, d, _k=k):
+        def crashing(spark_, p, recursive=True, _k=k):
             if calls["n"] >= _k:
                 raise RuntimeError("injected crash")
             calls["n"] += 1
-            return real_rename(spark_, s, d)
+            return real_delete(spark_, p, recursive)
 
-        monkeypatch.setattr(fsutil, "rename", crashing)
+        monkeypatch.setattr(_fs, "delete", crashing)
         try:
             fold_into_cc_labels(df(e3), p2)
             crashed = False
         except RuntimeError:
             crashed = True
         finally:
-            monkeypatch.setattr(fsutil, "rename", real_rename)
+            monkeypatch.setattr(_fs, "delete", real_delete)
+        # WHATEVER happened, the artifact must read as a complete
+        # labeling right now (reader-consistency: prior or folded)
+        mid = {r["id"]: r["component"]
+               for r in read_cc_labels(spark, p2).collect()}
+        assert mid in ({r["id"]: r["component"] for r in
+                        connected_components(df(e1 + e2)).collect()},
+                       want)
         if not crashed:
-            # fold completed without hitting the injection: every
-            # rename site has been exercised
             break
-        # the crashed fold left its lock behind (the holder died) —
-        # the production path is break + re-fold
         ts.break_maintenance_lock(spark, p2)
         fold_into_cc_labels(df(e3), p2)  # recover + replay
         k += 1
@@ -794,4 +803,18 @@ def test_cc_labels_artifact_fold_and_crash_recovery(spark, tmp_path,
         p2 = str(tmp_path / f"labels_{i}")
         got = {r["id"]: r["component"]
                for r in read_cc_labels(spark, p2).collect()}
-        assert got == want, f"crash at rename {i} diverged"
+        assert got == want, f"crash at delete {i} diverged"
+
+    # uncommitted version (crash mid-write, before _SUCCESS): readers
+    # ignore it, the next fold overwrites it
+    p3 = str(tmp_path / "labels_uncommitted")
+    write_cc_labels(df(e1 + e2), p3)
+    fsutil.write_text(spark, f"{p3}/v1/part-bogus.parquet", "junk")
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels(spark, p3).collect()}
+    assert got == {r["id"]: r["component"] for r in
+                   connected_components(df(e1 + e2)).collect()}
+    fold_into_cc_labels(df(e3), p3)
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels(spark, p3).collect()}
+    assert got == want
