@@ -152,55 +152,16 @@ def main() -> None:
         fn = qs[name]
         _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
-    # staged round-7 entries are registered as of r7 but are not in
-    # BENCH_QUERIES; keep timing them here so their baseline series
-    # stays continuous
-    from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
+    # round-7+ registry entries (wired AND staged) are timed via their
+    # round dicts so every baseline series stays continuous and staged
+    # rounds bench ahead of registration (baselines seeded before the
+    # driver ever times them); which rounds that covers comes from the
+    # one staging list in plans/registry.py
+    from ncbi_analysis_spark.plans import registry
 
-    for name, fn in queries_r7().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-8 registry entries are registered as of r8; keep
-    # their baseline series continuous
-    from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
-
-    for name, fn in queries_r8().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-9 registry entries are registered as of r9; keep
-    # their baseline series continuous
-    from ncbi_analysis_spark.plans.driver_queries_r9 import queries_r9
-
-    for name, fn in queries_r9().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-10 registry entries are registered as of r10; keep
-    # their baseline series continuous
-    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
-
-    for name, fn in queries_r10().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-11 registry entries bench ahead of registration so
-    # their baselines are seeded before the driver ever times them
-    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
-
-    for name, fn in queries_r11().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-12 entries bench ahead of registration so their
-    # baselines are seeded before the driver ever times them
-    from ncbi_analysis_spark.plans.driver_queries_r12 import queries_r12
-
-    for name, fn in queries_r12().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
-
-    # staged round-13 entries bench ahead of registration so their
-    # baselines are seeded before the driver ever times them
-    from ncbi_analysis_spark.plans.driver_queries_r13 import queries_r13
-
-    for name, fn in queries_r13().items():
-        _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
+    for suffix in registry.bench_rounds():
+        for name, fn in registry.round_queries(suffix).items():
+            _run(name, lambda fn=fn: _noop(fn(spark, sf_dir)))
 
     # flagship genomic scan at real genome scale: 1 Mbp x 2 queries x 2
     # strands with branch-and-bound floor (the scale configuration; the

@@ -1673,18 +1673,10 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from ncbi_analysis_spark.plans import registry
+
     return {
-        **_r12().queries_r12(),
-        **_r11().queries_r11(),
-        **_r10().queries_r10(),
-        **_r9().queries_r9(),
-        **_r8().queries_r8(),
-        **_r7().queries_r7(),
-        **_r6().queries_r6(),
-        **_r5().queries_r5(),
-        **_r3b().queries_r3b(),
-        **_r2().queries_r2(),
-        **_r3().queries_r3(),
+        **registry.wired_queries(),
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue": q3_top_revenue,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1736,18 +1728,10 @@ def _queries_in_build_order() -> dict[str, Callable[[SparkSession, str], DataFra
 
 
 def _oracle_sql_in_build_order() -> dict[str, str]:
+    from ncbi_analysis_spark.plans import registry
+
     return {
-        **_r12().oracle_sql_r12(),
-        **_r11().oracle_sql_r11(),
-        **_r10().oracle_sql_r10(),
-        **_r9().oracle_sql_r9(),
-        **_r8().oracle_sql_r8(),
-        **_r7().oracle_sql_r7(),
-        **_r6().oracle_sql_r6(),
-        **_r5().oracle_sql_r5(),
-        **_r3b().oracle_sql_r3b(),
-        **_r2().oracle_sql_r2(),
-        **_r3().oracle_sql_r3(),
+        **registry.wired_oracle_sql(),
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
         "q5_local_supplier_volume": Q5_SQL,
@@ -1794,67 +1778,12 @@ def _oracle_sql_in_build_order() -> dict[str, str]:
     }
 
 
-def _r2():
-    from ncbi_analysis_spark.plans import driver_queries_r2
-
-    return driver_queries_r2
 
 
-def _r5():
-    from ncbi_analysis_spark.plans import driver_queries_r5
-
-    return driver_queries_r5
 
 
-def _r6():
-    from ncbi_analysis_spark.plans import driver_queries_r6
-
-    return driver_queries_r6
 
 
-def _r7():
-    from ncbi_analysis_spark.plans import driver_queries_r7
-
-    return driver_queries_r7
 
 
-def _r8():
-    from ncbi_analysis_spark.plans import driver_queries_r8
 
-    return driver_queries_r8
-
-
-def _r9():
-    from ncbi_analysis_spark.plans import driver_queries_r9
-
-    return driver_queries_r9
-
-
-def _r10():
-    from ncbi_analysis_spark.plans import driver_queries_r10
-
-    return driver_queries_r10
-
-
-def _r11():
-    from ncbi_analysis_spark.plans import driver_queries_r11
-
-    return driver_queries_r11
-
-
-def _r12():
-    from ncbi_analysis_spark.plans import driver_queries_r12
-
-    return driver_queries_r12
-
-
-def _r3():
-    from ncbi_analysis_spark.plans import driver_queries_r3
-
-    return driver_queries_r3
-
-
-def _r3b():
-    from ncbi_analysis_spark.plans import driver_queries_r3b
-
-    return driver_queries_r3b

@@ -6,7 +6,8 @@ dtypes (loosely), and an order-insensitive exact value comparison.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
        (``--staged`` anywhere in args also runs the next round's staged
-       ``plans/driver_queries_r13`` entries under the same comparator;
+       entries — ``plans/registry.py``'s STAGED list — under the same
+       comparator;
        ``--json PATH`` additionally writes a CORRECTNESS_r{N}-shaped
        verdict — per query rows/schema/hash match booleans — so a full
        local run can be committed as ``ORACLE_LOCAL_r{N}.json`` and the
@@ -115,13 +116,10 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     if staged:
-        from ncbi_analysis_spark.plans.driver_queries_r13 import (
-            oracle_sql_r13,
-            queries_r13,
-        )
+        from ncbi_analysis_spark.plans import registry
 
-        qs = {**qs, **queries_r13()}
-        oracles = {**oracles, **oracle_sql_r13()}
+        qs = {**qs, **registry.staged_queries()}
+        oracles = {**oracles, **registry.staged_oracle_sql()}
     n_pass = n_fail = 0
     record: dict[str, dict] = {}
 

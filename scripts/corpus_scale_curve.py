@@ -176,17 +176,12 @@ def main() -> None:
     steep_only = "--steep" in argv
     sfs = [float(a) for a in args] or [0.001, 0.01, 0.1]
     import __spark_entry__ as e
-    from ncbi_analysis_spark.plans.driver_queries_r7 import queries_r7
-    from ncbi_analysis_spark.plans.driver_queries_r8 import queries_r8
-    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
-    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
-    from ncbi_analysis_spark.plans.driver_queries_r13 import queries_r13
+    from ncbi_analysis_spark.plans import registry
     from ncbi_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="corpus-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**e.queries(), **queries_r7(), **queries_r8(), **queries_r10(),
-          **queries_r11(), **queries_r13()}
+    qs = {**e.queries(), **registry.staged_queries()}
     # round-8-staged shapes: anchor-window span dedup, apportionment +
     # repeat explode, distinct-score cumulative scan, shard map + keyed
     # window, id-keyed full outer join, and the persisted composition

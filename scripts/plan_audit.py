@@ -160,10 +160,7 @@ def audit(
     *construction* executes side work (stream_* staging, sink
     round-trips, persisted-index builds) are skipped: their plan is the
     final read, not the pipeline, so a marker scan is meaningless."""
-    from ncbi_analysis_spark.plans import driver_queries
-    from ncbi_analysis_spark.plans.driver_queries_r10 import queries_r10
-    from ncbi_analysis_spark.plans.driver_queries_r11 import queries_r11
-    from ncbi_analysis_spark.plans.driver_queries_r13 import queries_r13
+    from ncbi_analysis_spark.plans import driver_queries, registry
 
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
@@ -221,8 +218,7 @@ def audit(
             "table_profile"}
     # staged next-round entries are audited BEFORE registration, so a
     # plan anti-pattern is caught while the query is still staged
-    qs = {**driver_queries.queries(), **queries_r10(), **queries_r11(),
-          **queries_r13()}
+    qs = {**driver_queries.queries(), **registry.staged_queries()}
     out: dict[str, set[str]] = {}
     for name, fn in qs.items():
         if names and name not in names:

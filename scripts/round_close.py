@@ -45,9 +45,9 @@ def main() -> int:
     # stale committed record silently missed them
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
-    from ncbi_analysis_spark.plans.driver_queries_r13 import queries_r13
+    from ncbi_analysis_spark.plans import registry
 
-    expected = set(e.queries()) | set(queries_r13())
+    expected = set(e.queries()) | set(registry.staged_queries())
     rec_keys = set(json.load(open(oracle_json)))
     missing = sorted(expected - rec_keys)
     if missing:
