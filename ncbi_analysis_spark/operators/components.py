@@ -275,20 +275,48 @@ def write_cc_labels(edges: DataFrame, path: str,
     readers use the highest version whose ``_SUCCESS`` exists, so a
     reader NEVER sees a partially-written table (the flat-directory
     swap would expose a shrinking file set mid-rewrite; a versioned
-    publish point — one atomic ``_SUCCESS`` create — cannot)."""
+    publish point — one atomic ``_SUCCESS`` create — cannot).
+
+    Rebuilding INTO AN EXISTING artifact is supported and lands at
+    version ``max_committed + 1`` (under the maintenance lock): readers
+    always use the highest committed version, so a rebuild that wrote
+    ``v0`` beneath a ``v{n>0}`` would be silently invisible — the
+    inverse of what "rebuild it" recovery advice promises."""
+    from ncbi_analysis_spark.operators import tombstones as ts
     from ncbi_analysis_spark.sources import fsutil
 
+    spark = edges.sparkSession
+    root = path.rstrip("/")
     labels = connected_components(edges, id_a, id_b)
-    labels.write.mode("overwrite").parquet(path.rstrip("/") + "/v0")
-    fsutil.write_text(edges.sparkSession, path.rstrip("/") + "/"
-                      + _CC_PARAMS_FILE, '{"kind": "cc_labels"}')
+    if fsutil.exists(spark, root + "/" + _CC_PARAMS_FILE):
+        with ts.maintenance_lock(spark, root, "write_cc_labels"):
+            try:
+                n = _cc_current_version(spark, root)
+            except ValueError:
+                n = -1  # marker exists, initial build crashed: v0 it is
+            labels.write.mode("overwrite").parquet(f"{root}/v{n + 1}")
+            import re as _re
+
+            for d in fsutil.list_subdirs(spark, root):
+                m = _re.fullmatch(r"v(\d+)", d)
+                if m and int(m.group(1)) < n:
+                    fsutil.delete(spark, f"{root}/{d}")
+        return
+    labels.write.mode("overwrite").parquet(root + "/v0")
+    fsutil.write_text(spark, root + "/" + _CC_PARAMS_FILE,
+                      '{"kind": "cc_labels"}')
 
 
 def read_cc_labels(spark, path: str) -> DataFrame:
     """Open a ``write_cc_labels`` artifact: the highest COMMITTED
-    version (marker validated). Safe to call concurrently with a fold —
-    the fold publishes a new version atomically and never touches the
-    one being read."""
+    version (marker validated). Concurrency scope: the returned frame
+    is LAZY and pinned to the version current at open time; folds
+    publish new versions atomically and retire with one grace version,
+    so a read opened at v{n} stays valid while v{n+1} is published and
+    breaks (loudly, FileNotFound — never silently partial) only once a
+    SECOND fold commits v{n+2} and retires v{n}. Reads that complete
+    within one fold cycle of being opened are always safe; pin a
+    longer-lived snapshot by copying or re-opening."""
     _cc_marker_guard(spark, path)
     n = _cc_current_version(spark, path)
     return spark.read.parquet(f"{path.rstrip('/')}/v{n}")
@@ -335,6 +363,15 @@ def fold_into_cc_labels(new_edges: DataFrame, path: str,
             prior, new_edges, id_a, id_b, max_iter)
         # overwrite clears any uncommitted v{n+1} a crashed fold left
         folded.write.mode("overwrite").parquet(f"{root}/v{n + 1}")
+        # retire with ONE GRACE VERSION: keep v{n} alongside v{n+1}.
+        # read_cc_labels returns a LAZY frame pinned to the version
+        # current at open time; retiring v{n} here would break a
+        # reader whose action runs after this fold commits. With the
+        # grace version, a pinned read survives one full fold cycle —
+        # see read_cc_labels' concurrency note for the exact scope.
+        import re as _re
+
         for d in fsutil.list_subdirs(spark, root):
-            if d.startswith("v") and d != f"v{n + 1}":
+            m = _re.fullmatch(r"v(\d+)", d)
+            if m and int(m.group(1)) < n:
                 fsutil.delete(spark, f"{root}/{d}")

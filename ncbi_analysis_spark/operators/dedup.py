@@ -1443,10 +1443,17 @@ def span_dup_stats(
         id_col,
         n_chars.cast("long").alias("n_chars"),
         F.col("n_chars_removed").alias("dup_chars"),
-        F.when(n_chars > 0,
-               (F.col("n_chars_removed") * F.lit(1_000_000)
-                / n_chars).cast("long"))
-        .otherwise(F.lit(0)).alias("dup_ratio_ppm"),
+    ).select(
+        id_col,
+        "n_chars",
+        "dup_chars",
+        # integer floor division end-to-end (Spark `div` on bigints ==
+        # DuckDB `//` for non-negative operands): double division +
+        # cast('long') could round across an integer boundary for docs
+        # beyond ~9e9 chars, breaking the exact-match oracle contract
+        F.when(F.col("n_chars") > 0,
+               F.expr("(dup_chars * CAST(1000000 AS BIGINT)) div n_chars"))
+        .otherwise(F.lit(0)).cast("long").alias("dup_ratio_ppm"),
     )
 
 

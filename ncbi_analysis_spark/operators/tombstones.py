@@ -243,10 +243,23 @@ class maintenance_lock:
                     "are unsafe — retry after it finishes, or "
                     "break_maintenance_lock() if the holder is known dead"
                 )
-            # TTL lapsed: presume the holder crashed and steal — the
-            # delete may race another stealer, but the re-claim below
-            # is still atomic, so exactly one of us proceeds
-            fsutil.delete(self._spark, self._path)
+            # TTL lapsed: presume the holder crashed and steal. The
+            # steal must be atomic BETWEEN STEALERS: a bare delete
+            # is not — stealer B's delete could land after stealer
+            # A's delete+re-claim and remove A's fresh lock, letting
+            # both proceed. Rename-to-unique first: local/HDFS rename
+            # is atomic and the second stealer's rename fails (source
+            # gone), so only the rename winner removes the expired
+            # lock; every loser falls through to the claim below,
+            # which exactly one process (winner or loser) wins via
+            # create-if-absent.
+            steal_tomb = f"{self._path}.steal.{self._owner}"
+            try:
+                fsutil.rename(self._spark, self._path, steal_tomb)
+            except Exception:
+                pass  # lost the steal race — claim below adjudicates
+            else:
+                fsutil.delete(self._spark, steal_tomb)
         if not self._try_claim():
             raise ConcurrentMaintenanceError(
                 f"index maintenance lock at {self._path!r} was re-claimed "
@@ -260,7 +273,13 @@ class maintenance_lock:
         from ncbi_analysis_spark.sources import fsutil
 
         # release only what we own: after a TTL steal, deleting blindly
-        # could drop the STEALER's lock
+        # could drop the STEALER's lock. Residual window (accepted): the
+        # read-check-delete below is not atomic, so if OUR OWN TTL
+        # expires between the owner check and the delete AND a stealer
+        # claims inside that instant, we drop the stealer's lock. That
+        # requires the mutation to have already overrun ttl_s — itself
+        # a contract violation the ttl exists to bound — so the fix is
+        # sizing ttl_s generously, not more locking here.
         try:
             held = json.loads(fsutil.read_text(self._spark, self._path))
             if held.get("owner") == self._owner:

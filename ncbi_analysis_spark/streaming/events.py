@@ -1512,12 +1512,17 @@ def stream_ivf_decon(
     how = "left_semi" if keep == "flagged" else "left_anti"
 
     def _gate(batch_df, batch_id: int) -> None:
-        idx = ss.read_ivf_index(batch_df.sparkSession, index_path)
+        # id_col names the id column in BOTH the stream batch and the
+        # index (rename the stream side upstream if they differ) — an
+        # index built with a non-default id column must see it here,
+        # or the tombstone anti-join/select fails on 'vec_id'
+        idx = ss.read_ivf_index(batch_df.sparkSession, index_path,
+                                id_col=id_col)
         q = batch_df.select(F.col(id_col).alias("__q_id"),
                             F.col(vec).alias(vec))
-        best = ss.ivf_topk(idx, q, centroids, vec=vec, q_id="__q_id",
-                           k=1, nprobe=nprobe, assigned=idx,
-                           prefilter_partitions=True)
+        best = ss.ivf_topk(idx, q, centroids, vec=vec, id_col=id_col,
+                           q_id="__q_id", k=1, nprobe=nprobe,
+                           assigned=idx, prefilter_partitions=True)
         hit_ids = (
             best.filter(F.col("cos_sim") >= threshold)
             .select(F.col("__q_id").alias(id_col)).distinct()

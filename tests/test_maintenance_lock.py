@@ -162,3 +162,59 @@ def test_lock_claim_race_has_single_winner(spark, tmp_path):
     assert max(max_inside) == 1  # never two holders at once
     assert len(max_inside) == 16  # everyone got a turn
     assert not fsutil.exists(spark, f"{idx}/{ts.LOCK_FILE}")
+
+
+def test_expired_lock_steal_race_has_single_winner(spark, tmp_path):
+    """16 threads race the TTL-STEAL path specifically: an expired lock
+    is planted, then all threads try to enter at once. The steal is a
+    rename-to-unique (atomic; exactly one thread removes the expired
+    lock) followed by the normal create-if-absent claim, so at most one
+    thread may ever be inside — a bare delete-then-claim steal loses
+    this test (stealer B's delete removes stealer A's fresh lock)."""
+    import threading
+    import time
+
+    idx = str(tmp_path / "idx")
+    # plant an expired lock (acquired long ago, tiny ttl)
+    fsutil.write_text(
+        spark, f"{idx}/{ts.LOCK_FILE}",
+        json.dumps({"owner": "dead", "what": "crashed_op",
+                    "acquired_unix": time.time() - 1000, "ttl_s": 1}),
+    )
+    inside = []
+    max_inside = []
+    mu = threading.Lock()
+    errors = []
+
+    def worker(i):
+        for _ in range(200):
+            try:
+                with ts.maintenance_lock(spark, idx, f"w{i}"):
+                    with mu:
+                        inside.append(i)
+                        max_inside.append(len(inside))
+                    time.sleep(0.01)
+                    with mu:
+                        inside.remove(i)
+                return
+            except ts.ConcurrentMaintenanceError:
+                time.sleep(0.005)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+        errors.append(RuntimeError(f"worker {i} never acquired"))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert max(max_inside) == 1  # the steal admitted at most one holder
+    assert len(max_inside) == 16
+    assert not fsutil.exists(spark, f"{idx}/{ts.LOCK_FILE}")
+    # no steal-tomb residue left behind
+    residue = [c for c in fsutil.list_children(spark, idx)
+               if ".steal." in c]
+    assert residue == []

@@ -769,7 +769,11 @@ def test_cc_labels_artifact_fold_and_crash_recovery(spark, tmp_path,
     k = 0
     while True:
         p2 = str(tmp_path / f"labels_{k}")
-        write_cc_labels(df(e1 + e2), p2)
+        # seed v0 + v1 so the injected fold (publishing v2) actually
+        # reaches the retire path — with the one-grace-version retire,
+        # a fold over a single-version artifact deletes nothing
+        write_cc_labels(df(e1), p2)
+        fold_into_cc_labels(df(e2), p2)
         calls = {"n": 0}
 
         def crashing(spark_, p, recursive=True, _k=k):
@@ -818,3 +822,39 @@ def test_cc_labels_artifact_fold_and_crash_recovery(spark, tmp_path,
     got = {r["id"]: r["component"]
            for r in read_cc_labels(spark, p3).collect()}
     assert got == want
+
+
+def test_cc_labels_grace_version_and_rebuild(spark, tmp_path):
+    """ADVICE r13 items: (a) a LAZY reader opened before a fold still
+    collects after the fold commits (the retire keeps one grace
+    version); (b) write_cc_labels into an EXISTING artifact lands at
+    max_committed+1 so readers actually see the rebuild (a v0 write
+    under v{n>0} would be silently invisible)."""
+    from ncbi_analysis_spark.operators.components import (
+        _cc_current_version, connected_components, fold_into_cc_labels,
+        read_cc_labels, write_cc_labels)
+
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+    path = str(tmp_path / "labels")
+    write_cc_labels(df([(1, 2)]), path)
+    fold_into_cc_labels(df([(2, 3)]), path)  # commits v1
+
+    # (a) open lazily at v1, then fold again (commits v2, retires <1);
+    # the pinned reader must still be collectable
+    pinned = read_cc_labels(spark, path)
+    fold_into_cc_labels(df([(3, 4)]), path)
+    assert _cc_current_version(spark, path) == 2
+    got = {r["id"]: r["component"] for r in pinned.collect()}
+    want_v1 = {r["id"]: r["component"]
+               for r in connected_components(df([(1, 2), (2, 3)])).collect()}
+    assert got == want_v1
+
+    # (b) rebuild into the existing artifact from scratch edges: the
+    # new labeling must be what read_cc_labels returns (landed at v3,
+    # not an invisible v0)
+    write_cc_labels(df([(7, 8)]), path)
+    assert _cc_current_version(spark, path) == 3
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels(spark, path).collect()}
+    assert got == {r["id"]: r["component"]
+                   for r in connected_components(df([(7, 8)])).collect()}

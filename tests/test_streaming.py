@@ -1167,3 +1167,40 @@ def test_stream_ivf_decon_gate(spark, tmp_path):
         sev.stream_ivf_decon(
             spark.readStream.schema(new.schema).parquet(src), idx,
             drifted, str(tmp_path / "x"), str(tmp_path / "xck"))
+
+
+def test_stream_ivf_decon_custom_id_col(spark, tmp_path):
+    """ADVICE r13: id_col must reach read_ivf_index/ivf_topk — an index
+    built with a non-default id column used to fail (AnalysisException
+    on the 'vec_id' tombstone anti-join) despite the parameter."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        delete_from_ivf_index, ivf_assign, write_ivf_index)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "doc_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(corpus, cents, id_col="doc_id"), idx,
+                    centroids=cents)
+    # a tombstone forces read_ivf_index down the anti-join path, where
+    # the wrong id name blew up
+    delete_from_ivf_index(
+        spark.createDataFrame([(2,)], "doc_id long"), idx,
+        id_col="doc_id")
+
+    new = spark.createDataFrame(
+        [(100, [0.999, 0.01]), (101, [0.0, 1.0])],
+        "doc_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    sev.stream_ivf_decon(
+        stream, idx, cents, str(tmp_path / "out"),
+        str(tmp_path / "ck"), id_col="doc_id", threshold=0.95)
+    # 100 collides with indexed 1; 101's twin (2) is tombstoned -> clean
+    got = {r["doc_id"] for r in
+           sev.read_gated_docs(spark, str(tmp_path / "out")).collect()}
+    assert got == {101}
