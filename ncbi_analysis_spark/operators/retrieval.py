@@ -82,6 +82,9 @@ def bm25_topk(
         raise ValueError("bm25_topk: query has no terms")
     spark = corpus.sparkSession
     d = corpus.filter(F.col(text_col).isNotNull())
+    if len(terms) <= _COLUMNAR_MAX_TERMS:
+        return _bm25_topk_columnar(
+            spark, d, terms, k, text_col, id_col, k1, b)
     # corpus pass 1: doc lengths (persisted — reused by the stats agg
     # and the scoring join)
     dl = d.select(
@@ -146,6 +149,100 @@ def bm25_topk(
     finally:
         tf.unpersist()
         dl.unpersist()
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+
+
+# Above this many query terms the per-term array-scan columns would
+# cost more than one explode+shuffle; real queries are far below it.
+_COLUMNAR_MAX_TERMS = 16
+
+
+def _term_eq(t: str):
+    """Single-arg lambda factory for F.filter — NEVER write
+    ``lambda x, t=t: ...`` here: Spark passes the ARRAY INDEX as the
+    second lambda argument, silently shadowing the closure default."""
+    return lambda x: x == F.lit(t)
+
+
+def _bm25_topk_columnar(spark, d: DataFrame, terms: list[str], k: int,
+                        text_col: str, id_col: str,
+                        k1: float, b: float) -> DataFrame:
+    """Small-query BM25 fast path: per-term tf as array expressions in
+    ONE corpus scan — no token explode, no (doc, term) shuffle.
+
+    ``tf_t = size(filter(tokens, x -> x = t))`` per query term turns
+    the whole model into a map-side projection: the only things that
+    ever move are the per-doc stats frame (id, dl, tf_1..tf_q — tens
+    of bytes/row, persisted in place of the raw-token caches) and the
+    final top-k. At 100 TB this is the difference between one
+    pruned-column text scan and two plus an explode shuffle.
+
+    Float contract is unchanged from the explode path: contributions
+    are folded from 0.0 in sorted-term order, and an unmatched term's
+    contribution is exactly ``0.0`` (``x + 0.0 == x`` in IEEE for the
+    non-negative contributions here), so scores are bit-identical to
+    the oracle's ``list_reduce(list_prepend(0.0, list(contrib ORDER
+    BY g)))``."""
+    import math
+
+    ts = sorted(terms)
+    tk = tokens(F.col(text_col))
+    per_doc = d.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("dl"),
+        *[F.size(F.filter(tk, _term_eq(t))).cast("long").alias(f"__tf{i}")
+          for i, t in enumerate(ts)],
+    ).persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("s"),
+            *[F.count(F.when(F.col(f"__tf{i}") > 0, True))
+              .cast("long").alias(f"__df{i}") for i in range(len(ts))],
+        ).collect()[0]
+        n_docs, sum_dl = stats["n"], stats["s"]
+        if n_docs == 0:
+            raise ValueError("bm25_topk: empty corpus")
+        avgdl = float(sum_dl) / float(n_docs)
+        idf = {
+            t: math.log(
+                1.0 + (n_docs - stats[f"__df{i}"] + 0.5)
+                / (stats[f"__df{i}"] + 0.5)
+            )
+            for i, t in enumerate(ts)
+        }
+        denom_tail = (
+            F.lit(float(k1))
+            * (F.lit(1.0 - b)
+               + F.lit(float(b))
+               * (F.col("dl").cast("double") / F.lit(float(avgdl))))
+        )
+        score = F.lit(0.0)
+        for i, t in enumerate(ts):
+            tf_d = F.col(f"__tf{i}").cast("double")
+            score = score + F.lit(idf[t]) * (tf_d / (tf_d + denom_tail))
+        matched = sum(
+            (F.col(f"__tf{i}") > 0).cast("long") for i in range(len(ts))
+        )
+        any_match = F.greatest(
+            *[F.col(f"__tf{i}") > 0 for i in range(len(ts))]
+        ) if len(ts) > 1 else (F.col("__tf0") > 0)
+        top = (
+            per_doc.filter(any_match)
+            .select(
+                id_col,
+                matched.alias("n_terms_matched"),
+                score.alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
+        )
+        schema = top.schema
+        rows = top.collect()
+    finally:
+        per_doc.unpersist()
     return spark.createDataFrame(rows, schema).orderBy(
         F.desc("score"), F.asc(id_col)
     )
