@@ -631,6 +631,13 @@ BASELINE = {
     # the eager one-row collect dominates its sub-second wall; cold
     # first run read 2.7x noise at seeding (control 0.324)
     "table_profile": (1.066, 13),
+    # --- staged-r14 seeds (standalone min-of-4 at sf0.1; noise control
+    # dedup_exact_groups read 0.405 in the same session) ---
+    # position-helper expansion: dim index window + bounds agg over the
+    # broadcast cross join + candidate BNLJ + cover window
+    "genes_near_range": (1.672, 14),
+    # locus parse + byte-sliced strand extract off the broadcast genome
+    "gentamycin_report": (0.852, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -145,6 +145,41 @@ def overlap_size(a_left: Column, a_right: Column, b_left: Column, b_right: Colum
     )
 
 
+def gene_range_type(r_left: Column, r_right: Column,
+                    g_left: Column, g_right: Column) -> Column:
+    """The range-vs-gene classifier of the POSITION helper — distinct
+    from :func:`overlap_class` (the location-analysis one): ``hit``
+    only on exact interval equality, ``homology`` when the overlap
+    covers >= 90% of the RANGE (checked BEFORE containment, so a
+    covered range at >=90% is homology, not include), ``include`` when
+    the gene contains the range, else ``related``. Reference
+    ``get_gene_range_type`` (src/utils/gene_position_helper.py:93-107).
+
+    The rate is ``overlap * 100.0 / range_len >= 90.0`` in doubles on
+    both engines — identical IEEE ops, so the cut is cross-engine
+    exact.
+
+    PARITY QUIRK: the helper's ``get_overlap_size``
+    (gene_position_helper.py:109-117) is NOT the intersection length —
+    when the intervals overlap it returns ``range_right - gene_left +
+    1`` (range ends first) else ``gene_right - range_left + 1``, which
+    OVERSTATES the overlap under containment (range [55,58] inside
+    gene [50,60] reads 9, not 4). Mirrored verbatim; do not "fix" to
+    :func:`overlap_size` or homology/related classifications drift."""
+    ov = (
+        F.when((r_right < g_left) | (r_left > g_right), F.lit(0))
+        .when(r_right < g_right, r_right - g_left + 1)
+        .otherwise(g_right - r_left + 1)
+    )
+    rate = ov.cast("double") * F.lit(100.0) / (r_right - r_left + 1).cast("double")
+    return (
+        F.when((r_left == g_left) & (r_right == g_right), F.lit("hit"))
+        .when(rate >= F.lit(90.0), F.lit("homology"))
+        .when((g_left <= r_left) & (r_right <= g_right), F.lit("include"))
+        .otherwise(F.lit("related"))
+    )
+
+
 def overlap_class(a_left: Column, a_right: Column, b_left: Column, b_right: Column,
                   threshold: float = 0.9) -> Column:
     """Classify interval A vs gene interval B like the reference's

@@ -119,3 +119,112 @@ def hash_split_triples(targets: DataFrame, value_col: str, id_col: str,
     b = x * (F.lit(lo) + (F.lit(hi) - F.lit(lo)) * u(2))
     return targets.withColumn("v1", a).withColumn("v2", b) \
         .withColumn("v3", F.lit(3.0) * x - F.col("v1") - F.col("v2"))
+
+
+def nearby_genes_by_range(
+    ranges: DataFrame,
+    genes: DataFrame,
+    r_id: str = "range_id",
+    r_left: str = "left",
+    r_right: str = "right",
+    direction: str = "direction",
+) -> DataFrame:
+    """Range-to-nearby-gene expansion with cover preference — the
+    position helper behind the gentamycin (ATCC mode) and
+    found-gene-near-a-range drivers (reference
+    ``get_nearby_gene_based_by_range``,
+    src/utils/gene_position_helper.py:18-43).
+
+    ``genes`` is a bounded annotation dim ``(gene, gene_left,
+    gene_right, sequence)``; ``ranges`` carries ``r_id``/``r_left``/
+    ``r_right``/``direction`` plus any payload columns (all preserved).
+    Per range, with genes indexed by start position:
+
+    * ``lg`` = first index with ``gene_left >= left``, ``rl`` = last
+      index with ``gene_left < right``;
+    * candidates = indexes ``least(lg, rl) .. greatest(lg, rl)`` — one
+      gene starting inside the range (lg == rl), several (lg < rl), or
+      the two flanking neighbors when none does (lg == rl + 1);
+    * if any CANDIDATE covers the range (``gene_left <= left`` and
+      ``gene_right >= right``) only the first such gene is kept, else
+      all candidates are (the cover check scans candidates only, per
+      the reference — a long earlier gene covering the range is NOT
+      found, by parity);
+    * output rows add ``type`` (:func:`...sequence.gene_range_type`),
+      ``gene``/``gene_left``/``gene_right`` and ``sequence`` —
+      complemented WITHOUT reversal on ``'-'`` ranges, the reference's
+      ``generate_result`` quirk (``get_opposite_dna(sequence)``, no
+      ``[::-1]`` — unlike every similarity caller; also by parity the
+      complement here assumes the acgt alphabet: the reference DROPS
+      other characters, we map them through unchanged).
+
+    Divergence (documented): ranges falling outside the gene span
+    would make the reference IndexError (past the end) or silently
+    wrap to the LAST gene (Python ``[-1]``); here candidate indexes
+    clamp to the dim, so edge ranges get their nearest real neighbor.
+
+    Scale shape: the dim broadcasts; bounds come from a conditional
+    aggregation over the broadcast cross join (map-side partial, the
+    only shuffle is |ranges| aggregated rows), candidates from a second
+    broadcast range join, and the cover preference is one window over
+    candidate rows keyed by ``r_id`` (output-sized shuffle). Nothing
+    moves the range side more than once at full width.
+    """
+    from ncbi_analysis_spark.functions.sequence import gene_range_type
+
+    payload = list(ranges.columns)
+    g = (
+        genes.select("gene", "gene_left", "gene_right", "sequence")
+        # dim-sized single-partition window by contract (annotation
+        # tables are thousands of rows); ties on gene_left break by name
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("gene_left", "gene")),
+        )
+    )
+    bounds = (
+        ranges.crossJoin(F.broadcast(g.select("idx", "gene_left")))
+        .groupBy(*payload)
+        .agg(
+            F.min(
+                F.when(F.col("gene_left") >= F.col(r_left), F.col("idx"))
+            ).alias("__lg_raw"),
+            F.min(
+                F.when(F.col("gene_left") >= F.col(r_right), F.col("idx"))
+            ).alias("__rge_raw"),
+            F.max("idx").alias("__n"),
+        )
+        .withColumn("__lg", F.coalesce("__lg_raw", F.col("__n") + 1))
+        .withColumn(
+            "__rl", F.coalesce("__rge_raw", F.col("__n") + 1) - F.lit(1)
+        )
+    )
+    lo = F.greatest(F.least(F.col("__lg"), F.col("__rl")), F.lit(1))
+    hi = F.least(F.greatest(F.col("__lg"), F.col("__rl")), F.col("__n"))
+    cand = bounds.join(
+        F.broadcast(g), (F.col("idx") >= lo) & (F.col("idx") <= hi)
+    )
+    covers = (F.col("gene_left") <= F.col(r_left)) & (
+        F.col("gene_right") >= F.col(r_right)
+    )
+    cov_idx = F.min(F.when(covers, F.col("idx"))).over(
+        Window.partitionBy(r_id)
+    )
+    seq = F.when(
+        F.col(direction) == "-", F.translate("sequence", "atcg", "tagc")
+    ).otherwise(F.col("sequence"))
+    return (
+        cand.withColumn("__cov", cov_idx)
+        .filter(F.col("__cov").isNull() | (F.col("idx") == F.col("__cov")))
+        .select(
+            *payload,
+            gene_range_type(
+                F.col(r_left), F.col(r_right),
+                F.col("gene_left"), F.col("gene_right"),
+            ).alias("type"),
+            "gene",
+            "gene_left",
+            "gene_right",
+            seq.alias("sequence"),
+        )
+    )

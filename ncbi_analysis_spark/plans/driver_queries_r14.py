@@ -4,16 +4,262 @@ Staged per the registry cadence (``plans/registry.py``): every entry
 here is oracle-checked by ``scripts/check_oracle.py --staged`` and
 bench-timed for baseline seeding this round, then wired into the
 driver registry at round-15 start.
+
+Cross-engine determinism rules are the registry-wide ones (see
+``driver_queries.py`` header): integer arithmetic or pinned IEEE
+doubles only, md5 as the shared hash, no engine RNG.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Named parity pipelines for the last reference drivers (VERDICT r13 §3)
+# ---------------------------------------------------------------------------
+
+_HEX_TO_ACGT = ("0123456789abcdef", "acgtacgtacgtacgt")
+
+
+def _nation_genes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-row gene annotation dim (nation is fixed-size at
+    every sf, so fixture coverage is sf-independent): starts 400 apart
+    in [13, 9613], widths 351-850 (adjacent genes overlap sometimes —
+    allowed), sequence an md5-derived 32-char acgt string."""
+    n = _t(spark, sf_dir, "nation")
+    left = F.col("n_nationkey") * 400 + 13
+    return n.select(
+        left.cast("long").alias("gene_left"),
+        (left + 350 + (F.col("n_nationkey") * 37) % 500)
+        .cast("long").alias("gene_right"),
+        F.concat(F.lit("g"), F.col("n_nationkey")).alias("gene"),
+        F.translate(
+            F.md5(F.concat(F.lit("seq"), F.col("n_nationkey"))),
+            *_HEX_TO_ACGT,
+        ).alias("sequence"),
+    )
+
+
+def genes_near_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FoundGeneNameNearARange end-to-end
+    (plans/pipelines.py::genes_near_range over
+    operators/genes.py::nearby_genes_by_range; reference
+    src/analysis/found_gene_name_near_a_range.py:10-33 +
+    src/utils/gene_position_helper.py:18-43): start>end encodes '-'
+    and swaps, ranges expand to nearby genes with cover preference
+    (single starter / all starters / two flanking neighbors), type from
+    the position helper's quirky overlap formula, sequence complemented
+    WITHOUT reversal on '-'. Ranges: 1-in-11 orders rows (interior to
+    the gene span by construction) plus one exact-hit row per gene.
+    Oracle: full recompute — correlated min-idx bounds, candidate
+    between-join, cover window."""
+    from ncbi_analysis_spark.plans.pipelines import genes_near_range as gnr
+
+    genes = _nation_genes(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    l0 = (F.col("o_orderkey") * 31 % 9000 + 20).cast("long")
+    r0 = (l0 + F.col("o_orderkey") % 500 + 1).cast("long")
+    ll = (F.col("o_orderkey") * 13 % 9000 + 20).cast("long")
+    lr = (ll + F.col("o_orderkey") % 300).cast("long")
+    d = F.when(F.col("o_orderkey") % 2 == 1, "-").otherwise("+")
+    ranges = o.select(
+        F.concat(F.lit("r"), F.col("o_orderkey")).alias("name"),
+        F.when(d == "-", r0).otherwise(l0).alias("start"),
+        F.when(d == "-", l0).otherwise(r0).alias("end"),
+        F.concat(F.lit("acc"), F.col("o_orderkey") % 3, F.lit(":"),
+                 ll, F.lit("-"), lr, F.lit("("), d, F.lit(")"))
+        .alias("locus"),
+    ).union(genes.select(
+        F.concat(F.lit("h"), F.col("gene")).alias("name"),
+        F.col("gene_left").alias("start"),
+        F.col("gene_right").alias("end"),
+        F.concat(F.lit("acc0:"), F.col("gene_left"), F.lit("-"),
+                 F.col("gene_right"), F.lit("(+)")).alias("locus"),
+    ))
+    out = gnr(ranges, genes)
+    return out.select(
+        "name", "start", "end", "locus", "left", "right", "direction",
+        "length", "compare_length", "type", "gene", "gene_left",
+        "gene_right", "sequence",
+    )
+
+
+_GENES_CTE = """
+g0 AS (
+  SELECT (n_nationkey * 400 + 13)::BIGINT AS gene_left,
+         (n_nationkey * 400 + 13 + 350 + (n_nationkey * 37) % 500)::BIGINT
+           AS gene_right,
+         'g' || n_nationkey::VARCHAR AS gene,
+         translate(md5('seq' || n_nationkey::VARCHAR),
+                   '0123456789abcdef', 'acgtacgtacgtacgt') AS sequence
+  FROM nation
+)
+"""
+
+
+def _genes_near_range_sql() -> str:
+    return f"""
+WITH {_GENES_CTE},
+g AS (
+  SELECT g0.*, row_number() OVER (ORDER BY gene_left, gene) AS idx FROM g0
+),
+r1 AS (
+  SELECT 'r' || o_orderkey::VARCHAR AS name,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN (o_orderkey * 31 % 9000 + 20 + o_orderkey % 500 + 1)
+              ELSE (o_orderkey * 31 % 9000 + 20) END::BIGINT AS start,
+         CASE WHEN o_orderkey % 2 = 1
+              THEN (o_orderkey * 31 % 9000 + 20)
+              ELSE (o_orderkey * 31 % 9000 + 20 + o_orderkey % 500 + 1)
+              END::BIGINT AS "end",
+         'acc' || (o_orderkey % 3)::VARCHAR || ':'
+           || (o_orderkey * 13 % 9000 + 20)::VARCHAR || '-'
+           || (o_orderkey * 13 % 9000 + 20 + o_orderkey % 300)::VARCHAR
+           || '(' || (CASE WHEN o_orderkey % 2 = 1 THEN '-' ELSE '+' END)
+           || ')' AS locus
+  FROM orders WHERE o_orderkey % 11 = 0
+  UNION ALL
+  SELECT 'h' || gene, gene_left, gene_right,
+         'acc0:' || gene_left::VARCHAR || '-' || gene_right::VARCHAR
+           || '(+)'
+  FROM g0
+),
+r AS (
+  SELECT name, start, "end", locus,
+         least(start, "end") AS "left",
+         greatest(start, "end") AS "right",
+         CASE WHEN start > "end" THEN '-' ELSE '+' END AS direction,
+         (CAST(regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 3)
+               AS BIGINT)
+          - CAST(regexp_extract(locus, '^(.+):(\\d+)-(\\d+)\\((.)\\)$', 2)
+                 AS BIGINT) + 1) AS length,
+         greatest(start, "end") - least(start, "end") + 1
+           AS compare_length
+  FROM r1
+),
+b AS (
+  SELECT r.*,
+    coalesce((SELECT min(idx) FROM g WHERE g.gene_left >= r."left"),
+             (SELECT max(idx) + 1 FROM g)) AS lg,
+    coalesce((SELECT min(idx) FROM g WHERE g.gene_left >= r."right"),
+             (SELECT max(idx) + 1 FROM g)) - 1 AS rl,
+    (SELECT max(idx) FROM g) AS n
+  FROM r
+),
+cand AS (
+  SELECT b.*, g.idx, g.gene, g.gene_left, g.gene_right,
+         g.sequence AS gseq
+  FROM b JOIN g
+    ON g.idx BETWEEN greatest(least(b.lg, b.rl), 1)
+                 AND least(greatest(b.lg, b.rl), b.n)
+),
+cc AS (
+  SELECT cand.*,
+         min(CASE WHEN gene_left <= "left" AND gene_right >= "right"
+                  THEN idx END) OVER (PARTITION BY name) AS cov
+  FROM cand
+)
+SELECT name, start, "end", locus, "left", "right", direction, length,
+       compare_length,
+       CASE WHEN "left" = gene_left AND "right" = gene_right THEN 'hit'
+            WHEN (CASE WHEN "right" < gene_left OR "left" > gene_right
+                       THEN 0
+                       WHEN "right" < gene_right
+                       THEN "right" - gene_left + 1
+                       ELSE gene_right - "left" + 1 END)
+                 * 100.0 / ("right" - "left" + 1) >= 90.0
+            THEN 'homology'
+            WHEN gene_left <= "left" AND "right" <= gene_right
+            THEN 'include'
+            ELSE 'related' END AS type,
+       gene, gene_left, gene_right,
+       CASE WHEN direction = '-' THEN translate(gseq, 'atcg', 'tagc')
+            ELSE gseq END AS sequence
+FROM cc WHERE cov IS NULL OR idx = cov
+"""
+
+
+def gentamycin_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NCBI-mode GentamycinAnalysis end-to-end
+    (plans/pipelines.py::gentamycin_report; reference
+    src/analysis/gentamycin.py:33-41,76-93): F11 locus parse, 1-based
+    inclusive genome slice off the byte-encoded broadcast genome dim,
+    reverse complement on '-', consistency-twin name column. Genome:
+    three md5-derived 10,240-char accessions; gene list: 1-in-7 orders
+    rows with slices up to 200 bases."""
+    from ncbi_analysis_spark.plans.pipelines import gentamycin_report as gr
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    ll = (F.col("o_orderkey") * 13 % 9500 + 1).cast("long")
+    lr = (ll + F.col("o_orderkey") % 200).cast("long")
+    d = F.when(F.col("o_orderkey") % 2 == 1, "-").otherwise("+")
+    gene_list = o.select(
+        F.concat(F.lit("G"), F.col("o_orderkey")).alias("gene"),
+        F.concat(F.lit("acc"), F.col("o_orderkey") % 3, F.lit(":"),
+                 ll, F.lit("-"), lr, F.lit("("), d, F.lit(")"))
+        .alias("locus"),
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    genome = n.select(
+        F.concat(F.lit("acc"), F.col("n_nationkey")).alias("accession"),
+        F.repeat(
+            F.translate(
+                F.md5(F.concat(F.lit("gen"), F.col("n_nationkey"))),
+                *_HEX_TO_ACGT,
+            ),
+            320,
+        ).alias("seq"),
+    )
+    return gr(gene_list, genome)
+
+
+def _gentamycin_sql() -> str:
+    return """
+WITH genome AS (
+  SELECT 'acc' || n_nationkey::VARCHAR AS accession,
+         repeat(translate(md5('gen' || n_nationkey::VARCHAR),
+                          '0123456789abcdef', 'acgtacgtacgtacgt'),
+                320) AS seq
+  FROM nation WHERE n_nationkey < 3
+),
+gl AS (
+  SELECT 'G' || o_orderkey::VARCHAR AS gene,
+         'acc' || (o_orderkey % 3)::VARCHAR AS accession,
+         (o_orderkey * 13 % 9500 + 1)::BIGINT AS "left",
+         (o_orderkey * 13 % 9500 + 1 + o_orderkey % 200)::BIGINT
+           AS "right",
+         CASE WHEN o_orderkey % 2 = 1 THEN '-' ELSE '+' END AS direction
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT gl.gene, gl.accession, gl."left", gl."right", gl.direction,
+       CASE WHEN gl.direction = '-'
+            THEN reverse(translate(
+                   substring(g.seq, gl."left"::INT,
+                             (gl."right" - gl."left" + 1)::INT),
+                   'acgt', 'tgca'))
+            ELSE substring(g.seq, gl."left"::INT,
+                           (gl."right" - gl."left" + 1)::INT)
+       END AS sequence,
+       gl.gene AS name
+FROM gl JOIN genome g USING (accession)
+"""
 
 
 def queries_r14() -> dict:
-    return {}
+    return {
+        "genes_near_range": genes_near_range,
+        "gentamycin_report": gentamycin_report,
+    }
 
 
 def oracle_sql_r14() -> dict[str, str]:
-    return {}
+    return {
+        "genes_near_range": _genes_near_range_sql(),
+        "gentamycin_report": _gentamycin_sql(),
+    }

@@ -158,3 +158,80 @@ def enrich_genes(genes: DataFrame, ecocyc_records: DataFrame | None = None,
     if go_terms is not None:
         out = out.join(F.broadcast(go_terms), "gene", "left")
     return out
+
+
+def gentamycin_report(gene_list: DataFrame, genome: DataFrame) -> DataFrame:
+    """NCBI-mode ``GentamycinAnalysis.run`` minus the file I/O
+    (reference src/analysis/gentamycin.py:33-41,76-93): parse each
+    row's ``locus`` (``acc:left-right(dir)``, the F11 regex), slice
+    ``genome[left-1:right]`` for that accession, reverse-complement on
+    ``'-'``, and return the expanded report. The consistency twin the
+    reference writes as a second TSV is the same frame renamed
+    (``name`` = gene, ``gene`` = sequence) — emit both shapes' columns
+    here so either file is a projection.
+
+    Scale shape: the genome dim broadcasts with its sequence encoded
+    ONCE to bytes (O(slice) extraction, not O(genome) — see
+    ``subseq_1based_bytes``); everything else is a map-side
+    projection of the gene list. No shuffle at any width.
+    """
+    from ncbi_analysis_spark.functions.sequence import (
+        parse_locus,
+        revcomp,
+        subseq_1based_bytes,
+    )
+
+    parsed = gene_list.select(
+        F.col("gene"), *parse_locus(F.col("locus"))
+    )
+    g = genome.select(
+        F.col("accession"),
+        encode_ascii_checked(F.col("seq"), F.col("accession")).alias("__gb"),
+    )
+    fwd = subseq_1based_bytes(F.col("__gb"), F.col("left"), F.col("right"))
+    return (
+        parsed.join(F.broadcast(g), "accession")
+        .select(
+            "gene",
+            "accession",
+            "left",
+            "right",
+            "direction",
+            F.when(F.col("direction") == "-", revcomp(fwd))
+            .otherwise(fwd).alias("sequence"),
+        )
+        .withColumn("name", F.col("gene"))
+    )
+
+
+def genes_near_range(ranges: DataFrame, genes: DataFrame) -> DataFrame:
+    """``FoundGeneNameNearARange.run`` minus the file I/O (reference
+    src/analysis/found_gene_name_near_a_range.py:10-33): coordinate
+    order encodes strand (``start > end`` means ``'-'`` and swaps), the
+    range length and the locus-parsed compare length ride along, and
+    each range explodes to its nearby genes with the cover preference
+    (``operators.genes.nearby_genes_by_range``).
+
+    ``ranges`` needs ``(name, start, end, locus)``; extra columns are
+    preserved. NOTE the reference swaps its own names here — its
+    ``length`` comes from the LOCUS and ``compare_length`` from
+    start/end; kept verbatim for parity."""
+    from ncbi_analysis_spark.functions.sequence import parse_locus
+    from ncbi_analysis_spark.operators.genes import nearby_genes_by_range
+
+    locus_parsed = parse_locus(F.col("locus"))
+    prepared = ranges.select(
+        "*",
+        F.least(F.col("start"), F.col("end")).alias("left"),
+        F.greatest(F.col("start"), F.col("end")).alias("right"),
+        F.when(F.col("start") > F.col("end"), F.lit("-"))
+        .otherwise(F.lit("+")).alias("direction"),
+        (locus_parsed[2] - locus_parsed[1] + F.lit(1)).alias("length"),
+        (F.greatest(F.col("start"), F.col("end"))
+         - F.least(F.col("start"), F.col("end"))
+         + F.lit(1)).alias("compare_length"),
+    )
+    return nearby_genes_by_range(
+        prepared, genes, r_id="name",
+        r_left="left", r_right="right", direction="direction",
+    )

@@ -137,6 +137,14 @@ EXPECTED: dict[str, set[str]] = {
     # vocab_drift_report/bpe_vocab class. The tau cross join inside is
     # priority_sample_mixture's pinned shape. The grouped per-lang
     # form joins tau on the group key — keyed hash join, no marker.)
+    # --- staged r14 (audited pre-registration) ---
+    # Position-helper expansion: the 25-row annotation dim broadcast
+    # twice (bounds agg cross join + non-equi candidate join) — BNLJ by
+    # definition; the dim's row_number index is a deliberate
+    # single-partition window over a bounded annotation table
+    # (documented in operators/genes.py::nearby_genes_by_range).
+    "genes_near_range": {"BroadcastNestedLoopJoin",
+                         "Exchange SinglePartition"},
 }
 
 

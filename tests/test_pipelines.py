@@ -86,3 +86,56 @@ def test_enrich_genes(spark):
     byg = {r["gene"]: r for r in out}
     assert byg["gA"]["ecocyc_id"] == "EG1"
     assert byg["gB"]["ecocyc_id"] is None
+
+
+def test_nearby_genes_by_range_cases(spark):
+    """Hand-computed parity pins for the position helper (reference
+    gene_position_helper.py:18-43,93-117): single starter (A), multiple
+    starters (B), flanking neighbors (C), cover preference, the
+    homology-beats-include quirk (overstated overlap formula), and
+    complement-WITHOUT-reversal on '-'."""
+    from ncbi_analysis_spark.operators.genes import nearby_genes_by_range
+
+    genes = spark.createDataFrame(
+        [("g1", 100, 200, "acgt"), ("g2", 300, 400, "ggcc"),
+         ("g3", 350, 550, "ttaa")],
+        "gene string, gene_left long, gene_right long, sequence string")
+    ranges = spark.createDataFrame(
+        [("A", 250, 320, "+"),    # one starter -> g2, related
+         ("B", 250, 360, "+"),    # two starters -> g2+g3, both related
+         ("HIT", 300, 400, "+"),  # covers+exact -> g2 only, hit
+         ("C", 210, 290, "+"),    # no starter -> flanks g1+g2, related
+         ("COV", 120, 180, "-"),  # covered by g1 -> g1 only; quirk:
+                                  # ov=81 (not 61) -> 132% -> homology
+         ],
+        "range_id string, left long, right long, direction string")
+    got = {
+        (r["range_id"], r["gene"]): (r["type"], r["sequence"])
+        for r in nearby_genes_by_range(ranges, genes).collect()
+    }
+    assert got == {
+        ("A", "g2"): ("related", "ggcc"),
+        ("B", "g2"): ("related", "ggcc"),
+        ("B", "g3"): ("related", "ttaa"),
+        ("HIT", "g2"): ("hit", "ggcc"),
+        ("C", "g1"): ("related", "acgt"),
+        ("C", "g2"): ("related", "ggcc"),
+        # '-' complements WITHOUT reversing (generate_result quirk)
+        ("COV", "g1"): ("homology", "tgca"),
+    }
+
+
+def test_gentamycin_report_strand_extract(spark):
+    """NCBI-mode gentamycin: 1-based inclusive slice; '-' is the full
+    reverse complement (get_opposite_dna(seq[::-1]))."""
+    from ncbi_analysis_spark.plans.pipelines import gentamycin_report
+
+    genome = spark.createDataFrame(
+        [("x", "aacctggtt")], "accession string, seq string")
+    gl = spark.createDataFrame(
+        [("P", "x:2-5(+)"), ("M", "x:2-5(-)")],
+        "gene string, locus string")
+    got = {r["gene"]: (r["sequence"], r["name"], r["left"], r["right"])
+           for r in gentamycin_report(gl, genome).collect()}
+    assert got == {"P": ("acct", "P", 2, 5),
+                   "M": ("aggt", "M", 2, 5)}
