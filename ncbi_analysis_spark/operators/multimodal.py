@@ -5,11 +5,20 @@ metadata struct — the layout a 100 TB multimodal training pipeline uses
 (media bytes travel with the row; metadata is queryable without decoding).
 
 The Spark-side plumbing here is real and tested: schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partition sizing. The actual codec
-step is STUBBED — this container has no image/audio libraries — behind
-``decoder=`` hooks: pass a real decoder (PIL/torchaudio/ffmpeg wrapper)
-in production; the default ``deterministic_fake_decoder`` derives stable
-pseudo-features from the bytes so plumbing is testable end-to-end.
+shapes, ``mapInPandas`` signatures, partition sizing. Codecs (r14):
+
+* REAL with no optional dependency — stdlib+numpy PNG/BMP decode +
+  DCT pHash (``numpy_image_decoder`` via ``functions/imaging.py``; the
+  ``image_features`` default auto-dispatches on magic bytes), stdlib
+  ``wave`` PCM decode (``wave_audio_decoder``), area-resample resize
+  (``numpy_resize_decoder``).
+* REAL behind an optional import — Pillow (``pil_image_decoder`` /
+  ``pil_resize_decoder``) for JPEG & other compressed formats.
+* STUB fallback — ``deterministic_fake_decoder`` derives stable
+  pseudo-features from md5(bytes) for payloads no built-in codec
+  recognizes (and for the DuckDB oracle, whose fixtures are md5-derived
+  bytes by construction); pass a real ffmpeg/torchaudio ``decoder=``
+  in production for those.
 """
 
 from __future__ import annotations
@@ -74,6 +83,63 @@ def deterministic_fake_decoder(data: bytes, meta: dict) -> dict:
         "mean_luma": h[2] / 255.0,
         "phash64": int.from_bytes(h[:8], "big", signed=True),
     }
+
+
+def numpy_image_decoder(data: bytes, meta: dict) -> dict:
+    """REAL image decoder for UNCOMPRESSED formats with nothing beyond
+    the stdlib + numpy (``functions/imaging.py``): 8-bit non-interlaced
+    PNG and 24-bit BMP decode, ITU-R 601 grayscale, and the classic
+    DCT pHash (32x32 area resample → 2-D DCT → 8x8 low band → median
+    threshold). JPEG & friends still need ``pil_image_decoder``."""
+    from ncbi_analysis_spark.functions import imaging as im
+
+    arr = im.decode_image(bytes(data))
+    h, w = arr.shape[:2]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "mean_luma": float(im.to_gray(arr).mean() / 255.0),
+        "phash64": im.phash64(arr),
+    }
+
+
+def auto_image_decoder(data: bytes, meta: dict) -> dict:
+    """The ``image_features`` DEFAULT since round 14: payloads whose
+    magic bytes name a format the stdlib codecs handle (PNG/BMP) get
+    the REAL pixel path (``numpy_image_decoder``); everything else
+    falls back to the md5 stub — which keeps the DuckDB oracle
+    replayable (its fixture payloads are md5-derived bytes, never a
+    real image) and keeps compressed formats honest about needing the
+    Pillow drop-in rather than silently pseudo-hashing them."""
+    from ncbi_analysis_spark.functions import imaging as im
+
+    if data is not None and im.is_uncompressed_image(data):
+        return numpy_image_decoder(data, meta)
+    return deterministic_fake_decoder(data, meta)
+
+
+def numpy_resize_decoder(data: bytes, meta: dict,
+                         width: int, height: int) -> bytes:
+    """REAL resize for the stdlib-codec formats: decode (PNG/BMP),
+    per-channel area-average resample, re-encode PNG. The Pillow
+    drop-in (``pil_resize_decoder``) covers compressed inputs."""
+    import numpy as np
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    arr = im.decode_image(bytes(data))
+    if arr.ndim == 2:
+        out = im._resize_area(arr.astype(np.float64), height, width)
+        resized = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    else:
+        chans = [
+            np.clip(np.rint(im._resize_area(
+                arr[:, :, c].astype(np.float64), height, width)),
+                0, 255).astype(np.uint8)
+            for c in range(arr.shape[2])
+        ]
+        resized = np.stack(chans, axis=2)
+    return im.png_encode(resized)
 
 
 def deterministic_fake_audio_decoder(data: bytes, meta: dict) -> dict:
@@ -253,11 +319,15 @@ def pil_resize_decoder(data: bytes, meta: dict, width: int, height: int) -> byte
 
 def image_features(
     media: DataFrame,
-    decoder: Callable[[bytes, dict], dict] = deterministic_fake_decoder,
+    decoder: Callable[[bytes, dict], dict] = auto_image_decoder,
     batch_rows: int = 256,
     batch_decoder: Callable[[list], list] | None = None,
 ) -> DataFrame:
     """Decode + feature-extract images via mapInPandas.
+
+    Default decode is ``auto_image_decoder``: REAL pixels for the
+    stdlib-codec formats (PNG/BMP), md5 stub otherwise (r14 — the stub
+    was the default for everything before).
 
     Scale notes: media rows are large (bytes travel with the row) — keep
     ``spark.sql.files.maxPartitionBytes`` low enough that a partition of

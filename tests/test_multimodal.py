@@ -4,6 +4,7 @@ real; the codec step is the documented deterministic stub."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 
@@ -410,3 +411,113 @@ def test_video_near_dup_reencode_and_trim(spark):
     strict = {(r["id_a"], r["id_b"]): r["n_shared"]
               for r in mm.video_near_dup(media, min_shared_frames=3).collect()}
     assert strict == {(1, 2): 3}
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel path with NO optional dependency (r14): stdlib+numpy codecs
+# over committed binary fixtures — these never skip in this container.
+# ---------------------------------------------------------------------------
+
+_FIX = os.path.join(os.path.dirname(__file__), "fixtures", "media")
+
+
+def _fixture_array():
+    import numpy as np
+
+    y, x = np.mgrid[0:16, 0:24]
+    r = (x * 10 + y * 3) % 256
+    g = (x * 4 + y * 11 + 60 * np.exp(-((x - 7) ** 2 + (y - 5) ** 2) / 30)) % 256
+    b = (x + y * 7 + 128) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def test_stdlib_codecs_decode_committed_fixtures():
+    """Committed PNG and BMP decode pixel-exactly to the generating
+    formula — pins the codec against silent drift (the files are the
+    golden, not the encoder)."""
+    import numpy as np
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    want = _fixture_array()
+    png = im.decode_image(open(f"{_FIX}/gradient_rgb.png", "rb").read())
+    bmp = im.decode_image(open(f"{_FIX}/gradient_rgb.bmp", "rb").read())
+    assert png.shape == (16, 24, 3) and (png == want).all()
+    assert bmp.shape == (16, 24, 3) and (bmp == want).all()
+    gray = im.decode_image(open(f"{_FIX}/gradient_gray.png", "rb").read())
+    y, x = np.mgrid[0:16, 0:24]
+    assert (gray == ((x * 9 + y * 5) % 256).astype(np.uint8)).all()
+
+
+def test_numpy_image_decoder_real_pixels(spark):
+    """The real-pixel goldens through the full Spark plumbing
+    (image_features with its r14 DEFAULT decoder): true dimensions,
+    exact mean luma, and the committed DCT-pHash literals; PNG and BMP
+    encodings of the SAME pixels hash identically."""
+    png = open(f"{_FIX}/gradient_rgb.png", "rb").read()
+    bmp = open(f"{_FIX}/gradient_rgb.bmp", "rb").read()
+    gpng = open(f"{_FIX}/gradient_gray.png", "rb").read()
+    meta = (None, None, None, None, None, None)
+    media = spark.createDataFrame(
+        [(1, "image", png, meta), (2, "image", bmp, meta),
+         (3, "image", gpng, meta)],
+        mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (24, 16)
+    assert out[1]["phash64"] == -8851168403786148422
+    assert abs(out[1]["mean_luma"] - 0.561865298203) < 1e-9
+    # same pixels, different container -> identical features
+    assert out[2]["phash64"] == out[1]["phash64"]
+    assert out[2]["mean_luma"] == out[1]["mean_luma"]
+    assert out[3]["phash64"] == -7698246958416832598
+    assert abs(out[3]["mean_luma"] - 0.521568627451) < 1e-9
+
+
+def test_auto_decoder_dispatch_preserves_stub_payloads():
+    """Non-image payloads (the oracle's md5-derived bytes) take the md5
+    stub path unchanged; a 'BM' prefix alone must NOT be sniffed as BMP
+    (header fields validated)."""
+    payload = b"stub-payload-not-an-image"
+    assert (mm.auto_image_decoder(payload, {})
+            == mm.deterministic_fake_decoder(payload, {}))
+    fake_bm = b"BM" + bytes(range(64))
+    assert (mm.auto_image_decoder(fake_bm, {})
+            == mm.deterministic_fake_decoder(fake_bm, {}))
+
+
+def test_numpy_resize_decoder_real_pixels(spark):
+    """Real resize through resize_images: output decodes as a PNG of
+    the target size, and a solid-color image stays solid (area
+    resample exactness)."""
+    import numpy as np
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    solid = im.png_encode(np.full((10, 12, 3), 77, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image", solid, (12, 10, 3, None, None, "png"))],
+        mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, 4, 3,
+                           decoder=mm.numpy_resize_decoder).collect()
+    arr = im.decode_image(bytes(out[0]["data"]))
+    assert arr.shape == (3, 4, 3)
+    assert (arr == 77).all()
+
+
+def test_real_phash_noise_robustness():
+    """Perceptual property on real pixels: light noise moves the hash a
+    few bits; inversion moves it far — the property image_phash_near_dup
+    relies on at radius<=8."""
+    import numpy as np
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    base = _fixture_array()
+    h0 = im.phash64(base)
+    rng = np.random.RandomState(3)
+    noisy = np.clip(base.astype(int) + rng.randint(-6, 7, base.shape),
+                    0, 255).astype(np.uint8)
+    ham = bin((h0 ^ im.phash64(noisy)) & (2**64 - 1)).count("1")
+    assert ham <= 8, ham
+    far = bin((h0 ^ im.phash64(255 - base)) & (2**64 - 1)).count("1")
+    assert far >= 20, far
