@@ -638,6 +638,10 @@ BASELINE = {
     "genes_near_range": (1.672, 14),
     # locus parse + byte-sliced strand extract off the broadcast genome
     "gentamycin_report": (0.852, 14),
+    # capped incremental CC (the production path of the crawl loop;
+    # min-of-3, control 0.453 in the same session) — ~uncapped twin's
+    # wall at sf0.1 where few buckets exceed the cap
+    "cc_incremental_capped": (4.094, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -251,10 +251,84 @@ FROM gl JOIN genome g USING (accession)
 """
 
 
+# ---------------------------------------------------------------------------
+# Capped incremental CC — the SCALE path of the crawl-clustering loop,
+# oracle-pinned (VERDICT r13 ask 6)
+# ---------------------------------------------------------------------------
+
+
+def cc_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cc_incremental_clusters`` with the hot-bucket cap ON — the
+    production default path (uncapped pair-gen is the parity tier; the
+    capped tier is what runs at 100 TB, and r13's soak paid 475x
+    synthetic edge growth precisely because the parity query disables
+    the cap). ``max_band_freq=2`` is chosen so the cap BITES at the
+    driver's sf0.01 gate (max bucket size there is 3): the oracle
+    reproduces the cap as a bucket-size HAVING filter, so a dropped
+    bucket leaking pairs — or the cap dropping the wrong bucket — is an
+    exact hash mismatch. Split/fold semantics identical to the uncapped
+    twin (incremental ≡ full recompute on the CAPPED edge set)."""
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=2,
+    ).localCheckpoint(eager=True)
+    is_new = (F.col("id_a") + F.col("id_b")) % 3 == 0
+    prior = connected_components(pairs.filter(~is_new))
+    folded = connected_components_incremental(prior, pairs.filter(is_new))
+    return folded.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def _cc_capped_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r3 import _shingles_sql
+
+    return f"""
+WITH RECURSIVE
+shg AS (SELECT doc_id, {_shingles_sql()} AS sh FROM documents),
+m AS (SELECT doc_id,
+        list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+      FROM shg),
+bandrows AS (
+  SELECT doc_id, 0 AS band, md5(mh0 || ',' || mh1) AS bh FROM m
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(mh2 || ',' || mh3) AS bh FROM m
+),
+-- the hot-bucket cap: buckets of size > 2 are DROPPED (observably, on
+-- the Spark side) before pair generation
+ok AS (SELECT band, bh FROM bandrows
+       GROUP BY band, bh HAVING count(*) > 1 AND count(*) <= 2),
+pairs AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+          FROM bandrows a
+          JOIN ok ON ok.band = a.band AND ok.bh = a.bh
+          JOIN bandrows b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+edges AS (SELECT ida AS u, idb AS v FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.v = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def queries_r14() -> dict:
     return {
         "genes_near_range": genes_near_range,
         "gentamycin_report": gentamycin_report,
+        "cc_incremental_capped": cc_incremental_capped,
     }
 
 
@@ -262,4 +336,5 @@ def oracle_sql_r14() -> dict[str, str]:
     return {
         "genes_near_range": _genes_near_range_sql(),
         "gentamycin_report": _gentamycin_sql(),
+        "cc_incremental_capped": _cc_capped_sql(),
     }

@@ -220,6 +220,9 @@ def audit(
             # lsh_delete_probe class)
             "cc_incremental_clusters", "curation_v6",
             "cc_labels_artifact",
+            # staged r14: the capped twin executes the same iterative
+            # CC fixpoint at construction
+            "cc_incremental_capped",
             # table_profile collects its one aggregate row during
             # construction (the bounded-model convention) and returns a
             # LocalTableScan
