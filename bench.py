@@ -642,6 +642,8 @@ BASELINE = {
     # min-of-3, control 0.453 in the same session) — ~uncapped twin's
     # wall at sf0.1 where few buckets exceed the cap
     "cc_incremental_capped": (4.094, 14),
+    # fixture-sized pubmed pivot report (min-of-3, control 0.415)
+    "s10_pubmed_report": (0.49, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -324,11 +324,49 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def s10_pubmed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``pubmed_count.tsv`` report twin
+    (sources/enrichment.py::pubmed_count_report; reference
+    run_search_count.py:61-67): S10's per-(gene, keyword) count dim
+    pivoted to one row per gene over the FIXED keyword list, missing
+    pages reading 'Error' (the failed-download cell). Completes the
+    run_search_count parity beyond the s10_pubmed_dim extraction."""
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _FIXTURES
+    from ncbi_analysis_spark.sources.enrichment import (
+        pubmed_count_dim,
+        pubmed_count_report,
+    )
+
+    pages = spark.read.json(f"{_FIXTURES}/driver_s10_pubmed.jsonl")
+    return pubmed_count_report(pubmed_count_dim(pages.select("key", "page")))
+
+
+def _s10_report_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r5 import S10_SQL
+
+    return f"""
+WITH dim AS ({S10_SQL})
+SELECT gene,
+  coalesce(max(CASE WHEN keyword = 'drug' THEN count_raw END),
+           'Error') AS drug,
+  coalesce(max(CASE WHEN keyword = 'Kanamycin_B' THEN count_raw END),
+           'Error') AS kanamycin_b,
+  coalesce(max(CASE WHEN keyword = 'aminoglycoside' THEN count_raw END),
+           'Error') AS aminoglycoside,
+  coalesce(max(CASE WHEN keyword = 'antibiotic' THEN count_raw END),
+           'Error') AS antibiotic,
+  coalesce(max(CASE WHEN keyword = 'biofilm' THEN count_raw END),
+           'Error') AS biofilm
+FROM dim GROUP BY gene
+"""
+
+
 def queries_r14() -> dict:
     return {
         "genes_near_range": genes_near_range,
         "gentamycin_report": gentamycin_report,
         "cc_incremental_capped": cc_incremental_capped,
+        "s10_pubmed_report": s10_pubmed_report,
     }
 
 
@@ -337,4 +375,5 @@ def oracle_sql_r14() -> dict[str, str]:
         "genes_near_range": _genes_near_range_sql(),
         "gentamycin_report": _gentamycin_sql(),
         "cc_incremental_capped": _cc_capped_sql(),
+        "s10_pubmed_report": _s10_report_sql(),
     }

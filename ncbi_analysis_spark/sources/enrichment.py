@@ -474,3 +474,35 @@ def go_terms_dim(pages: DataFrame) -> DataFrame:
             for cat, terms in extract_go_table(p)
         ],
     )
+
+
+PUBMED_REPORT_KEYWORDS = [
+    "drug", "Kanamycin_B", "aminoglycoside", "antibiotic", "biofilm",
+]
+
+
+def pubmed_count_report(counts: DataFrame) -> DataFrame:
+    """The ``pubmed_count.tsv`` report the reference driver writes
+    (run_search_count.py:61-67): one row per gene, one column per
+    search keyword, cell = the extracted result count — ``'Error'``
+    when the (gene, keyword) page is missing (the reference writes
+    'Error' after 3 failed download retries; in the snapshot-ingestion
+    model a missing page row is that same condition). Input is
+    ``pubmed_count_dim`` output. Column names are the SQL-safe
+    lowercase of the reference header ('Kanamycin+B' → kanamycin_b;
+    files on disk use the '_' form already).
+
+    Spark shape: a groupBy-pivot over the FIXED keyword list (explicit
+    values, so no extra distinct-discovery pass) — one shuffle on gene.
+    """
+    pivoted = (
+        counts.groupBy("gene")
+        .pivot("keyword", PUBMED_REPORT_KEYWORDS)
+        .agg(F.first("count_raw"))
+    )
+    return pivoted.select(
+        "gene",
+        *[F.coalesce(F.col(f"`{kw}`"), F.lit("Error"))
+          .alias(kw.lower().replace("+", "_"))
+          for kw in PUBMED_REPORT_KEYWORDS],
+    )

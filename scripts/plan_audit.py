@@ -140,11 +140,12 @@ EXPECTED: dict[str, set[str]] = {
     # --- staged r14 (audited pre-registration) ---
     # Position-helper expansion: the 25-row annotation dim broadcast
     # twice (bounds agg cross join + non-equi candidate join) — BNLJ by
-    # definition; the dim's row_number index is a deliberate
-    # single-partition window over a bounded annotation table
-    # (documented in operators/genes.py::nearby_genes_by_range).
-    "genes_near_range": {"BroadcastNestedLoopJoin",
-                         "Exchange SinglePartition"},
+    # definition. (The dim's row_number index is a deliberate
+    # single-partition window over a bounded annotation table —
+    # documented in operators/genes.py::nearby_genes_by_range — but
+    # under AQE it never appears in the STATIC plan this audit scans,
+    # per the module-note on Exchange SinglePartition.)
+    "genes_near_range": {"BroadcastNestedLoopJoin"},
 }
 
 
