@@ -224,6 +224,9 @@ def audit(
             # staged r14: the capped twin executes the same iterative
             # CC fixpoint at construction
             "cc_incremental_capped",
+            # staged r14: SemDeDup's group stage is the same eager
+            # checkpointed CC fixpoint
+            "semdedup_survivors",
             # table_profile collects its one aggregate row during
             # construction (the bounded-model convention) and returns a
             # LocalTableScan
