@@ -300,3 +300,46 @@ def bpe_encode(
         return pd.Series(enc(s.tolist()))
 
     return df.withColumn(out_col, _enc(F.col(text)))
+
+
+def bpe_batch_decoder(
+    merges: list[tuple[str, str]],
+) -> Callable[[list], list]:
+    """``list[list[int]] -> list[str]`` batch DECODER over a trained
+    merge table — the inverse of ``bpe_batch_encoder`` up to the
+    encoder's own normalization: pieces concatenate back to the
+    lowercased words (merges preserve concatenation by construction),
+    ``</w>`` markers become word boundaries, and the output joins
+    words with single spaces. ``decode(encode(t))`` equals
+    whitespace-collapsed ``t.lower()`` exactly when no character fell
+    to ``<unk>`` (UNK_ID renders as the literal ``<unk>`` — lossy, by
+    the same contract every subword tokenizer has)."""
+    inv = {i: p for p, i in bpe_vocab_map(merges).items()}
+
+    def decode(ids_rows: list) -> list:
+        out = []
+        for ids in ids_rows:
+            s = "".join(inv.get(int(i), "<unk>") for i in (ids or []))
+            out.append(" ".join(w for w in s.split(EOW) if w != ""))
+        return out
+
+    return decode
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    ids_col: str = "token_ids",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Append the decoded text for a trained-BPE id-sequence column —
+    the shard READER's side of ``bpe_encode`` (inspect/debug training
+    shards, re-materialize text for eval sets). Arrow-batched pandas
+    UDF; the inverse vocabulary rides the closure."""
+    dec = bpe_batch_decoder(merges)
+
+    @F.pandas_udf("string")
+    def _dec(s: pd.Series) -> pd.Series:
+        return pd.Series(dec(s.tolist()))
+
+    return df.withColumn(out_col, _dec(F.col(ids_col)))

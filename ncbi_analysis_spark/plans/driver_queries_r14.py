@@ -440,6 +440,106 @@ FROM assign a LEFT JOIN comp ON comp.id = a.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE decode round-trip — the shard reader's side of bpe_encode_ids
+# ---------------------------------------------------------------------------
+
+
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE DECODE round-trip (functions/bpe.py::bpe_decode —
+    closing the encode→persist→READ-BACK loop): train 120 merges,
+    encode every document, decode the id sequences, and compare
+    against the encoder's own normalization (lowercase +
+    whitespace-collapse). Exactly the no-<unk> documents must round
+    -trip — so a decode bug (wrong inverse vocab, lost word boundary,
+    wrong piece order) flips ``round_trip_ok`` rows and hash-fails
+    against the oracle, which derives ``has_unk`` independently from
+    the Spark-free local twin's word→ids table and predicts
+    ``round_trip_ok = NOT has_unk``."""
+    from ncbi_analysis_spark.functions.bpe import (
+        bpe_decode,
+        bpe_encode,
+        train_bpe,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(d, "text", num_merges=120)
+    # one planted doc with a character OUTSIDE the training alphabet
+    # (the corpus' own alphabet is fully covered by 120 merges, so the
+    # <unk>/lossy-round-trip leg would otherwise never fire)
+    planted = d.unionByName(spark.createDataFrame(
+        [(1_000_000, "zz\u00a7zz the")], "doc_id long, text string"))
+    enc = bpe_encode(planted, merges, "text")
+    dec = bpe_decode(enc, merges)
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+        r"\s+", " ")
+    return dec.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.array_contains("token_ids", 0).alias("has_unk"),
+        (F.col("text_decoded") == norm).alias("round_trip_ok"),
+    )
+
+
+def _bpe_roundtrip_sql() -> str:
+    import duckdb
+
+    from ncbi_analysis_spark.functions.bpe import (
+        bpe_batch_encoder,
+        bpe_train_local,
+    )
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _oracle_sf_dir
+
+    path = f"{_oracle_sf_dir()}/documents.parquet"
+    merges = bpe_train_local(path, num_merges=120)
+    enc = bpe_batch_encoder(merges)
+    con = duckdb.connect()
+    words = [r[0] for r in con.execute(
+        r"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), "
+        r"'\s+')) AS w FROM read_parquet(?) "
+        "WHERE text IS NOT NULL ORDER BY w", [path]).fetchall()
+        if r[0] != ""]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    # the planted out-of-alphabet word rides the same literal table
+    words = sorted(set(words) | {"zz\u00a7zz", "the"})
+    vals = ", ".join(
+        f"({q(w)}, {len(ids)}, {1 if 0 in ids else 0})"
+        for w, ids in ((w, enc([w])[0]) for w in words)
+    )
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT 1000000, 'zz' || chr(167) || 'zz the'),
+enc(w, n, unk) AS (VALUES {vals}),
+ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(COALESCE(text, ''))),
+                                        '\s+'), x -> x <> '') AS l
+  FROM d
+),
+wrow AS (
+  SELECT doc_id, UNNEST(l) AS w FROM ws
+),
+agg AS (
+  SELECT wrow.doc_id,
+         SUM(e.n)::BIGINT AS n_tokens,
+         MAX(e.unk) AS has_unk
+  FROM wrow JOIN enc e ON wrow.w = e.w
+  GROUP BY wrow.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(agg.has_unk, 0) = 1 AS has_unk,
+       COALESCE(agg.has_unk, 0) = 0 AS round_trip_ok
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def queries_r14() -> dict:
     return {
         "genes_near_range": genes_near_range,
@@ -447,6 +547,7 @@ def queries_r14() -> dict:
         "cc_incremental_capped": cc_incremental_capped,
         "s10_pubmed_report": s10_pubmed_report,
         "semdedup_survivors": semdedup_survivors,
+        "bpe_roundtrip": bpe_roundtrip,
     }
 
 
@@ -457,4 +558,5 @@ def oracle_sql_r14() -> dict[str, str]:
         "cc_incremental_capped": _cc_capped_sql(),
         "s10_pubmed_report": _s10_report_sql(),
         "semdedup_survivors": _semdedup_sql(),
+        "bpe_roundtrip": _bpe_roundtrip_sql(),
     }

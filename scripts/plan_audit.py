@@ -227,6 +227,9 @@ def audit(
             # staged r14: SemDeDup's group stage is the same eager
             # checkpointed CC fixpoint
             "semdedup_survivors",
+            # staged r14: trains the merge table at construction (the
+            # bpe_vocab / bpe_encode_ids class)
+            "bpe_roundtrip",
             # table_profile collects its one aggregate row during
             # construction (the bounded-model convention) and returns a
             # LocalTableScan

@@ -160,3 +160,32 @@ def test_merge_loop_matches_independent_reimplementation(spark):
         hist = {w: rnd.randint(1, 9) for w in vocab}
         nm = rnd.randint(1, 25)
         assert _merge_loop(dict(hist), nm) == naive_bpe(hist, nm), (trial, hist)
+
+
+def test_bpe_decode_roundtrip_and_unk(spark):
+    """decode(encode(t)) == whitespace-collapsed t.lower() when every
+    char is in the training alphabet; out-of-alphabet chars render as
+    <unk> (lossy by contract); empty/None texts decode to ''."""
+    from ncbi_analysis_spark.functions.bpe import (
+        bpe_batch_decoder, bpe_batch_encoder, bpe_decode, bpe_encode,
+        train_bpe)
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the  CAT\tsat"),
+         (3, None),
+         (4, "")],
+        "doc_id long, text string")
+    merges = train_bpe(d, "text", num_merges=20)
+    out = {r["doc_id"]: r["text_decoded"]
+           for r in bpe_decode(bpe_encode(d, merges, "text"),
+                               merges).collect()}
+    assert out == {1: "the cat sat on the mat",
+                   2: "the cat sat", 3: "", 4: ""}
+
+    enc = bpe_batch_encoder(merges)
+    dec = bpe_batch_decoder(merges)
+    # out-of-alphabet char -> literal <unk> in the decode
+    ids = enc(["the z§z cat"])[0]
+    assert 0 in ids
+    assert "<unk>" in dec([ids])[0]
