@@ -1393,82 +1393,3 @@ def ann_recall_audit(
                F.round(F.col("n_hit") / F.col("n_exact"), 6)).alias("recall"),
     )
 
-
-def semdedup(
-    corpus: DataFrame,
-    centroids: DataFrame,
-    threshold: float = 0.95,
-    vec: str = "embedding",
-    id_col: str = "vec_id",
-    c_id: str = "c_id",
-    max_cluster_size: int | None = 1000,
-    max_iter: int = 25,
-) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper):
-    semantic deduplication in embedding space. Cluster with the given
-    quantizer, compute exact pairwise cosines WITHIN clusters only,
-    connect pairs at/above ``threshold`` into near-dup groups, keep one
-    representative per group.
-
-    Returns ``(id_col, c_id, component, kept)``: ``component`` is the
-    near-dup group label (min member id — connected_components'
-    convention; singletons label themselves), ``kept`` marks the one
-    survivor per group. Keep-lowest-id is a DOCUMENTED divergence from
-    the paper's keep-lowest-centroid-similarity: it is rerun-stable,
-    layout-independent, and oracle-exact, and the choice of survivor
-    within a group is policy, not semantics.
-
-    Scale shape: assignment is ``ivf_assign``'s map-side argmax (no
-    shuffle); the pair stage shuffles both sides ONCE on ``c_id`` and
-    is quadratic only within a cluster — with ``max_cluster_size``
-    dropping degenerate clusters observably (the ``max_band_freq``
-    posture: a cluster that big means the quantizer is underfit for
-    the corpus — refit k ~ sqrt(N) rather than pay its pairs); the
-    group stage is the checkpointed iterative CC over only the
-    at-threshold edges. Cosines compare at the family's 6dp round, so
-    the threshold cut is deterministic cross-engine.
-    """
-    from ncbi_analysis_spark.operators.components import (
-        connected_components,
-    )
-    from ncbi_analysis_spark.operators.dedup import _capped
-
-    assigned = ivf_assign(corpus, centroids, vec=vec, id_col=id_col,
-                          c_id=c_id)
-    pair_src = assigned
-    if max_cluster_size is not None:
-        # the cap bounds PAIR GENERATION only: members of an over-cap
-        # cluster stay in the output (each kept=true) — a dedup
-        # operator must never silently drop documents, it just
-        # declines the quadratic work for a cluster the quantizer
-        # underfit (refit k ~ sqrt(N) instead)
-        sizes = assigned.groupBy(c_id).agg(F.count("*").alias("__n"))
-        ok = _capped(sizes, F.col("__n"), max_cluster_size,
-                     "semdedup").select(c_id)
-        pair_src = assigned.join(ok, c_id, "left_semi")
-    # ivf_assign's output carries the vector as __cv
-    a = pair_src.select(
-        F.col(c_id), F.col(id_col).alias("__ida"),
-        F.col("__cv").alias("__va"))
-    b = pair_src.select(
-        F.col(c_id), F.col(id_col).alias("__idb"),
-        F.col("__cv").alias("__vb"))
-    edges = (
-        a.join(b, c_id)
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-                >= F.lit(float(threshold)))
-        .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"))
-    )
-    labels = connected_components(edges, "id_a", "id_b", max_iter)
-    return (
-        assigned.select(id_col, c_id)
-        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
-        .select(
-            id_col,
-            c_id,
-            F.coalesce(F.col("component"), F.col(id_col))
-            .alias("component"),
-        )
-        .withColumn("kept", F.col("component") == F.col(id_col))
-    )

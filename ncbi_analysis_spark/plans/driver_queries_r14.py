@@ -362,85 +362,6 @@ FROM dim GROUP BY gene
 
 
 # ---------------------------------------------------------------------------
-# SemDeDup — semantic dedup in embedding space (Abbas et al. 2023)
-# ---------------------------------------------------------------------------
-
-
-def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup end-to-end (operators/similarity_search.py::semdedup):
-    quantizer = the ANN family's 8 frozen centroids, exact pairwise
-    cosine within clusters at the 6dp round, near-dup groups via
-    connected components, keep-lowest-id survivor per group. The
-    testdata embeddings are near-orthogonal (max off-diagonal cosine
-    ~0.51 at sf0.01), so a planted twin per 10th vector (id+10^6, same
-    vector — same cluster by deterministic assignment, cosine 1.0)
-    makes the drop path load-bearing: every twin must land kept=false
-    under its source's component. Oracle: full recompute — the ANN_IVF
-    assignment CTE over the planted corpus, within-cluster pair join
-    with the same rounded-cosine threshold, recursive-CTE CC, keep
-    flags."""
-    from ncbi_analysis_spark.operators.similarity_search import semdedup
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    base = e.select("vec_id", "embedding")
-    planted = base.unionByName(
-        base.filter(F.col("vec_id") % 10 == 0).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"))
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("c_id"), "embedding")
-    out = semdedup(planted, cents, threshold=0.92, max_cluster_size=1000)
-    return out.select("vec_id", "c_id", "component", "kept")
-
-
-def _semdedup_sql() -> str:
-    from ncbi_analysis_spark.plans.driver_queries import _DOT, _cos_sql
-
-    dot_vc = _DOT.format(a="c.v", b="ct.cv")
-    norm_c = _DOT.format(a="ct.cv", b="ct.cv")
-    return f"""
-WITH RECURSIVE
-cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
-         WHERE vec_id < 8),
-corpus AS (SELECT vec_id, embedding AS v FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000, embedding FROM embeddings
-           WHERE vec_id % 10 = 0),
-assign0 AS (
-  SELECT c.vec_id, c.v, ct.c_id,
-         (CASE WHEN sqrt({norm_c}) = 0 THEN 0.0
-               ELSE {dot_vc} / sqrt({norm_c}) END) AS sim
-  FROM corpus c CROSS JOIN cent ct
-),
-assign AS (SELECT vec_id, v, c_id FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                               ORDER BY sim DESC, c_id) AS rn
-  FROM assign0
-) WHERE rn = 1),
-sizes AS (SELECT c_id FROM assign GROUP BY c_id
-          HAVING count(*) <= 1000),
-capped AS (SELECT a.* FROM assign a JOIN sizes USING (c_id)),
-pairs AS (
-  SELECT a.vec_id AS ida, b.vec_id AS idb
-  FROM capped a JOIN capped b
-    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
-  WHERE ROUND({_cos_sql('a.v', 'b.v')}, 6) >= 0.92
-),
-edges AS (SELECT ida AS u, idb AS w FROM pairs
-          UNION SELECT idb, ida FROM pairs),
-reach AS (
-  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
-  UNION
-  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.w = reach.id
-),
-comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
-SELECT a.vec_id, a.c_id,
-       coalesce(comp.component, a.vec_id) AS component,
-       coalesce(comp.component, a.vec_id) = a.vec_id AS kept
-FROM assign a LEFT JOIN comp ON comp.id = a.vec_id
-"""
-
-
-# ---------------------------------------------------------------------------
 # BPE decode round-trip — the shard reader's side of bpe_encode_ids
 # ---------------------------------------------------------------------------
 
@@ -546,7 +467,6 @@ def queries_r14() -> dict:
         "gentamycin_report": gentamycin_report,
         "cc_incremental_capped": cc_incremental_capped,
         "s10_pubmed_report": s10_pubmed_report,
-        "semdedup_survivors": semdedup_survivors,
         "bpe_roundtrip": bpe_roundtrip,
     }
 
@@ -557,6 +477,5 @@ def oracle_sql_r14() -> dict[str, str]:
         "gentamycin_report": _gentamycin_sql(),
         "cc_incremental_capped": _cc_capped_sql(),
         "s10_pubmed_report": _s10_report_sql(),
-        "semdedup_survivors": _semdedup_sql(),
         "bpe_roundtrip": _bpe_roundtrip_sql(),
     }

@@ -224,9 +224,6 @@ def audit(
             # staged r14: the capped twin executes the same iterative
             # CC fixpoint at construction
             "cc_incremental_capped",
-            # staged r14: SemDeDup's group stage is the same eager
-            # checkpointed CC fixpoint
-            "semdedup_survivors",
             # staged r14: trains the merge table at construction (the
             # bpe_vocab / bpe_encode_ids class)
             "bpe_roundtrip",

@@ -422,38 +422,3 @@ def test_reduced_rerank_recall_and_exactness(spark):
     for r in got:
         assert r["cos_sim"] == all_scores[(r["q_id"], r["vec_id"])]
 
-
-def test_semdedup_groups_and_cap(spark):
-    """SemDeDup semantics: within-cluster near-dup groups keep the
-    lowest id; cross-cluster near-dups are NOT paired (the paper's
-    deliberate approximation); transitive chains collapse to one
-    survivor; the hot-cluster cap skips PAIR-GEN only — members of an
-    over-cap cluster all stay kept (a dedup operator never silently
-    drops documents)."""
-    from ncbi_analysis_spark.operators.similarity_search import semdedup
-
-    cents = spark.createDataFrame(
-        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
-        "c_id long, embedding array<double>")
-    corpus = spark.createDataFrame(
-        [(1, [1.0, 0.01]),     # c1
-         (2, [1.0, 0.011]),    # c1, ~1.0 cos to 1 -> dup
-         (6, [1.0, 0.012]),    # c1, chains with 1,2 -> one group {1,2,6}
-         (3, [0.9, 0.35]),     # c1, cos to 1 ~0.93 -> below 0.99, kept
-         (4, [0.01, 1.0]),     # c2
-         (5, [0.012, 1.0])],   # c2, dup of 4
-        "vec_id long, embedding array<double>")
-    out = {r["vec_id"]: (r["component"], r["kept"])
-           for r in semdedup(corpus, cents, threshold=0.99).collect()}
-    assert out == {
-        1: (1, True), 2: (1, False), 6: (1, False),
-        3: (3, True), 4: (4, True), 5: (4, False),
-    }
-
-    # cap=2: cluster c1 (4 members) skips pair-gen -> all kept;
-    # cluster c2 (2 members) still dedups
-    out = {r["vec_id"]: r["kept"]
-           for r in semdedup(corpus, cents, threshold=0.99,
-                             max_cluster_size=2).collect()}
-    assert out == {1: True, 2: True, 6: True, 3: True,
-                   4: True, 5: False}
