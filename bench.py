@@ -56,6 +56,9 @@ EXTRA_RUNS = {
     # standalone min-of-5, control 0.467).
     "bm25_search": max(N_RUNS, 4),
     "heavy_hitters_report": max(N_RUNS, 4),
+    # r14: retrains the merge table per execution (bpe_encode_ids'
+    # cold-first-run class)
+    "bpe_roundtrip": max(N_RUNS, 4),
 }
 
 # Headline set: the scan-agg core, window ops, every join family, and the
