@@ -647,6 +647,9 @@ BASELINE = {
     "cc_incremental_capped": (4.094, 14),
     # fixture-sized pubmed pivot report (min-of-3, control 0.415)
     "s10_pubmed_report": (0.49, 14),
+    # trains 120 merges + encode + decode + compare per execution
+    # (min-of-5 standalone, control 0.351)
+    "bpe_roundtrip": (1.438, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed
