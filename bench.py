@@ -59,6 +59,11 @@ EXTRA_RUNS = {
     # r14: retrains the merge table per execution (bpe_encode_ids'
     # cold-first-run class)
     "bpe_roundtrip": max(N_RUNS, 4),
+    # r14: both flagged on in-run cold-first noise in the first r14
+    # clean run (3.4x / 2x first-vs-steady; standalone min-of-5 read
+    # 1.12x and 1.0x vs baseline with the control at 0.476)
+    "ann_ivf_search": max(N_RUNS, 4),
+    "s10_pubmed_report": max(N_RUNS, 4),
 }
 
 # Headline set: the scan-agg core, window ops, every join family, and the
