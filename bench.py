@@ -655,6 +655,9 @@ BASELINE = {
     # trains 120 merges + encode + decode + compare per execution
     # (min-of-5 standalone, control 0.351)
     "bpe_roundtrip": (1.438, 14),
+    # one combined groupBy + counts-total broadcast + bounded top-k
+    # (min-of-4, control 0.532 in the same session)
+    "skew_report_events": (0.648, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -982,3 +982,48 @@ def priority_sample(
         )
         .drop("__priority", "__rk")
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+    target_rows_per_task: int = 1_000_000,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_n`` heaviest key groups with
+    exact counts, integer-ppm share of the table, and the salt factor
+    that spreads each key to ~``target_rows_per_task`` rows per task —
+    feed the max into :func:`salted_join`'s ``salt`` (or confirm AQE's
+    skew split suffices). The missing step BEFORE the salting knob:
+    whether a join needs salting, and how much, should be measured,
+    not guessed.
+
+    Output ``(*keys, n_rows, share_ppm, recommended_salt)`` ordered
+    heaviest first (key-asc tiebreak). All-integer arithmetic
+    (``div``), so the report is exact cross-engine.
+
+    Scale shape: one map-side-combined groupBy over the raw table;
+    everything after operates on the aggregated key table — the total
+    is a one-row aggregate OF THE COUNTS broadcast back (never a
+    second raw scan), and the report is a bounded
+    TakeOrderedAndProject.
+    """
+    t = int(target_rows_per_task)
+    if t <= 0:
+        raise ValueError(f"target_rows_per_task must be > 0, got {t}")
+    counts = df.groupBy(*keys).agg(F.count("*").cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("long").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+        .select(
+            *keys,
+            "n_rows",
+            F.expr("(n_rows * CAST(1000000 AS BIGINT)) div __total")
+            .alias("share_ppm"),
+            F.expr(f"(n_rows + CAST({t - 1} AS BIGINT)) "
+                   f"div CAST({t} AS BIGINT)")
+            .cast("long").alias("recommended_salt"),
+        )
+    )

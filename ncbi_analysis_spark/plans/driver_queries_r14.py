@@ -461,6 +461,39 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic report
+# ---------------------------------------------------------------------------
+
+
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/scale.py::key_skew_report): the
+    20 heaviest users in the events table with exact counts,
+    integer-ppm share, and the salt factor for a 1000-rows-per-task
+    target (small so the salt column varies in the fixture) — the
+    measure-before-salting step in front of salted_join. Oracle: plain
+    count/rank/div recompute."""
+    from ncbi_analysis_spark.operators.scale import key_skew_report
+    from ncbi_analysis_spark.sources.events import read_events
+
+    e = read_events(spark, f"{sf_dir}/events.parquet")
+    return key_skew_report(e, ["user_id"], top_n=20,
+                           target_rows_per_task=1000)
+
+
+_SKEW_SQL = """
+WITH c AS (
+  SELECT user_id, count(*)::BIGINT AS n_rows FROM events GROUP BY user_id
+),
+t AS (SELECT sum(n_rows)::BIGINT AS total FROM c)
+SELECT user_id, n_rows,
+       (n_rows * 1000000) // t.total AS share_ppm,
+       (n_rows + 999) // 1000 AS recommended_salt
+FROM c CROSS JOIN t
+ORDER BY n_rows DESC, user_id ASC LIMIT 20
+"""
+
+
 def queries_r14() -> dict:
     return {
         "genes_near_range": genes_near_range,
@@ -468,6 +501,7 @@ def queries_r14() -> dict:
         "cc_incremental_capped": cc_incremental_capped,
         "s10_pubmed_report": s10_pubmed_report,
         "bpe_roundtrip": bpe_roundtrip,
+        "skew_report_events": skew_report_events,
     }
 
 
@@ -478,4 +512,5 @@ def oracle_sql_r14() -> dict[str, str]:
         "cc_incremental_capped": _cc_capped_sql(),
         "s10_pubmed_report": _s10_report_sql(),
         "bpe_roundtrip": _bpe_roundtrip_sql(),
+        "skew_report_events": _SKEW_SQL,
     }

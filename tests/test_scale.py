@@ -651,3 +651,32 @@ def test_priority_sample_null_and_nonpositive_weights(spark):
     bad = spark.createDataFrame([(1, 0)], "id long, w long")
     with _pytest.raises(Exception, match="non-positive weight"):
         scale.priority_sample(bad, "w", 2, "id").collect()
+
+
+def test_key_skew_report_exact_math(spark):
+    """Exact counts, integer-ppm share, ceil salt factor, heaviest-first
+    with key-asc tiebreak, top_n bound, target validation."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators.scale import key_skew_report
+
+    rows = ([("hot", i) for i in range(70)]
+            + [("warm", i) for i in range(25)]
+            + [("a_cold", 0), ("b_cold", 0), ("c_cold", 0),
+               ("d_cold", 0), ("e_cold", 0)])
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = [r.asDict() for r in
+           key_skew_report(df, ["k"], top_n=3,
+                           target_rows_per_task=30).collect()]
+    assert got == [
+        # 70/100 -> 700000 ppm; ceil(70/30) = 3
+        {"k": "hot", "n_rows": 70, "share_ppm": 700000,
+         "recommended_salt": 3},
+        {"k": "warm", "n_rows": 25, "share_ppm": 250000,
+         "recommended_salt": 1},
+        # 1-row keys tie -> key-asc picks a_cold
+        {"k": "a_cold", "n_rows": 1, "share_ppm": 10000,
+         "recommended_salt": 1},
+    ]
+    with _pytest.raises(ValueError, match="target_rows_per_task"):
+        key_skew_report(df, ["k"], target_rows_per_task=0)
