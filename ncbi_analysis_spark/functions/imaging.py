@@ -57,6 +57,11 @@ def png_encode(arr: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the PNG scanline filters. Cost posture: None/Up/Sub are
+    numpy-vectorized per row; Average and Paeth carry a true sequential
+    left-dependency and run as per-pixel Python — fine for fixtures and
+    screenshots, but for large photographic PNGs (whose encoders lean
+    on Paeth) prefer ``pil_image_decoder`` where Pillow is installed."""
     stride = w * ch
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
@@ -69,10 +74,11 @@ def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
         pos += stride
         if ftype == 0:
             cur = line
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 1:  # Sub — out[x] = line[x] + out[x-ch]: a
+            # per-channel-lane prefix sum (mod-256 addition is
+            # associative), vectorized as cumsum over the width axis
+            cur = (line.reshape(w, ch).cumsum(axis=0) & 0xFF).reshape(
+                stride)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average

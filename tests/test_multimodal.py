@@ -521,3 +521,63 @@ def test_real_phash_noise_robustness():
     assert ham <= 8, ham
     far = bin((h0 ^ im.phash64(255 - base)) & (2**64 - 1)).count("1")
     assert far >= 20, far
+
+
+def test_png_decode_all_five_scanline_filters():
+    """png_decode must reverse every scanline filter type (0-4) — the
+    committed fixtures only exercise filter 0 (our encoder's choice),
+    so each filter is pinned against an INDEPENDENTLY encoded PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
+
+    def png_with_filter(a, ftype):
+        h, w, ch = a.shape
+        rows = []
+        prev = np.zeros(w * ch, dtype=np.int32)
+        for y in range(h):
+            cur = a[y].reshape(-1).astype(np.int32)
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = cur.copy()
+                for x in range(w * ch - 1, ch - 1, -1):
+                    enc[x] = (enc[x] - cur[x - ch]) & 0xFF
+            elif ftype == 2:
+                enc = (cur - prev) & 0xFF
+            elif ftype == 3:
+                enc = cur.copy()
+                for x in range(w * ch):
+                    left = cur[x - ch] if x >= ch else 0
+                    enc[x] = (cur[x] - ((left + prev[x]) >> 1)) & 0xFF
+            else:
+                enc = cur.copy()
+                for x in range(w * ch):
+                    left = cur[x - ch] if x >= ch else 0
+                    up = prev[x]
+                    ul = prev[x - ch] if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if (pa <= pb and pa <= pc)
+                            else (up if pb <= pc else ul))
+                    enc[x] = (cur[x] - pred) & 0xFF
+            rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+        raw = b"".join(rows)
+
+        def chunk(tag, p):
+            return (struct.pack(">I", len(p)) + tag + p
+                    + struct.pack(">I", zlib.crc32(tag + p) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (im._PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    for f in range(5):
+        assert (im.png_decode(png_with_filter(arr, f)) == arr).all(), f
