@@ -138,6 +138,9 @@ def nearby_genes_by_range(
     ``genes`` is a bounded annotation dim ``(gene, gene_left,
     gene_right, sequence)``; ``ranges`` carries ``r_id``/``r_left``/
     ``r_right``/``direction`` plus any payload columns (all preserved).
+    ``r_id`` must be unique per range row — exact duplicate rows
+    collapse to one through the bounds aggregation (the reference,
+    a per-row loop, would emit each duplicate's expansion twice).
     Per range, with genes indexed by start position:
 
     * ``lg`` = first index with ``gene_left >= left``, ``rl`` = last

@@ -498,7 +498,11 @@ def pubmed_count_report(counts: DataFrame) -> DataFrame:
     pivoted = (
         counts.groupBy("gene")
         .pivot("keyword", PUBMED_REPORT_KEYWORDS)
-        .agg(F.first("count_raw"))
+        # max, not first: one page per (gene, keyword) by construction,
+        # but duplicate snapshot keys must not make the cell
+        # layout-dependent (and the DuckDB oracle's conditional agg is
+        # max)
+        .agg(F.max("count_raw"))
     )
     return pivoted.select(
         "gene",
