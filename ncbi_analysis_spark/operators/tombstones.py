@@ -259,7 +259,32 @@ class maintenance_lock:
             except Exception:
                 pass  # lost the steal race — claim below adjudicates
             else:
-                fsutil.delete(self._spark, steal_tomb)
+                # verify WHAT was renamed: between our expired-read and
+                # the rename, the holder could have released and a NEW
+                # writer claimed — the tomb would then hold a LIVE
+                # lock. Restore it and bow out (the claim below fails
+                # against the restored file). Residual window: if a
+                # third writer claims between our rename and the
+                # restore, the restore fails and the live holder's
+                # release becomes a no-op — a triple race inside one
+                # marker-write window, documented rather than closable
+                # without a real compare-and-swap primitive.
+                try:
+                    tomb = json.loads(
+                        fsutil.read_text(self._spark, steal_tomb))
+                    same = (tomb.get("owner") == held.get("owner")
+                            and tomb.get("acquired_unix")
+                            == held.get("acquired_unix"))
+                except Exception:
+                    same = True  # unreadable tomb == the crashed lock
+                if same:
+                    fsutil.delete(self._spark, steal_tomb)
+                else:
+                    try:
+                        fsutil.rename(self._spark, steal_tomb,
+                                      self._path)
+                    except Exception:
+                        pass
         if not self._try_claim():
             raise ConcurrentMaintenanceError(
                 f"index maintenance lock at {self._path!r} was re-claimed "

@@ -218,3 +218,45 @@ def test_expired_lock_steal_race_has_single_winner(spark, tmp_path):
     residue = [c for c in fsutil.list_children(spark, idx)
                if ".steal." in c]
     assert residue == []
+
+
+def test_steal_verifies_tomb_and_restores_live_lock(spark, tmp_path,
+                                                    monkeypatch):
+    """If the expired lock is released and RE-CLAIMED by a live writer
+    between the stealer's expired-read and its rename, the stealer
+    must detect the foreign tomb, restore the live lock, and bow out —
+    never proceed alongside the live holder."""
+    import time
+
+    idx = str(tmp_path / "idx")
+    lockfile = f"{idx}/{ts.LOCK_FILE}"
+    fsutil.write_text(
+        spark, lockfile,
+        json.dumps({"owner": "dead", "what": "crashed_op",
+                    "acquired_unix": time.time() - 1000, "ttl_s": 1}))
+
+    live = json.dumps({"owner": "live", "what": "fresh_op",
+                       "acquired_unix": time.time(), "ttl_s": 3600})
+    real_rename = fsutil.rename
+    swapped = {"done": False}
+
+    def racing_rename(spark_, src, dst):
+        # just before the stealer's rename: the dead holder's lock is
+        # replaced by a fresh LIVE claim (release + new writer)
+        if not swapped["done"] and src == lockfile:
+            swapped["done"] = True
+            fsutil.delete(spark_, lockfile)
+            fsutil.write_text(spark_, lockfile, live)
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "rename", racing_rename)
+    import pytest as _pytest
+    with _pytest.raises(ts.ConcurrentMaintenanceError):
+        with ts.maintenance_lock(spark, idx, "stealer"):
+            pass
+    monkeypatch.setattr(fsutil, "rename", real_rename)
+    # the live lock survived the failed steal, byte-identical
+    assert json.loads(fsutil.read_text(spark, lockfile)) == json.loads(live)
+    # and no tomb residue
+    assert [c for c in fsutil.list_children(spark, idx)
+            if ".steal." in c] == []
