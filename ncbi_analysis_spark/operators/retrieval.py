@@ -69,13 +69,16 @@ def bm25_topk(
 
     This is the from-scratch convenience form: it derives the model
     from the raw corpus on every call and returns EAGERLY (the top-k is
-    bounded at ``k`` rows, collected and rebuilt driver-side so the two
+    bounded at ``k`` rows, collected and rebuilt driver-side so the
     intermediate caches are released before return — the
-    vocab_drift_report lifecycle). The exact intra-pass work is
-    ``dl``/``tf`` persisted, so the corpus is genuinely scanned twice:
-    once for doc lengths, once for the token explode. For repeated or
-    multi-query search over the same corpus, build the index once with
-    ``write_bm25_index`` and use ``bm25_topk_batch``.
+    vocab_drift_report lifecycle). Queries up to
+    ``_COLUMNAR_MAX_TERMS`` terms take the COLUMNAR fast path (r14):
+    per-term tf as array expressions in ONE corpus text scan, no token
+    explode, only the tiny per-doc stats frame persisted — see
+    ``_bm25_topk_columnar``. Wider queries fall back to the explode
+    form, where ``dl``/``tf`` persist and the corpus is scanned twice.
+    For repeated or multi-query search over the same corpus, build the
+    index once with ``write_bm25_index`` and use ``bm25_topk_batch``.
     """
     terms = query_terms(query)
     if not terms:

@@ -53,6 +53,8 @@ def run_gate(spark, emb, k_centroids: int, runs: int) -> float:
     # deterministic split: a FIXED-SIZE batch (the first BATCH_ROWS ids
     # by md5 order — scale-invariant membership), everything else
     # indexed under a k-centroid quantizer sampled from the corpus
+    from pyspark.sql.window import Window
+
     ids = emb.select(
         "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
     ).orderBy("h").limit(BATCH_ROWS)
@@ -62,10 +64,7 @@ def run_gate(spark, emb, k_centroids: int, runs: int) -> float:
         emb.orderBy(F.md5((F.col("vec_id") + 7).cast("string")))
         .limit(k_centroids)
         .select(
-            F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.orderBy("vec_id")
-            ).alias("c_id"),
+            F.row_number().over(Window.orderBy("vec_id")).alias("c_id"),
             "embedding",
         )
     )
