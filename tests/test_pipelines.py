@@ -139,3 +139,93 @@ def test_gentamycin_report_strand_extract(spark):
            for r in gentamycin_report(gl, genome).collect()}
     assert got == {"P": ("acct", "P", 2, 5),
                    "M": ("aggt", "M", 2, 5)}
+
+
+def test_nearby_genes_by_range_fuzz_vs_reference_model(spark):
+    """Parity fuzz: a direct Python port of the reference's control
+    flow (find_first_greater_equal bisection + the three candidate
+    cases + candidate-only cover scan + the quirky overlap classifier,
+    gene_position_helper.py:18-117) over random gene dims and ranges,
+    vs the Spark operator. The DuckDB oracle shares the operator's
+    min-idx formulation; this model follows the REFERENCE's loops, so
+    a formulation error can't hide in both."""
+    import random
+
+    from ncbi_analysis_spark.operators.genes import nearby_genes_by_range
+
+    def ref_first_ge(lefts, pos):
+        lo, hi = 0, len(lefts) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if lefts[mid] < pos:
+                lo = mid + 1
+            else:
+                hi = mid
+        return hi if lefts[hi] >= pos else hi + 1
+
+    def ref_type(rl, rr, gl, gr):
+        if rl == gl and rr == gr:
+            return "hit"
+        if rr < gl or rl > gr:
+            ov = 0
+        elif rr < gr:
+            ov = rr - gl + 1
+        else:
+            ov = gr - rl + 1
+        if ov * 100.0 / (rr - rl + 1) >= 90.0:
+            return "homology"
+        if gl <= rl <= rr <= gr:
+            return "include"
+        return "related"
+
+    def ref_expand(segs, rl, rr, direction):
+        lefts = [s[1] for s in segs]
+        lg = ref_first_ge(lefts, rl)
+        rlt = ref_first_ge(lefts, rr) - 1
+        if lg == rlt:
+            cand = [lg]
+        elif lg < rlt:
+            cand = list(range(lg, rlt + 1))
+        else:
+            cand = [rlt, lg]
+        cand = [i for i in cand if 0 <= i < len(segs)]  # engine clamps
+        cov = next((i for i in cand
+                    if segs[i][1] <= rl and segs[i][2] >= rr), None)
+        keep = [cov] if cov is not None else cand
+        out = set()
+        for i in keep:
+            g, gl, gr, seq = segs[i]
+            if direction == "-":
+                seq = seq.translate(str.maketrans("atcg", "tagc"))
+            out.add((g, ref_type(rl, rr, gl, gr), seq))
+        return out
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n_genes = rng.randint(3, 12)
+        lefts = sorted(rng.sample(range(10, 3000), n_genes))
+        segs = [(f"g{i}", lf, lf + rng.randint(1, 600),
+                 "".join(rng.choice("acgt") for _ in range(8)))
+                for i, lf in enumerate(lefts)]
+        genes = spark.createDataFrame(
+            segs, "gene string, gene_left long, gene_right long, "
+                  "sequence string")
+        ranges = []
+        lo_bound, hi_bound = lefts[0] + 1, lefts[-1] - 1
+        for j in range(40):
+            a = rng.randint(lo_bound, hi_bound)
+            b = min(a + rng.randint(0, 700), hi_bound)
+            ranges.append((f"r{j}", a, b,
+                           "-" if rng.random() < 0.5 else "+"))
+        rdf = spark.createDataFrame(
+            ranges, "range_id string, left long, right long, "
+                    "direction string")
+        got: dict = {}
+        for r in nearby_genes_by_range(rdf, genes).collect():
+            got.setdefault(r["range_id"], set()).add(
+                (r["gene"], r["type"], r["sequence"]))
+        for name, rl, rr, d in ranges:
+            want = ref_expand(segs, rl, rr, d)
+            assert got.get(name, set()) == want, (
+                f"trial {trial} {name} [{rl},{rr}]{d}: "
+                f"{got.get(name)} != {want}")
