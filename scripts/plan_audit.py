@@ -146,6 +146,10 @@ EXPECTED: dict[str, set[str]] = {
     # under AQE it never appears in the STATIC plan this audit scans,
     # per the module-note on Exchange SinglePartition.)
     "genes_near_range": {"BroadcastNestedLoopJoin"},
+    # One-row counts-total broadcast cross-joined onto the bounded
+    # key-count table — the quality_quantile_gate scalar-small-side
+    # class (key_skew_report's share_ppm denominator).
+    "skew_report_events": {"BroadcastNestedLoopJoin"},
 }
 
 
