@@ -134,3 +134,26 @@ def test_extract_nuccore_uid():
     assert enr.extract_nuccore_uid("<html><body>short</body></html>") is None
     no_uid = good.replace('name="ncbi_uidlist"', 'name="other"')
     assert enr.extract_nuccore_uid(no_uid) is None
+
+
+def test_pubmed_count_report_pivot_and_errors(spark):
+    """One row per gene over the FIXED keyword list; missing pages read
+    'Error' (the failed-download cell); duplicate snapshot keys resolve
+    by max (layout-independent)."""
+    from ncbi_analysis_spark.sources.enrichment import pubmed_count_report
+
+    counts = spark.createDataFrame(
+        [("thrA", "drug", "1,234", 1234),
+         ("thrA", "biofilm", "0", 0),
+         ("lacZ", "drug", "7", 7),
+         # duplicate key: max wins deterministically
+         ("lacZ", "drug", "9", 9)],
+        "gene string, keyword string, count_raw string, n_results long")
+    got = {r["gene"]: r.asDict() for r in
+           pubmed_count_report(counts).collect()}
+    assert got["thrA"] == {
+        "gene": "thrA", "drug": "1,234", "kanamycin_b": "Error",
+        "aminoglycoside": "Error", "antibiotic": "Error",
+        "biofilm": "0"}
+    assert got["lacZ"]["drug"] == "9"
+    assert got["lacZ"]["biofilm"] == "Error"
