@@ -375,3 +375,85 @@ def fold_into_cc_labels(new_edges: DataFrame, path: str,
             m = _re.fullmatch(r"v(\d+)", d)
             if m and int(m.group(1)) < n:
                 fsutil.delete(spark, f"{root}/{d}")
+
+
+def verify_cc_labels(spark, path: str) -> list[dict]:
+    """Integrity audit (fsck) of a ``write_cc_labels`` artifact — the
+    read-only check you run after a restore/migration before trusting
+    the labeling, completing the persisted-family fsck set
+    (``verify_{lsh,ivf,bm25}_index``). Returns
+    ``[{check, ok, detail}, ...]`` (driver-sized); raises only when the
+    directory is not a labels artifact at all. Checks:
+
+    * marker parseable with the expected kind;
+    * at least one COMMITTED version, and no residue OLDER than the
+      one grace version the fold retire keeps (older dirs mean a
+      crashed retire — harmless to readers, flagged for cleanup);
+    * lock state (live vs TTL-expired) via the shared legs;
+    * current version's table shape: exactly ``(id, component)``, no
+      NULLs, and EVERY component label is itself a member id — the
+      min-label invariant (a label pointing at a non-member means the
+      table was hand-edited or mixed across artifacts).
+
+    Never repairs — a broken current version is recovered by
+    re-running ``write_cc_labels`` (which lands at max_committed+1).
+    """
+    import re
+
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    _cc_marker_guard(spark, path)  # raises on non-artifact dirs
+    root = path.rstrip("/")
+    out = [{"check": "params_marker", "ok": True,
+            "detail": fsutil.read_text(spark, f"{root}/{_CC_PARAMS_FILE}")}]
+    out.extend(ts.shared_integrity_checks(spark, root, "id"))
+
+    committed, uncommitted = [], []
+    for d in fsutil.list_subdirs(spark, root):
+        m = re.fullmatch(r"v(\d+)", d)
+        if not m:
+            continue
+        (committed if fsutil.exists(spark, f"{root}/{d}/_SUCCESS")
+         else uncommitted).append(int(m.group(1)))
+    cur = max(committed) if committed else None
+    out.append({
+        "check": "committed_version",
+        "ok": cur is not None,
+        "detail": (f"current v{cur}; committed {sorted(committed)}, "
+                   f"uncommitted {sorted(uncommitted)}"),
+    })
+    if cur is not None:
+        stale = [v for v in committed if v < cur - 1]
+        out.append({
+            "check": "retire_residue",
+            "ok": not stale,
+            "detail": ("" if not stale else
+                       f"versions older than the grace version remain: "
+                       f"{sorted(stale)} — a crashed retire; safe to "
+                       "delete, the next fold will"),
+        })
+        try:
+            rows = spark.read.parquet(f"{root}/v{cur}")
+            cols = sorted(rows.columns)
+            out.append({"check": "schema", "ok": cols == ["component", "id"],
+                        "detail": f"columns: {cols}"})
+            n_null = rows.filter(
+                F.col("id").isNull() | F.col("component").isNull()).count()
+            out.append({"check": "no_nulls", "ok": n_null == 0,
+                        "detail": f"{n_null} null id/component rows"})
+            orphan = (
+                rows.select(F.col("component").alias("id")).distinct()
+                .join(rows.select("id").distinct(), "id", "left_anti")
+                .count()
+            )
+            out.append({
+                "check": "labels_are_members",
+                "ok": orphan == 0,
+                "detail": (f"{orphan} component labels that are not "
+                           "member ids (min-label invariant)"),
+            })
+        except Exception as exc:  # noqa: BLE001 — report, never crash fsck
+            out.append({"check": "readable", "ok": False,
+                        "detail": str(exc).split("\n")[0][:200]})
+    return out

@@ -138,3 +138,58 @@ def test_verify_bm25_index(spark, tmp_path):
     rep = _by_check(verify_bm25_index(spark, idx))
     assert not rep["no_pending_swap"]["ok"]
     assert "doclens" in rep["no_pending_swap"]["detail"]
+
+
+def test_verify_cc_labels_healthy_and_corruptions(spark, tmp_path):
+    """CC labels fsck: healthy artifact passes every check; seeded
+    corruptions (retire residue, orphan component label, nulls, no
+    committed version) are each caught by the owning check; a
+    non-artifact dir raises."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators.components import (
+        fold_into_cc_labels, verify_cc_labels, write_cc_labels)
+    from ncbi_analysis_spark.sources import fsutil
+
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+    path = str(tmp_path / "labels")
+    write_cc_labels(df([(1, 2), (4, 5)]), path)
+    fold_into_cc_labels(df([(2, 3)]), path)
+
+    def by_check(res):
+        return {r["check"]: r["ok"] for r in res}
+
+    ok = by_check(verify_cc_labels(spark, path))
+    assert all(ok.values()), ok
+    for leg in ("params_marker", "committed_version", "retire_residue",
+                "schema", "no_nulls", "labels_are_members"):
+        assert leg in ok
+
+    # retire residue: plant a committed version older than the grace
+    spark.createDataFrame([(9, 9)], "id long, component long") \
+        .write.parquet(f"{path}/v99")
+    fold_into_cc_labels(df([(5, 6)]), path)   # current jumps past 99+1?
+    # (v99 became current after the plant; the fold published v100 and
+    # retired <99 — so plant residue BELOW current instead)
+    spark.createDataFrame([(9, 9)], "id long, component long") \
+        .write.parquet(f"{path}/v1")
+    res = by_check(verify_cc_labels(spark, path))
+    assert res["retire_residue"] is False
+
+    # orphan component label in the current version
+    p2 = str(tmp_path / "labels2")
+    write_cc_labels(df([(1, 2)]), p2)
+    spark.createDataFrame([(7, 42)], "id long, component long") \
+        .write.mode("append").parquet(f"{p2}/v0")
+    res = by_check(verify_cc_labels(spark, p2))
+    assert res["labels_are_members"] is False
+
+    # no committed version at all
+    p3 = str(tmp_path / "labels3")
+    fsutil.write_text(spark, f"{p3}/_cc_params.json",
+                      '{"kind": "cc_labels"}')
+    res = by_check(verify_cc_labels(spark, p3))
+    assert res["committed_version"] is False
+
+    with _pytest.raises(ValueError, match="not a write_cc_labels"):
+        verify_cc_labels(spark, str(tmp_path / "nope"))
