@@ -157,9 +157,11 @@ def bm25_topk(
     )
 
 
-# Above this many query terms the per-term array-scan columns would
-# cost more than one explode+shuffle; real queries are far below it.
-_COLUMNAR_MAX_TERMS = 16
+# Crossover measured at sf0.1 (min-of-3, all-common-word queries so
+# every term pays full tf work): columnar/explode = 0.86/1.13 at 4
+# terms, 0.95/1.15 at 8, 1.58/1.09 at 16, 2.07/1.26 at 24 — the
+# per-term array scans overtake one explode+shuffle between 8 and 16.
+_COLUMNAR_MAX_TERMS = 8
 
 
 def _term_eq(t: str):
