@@ -64,6 +64,9 @@ EXTRA_RUNS = {
     # 1.12x and 1.0x vs baseline with the control at 0.476)
     "ann_ivf_search": max(N_RUNS, 4),
     "s10_pubmed_report": max(N_RUNS, 4),
+    # r14: cold first execution read 2.9x steady at seeding (the
+    # staged 64-file publish amplifies scan-cache cold starts)
+    "cc_labels_parted": max(N_RUNS, 4),
 }
 
 # Headline set: the scan-agg core, window ops, every join family, and the
@@ -658,6 +661,12 @@ BASELINE = {
     # one combined groupBy + counts-total broadcast + bounded top-k
     # (min-of-4, control 0.532 in the same session)
     "skew_report_events": (0.648, 14),
+    # partition-versioned labels loop (write + 2 folds through the
+    # 16-way staged publish + manifest commits; min-of-3, control
+    # 0.575 — the flat twin read 7.53 in the same session: the parted
+    # layout PAYS overhead at toy scale and wins on write IO only when
+    # partitions are GB-sized, see SCALING.md r14 notes)
+    "cc_labels_parted": (11.231, 14),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

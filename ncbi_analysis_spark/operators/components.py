@@ -457,3 +457,260 @@ def verify_cc_labels(spark, path: str) -> list[dict]:
             out.append({"check": "readable", "ok": False,
                         "detail": str(exc).split("\n")[0][:200]})
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition-versioned labels artifact — the billions-of-nodes upgrade the
+# flat artifact's docstring promises: a fold republishes ONLY partitions
+# containing touched ids, with one atomic manifest rename as the
+# cross-partition commit point.
+# ---------------------------------------------------------------------------
+
+_CCP_PARAMS_FILE = "_ccp_params.json"
+_CCP_MANIFEST_RE = r"_manifest_m(\d+)\.json"
+
+
+def _ccp_params(spark, path: str) -> dict:
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    p = path.rstrip("/") + "/" + _CCP_PARAMS_FILE
+    if not fsutil.exists(spark, p):
+        raise ValueError(
+            f"{path!r} is not a write_cc_labels_parted directory "
+            f"(missing {_CCP_PARAMS_FILE}); build it with "
+            "write_cc_labels_parted first"
+        )
+    return json.loads(fsutil.read_text(spark, p))
+
+
+def _ccp_current_manifest(spark, path: str) -> tuple[int, dict[int, int]]:
+    """Highest committed manifest ``(seq, {partition: version})``.
+    Manifests commit via atomic rename, so any present file is
+    complete; raises when none exists (crash before the first
+    publish)."""
+    import json
+    import re
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    root = path.rstrip("/")
+    best = -1
+    for c in fsutil.list_children(spark, root):
+        m = re.fullmatch(_CCP_MANIFEST_RE, c)
+        if m:
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        raise ValueError(
+            f"{path!r} has no committed manifest — the initial "
+            "write_cc_labels_parted never finished; rebuild it"
+        )
+    doc = json.loads(
+        fsutil.read_text(spark, f"{root}/_manifest_m{best}.json"))
+    return best, {int(k): int(v) for k, v in doc["parts"].items()}
+
+
+def _ccp_part_col(id_col, n_parts: int):
+    return F.pmod(F.hash(id_col), F.lit(n_parts)).cast("int")
+
+
+def _ccp_publish(spark, root: str, labels: DataFrame,
+                 touched: list[int], prev: dict[int, int],
+                 seq: int, n_parts: int) -> None:
+    """Stage the touched partitions' rows, move each into place, then
+    commit with one atomic manifest rename. Crash anywhere before the
+    rename → the previous manifest still governs and every staged/
+    half-moved version is an unreferenced orphan the retry overwrites
+    and the next retire removes."""
+    import json
+    import uuid
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    new_parts = dict(prev)
+    if touched:
+        stage = f"{root}/_stage_{uuid.uuid4().hex}"
+        (labels.withColumn("__part", _ccp_part_col(F.col("id"), n_parts))
+         .filter(F.col("__part").isin([int(h) for h in touched]))
+         .write.partitionBy("__part").parquet(stage))
+        staged = {int(d.split("=", 1)[1])
+                  for d in fsutil.list_subdirs(spark, stage)
+                  if d.startswith("__part=")}
+        for h in sorted(touched):
+            if h not in staged:
+                # a partition no current row hashes into (tiny graphs,
+                # or a fresh build over a sparse id space): publish
+                # nothing — the manifest simply omits it until rows
+                # appear, and readers skip unlisted partitions
+                continue
+            v = prev.get(h, -1) + 1
+            dst = f"{root}/part={h}/v{v}"
+            fsutil.delete(spark, dst)  # crashed-attempt residue
+            fs, jdst, jvm = fsutil._fs_path(spark, dst)
+            parent = jdst.getParent()
+            if parent is not None:
+                fs.mkdirs(parent)
+            fsutil.rename(spark, f"{stage}/__part={h}", dst)
+            new_parts[h] = v
+        fsutil.delete(spark, stage)
+    manifest = {"seq": seq, "parts": {str(h): v
+                                      for h, v in new_parts.items()}}
+    tmp = f"{root}/_manifest_tmp_{uuid.uuid4().hex}"
+    fsutil.write_text(spark, tmp, json.dumps(manifest))
+    fsutil.rename(spark, tmp, f"{root}/_manifest_m{seq}.json")
+
+
+def _ccp_retire(spark, root: str, keep: list[dict[int, int]],
+                keep_seqs: list[int]) -> None:
+    """Delete partition versions referenced by NO kept manifest, and
+    manifests outside ``keep_seqs`` — the grace rule: the previous
+    manifest's versions survive one fold, so a lazy reader opened
+    before the fold stays valid through it."""
+    import re
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    live: dict[int, set[int]] = {}
+    for parts in keep:
+        for h, v in parts.items():
+            live.setdefault(h, set()).add(v)
+    for child in fsutil.list_subdirs(spark, root):
+        m = re.fullmatch(r"part=(\d+)", child)
+        if not m:
+            continue
+        h = int(m.group(1))
+        for d in fsutil.list_subdirs(spark, f"{root}/{child}"):
+            mv = re.fullmatch(r"v(\d+)", d)
+            if mv and int(mv.group(1)) not in live.get(h, set()):
+                fsutil.delete(spark, f"{root}/{child}/{d}")
+    for c in fsutil.list_children(spark, root):
+        mm = re.fullmatch(_CCP_MANIFEST_RE, c)
+        if mm and int(mm.group(1)) not in keep_seqs:
+            fsutil.delete(spark, f"{root}/{c}")
+        if c.startswith("_stage_") or c.startswith("_manifest_tmp_"):
+            fsutil.delete(spark, f"{root}/{c}")
+
+
+def write_cc_labels_parted(edges: DataFrame, path: str,
+                           n_parts: int = 64,
+                           id_a: str = "id_a", id_b: str = "id_b") -> None:
+    """Cluster ``edges`` and persist ``(id, component)`` as a
+    PARTITION-VERSIONED artifact: ``{path}/part={h}/v{k}/`` parquet
+    dirs (h = pmod(hash(id), n_parts)) plus a manifest file naming the
+    committed version of every partition — the commit point is ONE
+    atomic manifest rename, so readers never see a torn cross-
+    partition state.
+
+    This is the flat :func:`write_cc_labels` layout upgraded for
+    billions of nodes: a fold rewrites only partitions containing
+    touched ids (see :func:`fold_into_cc_labels_parted`), so per-fold
+    write IO scales with the BATCH's blast radius, not the corpus.
+    Rebuilding into an existing artifact publishes every partition at
+    its next version under the maintenance lock (never an invisible
+    older manifest)."""
+    import json
+
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.sources import fsutil
+
+    if n_parts <= 0:
+        raise ValueError(f"n_parts must be > 0, got {n_parts}")
+    spark = edges.sparkSession
+    root = path.rstrip("/")
+    labels = connected_components(edges, id_a, id_b)
+    all_parts = list(range(n_parts))
+    if fsutil.exists(spark, root + "/" + _CCP_PARAMS_FILE):
+        params = _ccp_params(spark, root)
+        if params.get("n_parts") != n_parts:
+            raise ValueError(
+                f"existing artifact at {path!r} has n_parts="
+                f"{params.get('n_parts')}, rebuild requested "
+                f"{n_parts} — delete the directory to change the "
+                "partitioning"
+            )
+        with ts.maintenance_lock(spark, root, "write_cc_labels_parted"):
+            try:
+                seq, prev = _ccp_current_manifest(spark, root)
+            except ValueError:
+                seq, prev = -1, {}
+            _ccp_publish(spark, root, labels, all_parts, prev,
+                         seq + 1, n_parts)
+            _ccp_retire(spark, root, [
+                dict(_ccp_current_manifest(spark, root)[1]), prev],
+                [seq + 1, seq] if seq >= 0 else [seq + 1])
+        return
+    fsutil.write_text(spark, root + "/" + _CCP_PARAMS_FILE,
+                      json.dumps({"kind": "cc_labels_parted",
+                                  "n_parts": n_parts}))
+    _ccp_publish(spark, root, labels, all_parts, {}, 0, n_parts)
+
+
+def read_cc_labels_parted(spark, path: str) -> DataFrame:
+    """Open a partition-versioned labels artifact at its current
+    manifest: one multi-path scan of every partition's committed
+    version dir. Same concurrency scope as :func:`read_cc_labels` —
+    lazy, pinned to the manifest current at open time, valid through
+    ONE subsequent fold (the retire keeps the previous manifest's
+    versions)."""
+    root = path.rstrip("/")
+    _ccp_params(spark, root)
+    _, parts = _ccp_current_manifest(spark, root)
+    if not parts:
+        return spark.createDataFrame([], "id long, component long")
+    return spark.read.parquet(
+        *[f"{root}/part={h}/v{v}" for h, v in sorted(parts.items())])
+
+
+def fold_into_cc_labels_parted(new_edges: DataFrame, path: str,
+                               id_a: str = "id_a", id_b: str = "id_b",
+                               max_iter: int = 25) -> None:
+    """Fold a new edge batch into the partition-versioned labels,
+    rewriting ONLY partitions that contain a changed or new id: the
+    incremental fold computes the union labeling lazily, the changed
+    rows (anti-join against the prior labeling) name the touched
+    hash partitions (a bounded <= n_parts collect), those partitions'
+    FULL new content is staged and moved into place, and one atomic
+    manifest rename commits the cross-partition cut. Untouched
+    partitions are not read for writing, not rewritten, and keep
+    their version dirs byte-identical.
+
+    Crash anywhere before the manifest rename → the previous manifest
+    still governs (orphan staged versions are overwritten by the retry
+    and swept by the next retire); crash after → both manifests
+    committed, readers use the newer, the next fold retires. Replay-
+    idempotent: re-folding an already-folded batch touches zero
+    partitions and publishes nothing. Runs under the maintenance lock;
+    readers never lock.
+
+    At 100 TB this is the difference between a fold writing the whole
+    labels table and writing ~|touched components| rows: per-fold IO
+    follows the batch's blast radius while the manifest keeps reads
+    one atomic cut."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    spark = new_edges.sparkSession
+    root = path.rstrip("/")
+    params = _ccp_params(spark, root)
+    n_parts = int(params["n_parts"])
+    with ts.maintenance_lock(spark, root, "fold_into_cc_labels_parted"):
+        seq, prev = _ccp_current_manifest(spark, root)
+        prior = read_cc_labels_parted(spark, root)
+        folded = connected_components_incremental(
+            prior, new_edges, id_a, id_b, max_iter)
+        folded = folded.localCheckpoint(eager=True)
+        changed = folded.join(prior, ["id", "component"], "left_anti")
+        touched = sorted(
+            r["__part"] for r in changed.select(
+                _ccp_part_col(F.col("id"), n_parts).alias("__part")
+            ).distinct().collect()
+        )
+        if not touched:
+            _unpersist_checkpoint(folded)
+            return  # replay of an already-folded batch: true no-op
+        _ccp_publish(spark, root, folded, touched, prev, seq + 1,
+                     n_parts)
+        _unpersist_checkpoint(folded)
+        _ccp_retire(spark, root,
+                    [dict(_ccp_current_manifest(spark, root)[1]), prev],
+                    [seq + 1, seq])

@@ -494,6 +494,64 @@ ORDER BY n_rows DESC, user_id ASC LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Partition-versioned labels artifact — the billions-of-nodes fold
+# ---------------------------------------------------------------------------
+
+
+def cc_labels_parted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-versioned component-labels artifact end-to-end
+    (operators/components.py::write_cc_labels_parted/
+    fold_into_cc_labels_parted/read_cc_labels_parted — the flat
+    artifact upgraded so a fold rewrites ONLY partitions containing
+    touched ids, committed by one atomic manifest rename): history
+    edges clustered and written across 16 hash partitions, two edge
+    batches folded in place, the artifact read back through the
+    manifest. Must equal the full recursive-CTE recompute over all
+    edges — the layout (partitioning, per-partition versions, the
+    manifest cut) is invisible to the oracle BY DESIGN: a fold that
+    loses a partition, a torn manifest, or a stale-prior rewrite all
+    hash-mismatch. Shares the flat twin's SQL."""
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators import dedup as dd
+    from ncbi_analysis_spark.operators.components import (
+        fold_into_cc_labels_parted,
+        read_cc_labels_parted,
+        write_cc_labels_parted,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(
+        d, "text", "doc_id", num_perm=4, bands=2, shingle_n=3,
+        max_band_freq=None,
+    ).localCheckpoint(eager=True)
+    bucket = (F.col("id_a") + F.col("id_b")) % 3
+
+    tmp = tempfile.mkdtemp(prefix="cc_labels_parted_")
+    try:
+        path = f"{tmp}/labels"
+        write_cc_labels_parted(pairs.filter(bucket == 0), path,
+                               n_parts=16)
+        fold_into_cc_labels_parted(pairs.filter(bucket == 1), path)
+        fold_into_cc_labels_parted(pairs.filter(bucket == 2), path)
+        out = read_cc_labels_parted(spark, path).select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"))
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _cc_parted_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r3 import _dup_clusters_sql
+
+    return _dup_clusters_sql()
+
+
 def queries_r14() -> dict:
     return {
         "genes_near_range": genes_near_range,
@@ -502,6 +560,7 @@ def queries_r14() -> dict:
         "s10_pubmed_report": s10_pubmed_report,
         "bpe_roundtrip": bpe_roundtrip,
         "skew_report_events": skew_report_events,
+        "cc_labels_parted": cc_labels_parted,
     }
 
 
@@ -513,4 +572,5 @@ def oracle_sql_r14() -> dict[str, str]:
         "s10_pubmed_report": _s10_report_sql(),
         "bpe_roundtrip": _bpe_roundtrip_sql(),
         "skew_report_events": _SKEW_SQL,
+        "cc_labels_parted": _cc_parted_sql(),
     }

@@ -231,6 +231,9 @@ def audit(
             # staged r14: trains the merge table at construction (the
             # bpe_vocab / bpe_encode_ids class)
             "bpe_roundtrip",
+            # staged r14: executes the partitioned write+folds at
+            # construction (the cc_labels_artifact class)
+            "cc_labels_parted",
             # table_profile collects its one aggregate row during
             # construction (the bounded-model convention) and returns a
             # LocalTableScan

@@ -858,3 +858,97 @@ def test_cc_labels_grace_version_and_rebuild(spark, tmp_path):
            for r in read_cc_labels(spark, path).collect()}
     assert got == {r["id"]: r["component"]
                    for r in connected_components(df([(7, 8)])).collect()}
+
+
+def test_cc_labels_parted_fold_crash_and_grace(spark, tmp_path,
+                                               monkeypatch):
+    """Partition-versioned labels: write + folds ≡ full CC; a fold
+    rewrites ONLY touched partitions (untouched version dirs stay
+    referenced, byte-identical); replay is a manifest-level no-op;
+    crash injected at EVERY rename leaves the artifact reading as a
+    complete labeling (prior or folded) and break-lock + re-fold
+    converges; a lazy reader opened before a fold survives it (grace
+    manifest); n_parts drift and concurrent folds are refused."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators import tombstones as ts
+    from ncbi_analysis_spark.operators.components import (
+        _ccp_current_manifest, connected_components,
+        fold_into_cc_labels_parted, read_cc_labels_parted,
+        write_cc_labels_parted)
+    from ncbi_analysis_spark.sources import fsutil
+
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+    e1 = [(1, 2), (10, 11), (20, 21)]
+    e2 = [(2, 3)]
+    e3 = [(3, 10), (30, 31)]
+    want = {r["id"]: r["component"]
+            for r in connected_components(df(e1 + e2 + e3)).collect()}
+
+    p = str(tmp_path / "labels")
+    write_cc_labels_parted(df(e1), p, n_parts=8)
+    fold_into_cc_labels_parted(df(e2), p)
+    _, m1 = _ccp_current_manifest(spark, p)
+    pinned = read_cc_labels_parted(spark, p)  # lazy, pinned to m1
+    fold_into_cc_labels_parted(df(e3), p)
+    seq2, m2 = _ccp_current_manifest(spark, p)
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels_parted(spark, p).collect()}
+    assert got == want
+    # grace: the pinned reader still collects after one fold
+    want_m1 = {r["id"]: r["component"]
+               for r in connected_components(df(e1 + e2)).collect()}
+    assert {r["id"]: r["component"] for r in pinned.collect()} == want_m1
+    # only touched partitions bumped
+    untouched = [h for h, v in m1.items() if m2.get(h) == v]
+    assert untouched, "some partition should be untouched by the fold"
+    # replay: manifest seq unchanged
+    fold_into_cc_labels_parted(df(e3), p)
+    assert _ccp_current_manifest(spark, p)[0] == seq2
+
+    # guards: n_parts drift on rebuild; concurrent fold
+    with _pytest.raises(ValueError, match="n_parts"):
+        write_cc_labels_parted(df(e1), p, n_parts=16)
+    with ts.maintenance_lock(spark, p, "other"):
+        with _pytest.raises(ts.ConcurrentMaintenanceError):
+            fold_into_cc_labels_parted(df([(50, 51)]), p)
+    with _pytest.raises(ValueError, match="not a write_cc_labels_parted"):
+        read_cc_labels_parted(spark, str(tmp_path / "nope"))
+
+    # fault injection: crash at the k-th rename of the fold (partition
+    # moves AND the manifest commit) for every k; after every crash the
+    # artifact must read as a complete labeling, and break-lock +
+    # re-fold must converge to `want`
+    real_rename = fsutil.rename
+    k = 0
+    while True:
+        p2 = str(tmp_path / f"labels_{k}")
+        write_cc_labels_parted(df(e1), p2, n_parts=8)
+        fold_into_cc_labels_parted(df(e2), p2)
+        calls = {"n": 0}
+
+        def crashing(spark_, src, dst, _k=k):
+            if calls["n"] >= _k:
+                raise RuntimeError("injected crash")
+            calls["n"] += 1
+            return real_rename(spark_, src, dst)
+
+        monkeypatch.setattr(fsutil, "rename", crashing)
+        try:
+            fold_into_cc_labels_parted(df(e3), p2)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(fsutil, "rename", real_rename)
+        mid = {r["id"]: r["component"]
+               for r in read_cc_labels_parted(spark, p2).collect()}
+        assert mid in (want_m1, want), f"crash at rename {k}: torn read"
+        if not crashed:
+            break
+        ts.break_maintenance_lock(spark, p2)
+        fold_into_cc_labels_parted(df(e3), p2)
+        assert {r["id"]: r["component"]
+                for r in read_cc_labels_parted(spark, p2).collect()} == want
+        k += 1
+    assert k >= 2  # partition renames + manifest rename all exercised
