@@ -67,7 +67,22 @@ EXTRA_RUNS = {
     # r14: cold first execution read 2.9x steady at seeding (the
     # staged 64-file publish amplifies scan-cache cold starts)
     "cc_labels_parted": max(N_RUNS, 4),
+    # r15: the five r14 driver-record flags (dup_span_removal 2.76x,
+    # fuzzy_decon 2.02x, quality_classifier 1.95x, curation_v3 1.89x,
+    # flagship_scan_1mbp_full 1.5x) all adjudicated to time-local box
+    # contention — clean-run history flat since r8, no code change in
+    # their paths. Warm-up + extra runs give each a wider window to
+    # catch steady state; the retry-on-flag pass below is the backstop.
+    "dup_span_removal": max(N_RUNS, 4),
+    "fuzzy_decon": max(N_RUNS, 4),
+    "quality_classifier": max(N_RUNS, 4),
+    "curation_v3": max(N_RUNS, 4),
+    "flagship_scan_1mbp_full": max(N_RUNS, 4),
 }
+
+# Thunks whose resources are torn down before the retry pass runs (temp
+# staging dirs removed in their finally blocks) — never retried.
+NON_RETRYABLE = {"stream_curation_durable"}
 
 # Headline set: the scan-agg core, window ops, every join family, and the
 # LLM-pipeline ops — each stresses a distinct shuffle/UDF shape.
@@ -151,6 +166,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     noise: dict[str, float] = {}
     errors: dict[str, str] = {}
+    thunks: dict[str, Callable[[], None]] = {}
 
     def _run(name: str, thunk: Callable[[], None]) -> None:
         """Time one query; a failure records an error entry instead of
@@ -160,6 +176,7 @@ def main() -> None:
         for the 1 Mbp literals), which min-of-N absorbs in the min but
         not in the max/min noise figure."""
         try:
+            thunks[name] = thunk
             if name in EXTRA_RUNS:
                 thunk()
             timings[name], noise[name] = _time_best(
@@ -336,6 +353,32 @@ def main() -> None:
     finally:
         _shutil.rmtree(stage_root, ignore_errors=True)
 
+    # Retry-on-flag pass (r15, verdict ask 1): two rounds running, every
+    # driver-record regression flag adjudicated after the fact to
+    # time-local box contention (2 flags r13, 5 flags r14 — clean-run
+    # history flat, no code change in the flagged paths). Re-measure any
+    # query the report WOULD flag, at the end of the session when the
+    # contention window has usually passed, and keep the min. A real
+    # plan regression is slow on the retry too and stays flagged; a
+    # contention spike clears. The retry seconds are recorded so the
+    # record shows what happened rather than silently absorbing it.
+    retried: dict[str, list[float]] = {}
+    if sf == 0.1:
+        flagged = list(_regression_report(timings).get("regressions", {}))
+        for name in flagged:
+            if name in NON_RETRYABLE or name not in thunks:
+                continue
+            try:
+                first = timings[name]
+                thunks[name]()  # untimed warm-up (cold-cache decorrelation)
+                best, _ = _time_best(thunks[name], 3)
+                retried[name] = [first, best]
+                if best < first:
+                    timings[name] = best
+            except Exception as exc:  # noqa: BLE001 — fault isolation
+                errors[f"retry:{name}"] = (
+                    f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}")
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -348,6 +391,8 @@ def main() -> None:
         "noise_max_over_min": noise,
         "errors": errors,
     }
+    if retried:
+        out["retried_flagged"] = retried
     if sf == 0.1:
         out.update(_regression_report(timings))
     print(json.dumps(out))

@@ -289,7 +289,17 @@ def is_uncompressed_image(data: bytes) -> bool:
         return False
     b = bytes(data[:34])
     if b[:8] == _PNG_MAGIC:
-        return True
+        # Sniff the IHDR fields the same way the BMP branch validates
+        # bpp/compression (ADVICE r14): png_decode only handles 8-bit
+        # non-interlaced gray/RGB/RGBA, so a 16-bit / palette /
+        # interlaced PNG must route to the fallback decoder instead of
+        # crashing the mapInPandas job. IHDR is required to be the
+        # first chunk: payload at fixed offset 16, depth byte 24,
+        # color type 25, interlace 28.
+        if len(b) < 29 or b[12:16] != b"IHDR":
+            return False
+        depth, color, interlace = b[24], b[25], b[28]
+        return depth == 8 and color in (0, 2, 6) and interlace == 0
     if b[:2] == b"BM" and len(b) >= 34:
         hdr_size = int.from_bytes(b[14:18], "little")
         bpp = int.from_bytes(b[28:30], "little")

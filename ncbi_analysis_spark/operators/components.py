@@ -289,11 +289,12 @@ def write_cc_labels(edges: DataFrame, path: str,
     root = path.rstrip("/")
     labels = connected_components(edges, id_a, id_b)
     if fsutil.exists(spark, root + "/" + _CC_PARAMS_FILE):
-        with ts.maintenance_lock(spark, root, "write_cc_labels"):
+        with ts.maintenance_lock(spark, root, "write_cc_labels") as lk:
             try:
                 n = _cc_current_version(spark, root)
             except ValueError:
                 n = -1  # marker exists, initial build crashed: v0 it is
+            lk.assert_owned()  # fence before the versioned publish
             labels.write.mode("overwrite").parquet(f"{root}/v{n + 1}")
             import re as _re
 
@@ -356,12 +357,13 @@ def fold_into_cc_labels(new_edges: DataFrame, path: str,
     spark = new_edges.sparkSession
     _cc_marker_guard(spark, path)
     root = path.rstrip("/")
-    with ts.maintenance_lock(spark, root, "fold_into_cc_labels"):
+    with ts.maintenance_lock(spark, root, "fold_into_cc_labels") as lk:
         n = _cc_current_version(spark, root)
         prior = spark.read.parquet(f"{root}/v{n}")
         folded = connected_components_incremental(
             prior, new_edges, id_a, id_b, max_iter)
         # overwrite clears any uncommitted v{n+1} a crashed fold left
+        lk.assert_owned()  # fence before the versioned publish
         folded.write.mode("overwrite").parquet(f"{root}/v{n + 1}")
         # retire with ONE GRACE VERSION: keep v{n} alongside v{n+1}.
         # read_cc_labels returns a LAZY frame pinned to the version
@@ -517,7 +519,7 @@ def _ccp_part_col(id_col, n_parts: int):
 
 def _ccp_publish(spark, root: str, labels: DataFrame,
                  touched: list[int], prev: dict[int, int],
-                 seq: int, n_parts: int) -> None:
+                 seq: int, n_parts: int, fence=None) -> None:
     """Stage the touched partitions' rows, move each into place, then
     commit with one atomic manifest rename. Crash anywhere before the
     rename → the previous manifest still governs and every staged/
@@ -539,10 +541,15 @@ def _ccp_publish(spark, root: str, labels: DataFrame,
                   if d.startswith("__part=")}
         for h in sorted(touched):
             if h not in staged:
-                # a partition no current row hashes into (tiny graphs,
-                # or a fresh build over a sparse id space): publish
-                # nothing — the manifest simply omits it until rows
-                # appear, and readers skip unlisted partitions
+                # a touched partition no current row hashes into (tiny
+                # graphs, a sparse id space, or a rebuild whose new edge
+                # set no longer covers ids that used to live here): drop
+                # it from the manifest so readers don't serve the OLD
+                # rows — the stale version dir becomes unreferenced and
+                # the next retire sweeps it. Inheriting prev[h] here
+                # would silently union stale ids into a shrinking
+                # rebuild's result.
+                new_parts.pop(h, None)
                 continue
             v = prev.get(h, -1) + 1
             dst = f"{root}/part={h}/v{v}"
@@ -556,6 +563,11 @@ def _ccp_publish(spark, root: str, labels: DataFrame,
         fsutil.delete(spark, stage)
     manifest = {"seq": seq, "parts": {str(h): v
                                       for h, v in new_parts.items()}}
+    if fence is not None:
+        # owner fence immediately before THE commit (the manifest
+        # rename): a stolen-and-reclaimed lock aborts here with every
+        # staged version dir unreferenced
+        fence()
     tmp = f"{root}/_manifest_tmp_{uuid.uuid4().hex}"
     fsutil.write_text(spark, tmp, json.dumps(manifest))
     fsutil.rename(spark, tmp, f"{root}/_manifest_m{seq}.json")
@@ -629,13 +641,14 @@ def write_cc_labels_parted(edges: DataFrame, path: str,
                 f"{n_parts} — delete the directory to change the "
                 "partitioning"
             )
-        with ts.maintenance_lock(spark, root, "write_cc_labels_parted"):
+        with ts.maintenance_lock(spark, root,
+                                 "write_cc_labels_parted") as lk:
             try:
                 seq, prev = _ccp_current_manifest(spark, root)
             except ValueError:
                 seq, prev = -1, {}
             _ccp_publish(spark, root, labels, all_parts, prev,
-                         seq + 1, n_parts)
+                         seq + 1, n_parts, fence=lk.assert_owned)
             _ccp_retire(spark, root, [
                 dict(_ccp_current_manifest(spark, root)[1]), prev],
                 [seq + 1, seq] if seq >= 0 else [seq + 1])
@@ -693,7 +706,8 @@ def fold_into_cc_labels_parted(new_edges: DataFrame, path: str,
     root = path.rstrip("/")
     params = _ccp_params(spark, root)
     n_parts = int(params["n_parts"])
-    with ts.maintenance_lock(spark, root, "fold_into_cc_labels_parted"):
+    with ts.maintenance_lock(spark, root,
+                             "fold_into_cc_labels_parted") as lk:
         seq, prev = _ccp_current_manifest(spark, root)
         prior = read_cc_labels_parted(spark, root)
         folded = connected_components_incremental(
@@ -709,7 +723,7 @@ def fold_into_cc_labels_parted(new_edges: DataFrame, path: str,
             _unpersist_checkpoint(folded)
             return  # replay of an already-folded batch: true no-op
         _ccp_publish(spark, root, folded, touched, prev, seq + 1,
-                     n_parts)
+                     n_parts, fence=lk.assert_owned)
         _unpersist_checkpoint(folded)
         _ccp_retire(spark, root,
                     [dict(_ccp_current_manifest(spark, root)[1]), prev],

@@ -1639,7 +1639,8 @@ def delete_from_lsh_index(ids: DataFrame, path: str,
             f"{path!r} is not a write_lsh_index directory (missing "
             f"{_LSH_PARAMS_FILE}); nothing to delete from"
         )
-    with ts.maintenance_lock(spark, path, "delete_from_lsh_index"):
+    with ts.maintenance_lock(spark, path, "delete_from_lsh_index") as lk:
+        lk.assert_owned()  # fence before the tombstone-append commit
         n = ts.append_tombstones(ids.select(F.col(id_col).alias("id")),
                                  path, "id")
     ts.warn_if_tombstones_large(spark, path)
@@ -1656,7 +1657,7 @@ def compact_lsh_index(spark, path: str) -> None:
     normal. Idempotent on crash — see ``tombstones.swap_partition_dirs``."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
-    with ts.maintenance_lock(spark, path, "compact_lsh_index"):
+    with ts.maintenance_lock(spark, path, "compact_lsh_index") as lk:
         ts.resume_pending_swap(spark, path)
         live = ts.apply_tombstones(spark.read.parquet(path), path, "id")
         tmp = "_compact_tmp"
@@ -1665,6 +1666,7 @@ def compact_lsh_index(spark, path: str) -> None:
         # band
         live.repartition("band").write.mode("overwrite").partitionBy(
             "band").parquet(path.rstrip("/") + "/" + tmp)
+        lk.assert_owned()  # fence before the swap commit
         ts.swap_partition_dirs(spark, path, tmp)
 
 
@@ -1690,7 +1692,7 @@ def append_to_lsh_index(
     spark = new_df.sparkSession
     _lsh_params_guard(spark, path, num_perm, bands,
                       shingle_n, write=False)
-    with _ts.maintenance_lock(spark, path, "append_to_lsh_index"):
+    with _ts.maintenance_lock(spark, path, "append_to_lsh_index") as lk:
         # the tombstone check lives INSIDE the lock: a concurrent
         # delete landing between check and append would silently mask
         # the re-appended ids
@@ -1708,6 +1710,7 @@ def append_to_lsh_index(
         rows = _minhash_band_rows(new_df, text, id_col, num_perm, bands,
                                   shingle_n).persist()
         try:
+            lk.assert_owned()  # fence before the parquet-append commit
             rows.write.mode("append").partitionBy("band").parquet(path)
             counts = rows.groupBy("band").agg(
                 F.count(F.lit(1)).alias("n_appended")).collect()

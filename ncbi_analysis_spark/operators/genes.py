@@ -166,6 +166,17 @@ def nearby_genes_by_range(
     wrap to the LAST gene (Python ``[-1]``); here candidate indexes
     clamp to the dim, so edge ranges get their nearest real neighbor.
 
+    Divergence (documented, ADVICE r14): when two genes share the same
+    ``gene_left``, the index orders them by NAME (a deterministic total
+    order), while the reference's binary search operates on the dim's
+    INSERTION order — candidate windows, and thus which of the tied
+    genes becomes the flanking neighbor, can differ from the reference
+    on such ties. Real annotation tables carry distinct starts per
+    strandful locus, and a nondeterministic-input-order dependence is
+    exactly what a distributed engine must not replicate; callers that
+    need reference-order parity on ties should pre-disambiguate
+    ``gene_left`` (e.g. add an ordinal epsilon) before calling.
+
     Scale shape: the dim broadcasts; bounds come from a conditional
     aggregation over the broadcast cross join (map-side partial, the
     only shuffle is |ranges| aggregated rows), candidates from a second

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterator
+from zlib import error as zlib_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -114,7 +115,13 @@ def auto_image_decoder(data: bytes, meta: dict) -> dict:
     from ncbi_analysis_spark.functions import imaging as im
 
     if data is not None and im.is_uncompressed_image(data):
-        return numpy_image_decoder(data, meta)
+        try:
+            return numpy_image_decoder(data, meta)
+        except (ValueError, zlib_error):
+            # magic-sniffed but malformed (truncated IDAT, bad zlib,
+            # header/stream mismatch): degrade to the stub rather than
+            # failing the whole mapInPandas batch on one corrupt row
+            pass
     return deterministic_fake_decoder(data, meta)
 
 

@@ -524,7 +524,7 @@ def append_to_bm25_index(
     # after the check would silently mask the batch) AND the marker
     # stats read-modify-write (two concurrent appends would lose one
     # delta)
-    with ts.maintenance_lock(spark, path, "append_to_bm25_index"):
+    with ts.maintenance_lock(spark, path, "append_to_bm25_index") as lk:
         tomb = ts.read_tombstones(spark, path)
         if tomb is not None:
             # re-ingesting a tombstoned id would be silently masked by
@@ -541,6 +541,7 @@ def append_to_bm25_index(
         postings = postings.persist()
         doclens = doclens.persist()
         try:
+            lk.assert_owned()  # fence before the parquet-append commit
             postings.write.mode("append").partitionBy("bucket").parquet(
                 path.rstrip("/") + "/postings"
             )
@@ -587,7 +588,7 @@ def delete_from_bm25_index(ids: DataFrame, path: str,
 
     spark = ids.sparkSession
     _bm25_marker_read(spark, path)  # raises on non-index dirs
-    with ts.maintenance_lock(spark, path, "delete_from_bm25_index"):
+    with ts.maintenance_lock(spark, path, "delete_from_bm25_index") as lk:
         # marker read INSIDE the lock: the stats update below is a
         # read-modify-write against it
         stored = _bm25_marker_read(spark, path)
@@ -599,6 +600,7 @@ def delete_from_bm25_index(ids: DataFrame, path: str,
                 path, "doc_id")
             removed = _doclen_stats(
                 live_dl.join(F.broadcast(batch), "doc_id", "left_semi"))
+            lk.assert_owned()  # fence before the tombstone-append commit
             n = ts.append_tombstones(batch, path, "doc_id")
         finally:
             batch.unpersist()
@@ -643,13 +645,13 @@ def compact_bm25_index(spark, path: str, files_per_bucket: int = 1) -> None:
     root = path.rstrip("/")
     stored = _bm25_marker_read(spark, path)
     tmp = "_compact_tmp"
-    with ts.maintenance_lock(spark, path, "compact_bm25_index"):
+    with ts.maintenance_lock(spark, path, "compact_bm25_index") as lk:
         _compact_bm25_locked(spark, path, root, tmp, stored,
-                             files_per_bucket)
+                             files_per_bucket, fence=lk.assert_owned)
 
 
 def _compact_bm25_locked(spark, path, root, tmp, stored,
-                         files_per_bucket) -> None:
+                         files_per_bucket, fence=None) -> None:
     from ncbi_analysis_spark.operators import tombstones as ts
 
     # finish any swap a previous compaction crashed out of (either
@@ -667,6 +669,8 @@ def _compact_bm25_locked(spark, path, root, tmp, stored,
             F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)))
     spread.write.mode("overwrite").partitionBy("bucket").parquet(
         root + "/postings/" + tmp)
+    if fence is not None:
+        fence()  # owner fence before the first swap commit
     ts.swap_partition_dirs(spark, root + "/postings", tmp)
 
     live_dl = ts.apply_tombstones(

@@ -1179,7 +1179,8 @@ def delete_from_ivf_index(ids: DataFrame, path: str,
             f"{path!r} has no {_IVF_PARAMS_FILE} marker; stamp it with "
             "write_ivf_index(..., centroids=...) before deleting"
         )
-    with ts.maintenance_lock(spark, path, "delete_from_ivf_index"):
+    with ts.maintenance_lock(spark, path, "delete_from_ivf_index") as lk:
+        lk.assert_owned()  # fence before the tombstone-append commit
         n = ts.append_tombstones(ids.select(F.col(id_col)), path, id_col)
     ts.warn_if_tombstones_large(spark, path)
     return n
@@ -1194,12 +1195,13 @@ def compact_ivf_index(spark, path: str, id_col: str = "vec_id",
     untouched, so append's drift guard keeps working."""
     from ncbi_analysis_spark.operators import tombstones as ts
 
-    with ts.maintenance_lock(spark, path, "compact_ivf_index"):
+    with ts.maintenance_lock(spark, path, "compact_ivf_index") as lk:
         ts.resume_pending_swap(spark, path)
         live = ts.apply_tombstones(spark.read.parquet(path), path, id_col)
         tmp = "_compact_tmp"
         live.repartition(c_id).write.mode("overwrite").partitionBy(
             c_id).parquet(path.rstrip("/") + "/" + tmp)
+        lk.assert_owned()  # fence before the swap commit
         ts.swap_partition_dirs(spark, path, tmp)
 
 
@@ -1244,7 +1246,7 @@ def append_to_ivf_index(
 
     spark = new_vectors.sparkSession
     _ivf_params_guard(spark, path, centroids, vec, c_id, write=False)
-    with ts.maintenance_lock(spark, path, "append_to_ivf_index"):
+    with ts.maintenance_lock(spark, path, "append_to_ivf_index") as lk:
         # tombstone check INSIDE the lock: a concurrent delete landing
         # between check and append would silently mask the batch
         tomb = ts.read_tombstones(spark, path)
@@ -1262,6 +1264,7 @@ def append_to_ivf_index(
                               method=method)
         assigned = assigned.persist()
         try:
+            lk.assert_owned()  # fence before the parquet-append commit
             assigned.write.mode("append").partitionBy(c_id).parquet(path)
             counts = (
                 assigned.groupBy(c_id)

@@ -265,10 +265,12 @@ class maintenance_lock:
                 # lock. Restore it and bow out (the claim below fails
                 # against the restored file). Residual window: if a
                 # third writer claims between our rename and the
-                # restore, the restore fails and the live holder's
-                # release becomes a no-op — a triple race inside one
-                # marker-write window, documented rather than closable
-                # without a real compare-and-swap primitive.
+                # restore, the restore fails and the renamed-away live
+                # holder proceeds lockless — which is why every mutator
+                # fences its commit with assert_owned(): the lockless
+                # holder's fence sees the third writer's token and
+                # aborts with its staged work unreferenced
+                # (test_owner_fence_closes_triple_race).
                 try:
                     tomb = json.loads(
                         fsutil.read_text(self._spark, steal_tomb))
@@ -276,7 +278,16 @@ class maintenance_lock:
                             and tomb.get("acquired_unix")
                             == held.get("acquired_unix"))
                 except Exception:
-                    same = True  # unreadable tomb == the crashed lock
+                    # ADVICE r14: only a VANISHED tomb is safely "the
+                    # crashed lock" (delete is then a no-op). Any other
+                    # read failure — permission blip, eventual-
+                    # consistency read on an object store — could be
+                    # hiding a freshly re-claimed LIVE lock; deleting
+                    # on that evidence re-admits the double-holder the
+                    # rename exists to prevent. Restore instead: worst
+                    # case we put the expired lock back and fail the
+                    # claim below (a retry steals it again).
+                    same = not fsutil.exists(self._spark, steal_tomb)
                 if same:
                     fsutil.delete(self._spark, steal_tomb)
                 else:
@@ -291,6 +302,37 @@ class maintenance_lock:
                 "by another writer during steal/retry — retry later"
             )
         return self
+
+    def assert_owned(self) -> None:
+        """Fencing check for mutation commits (r15, closes the
+        documented triple-race): the lock file must still exist and
+        hold OUR owner token. Mutators call this immediately before
+        their commit point (manifest rename, tombstone append,
+        partition swap, versioned parquet publish) so a lock that was
+        TTL-stolen and re-claimed while we were doing the slow work
+        turns into a loud abort with the index untouched, instead of
+        two writers interleaving commits. The steal path's residual
+        window (third writer claims between rename and restore) is
+        harmless once every commit is fenced: the writer whose lock
+        file vanished fails here and its staged work stays
+        unreferenced."""
+        import json
+
+        from ncbi_analysis_spark.sources import fsutil
+
+        try:
+            held = json.loads(fsutil.read_text(self._spark, self._path))
+        except Exception:
+            held = None
+        if held is None or held.get("owner") != self._owner:
+            now = "<gone>" if held is None else str(
+                held.get("owner", "?"))[:8]
+            raise ConcurrentMaintenanceError(
+                f"maintenance lock at {self._path!r} was lost before "
+                f"commit (now {now}, we are {self._owner[:8]}) — "
+                "aborting the mutation; the index is unchanged and the "
+                "staged work is unreferenced"
+            )
 
     def __exit__(self, exc_type, exc, tb):
         import json

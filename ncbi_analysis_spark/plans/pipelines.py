@@ -117,6 +117,79 @@ def extract_gene_sequences(query_names: DataFrame, genes: DataFrame,
     return hits, missing
 
 
+def extract_range_sequences(rows: DataFrame, genome: DataFrame,
+                            left_col: str, right_col: str) -> DataFrame:
+    """GeneExtract RANGE mode minus the file I/O (reference
+    src/analysis/gene_extract.py:57-86 — the DEFAULT mode of the
+    runnable driver src/run_gene_extraction_analysis.py:6): dynamic-
+    header rows pass through unchanged except that an EMPTY
+    ``sequence`` is filled from the genome at the row's
+    ``(left_col, right_col)`` range. The reference's deliberate quirks,
+    mirrored verbatim (SURVEY §7.5's parity trap):
+
+    * coordinate ORDER encodes strand: ``a < b`` is forward; ``a >= b``
+      — INCLUDING ``a == b`` — is reverse;
+    * min/max-normalize, 0-index shift, then ``+= 1`` on BOTH ends only
+      when reversed: the forward window is 1-based ``[min .. max-1]``
+      and the reverse window ``[min+1 .. max]`` — each ONE BASE OFF
+      from :func:`...sequence.extract_strand_seq`'s inclusive
+      ``[min .. max]`` (gene mode), and ``a == b`` yields the empty
+      window;
+    * the reverse fill is the revcomp of its window
+      (``get_opposite_dna(dna[::-1])``);
+    * a non-integer coordinate (the reference's try/except around
+      ``int()``) leaves the row untouched, it does not fail the job;
+    * rows whose ``sequence`` is already non-empty are never touched
+      (``result.get('sequence', '') == ''`` gate).
+
+    Divergence (documented): the reference's ``get_opposite_dna`` DROPS
+    characters outside acgt; ``revcomp`` maps them through unchanged
+    (same note as ``nearby_genes_by_range``).
+
+    ``rows`` needs a ``sequence`` column (its P1 dynamic-header model:
+    all other columns pass through in place); when ``rows`` carries an
+    ``accession`` column it keys the genome join, otherwise ``genome``
+    must be the reference's single-genome shape (one row) and is
+    cross-joined. Scale shape: the genome dim broadcasts byte-encoded
+    ONCE (O(slice) per fill, see ``subseq_1based_bytes``); the fill is
+    a map-side projection — no shuffle at any width."""
+    from ncbi_analysis_spark.functions.sequence import (
+        revcomp,
+        subseq_1based_bytes,
+    )
+
+    cols = list(rows.columns)
+    if "sequence" not in cols:
+        raise ValueError(
+            "extract_range_sequences: rows must carry a 'sequence' "
+            "column (the reference only emits header columns, so a "
+            "fill into a missing column would be dropped silently)"
+        )
+    g = genome.select(
+        *(["accession"] if "accession" in cols else []),
+        encode_ascii_checked(F.col("seq"), "accession").alias("__gb"),
+    )
+    joined = (rows.join(F.broadcast(g), "accession")
+              if "accession" in cols else rows.crossJoin(F.broadcast(g)))
+    a = F.col(left_col).try_cast("long")
+    b = F.col(right_col).try_cast("long")
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    fwd = subseq_1based_bytes(F.col("__gb"), lo, hi - 1)
+    rev = revcomp(subseq_1based_bytes(F.col("__gb"), lo + 1, hi))
+    keep = (
+        (F.col("sequence").isNotNull() & (F.col("sequence") != ""))
+        | a.isNull() | b.isNull()
+    )
+    return (
+        joined.withColumn(
+            "sequence",
+            F.when(keep, F.col("sequence"))
+            .otherwise(F.when(a < b, fwd).otherwise(rev)),
+        )
+        .select(*cols)
+    )
+
+
 def flanking_regions(query_names: DataFrame, genes: DataFrame, genome: DataFrame,
                      limit: int = 200) -> DataFrame:
     """'Gene stream' analysis (F3): up/downstream flanking regions,
@@ -201,6 +274,111 @@ def gentamycin_report(gene_list: DataFrame, genome: DataFrame) -> DataFrame:
             .otherwise(fwd).alias("sequence"),
         )
         .withColumn("name", F.col("gene"))
+    )
+
+
+def gentamycin_report_atcc(gene_list: DataFrame,
+                           genes: DataFrame) -> DataFrame:
+    """ATCC-mode ``GentamycinAnalysis.run`` minus the file I/O
+    (reference src/analysis/gentamycin.py:44-75): rows whose ``Gene``
+    starts with ``DR`` expand to their nearby genes via the position
+    helper (``operators.genes.nearby_genes_by_range``) and gain the
+    ``__atcc_expand_headers__`` columns ``related``/``hit``/
+    ``sequence``; every other row gets the empty-string triple. The
+    ``sequence`` column is the JSON tag→sequence dict that
+    ``generate_consistency_df`` (lines 44-60) explodes into
+    ``name-tag`` rows — see :func:`gentamycin_consistency_atcc`.
+
+    Adjudication (documented): the reference's ATCC branch as written
+    cannot run — ``expand_one_record_from_atcc`` calls the
+    GENERATOR-returning ``get_nearby_gene_based_by_range`` and
+    immediately ``.get()``s it (AttributeError on the first DR row),
+    a leftover from before the helper became a generator. The twin
+    implements the evident intent, consistent with the declared
+    headers and the consistency JSON contract:
+
+    * ``hit``: the first expanded gene (position-helper index order:
+      ``gene_left``, then name) whose range type is ``'hit'``, else
+      the empty string;
+    * ``related``: the remaining expanded gene names in the same
+      order, comma-joined;
+    * ``sequence``: a JSON object ``{gene: sequence}`` over ALL
+      expanded genes in the same order (sequences complemented
+      WITHOUT reversal on ``'-'`` ranges — the position helper's
+      ``generate_result`` quirk, inherited from
+      ``nearby_genes_by_range``).
+
+    ``Gene`` must be unique per row (it keys the expansion re-join).
+    Scale shape: inherited from ``nearby_genes_by_range`` (broadcast
+    annotation dim, output-sized shuffles only); the re-join
+    aggregates the bounded expansion per row — no corpus-side width
+    is ever duplicated."""
+    from ncbi_analysis_spark.functions.sequence import parse_locus
+    from ncbi_analysis_spark.operators.genes import nearby_genes_by_range
+
+    cols = list(gene_list.columns)
+    is_dr = F.col("Gene").startswith("DR")
+    dr = gene_list.filter(is_dr).select(
+        F.col("Gene"), *parse_locus(F.trim(F.col("Locus")))
+    )
+    expanded = nearby_genes_by_range(
+        dr, genes, r_id="Gene", r_left="left", r_right="right",
+        direction="direction",
+    )
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("gene_left"), F.col("gene"), F.col("type"),
+        F.col("sequence"),
+    )))
+    agg = expanded.groupBy("Gene").agg(arr.alias("__arr"))
+    hits = F.filter(F.col("__arr"), lambda x: x["type"] == F.lit("hit"))
+    hit = F.when(F.size(hits) > 0, hits[0]["gene"]).otherwise(F.lit(""))
+    agg = agg.withColumn("__hit", hit).select(
+        "Gene",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("__arr"),
+                         lambda x: x["gene"] != F.col("__hit")),
+                lambda x: x["gene"],
+            ),
+            ",",
+        ).alias("__related"),
+        F.col("__hit"),
+        F.to_json(F.map_from_entries(F.transform(
+            F.col("__arr"),
+            lambda x: F.struct(x["gene"].alias("key"),
+                               x["sequence"].alias("value")),
+        ))).alias("__seq_json"),
+    )
+    return (
+        gene_list.join(F.broadcast(agg), "Gene", "left")
+        .select(
+            *cols,
+            F.when(is_dr, F.coalesce("__related", F.lit("")))
+            .otherwise(F.lit("")).alias("related"),
+            F.when(is_dr, F.coalesce("__hit", F.lit("")))
+            .otherwise(F.lit("")).alias("hit"),
+            F.when(is_dr, F.coalesce("__seq_json", F.lit("")))
+            .otherwise(F.lit("")).alias("sequence"),
+        )
+    )
+
+
+def gentamycin_consistency_atcc(report: DataFrame) -> DataFrame:
+    """The consistency twin of :func:`gentamycin_report_atcc`
+    (reference ``generate_consistency_df``,
+    src/analysis/gentamycin.py:44-60): rows with a non-empty
+    ``sequence`` JSON dict explode into ``(name = Gene + '-' + tag,
+    gene = sequence)`` rows, one per dict entry, in dict order."""
+    m = F.from_json(F.col("sequence"), "map<string,string>")
+    return (
+        report.filter(F.col("sequence").isNotNull()
+                      & (F.col("sequence") != ""))
+        .select(F.col("Gene"), F.explode(m).alias("tag", "__s"))
+        .select(
+            F.concat(F.col("Gene"), F.lit("-"), F.col("tag"))
+            .alias("name"),
+            F.col("__s").alias("gene"),
+        )
     )
 
 

@@ -485,6 +485,46 @@ def test_auto_decoder_dispatch_preserves_stub_payloads():
             == mm.deterministic_fake_decoder(fake_bm, {}))
 
 
+def test_auto_decoder_unsupported_png_falls_back():
+    """ADVICE r14: PNG variants png_decode can't handle (16-bit,
+    palette, interlaced) must route to the md5 stub, not crash the
+    mapInPandas job — the IHDR sniff filters them; a magic-sniffed but
+    TRUNCATED stream degrades via the decoder's fallback catch."""
+    import struct
+    import zlib
+
+    from ncbi_analysis_spark.functions import imaging as im
+
+    def png_with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color, 0, 0,
+                           interlace)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+        return im._PNG_MAGIC + chunk
+
+    for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1),
+                                    (1, 0, 0)]:
+        p = png_with_ihdr(depth, color, interlace)
+        assert not im.is_uncompressed_image(p)
+        assert (mm.auto_image_decoder(p, {})
+                == mm.deterministic_fake_decoder(p, {}))
+    # supported IHDR sniffs True...
+    good = png_with_ihdr(8, 2, 0)
+    assert im.is_uncompressed_image(good)
+    # ...but with no IDAT the decode fails -> fallback catch, no raise
+    assert (mm.auto_image_decoder(good, {})
+            == mm.deterministic_fake_decoder(good, {}))
+    # magic but too short / wrong first chunk
+    assert not im.is_uncompressed_image(im._PNG_MAGIC)
+    assert not im.is_uncompressed_image(im._PNG_MAGIC + b"\x00" * 8
+                                        + b"JUNKJUNKJUNKJUNK")
+    # real committed goldens still take the real-pixel path
+    png = open(f"{_FIX}/gradient_rgb.png", "rb").read()
+    assert im.is_uncompressed_image(png)
+    assert (mm.auto_image_decoder(png, {})
+            != mm.deterministic_fake_decoder(png, {}))
+
+
 def test_numpy_resize_decoder_real_pixels(spark):
     """Real resize through resize_images: output decodes as a PNG of
     the target size, and a solid-color image stays solid (area

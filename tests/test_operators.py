@@ -952,3 +952,43 @@ def test_cc_labels_parted_fold_crash_and_grace(spark, tmp_path,
                 for r in read_cc_labels_parted(spark, p2).collect()} == want
         k += 1
     assert k >= 2  # partition renames + manifest rename all exercised
+
+
+def test_cc_labels_parted_shrinking_rebuild(spark, tmp_path):
+    """ADVICE r14 (medium): rebuilding a parted artifact with a
+    DISJOINT, SMALLER edge set must not union stale ids from
+    partitions the new labeling no longer populates — _ccp_publish
+    drops a touched-but-unstaged partition from the manifest instead
+    of inheriting the previous version. The parted analogue of
+    test_cc_labels_grace_version_and_rebuild case (b)."""
+    from ncbi_analysis_spark.operators.components import (
+        _ccp_current_manifest, connected_components,
+        read_cc_labels_parted, write_cc_labels_parted)
+
+    df = lambda es: spark.createDataFrame(es, ["id_a", "id_b"])  # noqa: E731
+    # wide first build so many partitions hold rows
+    e1 = [(i, i + 100) for i in range(40)]
+    path = str(tmp_path / "labels")
+    write_cc_labels_parted(df(e1), path, n_parts=8)
+    _, m0 = _ccp_current_manifest(spark, path)
+    assert len(m0) >= 2, "first build should populate several partitions"
+
+    # shrinking rebuild: two ids, disjoint from e1
+    write_cc_labels_parted(df([(1000, 1001)]), path, n_parts=8)
+    seq1, m1 = _ccp_current_manifest(spark, path)
+    got = {r["id"]: r["component"]
+           for r in read_cc_labels_parted(spark, path).collect()}
+    want = {r["id"]: r["component"]
+            for r in connected_components(df([(1000, 1001)])).collect()}
+    assert got == want, "stale ids served from unpublished partitions"
+    # manifest must only list partitions the new labeling populates
+    assert set(got) == {1000, 1001}
+    assert len(m1) <= 2
+    # a second rebuild retires the now-unreferenced stale version dirs:
+    # the read stays correct and the manifest seq advances
+    write_cc_labels_parted(df([(1000, 1001)]), path, n_parts=8)
+    seq2, _ = _ccp_current_manifest(spark, path)
+    assert seq2 == seq1 + 1
+    got2 = {r["id"]: r["component"]
+            for r in read_cc_labels_parted(spark, path).collect()}
+    assert got2 == want

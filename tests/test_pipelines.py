@@ -229,3 +229,60 @@ def test_nearby_genes_by_range_fuzz_vs_reference_model(spark):
             assert got.get(name, set()) == want, (
                 f"trial {trial} {name} [{rl},{rr}]{d}: "
                 f"{got.get(name)} != {want}")
+
+
+def test_extract_range_sequences_reference_golden(spark):
+    """Replay tests/fixtures/range_extract_golden.json — the EXECUTED
+    reference GeneExtract range mode (scripts/gen_range_extract_golden
+    .py, src/analysis/gene_extract.py:57-86) — against the engine twin.
+    Pins the quirks: forward [min..max-1] / reverse [min+1..max]
+    windows, a==b reverse-empty, prefilled passthrough, non-int
+    passthrough, revcomp reverse fill."""
+    import json
+    import os
+
+    fx = json.load(open(os.path.join(
+        os.path.dirname(__file__), "fixtures",
+        "range_extract_golden.json")))
+    genome = spark.createDataFrame(
+        [("acc0", fx["dna"])], "accession string, seq string")
+    rows = spark.createDataFrame(
+        [tuple(r) for r in fx["input_rows"]],
+        ", ".join(f"{h} string" for h in fx["headers"]))
+    out = pipelines.extract_range_sequences(rows, genome, "start", "end")
+    assert out.columns == fx["headers"]
+    got = {r["name"]: [r[h] for h in fx["headers"]]
+           for r in out.collect()}
+    for want in fx["output_rows"]:
+        assert got[want[0]] == want, (
+            f"{want[0]}: {got[want[0]]} != {want}")
+    assert len(got) == len(fx["output_rows"])
+
+
+def test_extract_range_sequences_requires_sequence_column(spark):
+    import pytest as _pytest
+
+    genome = spark.createDataFrame([("a", "acgt")],
+                                   "accession string, seq string")
+    rows = spark.createDataFrame([("r", "1", "2")],
+                                 "name string, start string, end string")
+    with _pytest.raises(ValueError, match="sequence"):
+        pipelines.extract_range_sequences(rows, genome, "start", "end")
+
+
+def test_extract_range_sequences_multi_accession(spark):
+    """The engine extension beyond the reference's single-genome shape:
+    rows carrying `accession` key the genome join."""
+    genome = spark.createDataFrame(
+        [("a1", "acgtacgtac"), ("a2", "ttttggggcc")],
+        "accession string, seq string")
+    rows = spark.createDataFrame(
+        [("r1", "a1", "", 2, 5), ("r2", "a2", "", 5, 2)],
+        "name string, accession string, sequence string, "
+        "start long, end long")
+    got = {r["name"]: r["sequence"]
+           for r in pipelines.extract_range_sequences(
+               rows, genome, "start", "end").collect()}
+    # fwd [2..4] of acgtacgtac = cgt; rev = revcomp("ttg" = [3..5] of
+    # ttttggggcc) = caa
+    assert got == {"r1": "cgt", "r2": "caa"}
