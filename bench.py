@@ -712,6 +712,20 @@ BASELINE = {
     # layout PAYS overhead at toy scale and wins on write IO only when
     # partitions are GB-sized, see SCALING.md r14 notes)
     "cc_labels_parted": (11.231, 14),
+    # --- staged-r15 seeds: min-of-3 from the first full r15 clean
+    # bench run (regressions {} / errors {} in the same record, so the
+    # in-run numbers ARE steady-state; a collect()-based standalone
+    # cross-check read the same stream gate wall and ~2x on the tiny
+    # batch shapes purely from the different sink method) ---
+    # map-side genome fill over the broadcast byte-encoded dim
+    "f2b_range_extract": (0.408, 15),
+    # position-helper expansion + window/string_agg aggregation
+    "gentamycin_atcc_report": (1.06, 15),
+    # same expansion + the JSON-dict explode
+    "gentamycin_atcc_consistency": (1.105, 15),
+    # build + tombstone + single-batch drain (index leg + intra-batch
+    # semantic_dedup) — the stream-gate lifecycle class
+    "stream_semdedup_gate": (9.732, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -187,6 +187,20 @@ def nearby_genes_by_range(
     from ncbi_analysis_spark.functions.sequence import gene_range_type
 
     payload = list(ranges.columns)
+    # Spark resolves names case-insensitively by default, so a payload
+    # column named 'Gene' (the reference's ATCC header) would make every
+    # reference to the output's 'gene' ambiguous mid-plan — fail with
+    # the fix instead of an AMBIGUOUS_REFERENCE five operators deep
+    clash = {"gene", "gene_left", "gene_right", "sequence", "type",
+             "idx"} & {c.lower() for c in payload}
+    if clash:
+        raise ValueError(
+            "nearby_genes_by_range: range column(s) "
+            f"{sorted(clash)} collide (case-insensitively) with the "
+            "expansion's output columns; rename them before the call "
+            "and restore after (sequence payloads: note the output "
+            "'sequence' is the GENE's, complemented on '-')"
+        )
     g = (
         genes.select("gene", "gene_left", "gene_right", "sequence")
         # dim-sized single-partition window by contract (annotation

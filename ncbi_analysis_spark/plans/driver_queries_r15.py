@@ -1,0 +1,485 @@
+"""Round-15 staged oracle queries.
+
+Staged per the registry cadence (``plans/registry.py``): every entry
+here is oracle-checked by ``scripts/check_oracle.py --staged`` and
+bench-timed for baseline seeding this round, then wired into the
+driver registry at round-16 start.
+
+The round's new rows close the last reference-pipeline gaps named by
+VERDICT r14 (GeneExtract RANGE mode, ATCC-mode gentamycin) and give
+the r14 ``semantic_dedup`` batch operator its streaming-gate twin —
+the one index family (LSH / IVF / BM25 all have one) that lacked it.
+
+Cross-engine determinism rules are the registry-wide ones (see
+``driver_queries.py`` header): integer arithmetic or pinned IEEE
+doubles only, md5 as the shared hash, no engine RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEX_TO_ACGT = ("0123456789abcdef", "acgtacgtacgtacgt")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _genome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 gentamycin genome dim: three md5-derived 10,240-char
+    accessions (sf-independent — nation is fixed-size)."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 3)
+    return n.select(
+        F.concat(F.lit("acc"), F.col("n_nationkey")).alias("accession"),
+        F.repeat(
+            F.translate(
+                F.md5(F.concat(F.lit("gen"), F.col("n_nationkey"))),
+                *_HEX_TO_ACGT,
+            ),
+            320,
+        ).alias("seq"),
+    )
+
+
+_GENOME_CTE = """
+genome AS (
+  SELECT 'acc' || n_nationkey::VARCHAR AS accession,
+         repeat(translate(md5('gen' || n_nationkey::VARCHAR),
+                          '0123456789abcdef', 'acgtacgtacgtacgt'),
+                320) AS seq
+  FROM nation WHERE n_nationkey < 3
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2b — GeneExtract RANGE mode (the last un-twinned reference entry
+# point; VERDICT r14 "What's missing" #1)
+# ---------------------------------------------------------------------------
+
+
+def f2b_range_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeneExtract range mode end-to-end
+    (plans/pipelines.py::extract_range_sequences; reference
+    src/analysis/gene_extract.py:57-86, the DEFAULT of the runnable
+    driver src/run_gene_extraction_analysis.py:6). The fixture
+    exercises every quirk branch: forward windows ``[min .. max-1]``
+    (1-in-2), reverse windows ``[min+1 .. max]`` revcomp'd (the
+    deliberate +1 shift), ``a == b`` empty windows (1-in-11),
+    non-integer coordinates left untouched (1-in-13, the try/except
+    path), and already-filled ``sequence`` never overwritten
+    (1-in-5). Coordinates are strings end-to-end, as in the
+    reference's TSV rows."""
+    from ncbi_analysis_spark.plans.pipelines import extract_range_sequences
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 0)
+    k = F.col("o_orderkey")
+    ll = (k * 17 % 9000 + 30).cast("long")
+    rr = (ll + k % 150).cast("long")
+    fwd = k % 2 == 0
+    start0 = F.when(fwd, ll).otherwise(rr)
+    end0 = F.when(k % 11 == 0, start0).otherwise(F.when(fwd, rr).otherwise(ll))
+    rows = o.select(
+        F.concat(F.lit("acc"), k % 3).alias("accession"),
+        F.concat(F.lit("R"), k).alias("name"),
+        F.when(k % 13 == 0, F.lit("x"))
+        .otherwise(start0.cast("string")).alias("start"),
+        end0.cast("string").alias("end"),
+        F.when(k % 5 == 0, F.concat(F.lit("zz"), k))
+        .otherwise(F.lit("")).alias("sequence"),
+    )
+    return extract_range_sequences(rows, _genome(spark, sf_dir),
+                                   "start", "end")
+
+
+def _range_extract_sql() -> str:
+    return f"""
+WITH {_GENOME_CTE},
+r0 AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 17 % 9000 + 30)::BIGINT AS ll,
+         (o_orderkey * 17 % 9000 + 30 + o_orderkey % 150)::BIGINT AS rr
+  FROM orders WHERE o_orderkey % 9 = 0
+),
+r1 AS (
+  SELECT k, ll, rr,
+         CASE WHEN k % 2 = 0 THEN ll ELSE rr END AS s0,
+         CASE WHEN k % 11 = 0 THEN CASE WHEN k % 2 = 0 THEN ll ELSE rr END
+              WHEN k % 2 = 0 THEN rr ELSE ll END AS e0
+  FROM r0
+),
+r AS (
+  SELECT 'acc' || (k % 3)::VARCHAR AS accession,
+         'R' || k::VARCHAR AS name,
+         CASE WHEN k % 13 = 0 THEN 'x' ELSE s0::VARCHAR END AS start,
+         e0::VARCHAR AS "end",
+         CASE WHEN k % 5 = 0 THEN 'zz' || k::VARCHAR ELSE '' END
+           AS sequence
+  FROM r1
+),
+c AS (
+  SELECT r.*, g.seq,
+         TRY_CAST(start AS BIGINT) AS a,
+         TRY_CAST("end" AS BIGINT) AS b
+  FROM r JOIN genome g USING (accession)
+)
+SELECT accession, name, start, "end",
+       CASE WHEN sequence IS NOT NULL AND sequence <> '' THEN sequence
+            WHEN a IS NULL OR b IS NULL THEN sequence
+            WHEN a < b THEN substring(seq, least(a, b)::INT,
+                                      (greatest(a, b) - least(a, b))::INT)
+            ELSE reverse(translate(
+                   substring(seq, (least(a, b) + 1)::INT,
+                             (greatest(a, b) - least(a, b))::INT),
+                   'acgt', 'tgca'))
+       END AS sequence
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# ATCC-mode gentamycin (VERDICT r14 "What's missing" #2): nearby-gene
+# expansion -> related/hit columns + the name-tag consistency explode
+# ---------------------------------------------------------------------------
+
+
+def _atcc_gene_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gentamycin ATCC input: 1-in-7 orders rows, 1-in-3 of them DR
+    (expanded), plus one exact-hit DR row per annotation gene so the
+    'hit' column path is pinned at every sf."""
+    from ncbi_analysis_spark.plans.driver_queries_r14 import _nation_genes
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    k = F.col("o_orderkey")
+    ll = (k * 31 % 9000 + 20).cast("long")
+    lr = (ll + k % 500 + 1).cast("long")
+    d = F.when(k % 2 == 1, F.lit("-")).otherwise(F.lit("+"))
+    base = o.select(
+        F.concat(F.when(k % 3 == 0, F.lit("DR")).otherwise(F.lit("G")), k)
+        .alias("Gene"),
+        F.concat(F.lit("chr:"), ll, F.lit("-"), lr,
+                 F.lit("("), d, F.lit(")")).alias("Locus"),
+    )
+    genes = _nation_genes(spark, sf_dir)
+    hits = genes.select(
+        F.concat(F.lit("DRH"), F.col("gene")).alias("Gene"),
+        F.concat(F.lit("chr:"), F.col("gene_left"), F.lit("-"),
+                 F.col("gene_right"), F.lit("(+)")).alias("Locus"),
+    )
+    return base.union(hits)
+
+
+def gentamycin_atcc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATCC-mode GentamycinAnalysis end-to-end
+    (plans/pipelines.py::gentamycin_report_atcc; reference
+    src/analysis/gentamycin.py:44-75 — evident-intent twin, the
+    reference branch itself crashes on its generator bug, adjudication
+    in the pipeline docstring): DR rows expand to nearby genes via the
+    position helper, 'hit' is the first expanded gene of type hit,
+    'related' the remaining names comma-joined in (gene_left, gene)
+    order, non-DR rows get empty strings. The JSON sequence column is
+    pinned separately by ``gentamycin_atcc_consistency`` (its explode
+    is JSON-format-free on both engines)."""
+    from ncbi_analysis_spark.plans.driver_queries_r14 import _nation_genes
+    from ncbi_analysis_spark.plans.pipelines import gentamycin_report_atcc
+
+    gl = _atcc_gene_list(spark, sf_dir)
+    return gentamycin_report_atcc(gl, _nation_genes(spark, sf_dir)).select(
+        "Gene", "Locus", "related", "hit")
+
+
+def gentamycin_atcc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consistency TSV of the ATCC branch
+    (plans/pipelines.py::gentamycin_consistency_atcc; reference
+    generate_consistency_df, src/analysis/gentamycin.py:44-60): the
+    report's tag->sequence JSON dict explodes into (name = Gene-tag,
+    gene = sequence) rows — one per expanded gene, sequences
+    complemented WITHOUT reversal on '-' ranges (the position helper's
+    generate_result quirk). Pins the JSON round-trip content without
+    comparing JSON text."""
+    from ncbi_analysis_spark.plans.driver_queries_r14 import _nation_genes
+    from ncbi_analysis_spark.plans.pipelines import (
+        gentamycin_consistency_atcc,
+        gentamycin_report_atcc,
+    )
+
+    gl = _atcc_gene_list(spark, sf_dir)
+    rep = gentamycin_report_atcc(gl, _nation_genes(spark, sf_dir))
+    return gentamycin_consistency_atcc(rep)
+
+
+_ATCC_PAT = r"^(.+):(\d+)-(\d+)\((.)\)$"
+
+# Expansion recompute shared by both ATCC rows: the r14
+# _genes_near_range_sql CTE chain (correlated min-idx bounds, candidate
+# between-join, cover window, position-helper type CASE) keyed by Gene.
+_ATCC_EXP_CTE = """
+g AS (
+  SELECT g0.*, row_number() OVER (ORDER BY gene_left, gene) AS idx FROM g0
+),
+gl AS (
+  SELECT (CASE WHEN o_orderkey % 3 = 0 THEN 'DR' ELSE 'G' END)
+           || o_orderkey::VARCHAR AS "Gene",
+         'chr:' || (o_orderkey * 31 % 9000 + 20)::VARCHAR || '-'
+           || (o_orderkey * 31 % 9000 + 20 + o_orderkey % 500 + 1)::VARCHAR
+           || '(' || (CASE WHEN o_orderkey % 2 = 1 THEN '-' ELSE '+' END)
+           || ')' AS "Locus"
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'DRH' || gene,
+         'chr:' || gene_left::VARCHAR || '-' || gene_right::VARCHAR
+           || '(+)'
+  FROM g0
+),
+r AS (
+  SELECT "Gene" AS rid,
+         CAST(regexp_extract("Locus", '{pat}', 2) AS BIGINT) AS "left",
+         CAST(regexp_extract("Locus", '{pat}', 3) AS BIGINT) AS "right",
+         regexp_extract("Locus", '{pat}', 4) AS direction
+  FROM gl WHERE "Gene" LIKE 'DR%'
+),
+b AS (
+  SELECT r.*,
+    coalesce((SELECT min(idx) FROM g WHERE g.gene_left >= r."left"),
+             (SELECT max(idx) + 1 FROM g)) AS lg,
+    coalesce((SELECT min(idx) FROM g WHERE g.gene_left >= r."right"),
+             (SELECT max(idx) + 1 FROM g)) - 1 AS rl,
+    (SELECT max(idx) FROM g) AS n
+  FROM r
+),
+cand AS (
+  SELECT b.*, g.idx, g.gene, g.gene_left, g.gene_right,
+         g.sequence AS gseq
+  FROM b JOIN g
+    ON g.idx BETWEEN greatest(least(b.lg, b.rl), 1)
+                 AND least(greatest(b.lg, b.rl), b.n)
+),
+cc AS (
+  SELECT cand.*,
+         min(CASE WHEN gene_left <= "left" AND gene_right >= "right"
+                  THEN idx END) OVER (PARTITION BY rid) AS cov
+  FROM cand
+),
+exp AS (
+  SELECT rid, gene, gene_left,
+         CASE WHEN "left" = gene_left AND "right" = gene_right THEN 'hit'
+              WHEN (CASE WHEN "right" < gene_left OR "left" > gene_right
+                         THEN 0
+                         WHEN "right" < gene_right
+                         THEN "right" - gene_left + 1
+                         ELSE gene_right - "left" + 1 END)
+                   * 100.0 / ("right" - "left" + 1) >= 90.0
+              THEN 'homology'
+              WHEN gene_left <= "left" AND "right" <= gene_right
+              THEN 'include'
+              ELSE 'related' END AS type,
+         CASE WHEN direction = '-' THEN translate(gseq, 'acgt', 'tgca')
+              ELSE gseq END AS sequence
+  FROM cc WHERE cov IS NULL OR idx = cov
+)
+"""
+
+
+def _atcc_ctes() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r14 import _GENES_CTE
+
+    return ("WITH " + _GENES_CTE.strip() + ","
+            + _ATCC_EXP_CTE.replace("{pat}", _ATCC_PAT))
+
+
+def _atcc_report_sql() -> str:
+    return f"""
+{_atcc_ctes()},
+hitp AS (
+  SELECT rid, gene AS hitg FROM (
+    SELECT rid, gene,
+           row_number() OVER (PARTITION BY rid
+                              ORDER BY gene_left, gene) AS rn
+    FROM exp WHERE type = 'hit'
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT e.rid,
+         coalesce(string_agg(
+           CASE WHEN e.gene <> coalesce(h.hitg, '') THEN e.gene END,
+           ',' ORDER BY e.gene_left, e.gene), '') AS related,
+         coalesce(any_value(h.hitg), '') AS hit
+  FROM exp e LEFT JOIN hitp h USING (rid)
+  GROUP BY e.rid
+)
+SELECT gl."Gene", gl."Locus",
+       CASE WHEN gl."Gene" LIKE 'DR%' THEN coalesce(a.related, '')
+            ELSE '' END AS related,
+       CASE WHEN gl."Gene" LIKE 'DR%' THEN coalesce(a.hit, '')
+            ELSE '' END AS hit
+FROM gl LEFT JOIN agg a ON gl."Gene" = a.rid
+"""
+
+
+def _atcc_consistency_sql() -> str:
+    return f"""
+{_atcc_ctes()}
+SELECT rid || '-' || gene AS name, sequence AS gene FROM exp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming SemDeDup gate (VERDICT r14 ask 6): the semantic_dedup
+# operator's streaming boundary, index leg + intra-batch leg
+# ---------------------------------------------------------------------------
+
+_SEMGATE_THRESHOLD = 0.32  # both legs bite at sf0.01: 22 index-leg
+# collisions and one intra-batch component among the 72 streamed rows
+# (measured while staging; 0.35 kills the batch leg, 0.4 the index leg)
+
+
+def stream_semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup gate end-to-end
+    (streaming/events.py::stream_semdedup_decon; Abbas et al. 2023):
+    old vectors (% 7 != 0) are indexed under a frozen 8-centroid
+    quantizer, a takedown batch (% 5 == 0) is tombstoned WITHOUT
+    compaction, then the new vectors (% 7 == 0) stream through in ONE
+    micro-batch — history near-dups (6dp-rounded best cosine within
+    the single nearest-centroid cluster >= 0.32) drop on the index
+    leg, and the survivors run the paper's within-cluster
+    keep-the-outlier rule against each other on the batch leg. The
+    single-file staging pins the batching (the batch leg makes
+    verdicts greedy-prefix, so a fixed batching is part of the row's
+    contract). Oracle: full recompute — the ivf_assign argmax fold,
+    rounded index-leg cut, exact-double pair edges, recursive-CTE
+    components, cent_sim-ascending keep window."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ncbi_analysis_spark.operators.similarity_search import (
+        delete_from_ivf_index,
+        ivf_assign,
+        write_ivf_index,
+    )
+    from ncbi_analysis_spark.streaming.events import (
+        read_gated_docs,
+        stream_semdedup_decon,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 7 != 0).select("vec_id", "embedding")
+    new = e.filter(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+
+    tmp = tempfile.mkdtemp(prefix="stream_semdedup_gate_")
+    try:
+        idx = f"{tmp}/index"
+        write_ivf_index(ivf_assign(old, cents), idx, centroids=cents)
+        delete_from_ivf_index(
+            old.filter(F.col("vec_id") % 5 == 0).select("vec_id"), idx)
+        # ONE data file -> ONE micro-batch, whatever the trigger's
+        # file-batching defaults (unlike the batching-invariant LSH/IVF
+        # gates, the batch leg here makes batching part of the result)
+        stage = f"{tmp}/stage"
+        new.coalesce(1).write.parquet(stage)
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        shutil.copy(sorted(glob.glob(f"{stage}/part-*.parquet"))[0],
+                    f"{src}/f0.parquet")
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        stream_semdedup_decon(stream, idx, cents, f"{tmp}/gated",
+                              f"{tmp}/ck", threshold=_SEMGATE_THRESHOLD)
+        gated = read_gated_docs(spark, f"{tmp}/gated").select("vec_id")
+        rows = gated.collect()
+        schema = gated.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _stream_semdedup_gate_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries_r5 import (
+        _DOT,
+        _cos_sql,
+        _dlit,
+    )
+
+    thr = _dlit(_SEMGATE_THRESHOLD)
+    return f"""
+WITH RECURSIVE
+cent AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+         WHERE vec_id < 8),
+pool AS (SELECT vec_id, embedding AS v FROM embeddings),
+assign0 AS (
+  -- dot(v, c) / ||c|| — ivf_assign's map-side argmax fold; the probe
+  -- argmax (full cosine) picks the same centroid because the ||v||
+  -- division is a positive per-row constant
+  SELECT p.vec_id, p.v, ct.c_id, ct.cv,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='p.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM pool p CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, c_id, cv FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, c_id) AS rn
+  FROM assign0
+) WHERE rn = 1),
+hist AS (SELECT * FROM assign WHERE vec_id % 7 <> 0 AND vec_id % 5 <> 0),
+newv AS (SELECT * FROM assign WHERE vec_id % 7 = 0),
+collide AS (
+  -- index leg: best WITHIN-CLUSTER cosine vs the live index, at the
+  -- family's 6dp round (ivf_topk)
+  SELECT DISTINCT n.vec_id
+  FROM newv n JOIN hist h ON n.c_id = h.c_id
+  WHERE ROUND({_cos_sql('n.v', 'h.v')}, 6) >= {thr}
+),
+surv AS (
+  SELECT n.* FROM newv n LEFT JOIN collide c ON n.vec_id = c.vec_id
+  WHERE c.vec_id IS NULL
+),
+pairs AS (
+  -- batch leg: exact-double within-cluster edges (semantic_dedup's
+  -- expr pair stage)
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM surv a JOIN surv b
+    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {thr}
+),
+edges AS (SELECT ida AS u, idb AS w FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u AS id, reach.r AS r FROM edges e JOIN reach ON e.w = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT s.vec_id, {_cos_sql('s.v', 's.cv')} AS cent_sim, c.component
+  FROM surv s LEFT JOIN comp c ON s.vec_id = c.id
+)
+SELECT vec_id FROM (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (PARTITION BY COALESCE(component, vec_id)
+                            ORDER BY cent_sim ASC, vec_id ASC) AS rn
+  FROM lab
+) WHERE rn = 1
+"""
+
+
+def queries_r15() -> dict:
+    return {
+        "f2b_range_extract": f2b_range_extract,
+        "gentamycin_atcc_report": gentamycin_atcc_report,
+        "gentamycin_atcc_consistency": gentamycin_atcc_consistency,
+        "stream_semdedup_gate": stream_semdedup_gate,
+    }
+
+
+def oracle_sql_r15() -> dict[str, str]:
+    return {
+        "f2b_range_extract": _range_extract_sql(),
+        "gentamycin_atcc_report": _atcc_report_sql(),
+        "gentamycin_atcc_consistency": _atcc_consistency_sql(),
+        "stream_semdedup_gate": _stream_semdedup_gate_sql(),
+    }

@@ -318,22 +318,25 @@ def gentamycin_report_atcc(gene_list: DataFrame,
 
     cols = list(gene_list.columns)
     is_dr = F.col("Gene").startswith("DR")
+    # the expansion emits a 'gene' column, which Spark's default
+    # case-insensitive resolution would conflate with the reference's
+    # 'Gene' header — run it under a temp id and restore after
     dr = gene_list.filter(is_dr).select(
-        F.col("Gene"), *parse_locus(F.trim(F.col("Locus")))
+        F.col("Gene").alias("__rid"), *parse_locus(F.trim(F.col("Locus")))
     )
     expanded = nearby_genes_by_range(
-        dr, genes, r_id="Gene", r_left="left", r_right="right",
+        dr, genes, r_id="__rid", r_left="left", r_right="right",
         direction="direction",
     )
     arr = F.sort_array(F.collect_list(F.struct(
         F.col("gene_left"), F.col("gene"), F.col("type"),
         F.col("sequence"),
     )))
-    agg = expanded.groupBy("Gene").agg(arr.alias("__arr"))
+    agg = expanded.groupBy("__rid").agg(arr.alias("__arr"))
     hits = F.filter(F.col("__arr"), lambda x: x["type"] == F.lit("hit"))
     hit = F.when(F.size(hits) > 0, hits[0]["gene"]).otherwise(F.lit(""))
     agg = agg.withColumn("__hit", hit).select(
-        "Gene",
+        F.col("__rid").alias("Gene"),
         F.array_join(
             F.transform(
                 F.filter(F.col("__arr"),

@@ -32,7 +32,7 @@ WIRED: list[str] = [
 
 # Staged for the NEXT round: oracle-gated and bench-seeded this round,
 # registered at next round's start.
-STAGED: list[str] = []
+STAGED: list[str] = ["r15"]
 
 
 def _round_num(suffix: str) -> int:

@@ -1534,3 +1534,111 @@ def stream_ivf_decon(
         stream_df, _gate, checkpoint, available_now, timeout_s,
         "stream_ivf_decon",
     )
+
+
+def stream_semdedup_decon(
+    stream_df: DataFrame,
+    index_path: str,
+    centroids: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    keep: str = "clean",
+    intra_batch: bool = True,
+    max_cluster_rows: int | None = 100_000,
+    pair_method: str = "auto",
+    available_now: bool = True,
+    timeout_s: int = 300,
+):
+    """Streaming SemDeDup gate (Abbas et al. 2023) against a persisted
+    survivor index — the semantic twin of ``stream_ivf_decon``, and the
+    streaming boundary of ``dedup.semantic_dedup``. Two legs per
+    micro-batch, both under the paper's membership rule (a row is
+    compared ONLY within its single nearest-centroid cluster —
+    ``nprobe=1``, unlike the recall-oriented multi-probe IVF gate):
+
+    1. **index leg**: rows whose best within-cluster cosine against the
+       persisted ``write_ivf_index`` survivor set reaches ``threshold``
+       are semantic duplicates of history — dropped (``keep='clean'``)
+       or emitted alone (``keep='flagged'``). Only the batch's assigned
+       bucket directories are read (``prefilter_partitions=True``); the
+       index-side corpus never shuffles.
+    2. **batch leg** (``intra_batch=True``): the rows that survive the
+       index leg run through ``semantic_dedup`` against the SAME frozen
+       quantizer, so two near-identical documents arriving in one
+       micro-batch collapse to the paper's keep-the-outlier survivor
+       even though neither is indexed yet. ``stream_ivf_decon`` (a
+       history-only gate) misses exactly this case. Pass
+       ``intra_batch=False`` for history-only verdicts.
+
+    Batching semantics, honestly: the index leg depends only on the
+    (fixed) index, but the batch leg makes verdicts GREEDY-PREFIX —
+    new-vs-new duplicates are resolved within each micro-batch, and
+    across batches only after the standing loop folds survivors back
+    (``append_to_ivf_index(read_gated_docs(...), centroids, index_path)``
+    after the drain — appending inside ``foreachBatch`` would break
+    exactly-once, see ``stream_index_decon``). For a FIXED batching the
+    output is deterministic and restart is exactly-once (per-batch
+    directory overwrite under the checkpoint); a single-batch drain
+    over an empty-history index reproduces batch ``semantic_dedup``'s
+    ``keep=True`` set exactly (batch-parity test).
+
+    The quantizer is digest-validated against the index marker once up
+    front; the index is re-read per batch, so mid-stream tombstones
+    (takedowns) take effect at the next micro-batch. The index-leg cut
+    compares at the family's 6dp round (``ivf_topk``); the batch leg
+    orders on exact doubles (``semantic_dedup``). ``max_cluster_rows``
+    and ``pair_method`` forward to the batch leg (the production cap /
+    blocked-BLAS knobs). Read the output back with ``read_gated_docs``.
+    """
+    from ncbi_analysis_spark.operators import similarity_search as ss
+    from ncbi_analysis_spark.operators.dedup import semantic_dedup
+    from ncbi_analysis_spark.operators.similarity_search import (
+        _ivf_params_guard,
+    )
+
+    if keep not in ("clean", "flagged"):
+        raise ValueError(f"keep must be 'clean' or 'flagged', got {keep!r}")
+    spark = stream_df.sparkSession
+    _ivf_params_guard(spark, index_path, centroids, vec, "c_id",
+                      write=False)
+    root = out_root.rstrip("/")
+
+    def _gate(batch_df, batch_id: int) -> None:
+        idx = ss.read_ivf_index(batch_df.sparkSession, index_path,
+                                id_col=id_col)
+        q = batch_df.select(F.col(id_col).alias("__q_id"),
+                            F.col(vec).alias(vec))
+        best = ss.ivf_topk(idx, q, centroids, vec=vec, id_col=id_col,
+                           q_id="__q_id", k=1, nprobe=1,
+                           assigned=idx, prefilter_partitions=True)
+        hit_ids = (
+            best.filter(F.col("cos_sim") >= threshold)
+            .select(F.col("__q_id").alias(id_col)).distinct()
+        )
+        survivors = batch_df.join(F.broadcast(hit_ids), id_col,
+                                  "left_anti")
+        if intra_batch:
+            lab = semantic_dedup(
+                survivors, vec, id_col, centroids,
+                threshold=threshold, max_cluster_rows=max_cluster_rows,
+                pair_method=pair_method,
+            )
+            kept_ids = lab.filter(F.col("keep")).select(id_col)
+            survivors = survivors.join(F.broadcast(kept_ids), id_col,
+                                       "left_semi")
+        if keep == "clean":
+            out = survivors
+        else:
+            out = batch_df.join(
+                F.broadcast(survivors.select(id_col)), id_col,
+                "left_anti",
+            )
+        out.write.mode("overwrite").parquet(f"{root}/batch={batch_id}")
+
+    return _run_snapshot_publisher(
+        stream_df, _gate, checkpoint, available_now, timeout_s,
+        "stream_semdedup_decon",
+    )

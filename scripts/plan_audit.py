@@ -150,6 +150,14 @@ EXPECTED: dict[str, set[str]] = {
     # key-count table — the quality_quantile_gate scalar-small-side
     # class (key_skew_report's share_ppm denominator).
     "skew_report_events": {"BroadcastNestedLoopJoin"},
+    # --- staged r15 (audited pre-registration) ---
+    # Both ATCC gentamycin rows run the position-helper expansion on
+    # their DR subset — genes_near_range's pinned shape (bounded
+    # annotation dim broadcast into the bounds cross join + non-equi
+    # candidate join); the report's re-join onto the gene list is a
+    # keyed broadcast hash join, no marker.
+    "gentamycin_atcc_report": {"BroadcastNestedLoopJoin"},
+    "gentamycin_atcc_consistency": {"BroadcastNestedLoopJoin"},
 }
 
 

@@ -286,3 +286,63 @@ def test_extract_range_sequences_multi_accession(spark):
     # fwd [2..4] of acgtacgtac = cgt; rev = revcomp("ttg" = [3..5] of
     # ttttggggcc) = caa
     assert got == {"r1": "cgt", "r2": "caa"}
+
+
+def test_gentamycin_atcc_report_and_consistency(spark):
+    """ATCC branch (reference src/analysis/gentamycin.py:44-75,
+    evident-intent twin): DR rows expand via the position helper into
+    related/hit + the tag->sequence JSON; non-DR rows get the empty
+    triple; the consistency frame explodes the JSON into name-tag
+    rows with the complement-without-reversal sequences."""
+    import json
+
+    from ncbi_analysis_spark.plans.pipelines import (
+        gentamycin_consistency_atcc,
+        gentamycin_report_atcc,
+    )
+
+    genes = spark.createDataFrame(
+        [("g1", 100, 200, "acgt"), ("g2", 300, 400, "ggtt"),
+         ("g3", 600, 700, "ccaa")],
+        "gene string, gene_left long, gene_right long, sequence string")
+    gl = spark.createDataFrame(
+        [("DR1", "chr:100-200(+)"),   # exact hit of g1
+         ("DR2", "chr:250-290(-)"),   # between g1 and g2 -> flanking
+         ("G3", "chr:100-200(+)")],   # non-DR: untouched
+        "Gene string, Locus string")
+    rep = {r["Gene"]: r.asDict()
+           for r in gentamycin_report_atcc(gl, genes).collect()}
+    assert rep["DR1"]["hit"] == "g1"
+    assert rep["DR1"]["related"] == ""
+    assert json.loads(rep["DR1"]["sequence"]) == {"g1": "acgt"}
+    assert rep["DR2"]["hit"] == ""
+    assert rep["DR2"]["related"] == "g1,g2"
+    # '-' range: complement WITHOUT reversal (the position helper's
+    # generate_result quirk)
+    assert json.loads(rep["DR2"]["sequence"]) == {"g1": "tgca", "g2": "ccaa"}
+    assert (rep["G3"]["related"], rep["G3"]["hit"], rep["G3"]["sequence"]) \
+        == ("", "", "")
+
+    cons = {(r["name"], r["gene"]) for r in gentamycin_consistency_atcc(
+        gentamycin_report_atcc(gl, genes)).collect()}
+    assert cons == {("DR1-g1", "acgt"), ("DR2-g1", "tgca"),
+                    ("DR2-g2", "ccaa")}
+
+
+def test_nearby_genes_by_range_rejects_clashing_payload(spark):
+    """A payload column colliding case-insensitively with the
+    expansion's output ('Gene' vs 'gene') must fail fast with the fix,
+    not AMBIGUOUS_REFERENCE mid-plan (the default-case-insensitive
+    resolution trap both engines share)."""
+    import pytest
+
+    from ncbi_analysis_spark.operators.genes import nearby_genes_by_range
+
+    genes = spark.createDataFrame(
+        [("g1", 100, 200, "acgt")],
+        "gene string, gene_left long, gene_right long, sequence string")
+    ranges = spark.createDataFrame(
+        [("DR1", 100, 200, "+")],
+        "Gene string, left long, right long, direction string")
+    with pytest.raises(ValueError, match="collide"):
+        nearby_genes_by_range(ranges, genes, r_id="Gene")

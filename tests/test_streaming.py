@@ -1204,3 +1204,106 @@ def test_stream_ivf_decon_custom_id_col(spark, tmp_path):
     got = {r["doc_id"] for r in
            sev.read_gated_docs(spark, str(tmp_path / "out")).collect()}
     assert got == {101}
+
+
+def test_stream_semdedup_decon_gate(spark, tmp_path):
+    """SemDeDup gate: history near-dups drop on the index leg; two
+    near-identical NEW rows arriving in one micro-batch collapse to the
+    keep-the-outlier survivor on the batch leg (the case the
+    history-only IVF gate structurally misses); 'flagged' emits the
+    complement; intra_batch=False reverts to history-only verdicts."""
+    from ncbi_analysis_spark.operators.similarity_search import (
+        ivf_assign, write_ivf_index)
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    hist = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(hist, cents), idx, centroids=cents)
+
+    new = spark.createDataFrame(
+        [(100, [0.999, 0.01]),   # near-dup of indexed 1 -> index leg
+         (101, [0.0, 1.0]),      # c1; near-dup of 102, cent_sim 1.0
+         (102, [0.01, 0.999]),   # c1; cent_sim < 101's -> the outlier
+         (103, [0.7, 0.7])],     # ~0.707 to everything -> novel
+        "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    new.coalesce(1).write.parquet(src)
+
+    def drain(out, **kw):
+        stream = spark.readStream.schema(new.schema).parquet(src)
+        sev.stream_semdedup_decon(
+            stream, idx, cents, str(tmp_path / out),
+            str(tmp_path / (out + "_ck")), threshold=0.95, **kw)
+        return {r["vec_id"] for r in
+                sev.read_gated_docs(spark, str(tmp_path / out)).collect()}
+
+    # 100 drops vs history; 101 drops to batch-mate 102 (keep the row
+    # LEAST similar to its centroid); 103 is novel
+    assert drain("clean") == {102, 103}
+    assert drain("flag", keep="flagged") == {100, 101}
+    # history-only: the batch-leg drop (101) comes back
+    assert drain("noib", intra_batch=False) == {101, 102, 103}
+
+    import pytest as _pytest
+    drifted = spark.createDataFrame(
+        [(0, [0.5, 0.5]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="drift"):
+        sev.stream_semdedup_decon(
+            spark.readStream.schema(new.schema).parquet(src), idx,
+            drifted, str(tmp_path / "x"), str(tmp_path / "xck"))
+
+
+def test_stream_semdedup_batch_parity(spark, tmp_path):
+    """Single-batch drain over no colliding history == batch
+    semantic_dedup keep=True set (the gate's batch-parity contract),
+    and the standing drain-then-append loop makes the NEXT drain treat
+    this drain's survivors as history."""
+    from ncbi_analysis_spark.operators.dedup import semantic_dedup
+    from ncbi_analysis_spark.operators.similarity_search import (
+        append_to_ivf_index, ivf_assign, write_ivf_index)
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_id long, embedding array<double>")
+    # history sits at ~0.707 cos to every stream row: never collides
+    hist = spark.createDataFrame(
+        [(1, [0.7, 0.7])], "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(ivf_assign(hist, cents), idx, centroids=cents)
+
+    rows = [(200, [1.0, 0.0]), (201, [0.999, 0.02]),
+            (202, [0.98, 0.05]), (203, [0.0, 1.0]),
+            (204, [0.03, 0.999])]
+    new = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    new.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    sev.stream_semdedup_decon(
+        stream, idx, cents, str(tmp_path / "out"),
+        str(tmp_path / "ck"), threshold=0.95)
+    got = {r["vec_id"] for r in
+           sev.read_gated_docs(spark, str(tmp_path / "out")).collect()}
+    want = {r["vec_id"] for r in semantic_dedup(
+        new, "embedding", "vec_id", cents, threshold=0.95,
+    ).filter("keep").collect()}
+    assert got == want
+
+    # standing loop: fold survivors in, then their near-dups drop on
+    # the INDEX leg of the next drain
+    surv = sev.read_gated_docs(spark, str(tmp_path / "out"))
+    append_to_ivf_index(surv, cents, idx)
+    nxt = spark.createDataFrame(
+        [(300, [0.97, 0.08])],  # near-dup of the kept 200-cluster row
+        "vec_id long, embedding array<double>")
+    src2 = str(tmp_path / "src2")
+    nxt.coalesce(1).write.parquet(src2)
+    sev.stream_semdedup_decon(
+        spark.readStream.schema(nxt.schema).parquet(src2), idx, cents,
+        str(tmp_path / "out2"), str(tmp_path / "ck2"), threshold=0.95)
+    assert sev.read_gated_docs(spark, str(tmp_path / "out2")).count() == 0
