@@ -6,8 +6,9 @@ these codecs cover the UNCOMPRESSED interchange formats (8-bit
 non-interlaced PNG via stdlib zlib, 24-bit uncompressed BMP) with
 nothing beyond ``zlib``/``struct``/numpy, so the decode → grayscale →
 DCT-low-band → median-threshold pHash recipe (the classic perceptual
-hash) runs for real everywhere. Pillow (``pil_image_decoder``) remains
-the production drop-in for JPEG & friends.
+hash) runs for real everywhere. Baseline JPEG joined in r15
+(``functions/jpeg.py``); Pillow (``pil_image_decoder``) remains the
+production drop-in for progressive JPEG & the long tail.
 
 Everything here is deterministic: fixed float64 arithmetic, no RNG, no
 platform-dependent libraries — the same image bytes hash identically
@@ -269,12 +270,18 @@ def phash64(arr: np.ndarray) -> int:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode PNG or BMP bytes by magic; ValueError for anything else."""
+    """Decode PNG, BMP or baseline JPEG bytes by magic; ValueError for
+    anything else (including progressive/CMYK JPEG — the r15 codec in
+    ``functions/jpeg.py`` is baseline-sequential only)."""
     if data[:8] == _PNG_MAGIC:
         return png_decode(data)
     if data[:2] == b"BM":
         return bmp_decode(data)
-    raise ValueError("decode_image: not a PNG/BMP payload")
+    if data[:3] == b"\xff\xd8\xff":
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    raise ValueError("decode_image: not a PNG/BMP/JPEG payload")
 
 
 def is_uncompressed_image(data: bytes) -> bool:
@@ -305,4 +312,21 @@ def is_uncompressed_image(data: bytes) -> bool:
         bpp = int.from_bytes(b[28:30], "little")
         comp = int.from_bytes(b[30:34], "little")
         return hdr_size in (40, 56, 108, 124) and bpp == 24 and comp == 0
+    return False
+
+
+def is_decodable_image(data: bytes) -> bool:
+    """True when ``decode_image`` handles the payload: the uncompressed
+    stdlib formats (PNG/BMP, header-validated) plus baseline JFIF
+    (marker-walk sniff rejecting progressive/CMYK/12-bit — r15,
+    ``functions/jpeg.py``). This is the ``auto_image_decoder`` dispatch
+    predicate; ``is_uncompressed_image`` keeps its narrower PNG/BMP
+    meaning for callers that need a compression-free guarantee."""
+    if is_uncompressed_image(data):
+        return True
+    if (isinstance(data, (bytes, bytearray, memoryview))
+            and bytes(data[:3]) == b"\xff\xd8\xff"):
+        from .jpeg import sniff_baseline_jpeg
+
+        return sniff_baseline_jpeg(bytes(data))
     return False

@@ -87,11 +87,12 @@ def deterministic_fake_decoder(data: bytes, meta: dict) -> dict:
 
 
 def numpy_image_decoder(data: bytes, meta: dict) -> dict:
-    """REAL image decoder for UNCOMPRESSED formats with nothing beyond
-    the stdlib + numpy (``functions/imaging.py``): 8-bit non-interlaced
-    PNG and 24-bit BMP decode, ITU-R 601 grayscale, and the classic
-    DCT pHash (32x32 area resample → 2-D DCT → 8x8 low band → median
-    threshold). JPEG & friends still need ``pil_image_decoder``."""
+    """REAL image decoder with nothing beyond the stdlib + numpy:
+    8-bit non-interlaced PNG, 24-bit BMP (``functions/imaging.py``)
+    and baseline-sequential JFIF (``functions/jpeg.py``, r15), ITU-R
+    601 grayscale, and the classic DCT pHash (32x32 area resample →
+    2-D DCT → 8x8 low band → median threshold). Progressive JPEG and
+    the long-tail formats still need ``pil_image_decoder``."""
     from ncbi_analysis_spark.functions import imaging as im
 
     arr = im.decode_image(bytes(data))
@@ -106,15 +107,16 @@ def numpy_image_decoder(data: bytes, meta: dict) -> dict:
 
 def auto_image_decoder(data: bytes, meta: dict) -> dict:
     """The ``image_features`` DEFAULT since round 14: payloads whose
-    magic bytes name a format the stdlib codecs handle (PNG/BMP) get
-    the REAL pixel path (``numpy_image_decoder``); everything else
-    falls back to the md5 stub — which keeps the DuckDB oracle
-    replayable (its fixture payloads are md5-derived bytes, never a
-    real image) and keeps compressed formats honest about needing the
-    Pillow drop-in rather than silently pseudo-hashing them."""
+    headers name a format the stdlib+numpy codecs handle (PNG/BMP, and
+    baseline JPEG since r15) get the REAL pixel path
+    (``numpy_image_decoder``); everything else falls back to the md5
+    stub — which keeps the DuckDB oracle replayable (its fixture
+    payloads are md5-derived bytes, never a real image) and keeps the
+    unsupported long tail honest about needing the Pillow drop-in
+    rather than silently pseudo-hashing it."""
     from ncbi_analysis_spark.functions import imaging as im
 
-    if data is not None and im.is_uncompressed_image(data):
+    if data is not None and im.is_decodable_image(data):
         try:
             return numpy_image_decoder(data, meta)
         except (ValueError, zlib_error):
@@ -127,9 +129,9 @@ def auto_image_decoder(data: bytes, meta: dict) -> dict:
 
 def numpy_resize_decoder(data: bytes, meta: dict,
                          width: int, height: int) -> bytes:
-    """REAL resize for the stdlib-codec formats: decode (PNG/BMP),
-    per-channel area-average resample, re-encode PNG. The Pillow
-    drop-in (``pil_resize_decoder``) covers compressed inputs."""
+    """REAL resize for the stdlib-codec formats: decode (PNG/BMP/
+    baseline JPEG), per-channel area-average resample, re-encode PNG.
+    The Pillow drop-in (``pil_resize_decoder``) covers the rest."""
     import numpy as np
 
     from ncbi_analysis_spark.functions import imaging as im

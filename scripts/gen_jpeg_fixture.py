@@ -166,7 +166,26 @@ def main() -> None:
         f.write(encode_flat_jpeg(blocks16))
     with open(os.path.join(fx, "jpeg_golden.json"), "w") as f:
         json.dump(golden, f, indent=1, sort_keys=True)
-    print("wrote flat8.jpg, blocks16.jpg, jpeg_golden.json")
+
+    # r15: a real-pixel RGB JPEG of the SAME pixels as the committed
+    # gradient_rgb.png/bmp media fixtures, through the package's own
+    # baseline encoder (4:2:0, q92 — exercises chroma subsampling).
+    # Decode goldens for it are pinned in tests/test_jpeg.py from the
+    # package decoder (deterministic float64 — not encoder-analytic
+    # like the DC-only pair above, but bit-stable across platforms).
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from ncbi_analysis_spark.functions.jpeg import jpeg_encode
+
+    y, x = np.mgrid[0:16, 0:24]
+    r = (x * 10 + y * 3) % 256
+    g = (x * 4 + y * 11 + 60 * np.exp(-((x - 7) ** 2 + (y - 5) ** 2) / 30)) % 256
+    b = (x + y * 7 + 128) % 256
+    arr = np.stack([r, g, b], axis=2).astype(np.uint8)
+    with open(os.path.join(fx, "media", "gradient_rgb.jpg"), "wb") as f:
+        f.write(jpeg_encode(arr, quality=92, subsample="420"))
+    print("wrote flat8.jpg, blocks16.jpg, jpeg_golden.json, "
+          "media/gradient_rgb.jpg")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,263 @@
+"""Pure-numpy baseline JPEG codec (functions/jpeg.py, r15).
+
+Pin strategy, strongest first:
+ 1. the committed DC-only fixtures decode to EXACT analytic pixels
+    (conformance-invariant — any correct decoder agrees);
+ 2. cross-decoder parity against the JVM's javax.imageio (a
+    libjpeg-derived implementation that ships in THIS container via
+    the Spark JVM): both directions (my encoder → ImageIO decode,
+    ImageIO encoder → my decode) within a few LSBs;
+ 3. deterministic self-goldens for the committed real-pixel
+    gradient_rgb.jpg (float64 arithmetic — bit-stable anywhere);
+ 4. the multimodal auto path treats baseline JPEG as a REAL format
+    and still degrades the unsupported long tail to the md5 stub.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from ncbi_analysis_spark.functions import imaging as im
+from ncbi_analysis_spark.functions import jpeg as J
+from ncbi_analysis_spark.operators import multimodal as mm
+
+_FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+_MEDIA = os.path.join(_FIX, "media")
+
+
+def _fixture_array():
+    y, x = np.mgrid[0:16, 0:24]
+    r = (x * 10 + y * 3) % 256
+    g = (x * 4 + y * 11
+         + 60 * np.exp(-((x - 7) ** 2 + (y - 5) ** 2) / 30)) % 256
+    b = (x + y * 7 + 128) % 256
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _smooth_rgb(h=24, w=32):
+    yv, xv = np.mgrid[0:h, 0:w].astype(float)
+    return np.clip(np.stack([40 + 4 * xv + 2 * yv,
+                             200 - 3 * xv + yv,
+                             90 + xv + 3 * yv], axis=2),
+                   0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# 1. analytic fixtures — exact
+# ---------------------------------------------------------------------------
+
+def test_decode_committed_dc_only_fixtures_exact():
+    a = J.jpeg_decode(open(os.path.join(_FIX, "flat8.jpg"), "rb").read())
+    assert a.shape == (8, 8) and (a == 100).all()
+    b = J.jpeg_decode(open(os.path.join(_FIX, "blocks16.jpg"), "rb").read())
+    want = np.repeat(np.repeat(
+        np.array([[64, 128], [192, 255]], dtype=np.uint8), 8, 0), 8, 1)
+    assert b.shape == (16, 16) and (b == want).all()
+
+
+def test_committed_gradient_jpg_self_golden():
+    """The committed real-pixel JPEG decodes to the pinned literals
+    (deterministic float64 IDCT — the same values everywhere), and its
+    pHash lands within the near-dup radius of the PNG encoding of the
+    SAME pixels: lossy re-encode is a near-dup, the exact property
+    image_phash_near_dup banks on."""
+    data = open(os.path.join(_MEDIA, "gradient_rgb.jpg"), "rb").read()
+    arr = J.jpeg_decode(data)
+    assert arr.shape == (16, 24, 3)
+    assert abs(float(im.to_gray(arr).mean() / 255.0)
+               - 0.5620625612745097) < 1e-12
+    h_jpg = im.phash64(arr)
+    assert h_jpg == -8851168403618376406
+    png = im.decode_image(
+        open(os.path.join(_MEDIA, "gradient_rgb.png"), "rb").read())
+    h_png = im.phash64(png)
+    ham = bin((h_jpg ^ h_png) & (2 ** 64 - 1)).count("1")
+    assert ham <= 8, ham
+
+
+# ---------------------------------------------------------------------------
+# 2. round-trips through our own encoder
+# ---------------------------------------------------------------------------
+
+def test_roundtrip_gray_q100_within_one_lsb():
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 256, (37, 53), dtype=np.uint8)
+    dec = J.jpeg_decode(J.jpeg_encode(g, quality=100))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_roundtrip_rgb_444_and_420_smooth():
+    rgb = _smooth_rgb(45, 61)
+    d444 = J.jpeg_decode(J.jpeg_encode(rgb, quality=95, subsample="444"))
+    assert np.abs(d444.astype(int) - rgb.astype(int)).max() <= 4
+    d420 = J.jpeg_decode(J.jpeg_encode(rgb, quality=95, subsample="420"))
+    # chroma is 2x2 box-averaged: smooth gradients stay within a few LSBs
+    assert np.abs(d420.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_restart_interval_roundtrip_identical():
+    """DRI/RSTn markers + DC-predictor resets decode to the identical
+    pixels as the plain stream (both on our encoder's output)."""
+    rgb = _smooth_rgb(40, 24)
+    plain = J.jpeg_decode(J.jpeg_encode(rgb, quality=92, subsample="420"))
+    rst = J.jpeg_decode(
+        J.jpeg_encode(rgb, quality=92, subsample="420", restart_interval=2))
+    assert (plain == rst).all()
+
+
+def test_odd_sizes_and_quality_ladder():
+    """Non-multiple-of-MCU dimensions crop correctly at every
+    subsampling, and lower quality monotonically shrinks the file."""
+    rgb = _smooth_rgb(17, 19)
+    for ss in ("444", "420"):
+        dec = J.jpeg_decode(J.jpeg_encode(rgb, quality=90, subsample=ss))
+        assert dec.shape == (17, 19, 3)
+    sizes = [len(J.jpeg_encode(rgb, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+# ---------------------------------------------------------------------------
+# 3. cross-decoder parity vs the JVM's ImageIO
+# ---------------------------------------------------------------------------
+
+def _jvm_rgb(jvm, path):
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(path))
+    h, w = img.getHeight(), img.getWidth()
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = img.getRGB(x, y)
+            out[y, x] = [(v >> 16) & 255, (v >> 8) & 255, v & 255]
+    return out
+
+
+def test_cross_decode_vs_jvm_imageio(spark, tmp_path):
+    """Our encoder's streams decode identically (±2 LSB at 4:4:4,
+    ±5 at 4:2:0 where the upsample filter legitimately differs) in the
+    JVM's libjpeg-derived decoder — and the JVM's OWN encoder's output
+    decodes the same way in ours. Pins both halves of the codec to an
+    independent implementation without any new dependency."""
+    jvm = spark._jvm
+    rgb = _smooth_rgb()
+
+    for ss, tol in (("444", 2), ("420", 5)):
+        p = str(tmp_path / f"mine_{ss}.jpg")
+        open(p, "wb").write(J.jpeg_encode(rgb, quality=95, subsample=ss))
+        jv = _jvm_rgb(jvm, p)
+        mine = J.jpeg_decode(open(p, "rb").read())
+        assert np.abs(jv.astype(int) - mine.astype(int)).max() <= tol
+
+    # JVM-encoded color stream (its writer default is 4:2:0)
+    bi = jvm.java.awt.image.BufferedImage(
+        32, 24, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(24):
+        for x in range(32):
+            r, g, b = (int(v) for v in rgb[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    p = str(tmp_path / "jvm.jpg")
+    jvm.javax.imageio.ImageIO.write(bi, "jpg", jvm.java.io.File(p))
+    data = open(p, "rb").read()
+    assert J.sniff_baseline_jpeg(data)
+    mine = J.jpeg_decode(data)
+    jv = _jvm_rgb(jvm, p)
+    assert np.abs(jv.astype(int) - mine.astype(int)).max() <= 5
+
+    # JVM-encoded grayscale (raster samples — getRGB would gamma-map)
+    gray = np.clip(30 + 5 * np.arange(32)[None, :]
+                   + 3 * np.arange(24)[:, None], 0, 255).astype(np.uint8)
+    bg = jvm.java.awt.image.BufferedImage(
+        32, 24, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    wr = bg.getRaster()
+    for y in range(24):
+        for x in range(32):
+            wr.setSample(x, y, 0, int(gray[y, x]))
+    p = str(tmp_path / "jvm_gray.jpg")
+    jvm.javax.imageio.ImageIO.write(bg, "jpg", jvm.java.io.File(p))
+    mine = J.jpeg_decode(open(p, "rb").read())
+    assert mine.ndim == 2
+    img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+    ras = img.getRaster()
+    jv = np.array([[ras.getSample(x, y, 0) for x in range(32)]
+                   for y in range(24)], dtype=int)
+    assert np.abs(jv - mine.astype(int)).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# 4. sniff + multimodal auto-path dispatch
+# ---------------------------------------------------------------------------
+
+def test_sniff_accepts_baseline_rejects_rest():
+    rgb = _smooth_rgb(16, 16)
+    good = J.jpeg_encode(rgb, quality=85, subsample="420")
+    assert J.sniff_baseline_jpeg(good)
+    assert im.is_decodable_image(good)
+    # progressive SOF2 marker in place of SOF0 → rejected by the sniff
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2:]
+    assert not J.sniff_baseline_jpeg(prog)
+    assert not im.is_decodable_image(prog)
+    # magic-only junk, truncation, non-JPEG
+    assert not J.sniff_baseline_jpeg(b"\xff\xd8\xff" + bytes(16))
+    assert not J.sniff_baseline_jpeg(good[:8])
+    assert not J.sniff_baseline_jpeg(b"not a jpeg")
+    # is_uncompressed_image keeps its narrow PNG/BMP meaning
+    assert not im.is_uncompressed_image(good)
+
+
+def test_auto_decoder_jpeg_real_path_and_fallback():
+    """auto_image_decoder: baseline JPEG rides the real-pixel path;
+    a sniffed-but-truncated stream degrades to the md5 stub instead of
+    failing the batch (same contract as PNG/BMP)."""
+    data = open(os.path.join(_MEDIA, "gradient_rgb.jpg"), "rb").read()
+    out = mm.auto_image_decoder(data, {})
+    assert (out["width"], out["height"]) == (24, 16)
+    assert out["phash64"] == -8851168403618376406
+    assert out != mm.deterministic_fake_decoder(data, {})
+    # keep the header (sniff passes) but chop the entropy data
+    trunc = data[:len(data) // 2]
+    if J.sniff_baseline_jpeg(trunc):
+        assert (mm.auto_image_decoder(trunc, {})
+                == mm.deterministic_fake_decoder(trunc, {}))
+
+
+def test_image_features_jpeg_through_spark(spark):
+    """The full mapInPandas plumbing on a JPEG payload: real width/
+    height/mean/pHash out of image_features with the DEFAULT decoder,
+    alongside a stub row — mixed batches dispatch per-row."""
+    data = open(os.path.join(_MEDIA, "gradient_rgb.jpg"), "rb").read()
+    meta = (None, None, None, None, None, None)
+    media = spark.createDataFrame(
+        [(1, "image", data, meta), (2, "image", b"not-an-image", meta)],
+        mm.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.image_features(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (24, 16)
+    assert rows[1]["phash64"] == -8851168403618376406
+    stub = mm.deterministic_fake_decoder(b"not-an-image", {})
+    assert rows[2]["phash64"] == stub["phash64"]
+
+
+def test_resize_decoder_handles_jpeg(spark):
+    """numpy_resize_decoder: JPEG in → area-resampled PNG out."""
+    data = open(os.path.join(_MEDIA, "gradient_rgb.jpg"), "rb").read()
+    media = spark.createDataFrame(
+        [(1, "image", data, (24, 16, 3, None, None, "jpg"))],
+        mm.MEDIA_SCHEMA)
+    out = mm.resize_images(media, 6, 4,
+                           decoder=mm.numpy_resize_decoder).collect()
+    arr = im.decode_image(bytes(out[0]["data"]))
+    assert arr.shape == (4, 6, 3)
+
+
+def test_fixture_regen_is_byte_stable():
+    """scripts/gen_jpeg_fixture.py rewrites the committed fixture
+    byte-identically — the encoder can't silently drift under the
+    committed goldens."""
+    import hashlib
+
+    data = open(os.path.join(_MEDIA, "gradient_rgb.jpg"), "rb").read()
+    arr = _fixture_array()
+    enc = J.jpeg_encode(arr, quality=92, subsample="420")
+    assert hashlib.md5(enc).hexdigest() == hashlib.md5(data).hexdigest()
