@@ -1396,3 +1396,177 @@ def ann_recall_audit(
                F.round(F.col("n_hit") / F.col("n_exact"), 6)).alias("recall"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — the FAISS-style middle tier between IVF-flat
+# and IVF-PQ (r15)
+# ---------------------------------------------------------------------------
+
+def train_sq_bounds(corpus: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Per-dimension [min, max] training for SQ8 — one pass, one shuffle
+    of exactly d rows (posexplode feeds a map-side-combined min/max agg,
+    so the exchange carries d * n_partitions partials, never corpus
+    rows). Output: (pos, lo, hi), pos 0-based.
+
+    This is the trained-quantizer analogue of ``train_pq_codebooks``:
+    run offline on the corpus (or a sample — bounds only need coverage,
+    not precision), persist the d-row table next to the index, feed it
+    to ``sq8_encode_index`` / ``ivf_sq8_topk``.
+    """
+    return (
+        corpus.select(
+            F.posexplode(F.transform(F.col(vec), lambda x: x.cast("double")))
+            .alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    )
+
+
+def _sq_bounds_lists(bounds: DataFrame):
+    """Collect the d-row bounds table to literal lists (pos-sorted).
+    Bounded by the embedding dimension — a scalar-sized driver hop, same
+    contract as the centroid collect in ivf_assign."""
+    rows = sorted(bounds.select("pos", "lo", "hi").collect(),
+                  key=lambda r: r["pos"])
+    if not rows:
+        raise ValueError("train_sq_bounds produced no rows")
+    return [float(r["lo"]) for r in rows], [float(r["hi"]) for r in rows]
+
+
+def sq_encode_expr(vec_col, los: list, his: list):
+    """uint8 code per dimension: floor(clip01((x-lo)/(hi-lo))*255+0.5)
+    (floor(+0.5), never round() — engines' round() differ on
+    representation edges; constant dimensions (hi==lo) code to 0).
+    Returns array<int>; 4x smaller than float32 / 8x smaller than the
+    float64 arrays Spark materializes, which is the point of storing the
+    INDEX in codes."""
+    lo_arr = F.lit(los)
+    hi_arr = F.lit(his)
+    return F.transform(
+        vec_col,
+        lambda x, i: F.when(
+            F.element_at(hi_arr, i + 1) == F.element_at(lo_arr, i + 1),
+            F.lit(0),
+        ).otherwise(
+            F.floor(
+                F.least(
+                    F.greatest(
+                        (x.cast("double") - F.element_at(lo_arr, i + 1))
+                        / (F.element_at(hi_arr, i + 1)
+                           - F.element_at(lo_arr, i + 1)),
+                        F.lit(0.0)),
+                    F.lit(1.0))
+                * F.lit(255.0) + F.lit(0.5))
+        ).cast("int"),
+    )
+
+
+def sq_dequantize_expr(code_col, los: list, his: list):
+    """Reconstruction: lo + code * ((hi-lo)/255.0) — the exact IEEE
+    op order the DuckDB oracle mirrors (step computed once, then one
+    multiply-add), so dequantized doubles are bit-identical across
+    engines."""
+    lo_arr = F.lit(los)
+    hi_arr = F.lit(his)
+    return F.transform(
+        code_col,
+        lambda c, i: F.element_at(lo_arr, i + 1)
+        + c.cast("double")
+        * ((F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1))
+           / F.lit(255.0)),
+    )
+
+
+def sq8_encode_index(
+    assigned: DataFrame,
+    bounds: DataFrame,
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+    code_col: str = "sq_code",
+) -> DataFrame:
+    """ivf_assign output -> the SQ8 index representation:
+    (id_col, c_id, code_col) with the float vector DROPPED. Feed this to
+    ``write_ivf_index`` for the persisted form — the c_id partitioning
+    (probe-side pruning) is unchanged, the payload is 4-8x smaller."""
+    los, his = _sq_bounds_lists(bounds)
+    return assigned.select(
+        F.col(id_col), F.col(c_id),
+        sq_encode_expr(F.col("__cv"), los, his).alias(code_col),
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    bounds: DataFrame | None = None,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 0,
+    assigned: DataFrame | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF probe + SQ8 asymmetric scoring: queries stay full-precision,
+    probed-bucket candidates are scored against their DEQUANTIZED codes
+    (classic asymmetric distance — half the quantization error of
+    code-vs-code). ``rerank`` > 0 takes the top ``rerank`` SQ candidates
+    per query and re-scores them EXACTLY against the float corpus
+    (bounded join: |Q| * rerank ids, broadcast into the corpus scan).
+
+    Scale posture mirrors ivf_topk: the probe set broadcasts, the coded
+    index never shuffles before the bucket prune — but the scanned bytes
+    per probe are 4-8x smaller than IVF-flat, which is the regime where
+    the 100 TB index stops fitting the page cache. Output without
+    rerank: (q_id, id_col, sq_sim, rk); with rerank: (q_id, id_col,
+    cos_sim, rk) — exact scores, SQ only picked the candidates.
+    """
+    if bounds is None:
+        bounds = train_sq_bounds(corpus, vec)
+    los, his = _sq_bounds_lists(bounds)
+    if index is None:
+        if assigned is None:
+            assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
+        index = sq8_encode_index(assigned, bounds, id_col, c_id)
+
+    cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
+    probes = (
+        queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+        .join(F.broadcast(cent), how="cross")
+        .select(q_id, "__qv", c_id,
+                cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
+    )
+    probes = topk_per_group(
+        probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe
+    ).select(q_id, "__qv", c_id)
+
+    scored = (
+        index.join(F.broadcast(probes), on=c_id, how="inner")
+        .withColumn("__dv", sq_dequantize_expr(F.col("sq_code"), los, his))
+        .select(q_id, id_col,
+                F.round(cosine(F.col("__qv"), F.col("__dv")), 6)
+                .alias("sq_sim"))
+    )
+    if not rerank:
+        return topk_per_group(
+            scored, [q_id], [F.desc("sq_sim"), F.asc(id_col)], k,
+            rank_col="rk")
+
+    cands = topk_per_group(
+        scored, [q_id], [F.desc("sq_sim"), F.asc(id_col)], rerank
+    ).select(q_id, id_col)
+    qv = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
+    cv = corpus.select(F.col(id_col), F.col(vec).alias("__xv"))
+    exact = (
+        cv.join(F.broadcast(cands), on=id_col, how="inner")
+        .join(F.broadcast(qv), on=q_id, how="inner")
+        .select(q_id, id_col,
+                F.round(cosine(F.col("__qv"), F.col("__xv")), 6)
+                .alias("cos_sim"))
+    )
+    return topk_per_group(
+        exact, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")

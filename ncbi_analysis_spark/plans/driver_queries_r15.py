@@ -467,12 +467,143 @@ SELECT vec_id FROM (
 """
 
 
+def image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG REAL-pixel decode through the full multimodal
+    plumbing (r15, ``functions/jpeg.py``): the three committed JPEG
+    fixtures — two DC-only analytic ones plus the 4:2:0 real-pixel
+    gradient — ride ``image_features`` with its DEFAULT decoder, which
+    now sniffs baseline JFIF onto the real path (pure numpy Huffman +
+    IDCT; no Pillow anywhere). Luma is emitted as an exact integer
+    (mean*1e9 rounded) so the cross-engine compare never touches float
+    formatting; pHash literals are the deterministic float64 pins also
+    asserted in tests/test_jpeg.py."""
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    fx = "/root/repo/tests/fixtures"
+    rows = []
+    for mid, path in [(1, f"{fx}/flat8.jpg"),
+                      (2, f"{fx}/blocks16.jpg"),
+                      (3, f"{fx}/media/gradient_rgb.jpg")]:
+        with open(path, "rb") as f:
+            rows.append((mid, "image", f.read(),
+                         (None, None, None, None, None, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.image_features(media)
+    return out.select(
+        "media_id", "width", "height", "phash64",
+        F.round(F.col("mean_luma") * F.lit(1e9)).cast("long")
+        .alias("luma_e9"),
+    ).orderBy("media_id")
+
+
+_IMAGE_JPEG_SQL = """
+SELECT * FROM (VALUES
+  (1,  8,  8, -4149722908513089943::BIGINT, 392156863::BIGINT),
+  (2, 16, 16, -7838114076986600506::BIGINT, 626470588::BIGINT),
+  (3, 24, 16, -8851168403618376406::BIGINT, 562062561::BIGINT)
+) AS t(media_id, width, height, phash64, luma_e9)
+ORDER BY media_id
+"""
+
+
+def ann_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 scalar quantization (r15,
+    ``operators/similarity_search.py::ivf_sq8_topk``): the FAISS-style
+    middle tier between IVF-flat and IVF-PQ. Bounds are trained
+    per-dimension over the corpus (one d-row shuffle), the index stores
+    int codes (4-8x smaller than the float arrays — the regime where a
+    100 TB index stops fitting the page cache), probed-bucket candidates
+    are scored ASYMMETRICALLY (full-precision query vs dequantized
+    code). Same 48-query batch / centroid-8 / nprobe-2 shape as the
+    wired ``ann_ivf`` row so the two tiers stay comparable in bench.
+
+    Cross-engine determinism: codes are floor(+0.5) integers; the
+    dequantized doubles come from one multiply-add per element with the
+    step computed once — both engines reproduce them bit-for-bit, so
+    the rounded sims hash-match exactly."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    out = ss.ivf_sq8_topk(e, q, cents, k=10, nprobe=2)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _ann_ivf_sq8_sql() -> str:
+    from ncbi_analysis_spark.plans.driver_queries import _DOT, _cos_sql
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+b AS (SELECT pos, MIN(val) AS lo, MAX(val) AS hi
+      FROM (SELECT unnest(v) AS val, unnest(range(len(v))) AS pos FROM e)
+      GROUP BY pos),
+bl AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+       FROM b),
+cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 48),
+assign0 AS (
+  -- same assignment formula/fold as ivf_assign (see ANN_IVF_SQL)
+  SELECT c.vec_id, c.v, ct.c_id,
+         (CASE WHEN sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) = 0 THEN 0.0
+               ELSE {_DOT.format(a='c.v', b='ct.cv')}
+                    / sqrt({_DOT.format(a='ct.cv', b='ct.cv')}) END) AS sim
+  FROM e c CROSS JOIN cent ct
+),
+assign AS (SELECT vec_id, v, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id)
+         AS rn FROM assign0
+) WHERE rn = 1),
+-- SQ8 encode: floor(clip01((x-lo)/(hi-lo))*255 + 0.5); constant dims -> 0
+coded AS (
+  SELECT a.vec_id, a.c_id,
+         list_transform(range(len(a.v)), i ->
+           CASE WHEN bl.his[i+1] = bl.los[i+1] THEN 0
+                ELSE floor(LEAST(GREATEST(
+                       (a.v[i+1] - bl.los[i+1])
+                       / (bl.his[i+1] - bl.los[i+1]), 0.0), 1.0)
+                     * 255.0 + 0.5)::INT END) AS code
+  FROM assign a CROSS JOIN bl
+),
+-- asymmetric reconstruction: lo + code * ((hi-lo)/255.0), step once
+deq AS (
+  SELECT vec_id, c_id,
+         list_transform(range(len(code)), i ->
+           bl.los[i+1] + code[i+1]::DOUBLE
+           * ((bl.his[i+1] - bl.los[i+1]) / 255.0)) AS dv
+  FROM coded CROSS JOIN bl
+),
+probe0 AS (
+  SELECT q.q_id, q.qv, ct.c_id, {_cos_sql('q.qv', 'ct.cv')} AS sim
+  FROM q CROSS JOIN cent ct
+),
+probes AS (SELECT q_id, qv, c_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         AS rn FROM probe0
+) WHERE rn <= 2),
+scored AS (
+  SELECT p.q_id, d.vec_id, ROUND({_cos_sql('p.qv', 'd.dv')}, 6) AS sq_sim
+  FROM probes p JOIN deq d USING (c_id)
+)
+SELECT q_id, vec_id, sq_sim, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY sq_sim DESC, vec_id)::BIGINT AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
 def queries_r15() -> dict:
     return {
         "f2b_range_extract": f2b_range_extract,
         "gentamycin_atcc_report": gentamycin_atcc_report,
         "gentamycin_atcc_consistency": gentamycin_atcc_consistency,
         "stream_semdedup_gate": stream_semdedup_gate,
+        "image_jpeg_features": image_jpeg_features,
+        "ann_ivf_sq8": ann_ivf_sq8,
     }
 
 
@@ -482,4 +613,6 @@ def oracle_sql_r15() -> dict[str, str]:
         "gentamycin_atcc_report": _atcc_report_sql(),
         "gentamycin_atcc_consistency": _atcc_consistency_sql(),
         "stream_semdedup_gate": _stream_semdedup_gate_sql(),
+        "image_jpeg_features": _IMAGE_JPEG_SQL,
+        "ann_ivf_sq8": _ann_ivf_sq8_sql(),
     }

@@ -422,3 +422,100 @@ def test_reduced_rerank_recall_and_exactness(spark):
     for r in got:
         assert r["cos_sim"] == all_scores[(r["q_id"], r["vec_id"])]
 
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (r15)
+# ---------------------------------------------------------------------------
+
+def test_sq_bounds_and_codes_in_range(spark):
+    e = _emb(spark)
+    bounds = ss.train_sq_bounds(e)
+    rows = bounds.collect()
+    assert len(rows) == 16 and all(r["lo"] <= r["hi"] for r in rows)
+    los, his = ss._sq_bounds_lists(bounds)
+    coded = e.select(
+        "vec_id", ss.sq_encode_expr(F.col("embedding"), los, his).alias("c"))
+    for r in coded.collect():
+        assert all(0 <= c <= 255 for c in r["c"]), r
+    # reconstruction error bounded by half a step per dimension
+    deq = e.select(
+        "embedding",
+        ss.sq_dequantize_expr(
+            ss.sq_encode_expr(F.col("embedding"), los, his), los, his
+        ).alias("d"))
+    steps = [(hi - lo) / 255.0 for lo, hi in zip(los, his)]
+    for r in deq.collect():
+        for x, xhat, st in zip(r["embedding"], r["d"], steps):
+            assert abs(float(x) - xhat) <= st / 2 + 1e-12
+
+
+def test_sq_constant_dimension_codes_zero(spark):
+    rows = [(i, [1.5, float(i)]) for i in range(4)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    bounds = ss.train_sq_bounds(e)
+    los, his = ss._sq_bounds_lists(bounds)
+    out = e.select(
+        ss.sq_encode_expr(F.col("embedding"), los, his).alias("c"),
+        ss.sq_dequantize_expr(
+            ss.sq_encode_expr(F.col("embedding"), los, his), los, his
+        ).alias("d")).collect()
+    assert all(r["c"][0] == 0 and r["d"][0] == 1.5 for r in out)
+
+
+def test_ivf_sq8_recall_and_rerank_exactness(spark):
+    """Pure SQ8 scoring keeps high overlap with the float IVF ranking;
+    with a rerank shortlist the output EQUALS the exact IVF top-k
+    (same probes, exact scores — SQ only picked candidates)."""
+    e = _emb(spark)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    exact = ss.ivf_topk(e, q, cents, k=10, nprobe=4).collect()
+    sq = ss.ivf_sq8_topk(e, q, cents, k=10, nprobe=4).collect()
+    a = {(r["q_id"], r["vec_id"]) for r in exact}
+    b = {(r["q_id"], r["vec_id"]) for r in sq}
+    assert len(a & b) / len(a) >= 0.8
+    rr = ss.ivf_sq8_topk(e, q, cents, k=10, nprobe=4, rerank=40)
+    got = sorted((r["q_id"], r["vec_id"], r["rk"], r["cos_sim"])
+                 for r in rr.collect())
+    want = sorted((r["q_id"], r["vec_id"], r["rk"], r["cos_sim"])
+                  for r in exact)
+    assert got == want
+
+
+def test_sq8_persisted_index_smaller_and_searchable(spark, tmp_path):
+    """The coded index round-trips through write_ivf_index/parquet with
+    the same c_id partition layout (probe pruning intact) and is
+    materially smaller on disk than the float index at identical rows."""
+    import os
+
+    e = _emb(spark, n=400, dim=32)
+    cents = e.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    assigned = ss.ivf_assign(e, cents)
+    bounds = ss.train_sq_bounds(e)
+    coded = ss.sq8_encode_index(assigned, bounds)
+
+    p_flat = str(tmp_path / "flat")
+    p_sq = str(tmp_path / "sq")
+    assigned.write.partitionBy("c_id").parquet(p_flat)
+    coded.write.partitionBy("c_id").parquet(p_sq)
+
+    def du(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs
+                   if f.endswith(".parquet"))
+
+    assert du(p_sq) < du(p_flat) * 0.6, (du(p_sq), du(p_flat))
+
+    index = spark.read.parquet(p_sq)
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    out = ss.ivf_sq8_topk(e, q, cents, bounds=bounds, k=5, nprobe=3,
+                          index=index).collect()
+    direct = ss.ivf_sq8_topk(e, q, cents, bounds=bounds, k=5,
+                             nprobe=3).collect()
+    key = lambda rows: sorted((r["q_id"], r["vec_id"], r["rk"]) for r in rows)  # noqa: E731
+    assert key(out) == key(direct)
