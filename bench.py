@@ -726,6 +726,14 @@ BASELINE = {
     # build + tombstone + single-batch drain (index leg + intra-batch
     # semantic_dedup) — the stream-gate lifecycle class
     "stream_semdedup_gate": (9.732, 15),
+    # --- late-r15 staged seeds, standalone min-of-3 (first run of each
+    # is JVM/session warm-up: 14.7s/15.2s discarded by the min) ---
+    # three fixture decodes through mapInPandas — cost is Arrow batch
+    # setup, not the numpy Huffman+IDCT (µs-scale at 16x24)
+    "image_jpeg_features": (2.468, 15),
+    # bounds train (d-row shuffle) + assignment + coded probe scan;
+    # compare ann_ivf (2.261 @ r3) — the SQ add-on is encode+dequant
+    "ann_ivf_sq8": (5.142, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -158,6 +158,9 @@ EXPECTED: dict[str, set[str]] = {
     # keyed broadcast hash join, no marker.
     "gentamycin_atcc_report": {"BroadcastNestedLoopJoin"},
     "gentamycin_atcc_consistency": {"BroadcastNestedLoopJoin"},
+    # SQ8 search builds probes via the same queries x broadcast-centroid
+    # cross join as ann_ivf; index join / rerank joins are keyed.
+    "ann_ivf_sq8": {"BroadcastNestedLoopJoin"},
 }
 
 
