@@ -734,6 +734,11 @@ BASELINE = {
     # bounds train (d-row shuffle) + assignment + coded probe scan;
     # compare ann_ivf (2.261 @ r3) — the SQ add-on is encode+dequant
     "ann_ivf_sq8": (5.142, 15),
+    # full persisted lifecycle (write + append + tombstone + search);
+    # min-of-3 taken while the pytest suite loaded the box (runs
+    # 17.8/7.3/39.4 — the min is the only usable figure; reseed on a
+    # quiet box if the driver record flags it)
+    "sq8_delete_search": (7.274, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -1570,3 +1570,139 @@ def ivf_sq8_topk(
     )
     return topk_per_group(
         exact, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")
+
+
+# --- persisted SQ8 lifecycle: the coded index rides the same directory
+# discipline (c_id partitions, tombstones, lock, digest guards) as the
+# float IVF index; delete_from_ivf_index / compact_ivf_index are
+# schema-agnostic and work on it unchanged -------------------------------
+
+_SQ_PARAMS_FILE = "_sq8_params.json"
+_SQ_BOUNDS_DIR = "_sq_bounds"
+
+
+def _sq_bounds_digest(los: list, his: list) -> str:
+    """Deterministic fingerprint of the trained quantizer bounds —
+    repr of exact shortest-form doubles, same convention as
+    ``_centroid_digest``."""
+    import hashlib
+
+    return hashlib.md5(repr((tuple(los), tuple(his))).encode()).hexdigest()
+
+
+def write_sq8_index(
+    assigned: DataFrame,
+    bounds: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+    centroids: DataFrame | None = None,
+    vec: str = "embedding",
+) -> None:
+    """Persist the SQ8-coded form of an ivf_assign output: codes-only
+    c_id partitions (the 0.29x-bytes layout measured in SCALING.md),
+    the d-row bounds table under ``_sq_bounds/`` (underscore-hidden
+    from index scans — the index is self-contained at search time), and
+    a bounds-digest marker so appends encoded under DRIFTED bounds fail
+    loudly (codes from different bounds are not comparable — the SQ
+    analogue of centroid drift). Pass ``centroids`` to also stamp the
+    standard IVF centroid digest."""
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    spark = assigned.sparkSession
+    los, his = _sq_bounds_lists(bounds)
+    coded = sq8_encode_index(assigned, bounds, id_col, c_id)
+    coded.write.mode("overwrite").partitionBy(c_id).parquet(path)
+    bounds.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + "/" + _SQ_BOUNDS_DIR)
+    fsutil.write_text(
+        spark, path.rstrip("/") + "/" + _SQ_PARAMS_FILE,
+        json.dumps({"bounds_digest": _sq_bounds_digest(los, his)}))
+    if centroids is not None:
+        _ivf_params_guard(spark, path, centroids, vec, c_id, write=True)
+
+
+def read_sq8_bounds(spark, path: str) -> DataFrame:
+    """The index's own trained bounds (verified against the marker —
+    a hand-replaced bounds table fails loudly rather than silently
+    mis-decoding every stored code)."""
+    import json
+
+    from ncbi_analysis_spark.sources import fsutil
+
+    bounds = spark.read.parquet(path.rstrip("/") + "/" + _SQ_BOUNDS_DIR)
+    marker = path.rstrip("/") + "/" + _SQ_PARAMS_FILE
+    if fsutil.exists(spark, marker):
+        los, his = _sq_bounds_lists(bounds)
+        stored = json.loads(fsutil.read_text(spark, marker))
+        got = _sq_bounds_digest(los, his)
+        if stored.get("bounds_digest") != got:
+            raise ValueError(
+                f"SQ8 index at {path!r}: persisted bounds digest "
+                f"{got} != marker {stored.get('bounds_digest')} — the "
+                "bounds table was modified after the codes were written; "
+                "rebuild with write_sq8_index")
+    return bounds
+
+
+def read_sq8_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """LIVE view of a write_sq8_index directory (tombstone-aware, same
+    as read_ivf_index). Feed to ``ivf_sq8_topk(index=..., bounds=
+    read_sq8_bounds(...))``."""
+    return read_ivf_index(spark, path, id_col)
+
+
+def append_to_sq8_index(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    c_id: str = "c_id",
+    method: str = "auto",
+) -> DataFrame:
+    """Crawl-ingest for the coded index: assign to the FROZEN coarse
+    quantizer, encode under the index's OWN persisted bounds, append.
+    Same lock/tombstone/fencing discipline as ``append_to_ivf_index``;
+    additionally the bounds digest is re-verified first, so an index
+    whose bounds table drifted refuses the append.
+
+    Out-of-range values in the new batch CLIP to the trained [lo, hi]
+    by the encode contract — the standard SQ posture (bounds are
+    trained once on a representative corpus; a distribution that walks
+    off the trained range warrants a bounds retrain + rebuild, which
+    the recall audit catches, not a silent per-batch re-scale that
+    would make old and new codes incomparable)."""
+    from ncbi_analysis_spark.operators import tombstones as ts
+
+    spark = new_vectors.sparkSession
+    bounds = read_sq8_bounds(spark, path)  # digest-verified
+    _ivf_params_guard(spark, path, centroids, vec, c_id, write=False)
+    with ts.maintenance_lock(spark, path, "append_to_sq8_index") as lk:
+        tomb = ts.read_tombstones(spark, path)
+        if tomb is not None:
+            n_bad = new_vectors.select(id_col).join(
+                F.broadcast(tomb), id_col, "left_semi").count()
+            if n_bad:
+                raise ValueError(
+                    f"append batch contains {n_bad} id(s) tombstoned in "
+                    f"{path!r}; run compact_ivf_index first, then append")
+        assigned = ivf_assign(new_vectors, centroids, vec, id_col, c_id,
+                              method=method)
+        coded = sq8_encode_index(assigned, bounds, id_col, c_id).persist()
+        try:
+            lk.assert_owned()  # fence before the parquet-append commit
+            coded.write.mode("append").partitionBy(c_id).parquet(path)
+            counts = (
+                coded.groupBy(c_id)
+                .agg(F.count(F.lit(1)).alias("n_appended"))
+                .collect()
+            )
+        finally:
+            coded.unpersist()
+    return spark.createDataFrame(
+        [(int(r[c_id]), int(r["n_appended"])) for r in counts],
+        f"{c_id} long, n_appended long",
+    )

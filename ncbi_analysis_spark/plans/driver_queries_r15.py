@@ -596,6 +596,58 @@ SELECT q_id, vec_id, sq_sim, rk FROM (
 """
 
 
+def sq8_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted SQ8 lifecycle through the exact-match gate (the coded
+    sibling of ``ivf_delete_search``): write the codes-only index from
+    a 3/4 base slice, APPEND the remaining quarter under the frozen
+    quantizer + the index's own persisted bounds, tombstone-DELETE every
+    97th id, then search the live view. Append ≡ rebuild-over-union and
+    delete = anti-join, so the oracle recomputes over
+    ``embeddings WHERE NOT vec_id % 97 = 0`` with no lifecycle at all —
+    a drift anywhere in write/append/tombstone/bounds-persist
+    hash-mismatches here."""
+    from ncbi_analysis_spark.operators import similarity_search as ss
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    cut = (n * 3) // 4
+    q = e.filter(F.col("vec_id") < 48).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    bounds = ss.train_sq_bounds(e)  # trained on the full corpus
+
+    path = _staging_dir("spark_graft_sq8_index")
+    ss.write_sq8_index(ss.ivf_assign(e.filter(F.col("vec_id") < cut), cents),
+                       bounds, path, centroids=cents)
+    ss.append_to_sq8_index(e.filter(F.col("vec_id") >= cut), cents, path)
+    ss.delete_from_ivf_index(
+        e.filter(F.col("vec_id") % 97 == 0).select("vec_id"), path)
+
+    index = ss.read_sq8_index(spark, path)
+    out = ss.ivf_sq8_topk(e, q, cents,
+                          bounds=ss.read_sq8_bounds(spark, path),
+                          index=index, k=10, nprobe=2)
+    return out.withColumn("rk", F.col("rk").cast("long"))
+
+
+def _sq8_delete_search_sql() -> str:
+    # the lifecycle is invisible to the oracle by design: same SQL as
+    # ann_ivf_sq8 with the tombstoned ids excluded from the INDEX side
+    # (bounds/centroids/probes still come from the full corpus — bounds
+    # were trained before the delete, and queries are corpus rows)
+    sql = _ann_ivf_sq8_sql()
+    return sql.replace(
+        """scored AS (
+  SELECT p.q_id, d.vec_id, ROUND(""",
+        """live AS (SELECT * FROM deq WHERE NOT vec_id % 97 = 0),
+scored AS (
+  SELECT p.q_id, d.vec_id, ROUND(""",
+    ).replace("FROM probes p JOIN deq d USING (c_id)",
+              "FROM probes p JOIN live d USING (c_id)")
+
+
 def queries_r15() -> dict:
     return {
         "f2b_range_extract": f2b_range_extract,
@@ -604,6 +656,7 @@ def queries_r15() -> dict:
         "stream_semdedup_gate": stream_semdedup_gate,
         "image_jpeg_features": image_jpeg_features,
         "ann_ivf_sq8": ann_ivf_sq8,
+        "sq8_delete_search": sq8_delete_search,
     }
 
 
@@ -615,4 +668,5 @@ def oracle_sql_r15() -> dict[str, str]:
         "stream_semdedup_gate": _stream_semdedup_gate_sql(),
         "image_jpeg_features": _IMAGE_JPEG_SQL,
         "ann_ivf_sq8": _ann_ivf_sq8_sql(),
+        "sq8_delete_search": _sq8_delete_search_sql(),
     }

@@ -189,6 +189,10 @@ def audit(
     skip_prefixes = ("stream_",)
     skip = {"corpus_shard_roundtrip", "s11_tsv_roundtrip", "s12_fasta_roundtrip",
             "ann_ivf_persisted",
+            # sq8_delete_search's construction runs the full persisted
+            # lifecycle (write/append/delete); its plan is the final
+            # probe read — ann_ivf_persisted's class
+            "sq8_delete_search",
             # lsh_incremental_decon's construction writes+appends the
             # persisted band index; its final plan is the probe read
             "lsh_incremental_decon",

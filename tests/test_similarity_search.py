@@ -519,3 +519,70 @@ def test_sq8_persisted_index_smaller_and_searchable(spark, tmp_path):
                              nprobe=3).collect()
     key = lambda rows: sorted((r["q_id"], r["vec_id"], r["rk"]) for r in rows)  # noqa: E731
     assert key(out) == key(direct)
+
+
+def test_sq8_persisted_lifecycle(spark, tmp_path):
+    """write -> read-bounds -> append -> delete -> compact on the coded
+    index: append ≡ rebuild-over-union (same frozen quantizer + bounds),
+    delete/compact are the schema-agnostic IVF machinery, the bounds
+    marker catches a hand-modified bounds table, and drifted-centroid
+    appends refuse."""
+    import pytest as _pytest
+
+    from ncbi_analysis_spark.operators import similarity_search as ss2
+
+    e = _emb(spark, n=240, dim=12)
+    base = e.filter(F.col("vec_id") < 200)
+    new = e.filter(F.col("vec_id") >= 200)
+    cents = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    bounds = ss2.train_sq_bounds(e)  # trained on the full distribution
+    path = str(tmp_path / "sq8idx")
+
+    ss2.write_sq8_index(ss2.ivf_assign(base, cents), bounds, path,
+                        centroids=cents)
+    counts = ss2.append_to_sq8_index(new, cents, path)
+    assert sum(r["n_appended"] for r in counts.collect()) == 40
+
+    # append ≡ full rebuild over base ∪ new
+    idx = ss2.read_sq8_index(spark, path)
+    full = ss2.sq8_encode_index(ss2.ivf_assign(e, cents), bounds)
+    got = sorted((r["vec_id"], r["c_id"], tuple(r["sq_code"]))
+                 for r in idx.collect())
+    want = sorted((r["vec_id"], r["c_id"], tuple(r["sq_code"]))
+                  for r in full.collect())
+    assert got == want
+
+    # search over the persisted index == direct computation
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding")
+    b2 = ss2.read_sq8_bounds(spark, path)
+    via_idx = ss2.ivf_sq8_topk(e, q, cents, bounds=b2, index=idx,
+                               k=5, nprobe=2).collect()
+    direct = ss2.ivf_sq8_topk(e, q, cents, bounds=bounds, k=5,
+                              nprobe=2).collect()
+    key = lambda rows: sorted((r["q_id"], r["vec_id"], r["rk"]) for r in rows)  # noqa: E731
+    assert key(via_idx) == key(direct)
+
+    # delete + compact (the generic IVF machinery) keep codes intact
+    ids = spark.createDataFrame([(205,), (206,)], ["vec_id"])
+    assert ss2.delete_from_ivf_index(ids, path) == 2
+    live = ss2.read_sq8_index(spark, path)
+    assert live.filter(F.col("vec_id").isin(205, 206)).count() == 0
+    ss2.compact_ivf_index(spark, path)
+    after = ss2.read_sq8_index(spark, path)
+    assert after.count() == 238
+    # bounds survive compaction and still digest-verify
+    ss2.read_sq8_bounds(spark, path)
+
+    # drifted centroids refuse
+    drifted = cents.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2))
+    with _pytest.raises(ValueError, match="drift"):
+        ss2.append_to_sq8_index(new, drifted, path)
+
+    # hand-modified bounds table fails the digest check
+    bounds.withColumn("hi", F.col("hi") + 1).coalesce(1).write.mode(
+        "overwrite").parquet(path + "/_sq_bounds")
+    with _pytest.raises(ValueError, match="bounds digest"):
+        ss2.read_sq8_bounds(spark, path)
