@@ -1706,3 +1706,58 @@ def append_to_sq8_index(
         [(int(r[c_id]), int(r["n_appended"])) for r in counts],
         f"{c_id} long, n_appended long",
     )
+
+
+def verify_sq8_index(spark, path: str, centroids: DataFrame | None = None,
+                     id_col: str = "vec_id", c_id: str = "c_id",
+                     vec: str = "embedding",
+                     code_col: str = "sq_code") -> list[dict]:
+    """fsck for a ``write_sq8_index`` directory — the coded family's
+    audit, completing the per-family set (LSH/IVF/BM25/CC-labels/SQ8).
+    Runs every ``verify_ivf_index`` leg (the directory IS an IVF layout)
+    plus the SQ-specific ones: the code column exists with every value
+    in [0, 255] (out-of-range codes mean the bounds table and the data
+    files disagree — decode would extrapolate silently), the persisted
+    bounds table exists with lo <= hi per dimension, and its digest
+    matches the marker (the ``read_sq8_bounds`` guard, replayed here as
+    a report instead of a raise). Read-only; never repairs."""
+    out = verify_ivf_index(spark, path, centroids, id_col, c_id, vec)
+    try:
+        rows = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — verify_ivf_index already reported
+        return out
+    have = set(rows.columns)
+    out.append({
+        "check": "code_column",
+        "ok": code_col in have,
+        "detail": "" if code_col in have else
+                  f"columns {sorted(have)} missing {code_col!r}",
+    })
+    if code_col in have:
+        bad = rows.filter(
+            F.col(code_col).isNull()
+            | F.exists(F.col(code_col),
+                       lambda x: (x < 0) | (x > 255))).count()
+        out.append({
+            "check": "codes_in_range",
+            "ok": bad == 0,
+            "detail": "" if bad == 0 else
+                      f"{bad} rows with null or out-of-[0,255] codes — "
+                      "bounds/data mismatch, rebuild with write_sq8_index",
+        })
+    try:
+        read_sq8_bounds(spark, path)
+        out.append({"check": "bounds_digest", "ok": True, "detail": ""})
+    except Exception as exc:  # noqa: BLE001 — report, never crash fsck
+        out.append({"check": "bounds_digest", "ok": False,
+                    "detail": str(exc).split("\n")[0][:200]})
+        return out
+    bounds = spark.read.parquet(path.rstrip("/") + "/" + _SQ_BOUNDS_DIR)
+    n_bad = bounds.filter(F.col("lo") > F.col("hi")).count()
+    out.append({
+        "check": "bounds_ordered",
+        "ok": n_bad == 0,
+        "detail": "" if n_bad == 0 else
+                  f"{n_bad} dimensions with lo > hi",
+    })
+    return out

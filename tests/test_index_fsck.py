@@ -193,3 +193,51 @@ def test_verify_cc_labels_healthy_and_corruptions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not a write_cc_labels"):
         verify_cc_labels(spark, str(tmp_path / "nope"))
+
+
+def test_verify_sq8_index_healthy_and_corruptions(spark, tmp_path):
+    """Healthy coded index passes every leg; seeded corruptions —
+    out-of-range codes, a hand-swapped bounds table, a missing bounds
+    dir — are each caught by the owning check (read-only audit)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators import similarity_search as ss
+
+    rnd = random.Random(11)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("c_id"), "embedding")
+    bounds = ss.train_sq_bounds(e)
+    path = str(tmp_path / "sq8")
+    ss.write_sq8_index(ss.ivf_assign(e, cents), bounds, path,
+                       centroids=cents)
+
+    checks = {c["check"]: c["ok"]
+              for c in ss.verify_sq8_index(spark, path, centroids=cents)}
+    assert checks["readable"] and checks["code_column"]
+    assert checks["codes_in_range"] and checks["bounds_digest"]
+    assert checks["bounds_ordered"] and checks["centroid_digest"]
+    assert checks["buckets_known"]
+
+    # corruption 1: out-of-range codes appended behind the guard's back
+    spark.createDataFrame(
+        [(999, 1, [300] * 8)], "vec_id long, c_id long, sq_code array<int>"
+    ).write.mode("append").partitionBy("c_id").parquet(path)
+    checks = {c["check"]: c["ok"] for c in ss.verify_sq8_index(spark, path)}
+    assert not checks["codes_in_range"]
+
+    # corruption 2: hand-swapped bounds table -> digest leg fails
+    bounds.withColumn("hi", F.col("hi") * 2).coalesce(1).write.mode(
+        "overwrite").parquet(path + "/_sq_bounds")
+    checks = {c["check"]: c["ok"] for c in ss.verify_sq8_index(spark, path)}
+    assert not checks["bounds_digest"]
+
+    # corruption 3: bounds dir gone entirely
+    import shutil
+
+    shutil.rmtree(path + "/_sq_bounds")
+    checks = {c["check"]: c["ok"] for c in ss.verify_sq8_index(spark, path)}
+    assert not checks["bounds_digest"]
