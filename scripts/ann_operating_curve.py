@@ -6,6 +6,8 @@ Sweeps
   ann_ivf          nprobe in {1, 2, 4, 8}        (16 centroids)
   ann_pca_rerank   shortlist in {20, 40, 80, 160} (PCA k=8 of d)
   ann_ivf_pq       nprobe in {1, 2, 4, 8}         (PQ m=8, 16 cents)
+  ann_ivf_sq8      nprobe in {1, 2, 4, 8}         (trained bounds;
+                   both pure-SQ and rerank=4k asymmetric-then-exact)
 
 against the exact brute-force top-10 for the SAME sampled query batch.
 Each configuration reports min-of-N wall (noop sink, the bench
@@ -69,10 +71,13 @@ def run() -> None:
         brute_force_topk,
         ivf_assign,
         ivf_pq_topk,
+        ivf_sq8_topk,
         ivf_topk,
         pq_encode,
         reduced_rerank_topk,
+        sq8_encode_index,
         train_pq_codebooks,
+        train_sq_bounds,
     )
     from ncbi_analysis_spark.session import get_spark
 
@@ -158,6 +163,24 @@ def run() -> None:
         mean_r, p10_r = _recall(exact, res)
         print(f"ann_ivf_pq nprobe={nprobe}: wall={t}s recall@10 "
               f"mean={mean_r} p10={p10_r}", flush=True)
+    # IVF-SQ8: bounds trained + index coded once, sweep nprobe; the
+    # rerank leg re-scores a 4k shortlist exactly (the production knob)
+    bounds = train_sq_bounds(emb)
+    coded = sq8_encode_index(index2, bounds).persist()
+    coded.count()
+    for nprobe in (1, 2, 4, 8):
+        res = ivf_sq8_topk(emb, q, cents, bounds=bounds, k=k,
+                           nprobe=nprobe, index=coded)
+        t = timed(lambda res=res: _noop(res))
+        mean_r, p10_r = _recall(exact, res)
+        rr = ivf_sq8_topk(emb, q, cents, bounds=bounds, k=k,
+                          nprobe=nprobe, rerank=4 * k, index=coded)
+        t2 = timed(lambda rr=rr: _noop(rr))
+        mean_r2, p10_r2 = _recall(exact, rr)
+        print(f"ann_ivf_sq8 nprobe={nprobe}: wall={t}s recall@10 "
+              f"mean={mean_r} p10={p10_r} | rerank=4k wall={t2}s "
+              f"mean={mean_r2} p10={p10_r2}", flush=True)
+    coded.unpersist()
     codes.unpersist()
     index2.unpersist()
     exact.unpersist()
