@@ -739,6 +739,9 @@ BASELINE = {
     # 17.8/7.3/39.4 — the min is the only usable figure; reseed on a
     # quiet box if the driver record flags it)
     "sq8_delete_search": (7.274, 15),
+    # three fixture decodes through the audio mapInPandas — same
+    # Arrow-setup-bound class as image_jpeg_features
+    "audio_wav_features": (1.962, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

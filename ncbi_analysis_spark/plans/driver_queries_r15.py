@@ -648,6 +648,44 @@ scored AS (
               "FROM probes p JOIN live d USING (c_id)")
 
 
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode through the full audio plumbing (r15): the two
+    committed WAV fixtures (16-bit mono sine, 8-bit stereo ramp — both
+    closed-form signals, goldens on paper up to float64 rms) plus one
+    md5-stub payload ride ``audio_features`` with its new DEFAULT
+    ``auto_audio_decoder``, pinning the dispatch itself: RIFF/WAVE to
+    the real path, everything else to the stub. rms/peak emitted as
+    exact integers (x*1e9 rounded), the image_jpeg_features posture."""
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    fx = "/root/repo/tests/fixtures/media"
+    rows = []
+    for mid, payload in [
+        (1, open(f"{fx}/sine440.wav", "rb").read()),
+        (2, open(f"{fx}/ramp_stereo.wav", "rb").read()),
+        (3, b"stub-audio-payload"),
+    ]:
+        rows.append((mid, "audio", payload,
+                     (None, None, None, None, None, None)))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.audio_features(media)
+    return out.select(
+        "media_id", "sample_rate", "duration_ms", "n_samples",
+        F.round(F.col("rms") * F.lit(1e9)).cast("long").alias("rms_e9"),
+        F.round(F.col("peak") * F.lit(1e9)).cast("long").alias("peak_e9"),
+    ).orderBy("media_id")
+
+
+_AUDIO_WAV_SQL = """
+SELECT * FROM (VALUES
+  (1,  8000,    250,    2000, 353543769::BIGINT,  500000000::BIGINT),
+  (2, 11025,     27,     300, 583469455::BIGINT, 1000000000::BIGINT),
+  (3,  8000, 496444, 3971552, 552941176::BIGINT,  305882353::BIGINT)
+) AS t(media_id, sample_rate, duration_ms, n_samples, rms_e9, peak_e9)
+ORDER BY media_id
+"""
+
+
 def queries_r15() -> dict:
     return {
         "f2b_range_extract": f2b_range_extract,
@@ -657,6 +695,7 @@ def queries_r15() -> dict:
         "image_jpeg_features": image_jpeg_features,
         "ann_ivf_sq8": ann_ivf_sq8,
         "sq8_delete_search": sq8_delete_search,
+        "audio_wav_features": audio_wav_features,
     }
 
 
@@ -669,4 +708,5 @@ def oracle_sql_r15() -> dict[str, str]:
         "image_jpeg_features": _IMAGE_JPEG_SQL,
         "ann_ivf_sq8": _ann_ivf_sq8_sql(),
         "sq8_delete_search": _sq8_delete_search_sql(),
+        "audio_wav_features": _AUDIO_WAV_SQL,
     }

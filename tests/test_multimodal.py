@@ -685,3 +685,64 @@ def test_pil_image_decoder_jpeg_golden():
     assert (out16["width"], out16["height"]) \
         == (g["blocks16"]["width"], g["blocks16"]["height"])
     assert out16["mean_luma"] == g["blocks16"]["mean_luma"]
+
+
+# ---------------------------------------------------------------------------
+# Committed WAV fixtures + the r15 auto audio dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_wav_fixtures_decode_to_goldens():
+    """The committed WAVs decode to the closed-form signal's exact
+    integer fields and pinned float64 rms/peak (sine: rms = 0.5/sqrt(2)
+    up to 16-bit quantization, peak exactly 0.5; 8-bit ramp hits the
+    -1.0 full-scale peak); regen is byte-stable."""
+    import hashlib
+
+    sine = open(f"{_FIX}/sine440.wav", "rb").read()
+    out = mm.wave_audio_decoder(sine, {})
+    assert (out["sample_rate"], out["duration_ms"], out["n_samples"]) \
+        == (8000, 250, 2000)
+    assert round(out["rms"] * 1e9) == 353543769
+    assert out["peak"] == 0.5
+    ramp = open(f"{_FIX}/ramp_stereo.wav", "rb").read()
+    out2 = mm.wave_audio_decoder(ramp, {})
+    assert (out2["sample_rate"], out2["duration_ms"], out2["n_samples"]) \
+        == (11025, 27, 300)
+    assert round(out2["rms"] * 1e9) == 583469455
+    assert out2["peak"] == 1.0
+    # byte-stable regen (the generator formulae are the provenance)
+    import numpy as np
+
+    t = np.arange(2000, dtype=np.float64) / 8000.0
+    x = np.round(0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767.0).astype("<i2")
+    assert x.tobytes() == sine[-4000:]
+    assert hashlib.md5(sine).hexdigest() == "a0eea3296d66352915e06d807ff811f4"
+
+
+def test_auto_audio_decoder_dispatch_and_fallback(spark):
+    """RIFF/WAVE rides the real PCM path through the audio_features
+    DEFAULT; md5-derived payloads keep the stub (oracle posture); a
+    sniffed-but-truncated container degrades to the stub instead of
+    failing the batch."""
+    sine = open(f"{_FIX}/sine440.wav", "rb").read()
+    assert mm.is_wav_audio(sine)
+    assert not mm.is_wav_audio(b"not audio at all")
+    assert (mm.auto_audio_decoder(sine, {})
+            == mm.wave_audio_decoder(sine, {}))
+    stub_payload = b"md5-derived-oracle-bytes"
+    assert (mm.auto_audio_decoder(stub_payload, {})
+            == mm.deterministic_fake_audio_decoder(stub_payload, {}))
+    trunc = sine[:40]  # RIFF/WAVE magic intact, fmt/data chopped
+    assert mm.is_wav_audio(trunc)
+    assert (mm.auto_audio_decoder(trunc, {})
+            == mm.deterministic_fake_audio_decoder(trunc, {}))
+    # end-to-end through the Spark plumbing with a mixed batch
+    meta = (None, None, None, None, None, None)
+    media = spark.createDataFrame(
+        [(1, "audio", sine, meta), (2, "audio", stub_payload, meta)],
+        mm.MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert rows[1]["n_samples"] == 2000 and rows[1]["peak"] == 0.5
+    stub = mm.deterministic_fake_audio_decoder(stub_payload, {})
+    assert rows[2]["n_samples"] == stub["n_samples"]
