@@ -6,9 +6,13 @@ bench-timed for baseline seeding this round, then wired into the
 driver registry at round-16 start.
 
 The round's new rows close the last reference-pipeline gaps named by
-VERDICT r14 (GeneExtract RANGE mode, ATCC-mode gentamycin) and give
-the r14 ``semantic_dedup`` batch operator its streaming-gate twin —
-the one index family (LSH / IVF / BM25 all have one) that lacked it.
+VERDICT r14 (GeneExtract RANGE mode, ATCC-mode gentamycin), give the
+r14 ``semantic_dedup`` batch operator its streaming-gate twin — the
+one index family (LSH / IVF / BM25 all have one) that lacked it — and
+pin the round's new capability surface: the pure-numpy baseline JPEG
+codec (``image_jpeg_features``), the IVF-SQ8 tier + its persisted
+lifecycle (``ann_ivf_sq8``, ``sq8_delete_search``), and the real-PCM
+audio path with its new auto dispatch (``audio_wav_features``).
 
 Cross-engine determinism rules are the registry-wide ones (see
 ``driver_queries.py`` header): integer arithmetic or pinned IEEE
