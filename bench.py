@@ -735,10 +735,9 @@ BASELINE = {
     # compare ann_ivf (2.261 @ r3) — the SQ add-on is encode+dequant
     "ann_ivf_sq8": (5.142, 15),
     # full persisted lifecycle (write + append + tombstone + search);
-    # min-of-3 taken while the pytest suite loaded the box (runs
-    # 17.8/7.3/39.4 — the min is the only usable figure; reseed on a
-    # quiet box if the driver record flags it)
-    "sq8_delete_search": (7.274, 15),
+    # warmed min-of-3 on the idle box (6.69/5.54/5.41 — replaces the
+    # contended 7.274 first seed taken under the pytest suite)
+    "sq8_delete_search": (5.406, 15),
     # three fixture decodes through the audio mapInPandas — same
     # Arrow-setup-bound class as image_jpeg_features
     "audio_wav_features": (1.962, 15),
