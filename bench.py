@@ -741,6 +741,9 @@ BASELINE = {
     # three fixture decodes through the audio mapInPandas — same
     # Arrow-setup-bound class as image_jpeg_features
     "audio_wav_features": (1.962, 15),
+    # two bm25_topk corpus scans + the bounded eval join; warmed
+    # min-of-3 on the idle box
+    "bm25_ndcg_eval": (4.15, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

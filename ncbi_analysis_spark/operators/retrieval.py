@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ncbi_analysis_spark.functions.text import token_count, tokens
 
@@ -917,4 +917,90 @@ def rrf_fuse(
             lambda acc, s: acc
             + F.lit(1.0) / (F.lit(float(c)) + s["__rk"].cast("double")),
         ).alias("rrf_score"),
+    )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    q_id: str = "query_id",
+    doc_id: str = "doc_id",
+    rank_col: str = "rk",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Graded retrieval-quality metrics per query — the retrieval
+    family's audit leg (the sibling of ``ann_recall_audit`` for ANN and
+    ``lsh_banding_audit`` for dedup): judge a ranking
+    (``bm25_topk_batch`` / ``rrf_fuse`` output, or any
+    ``(q_id, doc_id, rank)`` table) against graded relevance judgments.
+
+    Per query: ``ndcg_at_k`` (DCG with the standard ``rel / log2(rank
+    + 1)`` position discount over the top-``k``, normalized by the
+    ideal DCG of the query's own qrels), ``mrr`` (1/rank of the first
+    relevant retrieved document), ``p_at_k`` (relevant-retrieved / k)
+    and ``recall_at_k`` (relevant-retrieved / total relevant; NULL for
+    a query with no relevant documents, whose ndcg/mrr are 0).
+
+    Evaluation is driven from the QRELS side: every judged query gets a
+    row, and a query the ranking missed entirely scores 0 — silent
+    query dropout reads as a metric hit, not a shorter report.
+
+    Scale: both legs are single keyed aggregations — the retrieved leg
+    joins top-k rows (bounded |Q|·k) to qrels on (query, doc); the
+    ideal leg windows qrels per query (judgment tables are
+    sample-sized by construction). Nothing corpus-scale moves.
+    Determinism: ranks and counts are integers; DCG sums of
+    ``log2``-discounted grades are rounded to 6dp — the contract every
+    float-emitting oracle row in this repo uses.
+    """
+    res = results.select(
+        F.col(q_id).alias("__q"), F.col(doc_id).alias("__d"),
+        F.col(rank_col).alias("__rk"),
+    ).filter(F.col("__rk") <= k)
+    qr = qrels.select(
+        F.col(q_id).alias("__q"), F.col(doc_id).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+
+    hit = (
+        res.join(qr, ["__q", "__d"], "left")
+        .withColumn("__rel", F.coalesce(F.col("__rel"), F.lit(0.0)))
+        .groupBy("__q")
+        .agg(
+            F.sum(F.col("__rel") / F.log2(F.col("__rk") + 1)).alias("__dcg"),
+            F.sum((F.col("__rel") > 0).cast("long")).alias("__n_rel_ret"),
+            F.min(F.when(F.col("__rel") > 0, F.col("__rk"))).alias("__first"),
+        )
+    )
+
+    w = Window.partitionBy("__q").orderBy(F.desc("__rel"), F.asc("__d"))
+    ideal = (
+        qr.withColumn("__rn", F.row_number().over(w))
+        .groupBy("__q")
+        .agg(
+            F.sum(F.when(F.col("__rn") <= k,
+                         F.col("__rel") / F.log2(F.col("__rn") + 1))
+                  .otherwise(F.lit(0.0))).alias("__idcg"),
+            F.sum((F.col("__rel") > 0).cast("long")).alias("__n_rel"),
+        )
+    )
+
+    out = ideal.join(hit, "__q", "left")
+    return out.select(
+        F.col("__q").alias(q_id),
+        F.col("__n_rel").alias("n_rel"),
+        F.coalesce(F.col("__n_rel_ret"), F.lit(0)).alias("n_rel_ret"),
+        F.round(
+            F.when(F.col("__idcg") > 0,
+                   F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"))
+            .otherwise(F.lit(0.0)), 6).alias("ndcg_at_k"),
+        F.round(
+            F.when(F.col("__first").isNotNull(), 1.0 / F.col("__first"))
+            .otherwise(F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.coalesce(F.col("__n_rel_ret"), F.lit(0)) / F.lit(float(k)),
+                6).alias("p_at_k"),
+        F.when(F.col("__n_rel") > 0,
+               F.round(F.coalesce(F.col("__n_rel_ret"), F.lit(0))
+                       / F.col("__n_rel"), 6)).alias("recall_at_k"),
     )

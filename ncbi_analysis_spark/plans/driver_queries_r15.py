@@ -690,6 +690,146 @@ ORDER BY media_id
 """
 
 
+_EVAL_QUERIES = [(1, "dup merge stream"), (2, "hash vector line")]
+
+
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit through the gate (r15,
+    ``operators/retrieval.py::retrieval_eval`` — the retrieval family's
+    eval leg, sibling of ``ann_recall_audit``): two BM25 rankings (the
+    standing rare+common query and an all-common one) judged against
+    deterministic graded qrels — every 7th document, rel = number of
+    distinct query terms it contains (0-3). Emits per-query nDCG@10 /
+    MRR / P@10 / recall with the exact integer legs alongside. The
+    oracle recomputes the BM25 ranking (the `_bm25_sql` arithmetic,
+    parameterized by term list), the same qrels, and the same
+    log2-discount DCG fold."""
+    from ncbi_analysis_spark.functions import text as textf
+    from ncbi_analysis_spark.operators.retrieval import (
+        bm25_topk, query_terms, retrieval_eval)
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    res_parts = []
+    qrel_parts = []
+    for qid, qs in _EVAL_QUERIES:
+        r = bm25_topk(d, qs, k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        res_parts.append(r.select(
+            F.lit(qid).alias("query_id"), "doc_id",
+            F.row_number().over(w).alias("rk")))
+        terms = query_terms(qs)
+        qrel_parts.append(
+            d.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
+            .select(
+                F.lit(qid).alias("query_id"), "doc_id",
+                F.size(F.array_intersect(
+                    textf.tokens(F.col("text")),
+                    F.array(*[F.lit(t) for t in terms]))).alias("rel")))
+    results = res_parts[0].unionByName(res_parts[1])
+    qrels = qrel_parts[0].unionByName(qrel_parts[1])
+    return retrieval_eval(results, qrels, k=10).orderBy("query_id")
+
+
+def _bm25_rank_sql(terms: list[str], qid: int) -> str:
+    """The `_bm25_sql` arithmetic (driver_queries_r11) parameterized by
+    term list, emitting (query_id, doc_id, rk) for the top-10."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return rf"""
+  SELECT {qid} AS query_id, doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rk
+  FROM (
+    SELECT doc_id,
+           list_reduce(list_prepend(0.0, list(contrib ORDER BY g)),
+                       (a, b) -> a + b) AS score
+    FROM (
+      SELECT tf.doc_id, tf.g,
+             m.idf * (tf.tf::DOUBLE /
+               (tf.tf::DOUBLE + 1.2 * ((1.0 - 0.75) + 0.75 *
+                 (dl.dl::DOUBLE / (st.s::DOUBLE / st.n::DOUBLE))))) AS contrib
+      FROM (SELECT doc_id, g, count(*)::BIGINT AS tf FROM toks
+            WHERE g IN ({in_list}) GROUP BY doc_id, g) tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN (SELECT t.g,
+                   ln(1.0 + (st.n::DOUBLE - COALESCE(dfv.df, 0)::DOUBLE + 0.5)
+                            / (COALESCE(dfv.df, 0)::DOUBLE + 0.5)) AS idf
+            FROM (VALUES {vals}) t(g)
+            LEFT JOIN (SELECT g, count(DISTINCT doc_id)::BIGINT AS df
+                       FROM toks WHERE g IN ({in_list}) GROUP BY g) dfv
+              ON t.g = dfv.g
+            CROSS JOIN st) m ON tf.g = m.g
+      CROSS JOIN st
+    ) GROUP BY doc_id
+  ) ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _bm25_ndcg_eval_sql() -> str:
+    from ncbi_analysis_spark.operators.retrieval import query_terms
+
+    rank_union = " UNION ALL ".join(
+        f"SELECT * FROM ({_bm25_rank_sql(query_terms(qs), qid)})"
+        for qid, qs in _EVAL_QUERIES)
+    qrel_union = " UNION ALL ".join(
+        rf"""SELECT {qid} AS query_id, doc_id,
+               len(list_intersect(
+                     list_distinct(string_split_regex(TRIM(text), '\s+')),
+                     [{", ".join(f"'{t}'" for t in query_terms(qs))}]))::DOUBLE
+                 AS rel
+             FROM d WHERE doc_id % 7 = 0"""
+        for qid, qs in _EVAL_QUERIES)
+    return rf"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN length(TRIM(text)) = 0 THEN 0
+              ELSE len(string_split_regex(TRIM(text), '\s+')) END AS dl
+  FROM d
+),
+toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS g
+  FROM d
+),
+st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM dl),
+results AS ({rank_union}),
+qrels AS ({qrel_union}),
+hit AS (
+  SELECT r.query_id,
+         sum(COALESCE(q.rel, 0.0) / log2(r.rk + 1)) AS dcg,
+         sum(CASE WHEN COALESCE(q.rel, 0.0) > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_rel_ret,
+         min(CASE WHEN COALESCE(q.rel, 0.0) > 0 THEN r.rk END) AS first_rel
+  FROM results r
+  LEFT JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+  WHERE r.rk <= 10 GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id,
+         sum(CASE WHEN rn <= 10 THEN rel / log2(rn + 1) ELSE 0.0 END) AS idcg,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_rel
+  FROM (SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM qrels)
+  GROUP BY query_id
+)
+SELECT i.query_id, i.n_rel,
+       COALESCE(h.n_rel_ret, 0)::BIGINT AS n_rel_ret,
+       ROUND(CASE WHEN i.idcg > 0
+                  THEN COALESCE(h.dcg, 0.0) / i.idcg ELSE 0.0 END, 6)
+         AS ndcg_at_k,
+       ROUND(CASE WHEN h.first_rel IS NOT NULL
+                  THEN 1.0 / h.first_rel ELSE 0.0 END, 6) AS mrr,
+       ROUND(COALESCE(h.n_rel_ret, 0) / 10.0, 6) AS p_at_k,
+       CASE WHEN i.n_rel > 0
+            THEN ROUND(COALESCE(h.n_rel_ret, 0)::DOUBLE / i.n_rel, 6)
+       END AS recall_at_k
+FROM ideal i LEFT JOIN hit h ON i.query_id = h.query_id
+ORDER BY i.query_id
+"""
+
+
 def queries_r15() -> dict:
     return {
         "f2b_range_extract": f2b_range_extract,
@@ -700,6 +840,7 @@ def queries_r15() -> dict:
         "ann_ivf_sq8": ann_ivf_sq8,
         "sq8_delete_search": sq8_delete_search,
         "audio_wav_features": audio_wav_features,
+        "bm25_ndcg_eval": bm25_ndcg_eval,
     }
 
 
@@ -713,4 +854,5 @@ def oracle_sql_r15() -> dict[str, str]:
         "ann_ivf_sq8": _ann_ivf_sq8_sql(),
         "sq8_delete_search": _sq8_delete_search_sql(),
         "audio_wav_features": _AUDIO_WAV_SQL,
+        "bm25_ndcg_eval": _bm25_ndcg_eval_sql(),
     }

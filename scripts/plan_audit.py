@@ -217,6 +217,10 @@ def audit(
             # class as vocab_drift_report). rrf_hybrid_search keeps a
             # live plan (its fusion join is lazy), so it stays audited.
             "bm25_search", "bm25_index_batch",
+            # bm25_ndcg_eval runs two bm25_topk jobs at construction
+            # (eager bounded return, the bm25_search class); the final
+            # plan is the eval join over two ten-row local tables
+            "bm25_ndcg_eval",
             # r13 staged: same eager-bounded-return class (index
             # write+delete+compact executed during construction)
             "bm25_delete_search", "bm25_compacted_search",

@@ -233,3 +233,68 @@ def test_rrf_fuse_input_order_invariant(spark):
 def test_rrf_fuse_validation(spark):
     with pytest.raises(ValueError, match="at least one"):
         rt.rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """nDCG/MRR/P@k/recall against hand-computed values on a tiny
+    judged set, including: a perfect ranking (ndcg 1), a missed query
+    (all zeros), a no-relevant query (recall NULL, ndcg 0), and a
+    query absent from results entirely (reported, scored 0)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.retrieval import retrieval_eval
+
+    results = spark.createDataFrame(
+        [  # q1: perfect order of its two relevant docs
+            (1, 101, 1), (1, 102, 2), (1, 999, 3),
+            # q2: relevant doc at rank 3 only
+            (2, 201, 1), (2, 202, 2), (2, 203, 3),
+            # q3: judged query with no relevant docs at all
+            (3, 301, 1),
+        ],
+        ["query_id", "doc_id", "rk"])
+    qrels = spark.createDataFrame(
+        [(1, 101, 2), (1, 102, 1),
+         (2, 203, 3), (2, 777, 1),
+         (3, 301, 0),
+         (4, 401, 2)],  # q4 never retrieved
+        ["query_id", "doc_id", "rel"])
+
+    out = {r["query_id"]: r
+           for r in retrieval_eval(results, qrels, k=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    # q1: dcg = 2/log2(2) + 1/log2(3) == idcg -> ndcg 1, mrr 1
+    assert out[1]["ndcg_at_k"] == 1.0
+    assert out[1]["mrr"] == 1.0
+    assert out[1]["n_rel"] == 2 and out[1]["n_rel_ret"] == 2
+    assert out[1]["recall_at_k"] == 1.0
+    assert abs(out[1]["p_at_k"] - round(2 / 3, 6)) < 1e-9
+
+    # q2: dcg = 3/log2(4); idcg = 3/log2(2) + 1/log2(3)
+    dcg = 3 / 2.0
+    idcg = 3.0 + 1 / math.log2(3)
+    assert abs(out[2]["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
+    assert abs(out[2]["mrr"] - round(1 / 3, 6)) < 1e-9
+    assert out[2]["recall_at_k"] == 0.5  # 1 of 2 relevant retrieved
+
+    # q3: no relevant docs -> ndcg/mrr 0, recall NULL
+    assert out[3]["ndcg_at_k"] == 0.0 and out[3]["mrr"] == 0.0
+    assert out[3]["recall_at_k"] is None
+
+    # q4: judged but never retrieved -> zeros, not a missing row
+    assert out[4]["ndcg_at_k"] == 0.0 and out[4]["n_rel_ret"] == 0
+    assert out[4]["recall_at_k"] == 0.0
+
+    # rank cut: rows past k are invisible
+    res2 = results.withColumn("rk", F.col("rk") + 10)
+    out2 = {r["query_id"]: r
+            for r in retrieval_eval(res2, qrels, k=3).collect()}
+    assert all(out2[q]["ndcg_at_k"] == 0.0 for q in out2)
