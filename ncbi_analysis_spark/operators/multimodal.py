@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Callable, Iterator
-from zlib import error as zlib_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -119,10 +118,15 @@ def auto_image_decoder(data: bytes, meta: dict) -> dict:
     if data is not None and im.is_decodable_image(data):
         try:
             return numpy_image_decoder(data, meta)
-        except (ValueError, zlib_error):
+        except Exception:  # noqa: BLE001 — crash-safety contract
             # magic-sniffed but malformed (truncated IDAT, bad zlib,
-            # header/stream mismatch): degrade to the stub rather than
-            # failing the whole mapInPandas batch on one corrupt row
+            # header/stream mismatch, JPEG marker soup): degrade to the
+            # stub rather than failing the whole mapInPandas batch on
+            # one corrupt row. Broad by design — adversarial bytes past
+            # the sniff can surface IndexError/struct.error/zlib.error
+            # from deep inside the codecs (fuzz test in
+            # test_robustness.py), and the contract is "one poisoned
+            # row never kills the batch".
             pass
     return deterministic_fake_decoder(data, meta)
 
@@ -236,15 +240,18 @@ def auto_audio_decoder(data: bytes, meta: dict) -> dict:
     stub — existing oracle fixtures (md5-derived bytes, never a RIFF
     container) are unchanged by construction, and compressed formats
     stay honest about needing an ffmpeg-class drop-in."""
-    import wave as _wave
-
     if data and is_wav_audio(data):
         try:
             return wave_audio_decoder(data, meta)
-        except (ValueError, EOFError, _wave.Error):
-            # magic-sniffed but malformed (truncated frames, bad fmt
-            # chunk, unsupported width): degrade to the stub rather
-            # than failing the whole mapInPandas batch on one row
+        except Exception:  # noqa: BLE001 — crash-safety contract
+            # magic-sniffed but malformed: degrade to the stub rather
+            # than failing the whole mapInPandas batch on one row. The
+            # catch is deliberately broad — stdlib ``wave`` raises
+            # wave.Error, EOFError AND RuntimeError depending on where
+            # a corrupted container breaks (found by the fuzz test in
+            # test_robustness.py), and the contract here is
+            # "one poisoned row never kills the batch", not "known
+            # failure modes degrade".
             pass
     return deterministic_fake_audio_decoder(data, meta)
 

@@ -200,3 +200,46 @@ def test_batched_kernels_degenerate_shapes():
     pat = MatchPattern("a", {"must": [{"offset": 0, "length": 1}]})
     assert pattern_scores_chunk(pat, "ta", np.array([], dtype=np.int64), 1).tolist() == []
     assert pattern_scores_chunk(pat, "ta", np.array([0, 1]), 1).tolist() == [0.0, 1.0]
+
+
+def test_auto_decoders_never_raise_on_arbitrary_bytes():
+    """The mapInPandas crash-safety contract, fuzzed: auto_image_decoder
+    and auto_audio_decoder must return a feature dict (never raise) for
+    ANY payload — random bytes, magic-prefixed junk, truncated real
+    files, marker soup. One poisoned row must never kill a batch."""
+    import random
+
+    from ncbi_analysis_spark.operators import multimodal as mm
+
+    rnd = random.Random(99)
+    fx = "tests/fixtures"
+    real_jpg = open(f"{fx}/media/gradient_rgb.jpg", "rb").read()
+    real_png = open(f"{fx}/media/gradient_rgb.png", "rb").read()
+    real_wav = open(f"{fx}/media/sine440.wav", "rb").read()
+
+    payloads = [b"", None, b"\x00" * 64]
+    for _ in range(60):
+        payloads.append(bytes(rnd.randrange(256)
+                              for _ in range(rnd.randrange(1, 200))))
+    # magic-prefixed junk for every sniffed format
+    for magic in (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"BM", b"RIFF",
+                  b"RIFF1234WAVE"):
+        for _ in range(10):
+            payloads.append(magic + bytes(rnd.randrange(256)
+                                          for _ in range(rnd.randrange(0, 120))))
+    # truncations and single-byte corruptions of real files
+    for real in (real_jpg, real_png, real_wav):
+        for cut in (4, 12, 30, len(real) // 2, len(real) - 3):
+            payloads.append(real[:cut])
+        for _ in range(15):
+            pos = rnd.randrange(len(real))
+            payloads.append(real[:pos]
+                            + bytes([rnd.randrange(256)])
+                            + real[pos + 1:])
+
+    for p in payloads:
+        img = mm.auto_image_decoder(p, {})
+        aud = mm.auto_audio_decoder(p, {})
+        assert set(img) >= {"width", "height", "mean_luma", "phash64"}
+        assert set(aud) >= {"sample_rate", "duration_ms", "n_samples",
+                            "rms", "peak"}
