@@ -261,3 +261,31 @@ def test_fixture_regen_is_byte_stable():
     arr = _fixture_array()
     enc = J.jpeg_encode(arr, quality=92, subsample="420")
     assert hashlib.md5(enc).hexdigest() == hashlib.md5(data).hexdigest()
+
+
+def test_jpeg_roundtrip_property():
+    """Property over random images: q=100 gray round-trips within 1
+    LSB, RGB 4:4:4 within 5 (two YCbCr roundings + DCT rounding on
+    uncorrelated noise — the smooth-image pins above stay at 3-4);
+    encoding is a pure function of the pixels (byte-identical
+    re-encode)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        rgb=st.booleans(),
+    )
+    def check(h, w, seed, rgb):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        enc = J.jpeg_encode(a, quality=100)
+        assert enc == J.jpeg_encode(a, quality=100)
+        dec = J.jpeg_decode(enc)
+        assert dec.shape == a.shape
+        tol = 5 if rgb else 1
+        assert np.abs(dec.astype(int) - a.astype(int)).max() <= tol
+
+    check()
