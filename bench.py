@@ -744,6 +744,9 @@ BASELINE = {
     # two bm25_topk corpus scans + the bounded eval join; warmed
     # min-of-3 on the idle box
     "bm25_ndcg_eval": (4.15, 15),
+    # shard write (applyInPandas tar stream) + binaryFile untar read;
+    # warmed min-of-3 on the idle box
+    "webdataset_roundtrip": (2.423, 15),
 }
 
 # Audit trail for baseline reseeds (round-7 review ask): every reseed

@@ -830,6 +830,59 @@ ORDER BY i.query_id
 """
 
 
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard sink/source through the gate (r15,
+    ``sources/webdataset.py`` — the tar-shard interchange layout
+    multimodal training loaders stream): every 11th document becomes a
+    media row (md5-derived payload bytes, deterministic typed meta),
+    shards are written (id//64 membership, byte-reproducible tars) and
+    read back, and the output fingerprints the round-tripped rows.
+    The lifecycle is invisible to the oracle by design — a torn member,
+    meta drift, payload corruption or membership change hash-mismatches
+    here."""
+    from ncbi_analysis_spark.plans.driver_queries_r5 import _staging_dir
+    from ncbi_analysis_spark.sources import webdataset as wds
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio")).alias("kind"),
+        F.encode(F.md5(F.concat(F.lit("wds"), F.col("doc_id"))), "utf-8")
+        .alias("data"),
+        F.struct(
+            (F.col("doc_id") % 64 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 1).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("format"),
+        ).alias("meta"),
+    )
+    path = _staging_dir("spark_graft_wds")
+    wds.write_webdataset_shards(media, path, samples_per_shard=64)
+    back = wds.read_webdataset_shards(spark, path)
+    return back.select(
+        "media_id", "kind",
+        F.md5(F.col("data").cast("binary")).alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("media_id") / 64).cast("long").alias("shard_id"),
+    ).orderBy("media_id")
+
+
+_WDS_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       md5(md5('wds' || doc_id::VARCHAR)) AS payload_md5,
+       (doc_id % 64 + 1)::INT AS width,
+       (doc_id % 48 + 1)::INT AS height,
+       (doc_id // 64)::BIGINT AS shard_id
+FROM documents WHERE doc_id % 11 = 0
+ORDER BY media_id
+"""
+
+
 def queries_r15() -> dict:
     return {
         "f2b_range_extract": f2b_range_extract,
@@ -841,6 +894,7 @@ def queries_r15() -> dict:
         "sq8_delete_search": sq8_delete_search,
         "audio_wav_features": audio_wav_features,
         "bm25_ndcg_eval": bm25_ndcg_eval,
+        "webdataset_roundtrip": webdataset_roundtrip,
     }
 
 
@@ -855,4 +909,5 @@ def oracle_sql_r15() -> dict[str, str]:
         "sq8_delete_search": _sq8_delete_search_sql(),
         "audio_wav_features": _AUDIO_WAV_SQL,
         "bm25_ndcg_eval": _bm25_ndcg_eval_sql(),
+        "webdataset_roundtrip": _WDS_SQL,
     }

@@ -221,6 +221,9 @@ def audit(
             # (eager bounded return, the bm25_search class); the final
             # plan is the eval join over two ten-row local tables
             "bm25_ndcg_eval",
+            # webdataset_roundtrip's construction writes+reads the tar
+            # shards (sink lifecycle; the s11/s12 roundtrip class)
+            "webdataset_roundtrip",
             # r13 staged: same eager-bounded-return class (index
             # write+delete+compact executed during construction)
             "bm25_delete_search", "bm25_compacted_search",
