@@ -523,7 +523,7 @@ def fuzzy_decon_stream(
     shingle_n: int = 3,
     keep: str = "clean",
     max_bench_bands: int = 200_000,
-    engine: str = "expr",
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Streaming fuzzy decontamination — the streaming twin of
     ``operators.dedup.fuzzy_decon_pairs``: drop (or flag) stream
@@ -553,16 +553,17 @@ def fuzzy_decon_stream(
     with a Bloom filter (``build_ngram_bloom``'s 128 KiB broadcast
     pattern) or run the batch operator over micro-batch sinks instead.
 
-    ``engine``: ``'expr'`` (default, the oracle-exact all-JVM form),
-    ``'np'``, or ``'auto'`` (streaming → np, batch → bounded row probe;
-    ``_resolve_gate_engine``) — the np form is an Arrow-batched Python
-    replica of the SAME salted-md5 signature/band pipeline (hashes are md5 on both sides, so band keys
-    and therefore the kept row set are identical; see
-    test_streaming.py's twin-parity test). The expression form's HOF
-    lambdas are CodegenFallback — interpreted per shingle — which makes
-    them the dominant cost of the stream gates at bench scale; the
-    replica does the same hashing in C-speed hashlib (measured A/B in
-    SCALING.md round 9).
+    ``engine``: ``'hybrid'`` (default since r15 — for decon identical
+    to ``'np'``), ``'np'``, ``'expr'`` (the all-JVM expression form),
+    or ``'auto'`` (``_resolve_gate_engine``) — the np form is an
+    Arrow-batched Python replica of the SAME salted-md5 signature/band
+    pipeline (hashes are md5 on both sides, so band keys and therefore
+    the kept row set are identical; see test_streaming.py's
+    twin-parity test). The expression form's HOF lambdas are
+    CodegenFallback — interpreted per shingle — which made them the
+    dominant cost of the stream gates at bench scale; the replica does
+    the same hashing in C-speed hashlib (measured A/B in SCALING.md
+    round 9, default flipped on the r15 optimization measurement).
     """
     from ncbi_analysis_spark.functions.text import minhash_bands, minhash_signature
     from ncbi_analysis_spark.operators.dedup import _minhash_band_rows
@@ -586,7 +587,9 @@ def fuzzy_decon_stream(
             "the batch fuzzy_decon_pairs path"
         )
     engine = _resolve_gate_engine(stream, engine)
-    if engine == "np":
+    if engine in ("np", "hybrid"):
+        # decon has no float path at all — band keys are md5 on both
+        # sides — so 'hybrid' and 'np' are the same (row-identical) form
         return _fuzzy_decon_stream_np(
             stream, frozenset(bench_keys), text, num_perm, bands,
             shingle_n, keep)
@@ -615,7 +618,7 @@ def quality_score_stream(
     text: str = "text",
     n_buckets: int = 1024,
     ngram_max: int = 2,
-    engine: str = "expr",
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Stateless streaming scoring for a trained quality classifier —
     the streaming twin of ``operators.terms.quality_probability``: score
@@ -642,17 +645,20 @@ def quality_score_stream(
     bit-exactly — fine for a gate threshold, not for an exact-match
     oracle (the batch query remains the oracled form).
 
-    ``engine``: ``'expr'`` (default) / ``'np'`` / ``'auto'`` — same
+    ``engine``: ``'hybrid'`` (default since r15: Arrow-batched md5 fold
+    emits the logit, sigmoid+round stay JVM expressions — ``prob`` bits
+    equal the expr form's) / ``'expr'`` / ``'np'`` / ``'auto'`` — same
     routing contract as ``fuzzy_decon_stream``.
     """
     from ncbi_analysis_spark.functions.text import _hash32, tokens
 
     w_rows = {r["bucket"]: r["w"] for r in weights.collect()}
     engine = _resolve_gate_engine(stream, engine)
-    if engine == "np":
+    if engine in ("np", "hybrid"):
         return _quality_score_stream_np(
             stream, [float(w_rows.get(b, 0.0)) for b in range(n_buckets)],
-            float(bias), text, n_buckets, ngram_max)
+            float(bias), text, n_buckets, ngram_max,
+            jvm_sigmoid=(engine == "hybrid"))
     # single array Literal, not CreateArray-of-1024-children (see
     # fuzzy_decon_stream's bench_lit note) — same doubles, same fold
     arr = F.lit([float(w_rows.get(b, 0.0)) for b in range(n_buckets)])
@@ -740,30 +746,35 @@ def _resolve_gate_engine(
     """Physical-form routing for the stream gates — the streaming twin
     of ``repetition_metrics``'s ``engine='auto'`` posture.
 
-    ``'expr'``/``'np'`` pass through. ``'auto'``: a STREAMING input is
-    by definition unbounded, so it takes the Arrow np replica (the
-    production-ingest default — the expression gates' HOF lambdas are
-    CodegenFallback and ~6x slower, SCALING.md round-9/10 A/B); a BATCH
-    input (the oracle harness shape, or a gate reused on a static
-    corpus) gets the same bounded ``limit().count()`` probe as
-    repetition_metrics — expr up to ``max_expr_rows`` so small oracle
-    runs stay on the all-JVM bit-pinned plan, np past it.
+    ``'expr'``/``'np'``/``'hybrid'`` pass through. ``'auto'``: a
+    STREAMING input is by definition unbounded, so it takes the Arrow
+    hybrid replica (the production-ingest default — the expression
+    gates' HOF lambdas are CodegenFallback and ~6x slower, SCALING.md
+    round-9/10 A/B); a BATCH input (a gate reused on a static corpus)
+    gets the same bounded ``limit().count()`` probe as
+    repetition_metrics — expr up to ``max_expr_rows`` so tiny inputs
+    skip the Python-worker round-trip, hybrid past it.
 
-    The oracled ``stream_*`` driver queries pass ``engine='expr'``
-    explicitly: fuzzy-decon row sets are bit-identical across forms,
-    but the classifier sigmoid is libm-vs-JVM ``exp`` (6dp-rounded
-    values can differ by one last-place ulp — the documented reason
-    expr remains the oracle form)."""
-    if engine in ("expr", "np"):
+    ``'hybrid'`` (r15, the gates' default) does the md5 shingle/band
+    hashing and the feature-order weight fold in Arrow-batched C-speed
+    Python — bit-identical band keys and logit doubles (same IEEE add
+    order as the expression fold) — and leaves ONLY the sigmoid
+    (``exp``) to a JVM Column expression on the logit. That closes the
+    one documented expr-vs-np divergence (libm-vs-JVM ``exp`` in the
+    6th decimal): hybrid output is bit-equal to the expr form, so the
+    oracled ``stream_*`` queries keep their hashes while the
+    interpreted-HOF cost goes away (the r15 optimization measurement).
+    ``'np'`` (all-Python, libm sigmoid) remains for posture parity."""
+    if engine in ("expr", "np", "hybrid"):
         return engine
     if engine != "auto":
         raise ValueError(f"unknown gate engine: {engine!r}")
     if df.isStreaming:
-        return "np"
+        return "hybrid"
     return (
         "expr"
         if df.limit(max_expr_rows + 1).count() <= max_expr_rows
-        else "np"
+        else "hybrid"
     )
 
 
@@ -807,13 +818,22 @@ def _quality_score_stream_np(
     text: str,
     n_buckets: int,
     ngram_max: int,
+    jvm_sigmoid: bool = False,
 ) -> DataFrame:
+    """Arrow-batched scoring replica. ``jvm_sigmoid=False`` is the
+    all-Python ``'np'`` form (libm ``exp``). ``jvm_sigmoid=True`` is
+    the ``'hybrid'`` form: Python emits the logit double (bit-identical
+    to the expression fold — same md5 buckets, same IEEE add order,
+    same ``bias + total / n`` shape) and the sigmoid+round runs as the
+    SAME JVM Column expression the expr gate uses, so hybrid ``prob``
+    bits equal expr ``prob`` bits (the oracle contract)."""
     import math
 
+    val_name = "__logit" if jvm_sigmoid else "prob"
     schema = T.StructType(
         list(stream.schema.fields)
         + [T.StructField("n_feats", T.LongType()),
-           T.StructField("prob", T.DoubleType())]
+           T.StructField(val_name, T.DoubleType())]
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -822,11 +842,11 @@ def _quality_score_stream_np(
         from ncbi_analysis_spark.functions.text import _java_tokens
 
         for pdf in batches:
-            n_feats, probs = [], []
+            n_feats, vals = [], []
             for t in pdf[text]:
                 if t is None:
                     n_feats.append(None)
-                    probs.append(None)
+                    vals.append(None)
                     continue
                 ws = _java_tokens(t)
                 grams: list = []
@@ -839,13 +859,22 @@ def _quality_score_stream_np(
                     total = total + w[b]
                 logit = bias + total / len(grams)
                 n_feats.append(len(grams))
-                probs.append(round(1.0 / (1.0 + math.exp(-logit)), 6))
+                vals.append(logit if jvm_sigmoid
+                            else round(1.0 / (1.0 + math.exp(-logit)), 6))
             out = pdf.copy()
             out["n_feats"] = pd.Series(n_feats, index=pdf.index, dtype="object")
-            out["prob"] = pd.Series(probs, index=pdf.index, dtype="object")
+            out[val_name] = pd.Series(vals, index=pdf.index, dtype="object")
             yield out
 
-    return stream.mapInPandas(gen, schema)
+    mapped = stream.mapInPandas(gen, schema)
+    if not jvm_sigmoid:
+        return mapped
+    lg = F.col("__logit")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-lg))
+    return mapped.withColumn(
+        "prob", F.when(lg.isNull(), F.lit(None).cast("double"))
+                 .otherwise(F.round(prob, 6))
+    ).drop("__logit")
 
 
 def curation_stream(
@@ -860,7 +889,7 @@ def curation_stream(
     shingle_n: int = 3,
     n_buckets: int = 1024,
     ngram_max: int = 2,
-    engine: str = "expr",
+    engine: str = "hybrid",
 ) -> DataFrame:
     """End-to-end streaming curation — the streaming twin of
     ``curation_v3``'s decon+quality prefix, composed as ONE stateless
@@ -922,10 +951,10 @@ def run_curation_job(
 
     ``engine`` is a FIRST-CLASS parameter here (not a buried kwarg
     default — the r10 advice): the production entry point defaults to
-    ``'auto'`` (streaming input → the Arrow np fast path, ~4.7×;
-    classifier probabilities can differ from the JVM form in the 6th
-    decimal); pass ``engine='expr'`` for the bit-pinned all-JVM form
-    that matches the batch oracle exactly."""
+    ``'auto'`` (streaming input → the Arrow hybrid fast path: md5/fold
+    in C-speed Python, sigmoid as a JVM expression, so probabilities
+    are bit-equal to the ``'expr'`` form — r15); ``'np'`` keeps the
+    all-Python replica (libm sigmoid, 6th-decimal drift)."""
     stream = spark.readStream.schema(schema).parquet(source_path)
     curated = curation_stream(
         stream, bench_df, weights, bias, text=text, min_prob=min_prob,

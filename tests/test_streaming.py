@@ -628,14 +628,19 @@ def test_stream_gate_np_twins_match_expr(spark, tmp_path):
         assert (a is None) == (b is None)
         if a is not None:
             assert abs(a - b) < 5e-7, (k, a, b)   # 6dp-rounded parity
+    # 'hybrid' (the r15 default: np md5/fold + JVM sigmoid) must be
+    # BIT-identical to expr — it is what the oracled stream_* queries
+    # now run, so exact equality (not ulp-tolerance) is the contract
+    hyb = run("hybrid", "t_np_twin_hybrid")
+    assert hyb == expr
 
 
 def test_resolve_gate_engine_routing(spark, tmp_path):
-    """'auto' must route streaming inputs to the Arrow np replica (a
-    stream is unbounded; the expr HOF gates are CodegenFallback), keep
-    small batch inputs on the bit-pinned expr plan (the oracle-harness
-    shape), flip large batch inputs to np past the bounded probe, and
-    leave explicit choices untouched."""
+    """'auto' must route streaming inputs to the Arrow hybrid replica
+    (a stream is unbounded; the expr HOF gates are CodegenFallback),
+    keep small batch inputs on the all-JVM expr plan (no Python-worker
+    round-trip for tiny inputs), flip large batch inputs to hybrid past
+    the bounded probe, and leave explicit choices untouched."""
     small = spark.range(10).withColumnRenamed("id", "doc_id")
     big = spark.range(2000).withColumnRenamed("id", "doc_id")
 
@@ -643,12 +648,13 @@ def test_resolve_gate_engine_routing(spark, tmp_path):
     small.write.parquet(str(src))
     stream = spark.readStream.schema(small.schema).parquet(str(src))
 
-    assert sev._resolve_gate_engine(stream, "auto") == "np"
+    assert sev._resolve_gate_engine(stream, "auto") == "hybrid"
     assert sev._resolve_gate_engine(small, "auto") == "expr"
-    assert sev._resolve_gate_engine(big, "auto") == "np"
+    assert sev._resolve_gate_engine(big, "auto") == "hybrid"
     for df in (stream, small):
         assert sev._resolve_gate_engine(df, "expr") == "expr"
         assert sev._resolve_gate_engine(df, "np") == "np"
+        assert sev._resolve_gate_engine(df, "hybrid") == "hybrid"
     with pytest.raises(ValueError, match="unknown gate engine"):
         sev._resolve_gate_engine(small, "fast")
 
