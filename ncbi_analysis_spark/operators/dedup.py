@@ -70,6 +70,16 @@ def shingle_rows(df: DataFrame, text: str, id_col: str, n: int = 3) -> DataFrame
     """
     from ncbi_analysis_spark.functions.text import tokens
 
+    if n == 1:
+        # every token IS a 1-gram (the pos <= greatest(cnt-1, 0) filter
+        # keeps every exploded row when n=1, and the size<1 partial case
+        # is empty under both forms), so the window — and its shuffle by
+        # id — is pure overhead: a straight explode is row-identical and
+        # keeps the scan pipelined (r15 optimization; the hashed-feature
+        # paths that union an n=1 leg stop paying an id-keyed exchange)
+        return df.select(
+            F.col(id_col), F.explode(tokens(F.col(text))).alias("sh")
+        )
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text))).alias("pos", "tok")
     )
