@@ -38,6 +38,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class _fixpoint_conf:
+    """Scoped session conf for the label-propagation loop: AQE off and
+    an explicit shuffle-partition count derived from the materialized
+    edge set's own layout.
+
+    AQE re-plans after every exchange, which turns each round's single
+    action into ~5 sequentially-submitted stage-jobs; at any scale that
+    is 5 scheduler round-trips per round for a plan whose shape never
+    changes. The partition count is NOT a constant: it is the
+    checkpointed edge set's partition count (small at small scale,
+    hundreds at corpus scale), so the setting is scale-adaptive the way
+    AQE coalescing would be — measured r15 on the CC-fixpoint query
+    family (guide §1.2 step 3: config after algorithm, with the
+    algorithm's partitioning derived from the data)."""
+
+    def __init__(self, spark, n_parts: int):
+        self.spark = spark
+        self.n_parts = max(1, int(n_parts))
+        self.saved: dict[str, str | None] = {}
+
+    _KEYS = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+
+    def __enter__(self):
+        for k in self._KEYS:
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:  # noqa: BLE001 — unset key
+                self.saved[k] = None
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n_parts))
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        return False
+
+
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Free the block-manager storage behind a ``localCheckpoint``-ed
     DataFrame.  Spark has no public API for this — the checkpoint RDD is
@@ -82,6 +123,14 @@ def connected_components(
                 .withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
 
+    spark = edges.sparkSession
+    with _fixpoint_conf(spark, sym.rdd.getNumPartitions()):
+        return _cc_loop(sym, labels, max_iter)
+
+
+def _cc_loop(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    """The label-propagation rounds of :func:`connected_components`.
+    Runs under ``_fixpoint_conf``; raises on non-convergence."""
     from pyspark.sql import Observation
 
     for _ in range(max_iter):
