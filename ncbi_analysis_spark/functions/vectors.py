@@ -19,28 +19,8 @@ def to_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Sequential-fold dot product in double precision.
-
-    ``dim`` (r15): when the caller knows the fixed vector width, the
-    fold is UNROLLED into a left-associated chain of element_at
-    products — ``((0.0 + x1·y1) + x2·y2) + …`` — the exact arithmetic
-    DAG of the HOF fold, evaluated in the same JVM double ops, so the
-    result is bit-identical. The difference is physical: zip_with/
-    aggregate lambdas are CodegenFallback (interpreted per element),
-    while the unrolled chain whole-stage-codegens (measured ~4x on the
-    ANN family's d=64 embeddings). Rows whose arrays are shorter than
-    ``dim`` yield NULL (element_at past the end) instead of the fold's
-    partial sum — callers pass ``dim`` only for fixed-width columns.
-    """
-    if dim is not None:
-        acc: Column = F.lit(0.0)
-        for j in range(1, dim + 1):
-            acc = acc + (
-                F.element_at(a, j).cast("double")
-                * F.element_at(b, j).cast("double")
-            )
-        return acc
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
     return F.aggregate(
         F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -48,15 +28,14 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity; 0.0 when either norm is zero. ``dim`` as in
-    :func:`dot` — bit-identical unrolled form for fixed-width vectors."""
-    d = dot(a, b, dim)
-    na, nb = norm(a, dim), norm(b, dim)
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either norm is zero."""
+    d = dot(a, b)
+    na, nb = norm(a), norm(b)
     return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(d / (na * nb))
 
 

@@ -533,23 +533,19 @@ def embedding_dup_pairs(
 
         sign_cols = []
         for p in range(bucket_planes):
-            # unrolled left fold with scalar plane literals: the same
-            # ((0.0 + x1·p1) + x2·p2)… doubles as the HOF fold, but
-            # whole-stage-codegen instead of CodegenFallback (r15)
-            pvals = plane(p)
-            s: Column = F.lit(0.0)
-            for j in range(dim):
-                s = s + F.element_at(F.col("v"), j + 1).cast("double") * F.lit(pvals[j])
+            pv = F.lit(plane(p))  # one Literal, not dim CreateArray children
+            s = F.aggregate(
+                F.zip_with(F.col("v"), pv, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
             sign_cols.append(F.when(s >= 0, F.lit(1)).otherwise(F.lit(0)))
         base = base.withColumn("bucket", F.concat_ws("", *[c.cast("string") for c in sign_cols]))
     else:
         base = base.withColumn("bucket", F.lit("all"))
-        r = base.select("v").head(1)
-        dim = len(r[0][0]) if r and r[0][0] is not None else None
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v"), dim=dim))
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.round("cos", 6).alias("cos_sim"))
@@ -669,12 +665,9 @@ def semantic_dedup(
     assigned = ivf_assign(
         df, centroids, vec=vec, id_col=id_col, method=assign_method
     )
-    from ncbi_analysis_spark.operators.similarity_search import _vec_dim
-
-    vdim = _vec_dim(centroids, vec)
     cents = centroids.select(F.col("c_id"), F.col(vec).alias("__cent"))
     labeled = assigned.join(F.broadcast(cents), "c_id").withColumn(
-        "__cent_sim", cosine(F.col("__cv"), F.col("__cent"), dim=vdim)
+        "__cent_sim", cosine(F.col("__cv"), F.col("__cent"))
     )
 
     side = labeled.select(
@@ -695,13 +688,12 @@ def semantic_dedup(
         from ncbi_analysis_spark.functions.vectors import dot, norm
 
         # norms once per ROW, not once per pair — same doubles either way
-        s = side.withColumn("nrm", norm(F.col("v"), dim=vdim))
+        s = side.withColumn("nrm", norm(F.col("v")))
         a, b = s.alias("a"), s.alias("b")
         cos = F.when(
             (F.col("a.nrm") == 0) | (F.col("b.nrm") == 0), F.lit(0.0)
         ).otherwise(
-            dot(F.col("a.v"), F.col("b.v"), dim=vdim)
-            / (F.col("a.nrm") * F.col("b.nrm"))
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
         )
         pairs = (
             a.join(b, (F.col("a.c_id") == F.col("b.c_id")) & (F.col("a.id") < F.col("b.id")))

@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ncbi_analysis_spark.functions.vectors import cosine
@@ -43,25 +43,11 @@ def brute_force_topk(
         how="cross",
     )
     scored = joined.select(
-        q_id, id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dim=_vec_dim(queries, vec)),
-                6).alias("cos_sim")
+        q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(
         scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
     )
-
-
-def _vec_dim(df: DataFrame, vec: str) -> int | None:
-    """Fixed vector width probed from one row (a bounded head() job) —
-    feeds the bit-identical UNROLLED dot fold (functions.vectors.dot's
-    ``dim`` form, whole-stage-codegen instead of the CodegenFallback HOF
-    lambdas). The embedding-column contract across the ANN family is
-    fixed-width vectors — rows shorter than the probed width would score
-    NULL, which the contract excludes. None (empty side) keeps the
-    generic fold."""
-    r = df.select(vec).head(1)
-    return len(r[0][0]) if r and r[0][0] is not None else None
 
 
 def brute_force_topk_np(
@@ -191,40 +177,13 @@ def ivf_assign(
             acc += float(x) * float(x)
         return math.sqrt(acc)
 
-    cents = [[float(x) for x in r[vec]] for r in rows]
-    norms = [_norm(r[vec]) for r in rows]
+    # single Literal nodes, not CreateArray-of-k*d-children: every
+    # Catalyst rule pass walks each child, so hundreds of literal
+    # children add seconds of planning per query (same doubles either
+    # way — the oracle fold is unchanged)
+    cent_arr = F.lit([[float(x) for x in r[vec]] for r in rows])
+    norm_arr = F.lit([_norm(r[vec]) for r in rows])
     ids_arr = F.lit([int(r[c_id]) for r in rows]).cast("array<long>")
-    vdim = len(cents[0]) if cents else 0
-    if len(cents) * vdim <= 2048:
-        # small k·d: unroll each centroid's fold with SCALAR literals —
-        # the same ((0.0 + x1·c1) + x2·c2)… doubles as the HOF fold but
-        # whole-stage-codegen (r15). Past the node cap the compact
-        # single-Literal zip_with form below keeps Catalyst walks cheap
-        # (hundreds of literal children add seconds of planning).
-        def udot(cv: list[float]) -> Column:
-            acc: Column = F.lit(0.0)
-            for j in range(vdim):
-                acc = acc + F.element_at(F.col("__cv"), j + 1).cast("double") * F.lit(cv[j])
-            return acc
-
-        sims = F.array(*[
-            F.lit(0.0) if nc == 0 else (udot(cv) / F.lit(nc))
-            for cv, nc in zip(cents, norms)
-        ])
-        return (
-            corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
-            .withColumn("__sims", sims)
-            .withColumn(
-                c_id,
-                F.element_at(
-                    ids_arr,
-                    F.array_position(F.col("__sims"), F.array_max("__sims")).cast("int"),
-                ),
-            )
-            .drop("__sims")
-        )
-    cent_arr = F.lit(cents)
-    norm_arr = F.lit(norms)
     cvd = F.transform(F.col("__cv"), lambda x: x.cast("double"))
     sims = F.zip_with(
         cent_arr, norm_arr,
@@ -333,13 +292,11 @@ def ivf_topk(
     if assigned is None:
         assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
 
-    dim = _vec_dim(centroids, vec)
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
     probes = (
         queries.select(F.col(q_id), F.col(vec).alias("__qv"))
         .join(F.broadcast(cent), how="cross")
-        .select(q_id, "__qv", c_id,
-                cosine(F.col("__qv"), F.col("__cent"), dim=dim).alias("__sim"))
+        .select(q_id, "__qv", c_id, cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
     )
     probes = topk_per_group(probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe).select(
         q_id, "__qv", c_id
@@ -359,8 +316,7 @@ def ivf_topk(
         assigned = assigned.filter(F.col(c_id).isin(probe_ids))
 
     scored = assigned.join(F.broadcast(probes), on=c_id, how="inner").select(
-        q_id, id_col,
-        F.round(cosine(F.col("__qv"), F.col("__cv"), dim=dim), 6).alias("cos_sim")
+        q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")
 
@@ -936,9 +892,7 @@ def pq_topk(
             .join(F.broadcast(cands), id_col)
             .join(F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))), q_id)
             .select(q_id, id_col,
-                    F.round(cosine(F.col("__qv"), F.col("__cv"),
-                                   dim=int(Q.shape[1]) if len(q_rows) else None),
-                            6).alias("cos_sim"))
+                    F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"))
         )
         return topk_per_group(
             scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
@@ -985,16 +939,12 @@ def ivf_pq_topk(
         codes = pq_encode(corpus, codebooks, vec, id_col)
     index = assigned.select(id_col, c_id).join(codes, id_col)
 
-    # probe selection: identical to ivf_topk (the full vector width is
-    # m subspaces x sub dims — free from the codebook shape)
-    _B = np.asarray(codebooks)
-    dim = int(_B.shape[0] * _B.shape[2])
+    # probe selection: identical to ivf_topk
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
     probes = (
         queries.select(F.col(q_id), F.col(vec).alias("__qv"))
         .join(F.broadcast(cent), how="cross")
-        .select(q_id, c_id,
-                cosine(F.col("__qv"), F.col("__cent"), dim=dim).alias("__sim"))
+        .select(q_id, c_id, cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
     )
     probes = topk_per_group(
         probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe
@@ -1054,8 +1004,7 @@ def ivf_pq_topk(
         .join(F.broadcast(cands), id_col)
         .join(F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))), q_id)
         .select(q_id, id_col,
-                F.round(cosine(F.col("__qv"), F.col("__cv"), dim=dim),
-                        6).alias("cos_sim"))
+                F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"))
     )
     return topk_per_group(
         exact, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk"
@@ -1386,8 +1335,7 @@ def reduced_rerank_topk(
             q_id,
             id_col,
             F.round(
-                cosine(F.col("__qv"), F.col("__cv"),
-                       dim=_vec_dim(queries, vec)), 6
+                cosine(F.col("__qv"), F.col("__cv")), 6
             ).alias("cos_sim"),
         )
     )
@@ -1585,13 +1533,12 @@ def ivf_sq8_topk(
             assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
         index = sq8_encode_index(assigned, bounds, id_col, c_id)
 
-    dim = len(los)  # the SQ bounds are per-dimension — width for free
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
     probes = (
         queries.select(F.col(q_id), F.col(vec).alias("__qv"))
         .join(F.broadcast(cent), how="cross")
         .select(q_id, "__qv", c_id,
-                cosine(F.col("__qv"), F.col("__cent"), dim=dim).alias("__sim"))
+                cosine(F.col("__qv"), F.col("__cent")).alias("__sim"))
     )
     probes = topk_per_group(
         probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe
@@ -1601,7 +1548,7 @@ def ivf_sq8_topk(
         index.join(F.broadcast(probes), on=c_id, how="inner")
         .withColumn("__dv", sq_dequantize_expr(F.col("sq_code"), los, his))
         .select(q_id, id_col,
-                F.round(cosine(F.col("__qv"), F.col("__dv"), dim=dim), 6)
+                F.round(cosine(F.col("__qv"), F.col("__dv")), 6)
                 .alias("sq_sim"))
     )
     if not rerank:
@@ -1618,7 +1565,7 @@ def ivf_sq8_topk(
         cv.join(F.broadcast(cands), on=id_col, how="inner")
         .join(F.broadcast(qv), on=q_id, how="inner")
         .select(q_id, id_col,
-                F.round(cosine(F.col("__qv"), F.col("__xv"), dim=dim), 6)
+                F.round(cosine(F.col("__qv"), F.col("__xv")), 6)
                 .alias("cos_sim"))
     )
     return topk_per_group(
