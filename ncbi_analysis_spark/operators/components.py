@@ -584,6 +584,10 @@ def _ccp_publish(spark, root: str, labels: DataFrame,
         stage = f"{root}/_stage_{uuid.uuid4().hex}"
         (labels.withColumn("__part", _ccp_part_col(F.col("id"), n_parts))
          .filter(F.col("__part").isin([int(h) for h in touched]))
+         # REBALANCE(__part): cluster the staged write so file count
+         # tracks per-partition data size, not upstream task count
+         # (tasks × touched-partitions tiny files otherwise)
+         .hint("rebalance", F.col("__part"))
          .write.partitionBy("__part").parquet(stage))
         staged = {int(d.split("=", 1)[1])
                   for d in fsutil.list_subdirs(spark, stage)

@@ -1613,7 +1613,11 @@ def write_lsh_index(
     (num_perm, bands, shingle_n) so a parameter drift fails loudly
     instead of silently matching nothing."""
     rows = _minhash_band_rows(df, text, id_col, num_perm, bands, shingle_n)
-    # overwrite first (it clears the directory), THEN record the params
+    # overwrite first (it clears the directory), THEN record the params.
+    # REBALANCE(band) clusters the write so file count tracks per-band
+    # data size, not upstream task count (tasks × bands tiny files
+    # otherwise; AQE still splits a hot band across writers at scale)
+    rows = rows.hint("rebalance", F.col("band"))
     rows.write.mode("overwrite").partitionBy("band").parquet(path)
     _lsh_params_guard(df.sparkSession, path, num_perm, bands, shingle_n,
                       write=True)
@@ -1721,7 +1725,10 @@ def append_to_lsh_index(
                                   shingle_n).persist()
         try:
             lk.assert_owned()  # fence before the parquet-append commit
-            rows.write.mode("append").partitionBy("band").parquet(path)
+            # rebalance: the cached partitioning would fan out
+            # cached-partitions × bands tiny files per append
+            rows.hint("rebalance", F.col("band")) \
+                .write.mode("append").partitionBy("band").parquet(path)
             counts = rows.groupBy("band").agg(
                 F.count(F.lit(1)).alias("n_appended")).collect()
         finally:

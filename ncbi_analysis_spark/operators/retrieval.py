@@ -397,10 +397,18 @@ def write_bm25_index(
     from ncbi_analysis_spark.operators import tombstones as ts
 
     ts.clear_tombstones(spark, path)
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        path.rstrip("/") + "/postings"
-    )
-    doclens.write.mode("overwrite").parquet(path.rstrip("/") + "/doclens")
+    # REBALANCE(bucket) before the partitioned write: without it each
+    # upstream task writes a file into every bucket directory it
+    # touches (tasks × buckets files — measured 500+ per lifecycle at
+    # sf0.1); clustered by bucket, file count tracks per-bucket DATA
+    # size (AQE coalesces small partitions and still splits a hot
+    # bucket across writers at scale), not task count
+    postings.hint("rebalance", F.col("bucket")) \
+        .write.mode("overwrite").partitionBy("bucket").parquet(
+            path.rstrip("/") + "/postings"
+        )
+    doclens.hint("rebalance").write.mode("overwrite").parquet(
+        path.rstrip("/") + "/doclens")
     # the marker carries exact corpus stats (N docs, Σ doclen) so batch
     # search never re-aggregates the doclens table per query batch;
     # append/delete maintain them transactionally (data first, marker
@@ -542,10 +550,14 @@ def append_to_bm25_index(
         doclens = doclens.persist()
         try:
             lk.assert_owned()  # fence before the parquet-append commit
-            postings.write.mode("append").partitionBy("bucket").parquet(
-                path.rstrip("/") + "/postings"
-            )
-            doclens.write.mode("append").parquet(
+            # rebalance by bucket: the persisted frame's cached
+            # partitioning (not AQE-coalesced) would otherwise fan out
+            # cached-partitions × buckets tiny files per append
+            postings.hint("rebalance", F.col("bucket")) \
+                .write.mode("append").partitionBy("bucket").parquet(
+                    path.rstrip("/") + "/postings"
+                )
+            doclens.hint("rebalance").write.mode("append").parquet(
                 path.rstrip("/") + "/doclens")
             counts = (
                 postings.groupBy("bucket")

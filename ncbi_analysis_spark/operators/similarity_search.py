@@ -1073,7 +1073,11 @@ def write_ivf_index(assigned: DataFrame, path: str, c_id: str = "c_id",
     Pass ``centroids`` to stamp the directory with the quantizer's
     digest so later ``append_to_ivf_index`` calls fail loudly on
     centroid drift instead of silently mis-bucketing."""
-    assigned.write.mode("overwrite").partitionBy(c_id).parquet(path)
+    # REBALANCE(c_id): file count tracks per-bucket data size, not
+    # upstream task count (tasks × buckets tiny files otherwise; AQE
+    # still splits a hot bucket across writers at scale)
+    assigned.hint("rebalance", F.col(c_id)) \
+        .write.mode("overwrite").partitionBy(c_id).parquet(path)
     if centroids is not None:
         _ivf_params_guard(assigned.sparkSession, path, centroids, vec,
                           c_id, write=True)
@@ -1265,7 +1269,10 @@ def append_to_ivf_index(
         assigned = assigned.persist()
         try:
             lk.assert_owned()  # fence before the parquet-append commit
-            assigned.write.mode("append").partitionBy(c_id).parquet(path)
+            # rebalance: the cached partitioning would fan out
+            # cached-partitions × buckets tiny files per append
+            assigned.hint("rebalance", F.col(c_id)) \
+                .write.mode("append").partitionBy(c_id).parquet(path)
             counts = (
                 assigned.groupBy(c_id)
                 .agg(F.count(F.lit(1)).alias("n_appended"))
@@ -1614,7 +1621,9 @@ def write_sq8_index(
     spark = assigned.sparkSession
     los, his = _sq_bounds_lists(bounds)
     coded = sq8_encode_index(assigned, bounds, id_col, c_id)
-    coded.write.mode("overwrite").partitionBy(c_id).parquet(path)
+    # REBALANCE(c_id): see write_ivf_index — files track bucket size
+    coded.hint("rebalance", F.col(c_id)) \
+        .write.mode("overwrite").partitionBy(c_id).parquet(path)
     bounds.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + "/" + _SQ_BOUNDS_DIR)
     fsutil.write_text(
@@ -1694,7 +1703,9 @@ def append_to_sq8_index(
         coded = sq8_encode_index(assigned, bounds, id_col, c_id).persist()
         try:
             lk.assert_owned()  # fence before the parquet-append commit
-            coded.write.mode("append").partitionBy(c_id).parquet(path)
+            # rebalance: see append_to_ivf_index
+            coded.hint("rebalance", F.col(c_id)) \
+                .write.mode("append").partitionBy(c_id).parquet(path)
             counts = (
                 coded.groupBy(c_id)
                 .agg(F.count(F.lit(1)).alias("n_appended"))
