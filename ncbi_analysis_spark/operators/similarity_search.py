@@ -24,6 +24,41 @@ from ncbi_analysis_spark.functions.vectors import cosine
 from ncbi_analysis_spark.operators.topk import topk_per_group
 
 
+def _scoring_parallelism(spark) -> int:
+    """Task count for CPU-dense expression-scoring stages: the larger
+    of defaultParallelism and spark.sql.shuffle.partitions (the
+    plans.similarity_scan._scorer_parallelism rule — shuffle.partitions
+    is the deploy-time statement of intended width and floors the
+    at-submit executor count under dynamic allocation)."""
+    sc = spark.sparkContext
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        shuffle = 0
+    return max(sc.defaultParallelism, shuffle, 1)
+
+
+def _spread_scoring(df: DataFrame) -> DataFrame:
+    """Round-robin a CPU-dense expression-scoring input across the
+    session's intended parallelism WHEN its physical partitioning is
+    narrower. The interpreted HOF cosine fold is heavy per ROW while
+    its input is tiny per BYTE, so byte-based planning (scan splits,
+    AQE coalescing) funnels it onto 1-2 tasks and serializes the stage
+    (measured r15: ann_recall_audit's truth leg as one 3.8s single-task
+    job on an idle 32-core box). No-op — and no shuffle — when the
+    input is already at least that wide, so at corpus scale (scan
+    already wider than the target) this never adds a corpus shuffle.
+    Placement does not affect results: scoring is per-row pure and
+    every consumer re-orders by its own keys with id tiebreaks."""
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: skip the spread
+        return df
+    if n >= _scoring_parallelism(df.sparkSession):
+        return df
+    return df.repartition(_scoring_parallelism(df.sparkSession))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,7 +73,11 @@ def brute_force_topk(
     vec_id as tiebreaker.
     """
     # queries are the small side -> broadcast; the corpus never moves
-    joined = corpus.select(F.col(id_col), F.col(vec).alias("__cv")).join(
+    # (the _spread_scoring round-robin only fires when the corpus scan
+    # is narrower than the session's parallelism — tiny-input case)
+    joined = _spread_scoring(
+        corpus.select(F.col(id_col), F.col(vec).alias("__cv"))
+    ).join(
         F.broadcast(queries.select(F.col(q_id), F.col(vec).alias("__qv"))),
         how="cross",
     )
@@ -290,7 +329,10 @@ def ivf_topk(
     the ~nprobe/k_centroids fraction of rows that survive the prune.
     """
     if assigned is None:
-        assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
+        # spread the corpus first so the assign fold itself (k dots per
+        # row) parallelizes on narrow scans — no-op at corpus scale
+        assigned = ivf_assign(_spread_scoring(corpus), centroids, vec,
+                              id_col, c_id)
 
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
     probes = (
@@ -315,7 +357,11 @@ def ivf_topk(
         probe_ids = [r[c_id] for r in probes.select(c_id).distinct().collect()]
         assigned = assigned.filter(F.col(c_id).isin(probe_ids))
 
-    scored = assigned.join(F.broadcast(probes), on=c_id, how="inner").select(
+    # the exact re-rank fold runs on `assigned`'s partitioning — a
+    # bucket-pruned index read (or cached assign) is often 1-2 tiny
+    # partitions while the per-row fold is the stage's entire cost
+    scored = _spread_scoring(assigned) \
+        .join(F.broadcast(probes), on=c_id, how="inner").select(
         q_id, id_col, F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim")
     )
     return topk_per_group(scored, [q_id], [F.desc("cos_sim"), F.asc(id_col)], k, rank_col="rk")
