@@ -331,6 +331,79 @@ def _logratio_table(spark, t: dict, T: int, r: dict, R: int,
     return spark.createDataFrame(out, schema="bucket bigint, w double")
 
 
+def _np_bucket_fold(t: str, w_map: dict, n_buckets: int,
+                    ngram_max: int) -> tuple[int, float]:
+    """Arrow-side replica of the batch scorer's per-document kernel:
+    ``_dsir_features`` counts (``_java_tokens`` + partial-shingle
+    n-grams, md5-prefix buckets — the ``_np_band_keys`` parity pattern),
+    then the ascending-bucket-order fold ``acc += c * w`` that
+    ``dsir_score``/``quality_probability`` express as
+    sort_array + F.aggregate. Buckets absent from ``w_map`` are skipped
+    entirely (the expr form's INNER join on bucket); Python float ops
+    are IEEE doubles in the same order as the JVM fold, so ``(n_feats,
+    sum)`` is bit-identical."""
+    import hashlib
+
+    from ncbi_analysis_spark.functions.text import _java_tokens
+    from ncbi_analysis_spark.streaming.events import _np_shingles
+
+    ws = _java_tokens(t)
+    counts: dict = {}
+    for n in range(1, ngram_max + 1):
+        for sh in _np_shingles(ws, n):
+            b = int(hashlib.md5(sh.encode()).hexdigest()[:8], 16) % n_buckets
+            counts[b] = counts.get(b, 0) + 1
+    nf = 0
+    acc = 0.0
+    for b in sorted(counts):
+        w = w_map.get(b)
+        if w is None:
+            continue
+        c = counts[b]
+        nf += c
+        acc += c * w
+    return nf, acc
+
+
+def _score_fold_np(df: DataFrame, text: str, id_col: str, w_map: dict,
+                   n_buckets: int, ngram_max: int) -> DataFrame:
+    """One Arrow-batched map-only pass producing the scorer's
+    ``(id_col, n_feats, __sum)`` aggregate per document — row- and
+    bit-identical to the expr pipeline (explode → (id, bucket) hash agg
+    → broadcast weight join → per-id fold) but with ZERO shuffles: the
+    feature rows never materialize, so at corpus scale the two
+    gram-count-sized exchanges disappear (guide §2.2/§4). NULL-text
+    documents produce no row (explode semantics); a document none of
+    whose buckets appear in ``w_map`` likewise vanishes (inner-join
+    semantics — unreachable with the complete weight tables the
+    trainers emit)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType([
+        df.schema[id_col],
+        StructField("n_feats", LongType()),
+        StructField("__sum", DoubleType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nfs, sums = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text]):
+                if t is None:
+                    continue
+                nf, acc = _np_bucket_fold(t, w_map, n_buckets, ngram_max)
+                if nf == 0:
+                    continue
+                ids.append(i)
+                nfs.append(nf)
+                sums.append(acc)
+            yield pd.DataFrame(
+                {id_col: ids, "n_feats": nfs, "__sum": sums})
+
+    return df.select(id_col, text).mapInPandas(gen, schema)
+
+
 def dsir_score(
     df: DataFrame,
     text: str,
@@ -338,6 +411,7 @@ def dsir_score(
     weights: DataFrame,
     n_buckets: int = 8192,
     ngram_max: int = 2,
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Per-document DSIR importance: ``logw = Σ_b count_b · w_b`` over
     the document's hashed-n-gram buckets. Returns
@@ -347,27 +421,37 @@ def dsir_score(
     and a DuckDB oracle (list_sort + list_reduce with the same weight
     literals) reproduces it bit-exactly.
 
-    Scale: one (id, bucket) hash agg, a broadcast join against the
-    ``n_buckets``-row weight table, one agg back to id. Everything
-    map-side-combinable; no driver data beyond the weight table.
+    Scale (``engine='expr'``): one (id, bucket) hash agg, a broadcast
+    join against the ``n_buckets``-row weight table, one agg back to id.
+    Everything map-side-combinable; no driver data beyond the weight
+    table. ``engine='hybrid'`` (default since r15) computes the same
+    per-document aggregate in ONE Arrow map-only pass — zero shuffles,
+    bit-identical ``logw`` (see ``_score_fold_np``); the final round
+    stays a JVM expression either way.
     """
-    feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
-    per = feats.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    j = per.join(F.broadcast(weights), "bucket").select(
-        id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
-    )
-    folded = j.groupBy(id_col).agg(
-        F.sum("c").alias("n_feats"),
-        F.aggregate(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("bucket", "term"))),
-                lambda s: s["term"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("__logw"),
-    )
-    return folded.select(id_col, "n_feats", F.round("__logw", 6).alias("logw"))
+    if engine == "hybrid":
+        w_map = {r["bucket"]: r["w"] for r in weights.collect()}
+        folded = _score_fold_np(df, text, id_col, w_map, n_buckets,
+                                ngram_max)
+    else:
+        feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
+        per = feats.groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("c"))
+        j = per.join(F.broadcast(weights), "bucket").select(
+            id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
+        )
+        folded = j.groupBy(id_col).agg(
+            F.sum("c").alias("n_feats"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum"),
+        )
+    return folded.select(id_col, "n_feats", F.round("__sum", 6).alias("logw"))
 
 
 def dsir_logratios_local(
@@ -545,6 +629,7 @@ def quality_probability(
     bias: float,
     n_buckets: int = 1024,
     ngram_max: int = 2,
+    engine: str = "hybrid",
 ) -> DataFrame:
     """Score documents with a trained quality classifier: mean-pooled
     per-occurrence log-odds (the fastText average-of-embeddings rule)
@@ -555,26 +640,34 @@ def quality_probability(
     rounded to 6 for the oracle hash. Filter ``prob >= τ`` to keep
     target-like documents.
 
-    Scale: identical to ``dsir_score`` — one (id, bucket) hash agg, a
-    broadcast join against the ``n_buckets``-row weight table, one agg
-    back to id; the sigmoid is a per-row expression.
+    Scale: identical to ``dsir_score`` — ``engine='hybrid'`` (default
+    since r15) is one Arrow map-only pass with zero shuffles,
+    ``engine='expr'`` the original hash-agg/broadcast-join/fold
+    pipeline; the sigmoid (JVM ``exp``) and rounds are per-row
+    expressions under both, so ``prob`` bits never depend on the engine.
     """
-    feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
-    per = feats.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("c"))
-    j = per.join(F.broadcast(weights), "bucket").select(
-        id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
-    )
-    folded = j.groupBy(id_col).agg(
-        F.sum("c").alias("n_feats"),
-        F.aggregate(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("bucket", "term"))),
-                lambda s: s["term"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("__sum"),
-    )
+    if engine == "hybrid":
+        w_map = {r["bucket"]: r["w"] for r in weights.collect()}
+        folded = _score_fold_np(df, text, id_col, w_map, n_buckets,
+                                ngram_max)
+    else:
+        feats = _dsir_features(df, text, id_col, n_buckets, ngram_max)
+        per = feats.groupBy(id_col, "bucket").agg(
+            F.count(F.lit(1)).alias("c"))
+        j = per.join(F.broadcast(weights), "bucket").select(
+            id_col, "bucket", "c", (F.col("c") * F.col("w")).alias("term")
+        )
+        folded = j.groupBy(id_col).agg(
+            F.sum("c").alias("n_feats"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__sum"),
+        )
     logit = F.lit(float(bias)) + F.col("__sum") / F.col("n_feats")
     return folded.select(
         id_col,

@@ -327,6 +327,49 @@ def test_dsir_partial_shingle_semantics(spark):
     assert out[0]["logw"] == 0.0
 
 
+def test_batch_scorer_engines_bit_parity(spark):
+    """The r15 hybrid batch scorer (one Arrow map-only pass, see
+    _score_fold_np) must be row- and bit-identical to the expr pipeline
+    for both dsir_score and quality_probability — including NULL text
+    (dropped), the empty string (one ''-token doc), sub-n partial
+    shingles, and multibyte text (utf-8 md5 parity)."""
+    from pyspark.sql import functions as F
+
+    from ncbi_analysis_spark.operators.terms import (
+        dsir_logratios_pred,
+        dsir_score,
+        quality_classifier_weights,
+        quality_probability,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "lorem ipsum dolor sit amet", "la"),
+        (2, None, "en"),
+        (3, "", "en"),
+        (4, "solo", "la"),
+        (5, "héllo wörld 世界", "de"),
+        (6, "the the the of of and to a in is", "en"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = dsir_logratios_pred(d, F.col("lang") == "en", "text", "doc_id",
+                            n_buckets=128, ngram_max=2)
+    a = dsir_score(d, "text", "doc_id", w, 128, 2,
+                   engine="expr").orderBy("doc_id").collect()
+    b = dsir_score(d, "text", "doc_id", w, 128, 2,
+                   engine="hybrid").orderBy("doc_id").collect()
+    assert a == b and len(a) == 6  # NULL-text doc dropped under both
+
+    qw, bias = quality_classifier_weights(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"),
+        "text", "doc_id", n_buckets=64, ngram_max=2)
+    qa = quality_probability(d, "text", "doc_id", qw, bias, 64, 2,
+                             engine="expr").orderBy("doc_id").collect()
+    qb = quality_probability(d, "text", "doc_id", qw, bias, 64, 2,
+                             engine="hybrid").orderBy("doc_id").collect()
+    assert qa == qb and len(qa) == 6
+
+
 def test_chunk_documents_windows(spark):
     """Sliding-window chunking: overlap via stride, short final window,
     empty doc keeps one empty chunk, chunk_no is document order."""
