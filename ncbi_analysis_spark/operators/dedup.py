@@ -666,9 +666,18 @@ def semantic_dedup(
         df, centroids, vec=vec, id_col=id_col, method=assign_method
     )
     cents = centroids.select(F.col("c_id"), F.col(vec).alias("__cent"))
+    # persist: the assignment fold (k dots per row, the stage's entire
+    # cost) feeds FOUR consumers — the pair_method probe, both sides of
+    # the pair self-join, and the final label join — and ReusedExchange
+    # never spans self-join aliases or the probe's separate job, so
+    # without it the fold re-executes per consumer (measured r15:
+    # semantic_dedup_prune ran the 32-task assign scan 3x). Values are
+    # plan-deterministic, so caching cannot move a bit; MEMORY_AND_DISK
+    # spills instead of OOM at corpus scale, and blocks are LRU-evicted
+    # with the session (the curation_v4 lifecycle note).
     labeled = assigned.join(F.broadcast(cents), "c_id").withColumn(
         "__cent_sim", cosine(F.col("__cv"), F.col("__cent"))
-    )
+    ).persist()
 
     side = labeled.select(
         "c_id", F.col(id_col).alias("id"), F.col("__cv").alias("v")
