@@ -605,6 +605,7 @@ def semantic_dedup(
     pair_method: str = "auto",
     max_expr_rows: int = 1000,
     assign_method: str = "auto",
+    persist_handle: list | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column, bucketed by a
@@ -678,6 +679,12 @@ def semantic_dedup(
     labeled = assigned.join(F.broadcast(cents), "c_id").withColumn(
         "__cent_sim", cosine(F.col("__cv"), F.col("__cent"))
     ).persist()
+    if persist_handle is not None:
+        # callers that fully materialize the result within a scope (the
+        # streaming gate: one write per micro-batch) unpersist through
+        # this handle — disk-tier blocks are not LRU-evicted, so a
+        # long-running stream would otherwise accrete one per batch
+        persist_handle.append(labeled)
 
     side = labeled.select(
         "c_id", F.col(id_col).alias("id"), F.col("__cv").alias("v")

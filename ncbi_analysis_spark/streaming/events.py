@@ -1636,36 +1636,59 @@ def stream_semdedup_decon(
     root = out_root.rstrip("/")
 
     def _gate(batch_df, batch_id: int) -> None:
-        idx = ss.read_ivf_index(batch_df.sparkSession, index_path,
-                                id_col=id_col)
-        q = batch_df.select(F.col(id_col).alias("__q_id"),
-                            F.col(vec).alias(vec))
-        best = ss.ivf_topk(idx, q, centroids, vec=vec, id_col=id_col,
-                           q_id="__q_id", k=1, nprobe=1,
-                           assigned=idx, prefilter_partitions=True)
-        hit_ids = (
-            best.filter(F.col("cos_sim") >= threshold)
-            .select(F.col("__q_id").alias(id_col)).distinct()
-        )
-        survivors = batch_df.join(F.broadcast(hit_ids), id_col,
-                                  "left_anti")
-        if intra_batch:
-            lab = semantic_dedup(
-                survivors, vec, id_col, centroids,
-                threshold=threshold, max_cluster_rows=max_cluster_rows,
-                pair_method=pair_method,
+        from ncbi_analysis_spark.operators.components import _fixpoint_conf
+
+        sp = batch_df.sparkSession
+        # Scoped no-AQE conf for the WHOLE in-batch plan (the CC
+        # fixpoint's _fixpoint_conf pattern, guide §1.4): the batch plan
+        # chains many exchanges (ivf_topk join/top-k, anti-join,
+        # semantic_dedup's probe/pairs/window) whose shapes never vary
+        # batch-to-batch, so AQE's per-exchange re-planning only adds
+        # stage-jobs and driver gaps to a latency-sensitive micro-batch
+        # (profiled r15: ~50 in-batch jobs, driver gaps > executor
+        # time). Every small side below is an explicit F.broadcast, so
+        # no dynamic-broadcast decision is lost; the partition count is
+        # batch-derived (floored at defaultParallelism), not a local
+        # constant. Join/window results are set-identical under either
+        # planner; the oracle re-pins that per round.
+        n_parts = max(batch_df.rdd.getNumPartitions(),
+                      sp.sparkContext.defaultParallelism)
+        with _fixpoint_conf(sp, n_parts):
+            idx = ss.read_ivf_index(sp, index_path, id_col=id_col)
+            q = batch_df.select(F.col(id_col).alias("__q_id"),
+                                F.col(vec).alias(vec))
+            best = ss.ivf_topk(idx, q, centroids, vec=vec, id_col=id_col,
+                               q_id="__q_id", k=1, nprobe=1,
+                               assigned=idx, prefilter_partitions=True)
+            hit_ids = (
+                best.filter(F.col("cos_sim") >= threshold)
+                .select(F.col("__q_id").alias(id_col)).distinct()
             )
-            kept_ids = lab.filter(F.col("keep")).select(id_col)
-            survivors = survivors.join(F.broadcast(kept_ids), id_col,
-                                       "left_semi")
-        if keep == "clean":
-            out = survivors
-        else:
-            out = batch_df.join(
-                F.broadcast(survivors.select(id_col)), id_col,
-                "left_anti",
-            )
-        out.write.mode("overwrite").parquet(f"{root}/batch={batch_id}")
+            survivors = batch_df.join(F.broadcast(hit_ids), id_col,
+                                      "left_anti")
+            handles: list = []
+            if intra_batch:
+                lab = semantic_dedup(
+                    survivors, vec, id_col, centroids,
+                    threshold=threshold, max_cluster_rows=max_cluster_rows,
+                    pair_method=pair_method, persist_handle=handles,
+                )
+                kept_ids = lab.filter(F.col("keep")).select(id_col)
+                survivors = survivors.join(F.broadcast(kept_ids), id_col,
+                                           "left_semi")
+            if keep == "clean":
+                out = survivors
+            else:
+                out = batch_df.join(
+                    F.broadcast(survivors.select(id_col)), id_col,
+                    "left_anti",
+                )
+            out.write.mode("overwrite").parquet(f"{root}/batch={batch_id}")
+            for h in handles:
+                # the write above materialized every consumer of the
+                # per-batch cache; release it so a standing stream's
+                # disk-tier blocks don't accrete one set per batch
+                h.unpersist()
 
     return _run_snapshot_publisher(
         stream_df, _gate, checkpoint, available_now, timeout_s,
