@@ -78,6 +78,29 @@ EXTRA_RUNS = {
     "quality_classifier": max(N_RUNS, 4),
     "curation_v3": max(N_RUNS, 4),
     "flagship_scan_1mbp_full": max(N_RUNS, 4),
+    # r15 opt: shapes past the standing noise-2x rule in the
+    # pre-optimization clean record (BENCH_LOCAL_r15opt_pre noise:
+    # flagship_multi_accession 6.56, stream_fuzzy_decon 3.75,
+    # hll_user_cube 3.5, text_stats 2.81, pack_bpe_budget 2.78,
+    # video_frame_near_dup 2.57, pack_sequences 2.39,
+    # a1_priority_distribution 2.06) — all cold-first-execution class
+    # (codegen of 1 Mbp literals / stream start / cube planning /
+    # merge-table retrain), steady-state flat.
+    "flagship_multi_accession": max(N_RUNS, 4),
+    "stream_fuzzy_decon": max(N_RUNS, 4),
+    "hll_user_cube": max(N_RUNS, 4),
+    "text_stats": max(N_RUNS, 4),
+    "pack_bpe_budget": max(N_RUNS, 4),
+    "video_frame_near_dup": max(N_RUNS, 4),
+    "pack_sequences": max(N_RUNS, 4),
+    "a1_priority_distribution": max(N_RUNS, 4),
+    # r15 opt: chronically retry-flagged streaming publishers — hit the
+    # retry-on-flag pass in BOTH full r15-opt runs (pre: 5.21->1.40 /
+    # 4.04->1.81; post: 2.13->1.66 / 2.67->3.00 on a measured-1.24x-slow
+    # box) with flat clean history and r10-era baselines; stream-start
+    # cold cost dominates their ~1.5s walls
+    "stream_dedup_digests": max(N_RUNS, 4),
+    "stream_hll_user_distinct": max(N_RUNS, 4),
 }
 
 # Thunks whose resources are torn down before the retry pass runs (temp
