@@ -256,11 +256,18 @@ def phash64(arr: np.ndarray) -> int:
     g = to_gray(arr)
     small = _resize_area(g, 32, 32)
     d = dct2(small)
-    band = d[:8, :8].copy()
+    # quantize the band before thresholding: the matmul's ulp noise is
+    # BLAS-kernel- (hence host-microarchitecture-) dependent, and on a
+    # low-detail image many coefficients are analytically EQUAL to the
+    # median — comparing raw floats makes those bits follow the noise.
+    # 1e-6 is ~5 orders above worst-case dgemm error at this scale
+    # (eps * 32 * 255*32 ≈ 4e-11) and ~5 below any real coefficient
+    # separation, so only true ties are coalesced.
+    band = np.round(d[:8, :8], 6)
     flat = band.flatten()
     med = float(np.median(flat[1:]))  # exclude DC from the threshold
     bits = flat > med
-    bits[0] = d[0, 0] > med
+    bits[0] = flat[0] > med
     v = 0
     for b in bits:
         v = (v << 1) | int(b)

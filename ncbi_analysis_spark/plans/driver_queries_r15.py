@@ -502,8 +502,8 @@ def image_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMAGE_JPEG_SQL = """
 SELECT * FROM (VALUES
-  (1,  8,  8, -4149722908513089943::BIGINT, 392156863::BIGINT),
-  (2, 16, 16, -7838114076986600506::BIGINT, 626470588::BIGINT),
+  (1,  8,  8, (-9223372036854775807 - 1)::BIGINT, 392156863::BIGINT),
+  (2, 16, 16, -7993607021791215420::BIGINT, 626470588::BIGINT),
   (3, 24, 16, -8851168403618376406::BIGINT, 562062561::BIGINT)
 ) AS t(media_id, width, height, phash64, luma_e9)
 ORDER BY media_id
