@@ -358,6 +358,25 @@ def _doclen_stats(doclens) -> dict:
     return {"n_docs": int(row["n"]), "sum_dl": int(row["s"])}
 
 
+def _observe_doclen_stats(doclens):
+    """(observed_doclens, thunk) — the same exact integers as
+    :func:`_doclen_stats`, collected as observe() metrics riding
+    whatever ACTION materializes the frame (guide §1/§5: the stats of a
+    table being written should not cost a second pass over it — at
+    index scale the read-back is a full extra scan of doclens, and at
+    any scale it is one extra job). Call the thunk AFTER the action."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = doclens.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    )
+    return observed, lambda: {"n_docs": int(obs.get["n"]),
+                              "sum_dl": int(obs.get["s"])}
+
+
 def _bm25_index_rows(
     corpus: DataFrame, text_col: str, id_col: str, n_buckets: int
 ):
@@ -402,20 +421,29 @@ def write_bm25_index(
     # touches (tasks × buckets files — measured 500+ per lifecycle at
     # sf0.1); clustered by bucket, file count tracks per-bucket DATA
     # size (AQE coalesces small partitions and still splits a hot
-    # bucket across writers at scale), not task count
-    postings.hint("rebalance", F.col("bucket")) \
+    # bucket across writers at scale), not task count.
+    # The two table writes are independent (disjoint subdirs, both
+    # derived straight from the corpus) — run them as concurrent jobs
+    # (guide §2.6); the marker stats ride the doclens write as
+    # observe() metrics instead of a read-back of the written files
+    # (one fewer pass over doclens, one fewer job).
+    from ncbi_analysis_spark.operators.concurrency import run_jobs
+
+    observed_dl, dl_stats = _observe_doclen_stats(doclens)
+    run_jobs(
+        lambda: postings.hint("rebalance", F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(
             path.rstrip("/") + "/postings"
-        )
-    doclens.hint("rebalance").write.mode("overwrite").parquet(
-        path.rstrip("/") + "/doclens")
+        ),
+        lambda: observed_dl.hint("rebalance")
+        .write.mode("overwrite").parquet(path.rstrip("/") + "/doclens"),
+    )
     # the marker carries exact corpus stats (N docs, Σ doclen) so batch
     # search never re-aggregates the doclens table per query batch;
     # append/delete maintain them transactionally (data first, marker
     # last — a crash in between is caught by the stats-vs-recompute
     # assert in compact_bm25_index and healed by re-running the write)
-    stats = _doclen_stats(spark.read.parquet(path.rstrip("/") + "/doclens"))
-    _bm25_marker_write(spark, path, n_buckets, stats)
+    _bm25_marker_write(spark, path, n_buckets, dl_stats())
 
 
 def read_bm25_index(spark, path: str) -> dict:
@@ -552,19 +580,28 @@ def append_to_bm25_index(
             lk.assert_owned()  # fence before the parquet-append commit
             # rebalance by bucket: the persisted frame's cached
             # partitioning (not AQE-coalesced) would otherwise fan out
-            # cached-partitions × buckets tiny files per append
-            postings.hint("rebalance", F.col("bucket")) \
+            # cached-partitions × buckets tiny files per append.
+            # The two appends hit disjoint subdirs — concurrent jobs
+            # (guide §2.6); the batch stats ride the doclens append as
+            # observe() metrics (no separate aggregation job)
+            from ncbi_analysis_spark.operators.concurrency import run_jobs
+
+            observed_dl, dl_stats = _observe_doclen_stats(doclens)
+            run_jobs(
+                lambda: postings.hint("rebalance", F.col("bucket"))
                 .write.mode("append").partitionBy("bucket").parquet(
                     path.rstrip("/") + "/postings"
-                )
-            doclens.hint("rebalance").write.mode("append").parquet(
-                path.rstrip("/") + "/doclens")
+                ),
+                lambda: observed_dl.hint("rebalance")
+                .write.mode("append").parquet(
+                    path.rstrip("/") + "/doclens"),
+            )
             counts = (
                 postings.groupBy("bucket")
                 .agg(F.count(F.lit(1)).alias("n_appended"))
                 .collect()
             )
-            batch = _doclen_stats(doclens)
+            batch = dl_stats()
         finally:
             postings.unpersist()
             doclens.unpersist()
@@ -679,12 +716,6 @@ def _compact_bm25_locked(spark, path, root, tmp, stored,
         spread = live_post.repartition(
             F.col("bucket"),
             F.pmod(F.xxhash64("doc_id"), F.lit(files_per_bucket)))
-    spread.write.mode("overwrite").partitionBy("bucket").parquet(
-        root + "/postings/" + tmp)
-    if fence is not None:
-        fence()  # owner fence before the first swap commit
-    ts.swap_partition_dirs(spark, root + "/postings", tmp)
-
     live_dl = ts.apply_tombstones(
         spark.read.parquet(root + "/doclens"), path, "doc_id")
     # explicit size-based repartition: the scan alone does NOT fold
@@ -693,6 +724,7 @@ def _compact_bm25_locked(spark, path, root, tmp, stored,
     # measured 20-appends run kept 20 doclens files without this);
     # target the session's maxPartitionBytes so output file count
     # tracks data size, not append count
+    from ncbi_analysis_spark.operators.concurrency import run_jobs
     from ncbi_analysis_spark.sources import fsutil
 
     try:
@@ -700,12 +732,26 @@ def _compact_bm25_locked(spark, path, root, tmp, stored,
     except Exception:
         max_pb = 128 << 20
     n_out = max(1, -(-fsutil.dir_size(spark, root + "/doclens") // max_pb))
-    live_dl.repartition(n_out).write.mode("overwrite").parquet(
-        root + "/doclens/" + tmp)
+    # both live views rewrite into their own HIDDEN tmp dir — nothing is
+    # visible until the swaps below, so the rewrites are independent
+    # jobs (guide §2.6) run concurrently; the refreshed marker stats
+    # ride the doclens rewrite as observe() metrics (the rows written
+    # ARE the post-compaction doclens — same exact integers as the old
+    # read-back, minus a full extra pass over the table)
+    observed_dl, dl_stats = _observe_doclen_stats(live_dl)
+    run_jobs(
+        lambda: spread.write.mode("overwrite").partitionBy("bucket")
+        .parquet(root + "/postings/" + tmp),
+        lambda: observed_dl.repartition(n_out)
+        .write.mode("overwrite").parquet(root + "/doclens/" + tmp),
+    )
+    if fence is not None:
+        fence()  # owner fence before the first swap commit
+    ts.swap_partition_dirs(spark, root + "/postings", tmp)
     ts.swap_partition_dirs(spark, root + "/doclens", tmp)
     ts.clear_tombstones(spark, path)
 
-    fresh = _doclen_stats(spark.read.parquet(root + "/doclens"))
+    fresh = dl_stats()
     stats = stored.get("stats")
     if stats is not None and stats != fresh:
         import warnings

@@ -709,11 +709,19 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_topk, query_terms, retrieval_eval)
     from pyspark.sql.window import Window
 
+    from ncbi_analysis_spark.operators.concurrency import run_jobs
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # bm25_topk is EAGER (it derives the model and collects the bounded
+    # top-k before returning) and the two query legs are independent —
+    # run them as concurrent jobs (guide §2.6) instead of paying two
+    # sequential model-derivation walls
+    rankings = run_jobs(*[
+        (lambda qs=qs: bm25_topk(d, qs, k=10)) for _, qs in _EVAL_QUERIES
+    ])
     res_parts = []
     qrel_parts = []
-    for qid, qs in _EVAL_QUERIES:
-        r = bm25_topk(d, qs, k=10)
+    for (qid, qs), r in zip(_EVAL_QUERIES, rankings):
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         res_parts.append(r.select(
             F.lit(qid).alias("query_id"), "doc_id",
