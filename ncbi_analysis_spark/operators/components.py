@@ -592,6 +592,19 @@ def _ccp_publish(spark, root: str, labels: DataFrame,
         staged = {int(d.split("=", 1)[1])
                   for d in fsutil.list_subdirs(spark, stage)
                   if d.startswith("__part=")}
+
+        def _move(h: int) -> int:
+            v = prev.get(h, -1) + 1
+            dst = f"{root}/part={h}/v{v}"
+            fsutil.delete(spark, dst)  # crashed-attempt residue
+            fs, jdst, _ = fsutil._fs_path(spark, dst)
+            parent = jdst.getParent()
+            if parent is not None:
+                fs.mkdirs(parent)
+            fsutil.rename(spark, f"{stage}/__part={h}", dst)
+            return v
+
+        moved = [h for h in sorted(touched) if h in staged]
         for h in sorted(touched):
             if h not in staged:
                 # a touched partition no current row hashes into (tiny
@@ -603,15 +616,15 @@ def _ccp_publish(spark, root: str, labels: DataFrame,
                 # would silently union stale ids into a shrinking
                 # rebuild's result.
                 new_parts.pop(h, None)
-                continue
-            v = prev.get(h, -1) + 1
-            dst = f"{root}/part={h}/v{v}"
-            fsutil.delete(spark, dst)  # crashed-attempt residue
-            fs, jdst, jvm = fsutil._fs_path(spark, dst)
-            parent = jdst.getParent()
-            if parent is not None:
-                fs.mkdirs(parent)
-            fsutil.rename(spark, f"{stage}/__part={h}", dst)
+        # the per-partition moves touch DISJOINT dirs and nothing is
+        # committed until the manifest rename below — overlap the
+        # latency-bound FS round-trips (crash mid-moves leaves some
+        # subset staged-in-place, exactly like the old sequential loop's
+        # prefix; the retry overwrites and the next retire sweeps)
+        from ncbi_analysis_spark.operators.concurrency import run_jobs
+
+        for h, v in zip(moved, run_jobs(
+                *[(lambda h=h: _move(h)) for h in moved])):
             new_parts[h] = v
         fsutil.delete(spark, stage)
     manifest = {"seq": seq, "parts": {str(h): v
@@ -636,19 +649,29 @@ def _ccp_retire(spark, root: str, keep: list[dict[int, int]],
 
     from ncbi_analysis_spark.sources import fsutil
 
+    from ncbi_analysis_spark.operators.concurrency import run_jobs
+
     live: dict[int, set[int]] = {}
     for parts in keep:
         for h, v in parts.items():
             live.setdefault(h, set()).add(v)
-    for child in fsutil.list_subdirs(spark, root):
-        m = re.fullmatch(r"part=(\d+)", child)
-        if not m:
-            continue
-        h = int(m.group(1))
+
+    def _sweep_part(child: str, h: int) -> None:
+        # each partition's list+deletes are independent of every other
+        # partition's — the sweeps overlap (latency-bound FS ops)
         for d in fsutil.list_subdirs(spark, f"{root}/{child}"):
             mv = re.fullmatch(r"v(\d+)", d)
             if mv and int(mv.group(1)) not in live.get(h, set()):
                 fsutil.delete(spark, f"{root}/{child}/{d}")
+
+    sweeps = []
+    for child in fsutil.list_subdirs(spark, root):
+        m = re.fullmatch(r"part=(\d+)", child)
+        if m:
+            sweeps.append(
+                lambda child=child, h=int(m.group(1)):
+                _sweep_part(child, h))
+    run_jobs(*sweeps)
     for c in fsutil.list_children(spark, root):
         mm = re.fullmatch(_CCP_MANIFEST_RE, c)
         if mm and int(mm.group(1)) not in keep_seqs:

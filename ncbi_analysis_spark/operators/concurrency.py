@@ -19,18 +19,27 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable
 
 
-def run_jobs(*thunks: Callable[[], Any]) -> list[Any]:
+def run_jobs(*thunks: Callable[[], Any],
+             max_workers: int | None = None) -> list[Any]:
     """Run the given zero-arg ACTIONS concurrently and return their
     results in argument order. The first raised exception propagates
     (after every thunk has finished — no half-cancelled writes: each
     thunk is itself an atomic Spark action or a plain computation).
 
     Use ONLY for actions with no dependency on each other's effects:
-    writes to disjoint paths, eager reads of independent frames.
+    writes to disjoint paths, eager reads of independent frames, and
+    driver-side FS metadata operations on distinct paths (the
+    per-partition rename/delete loops of staged publishes and
+    compaction swaps — latency-bound py4j round-trips that a small
+    pool overlaps; Hadoop ``FileSystem`` handles are cached and
+    thread-safe).
     """
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+    with ThreadPoolExecutor(
+            max_workers=max_workers or min(len(thunks), 16)) as pool:
         futures = [pool.submit(t) for t in thunks]
         results, first_err = [], None
         for f in futures:

@@ -498,24 +498,36 @@ def swap_partition_dirs(spark: SparkSession, index_path: str,
     pre-marker crashes restore the index exactly as it was; post-marker
     crashes complete the swap. Data is never deleted until the
     replacement set is fully in place."""
+    from ncbi_analysis_spark.operators.concurrency import run_jobs
     from ncbi_analysis_spark.sources import fsutil
 
     root = index_path.rstrip("/")
     tmp = root + "/" + tmp_name
-    for child in fsutil.list_children(spark, root):
-        if child.startswith(("_", ".")):
-            continue
-        fsutil.rename(spark, f"{root}/{child}", f"{root}/_retired_{child}")
+    # each phase's per-child renames/deletes touch distinct paths and
+    # may run in any order WITHIN the phase — only the phase boundaries
+    # (all retires → marker → all moves → cleanup) carry the crash-
+    # safety protocol, so each loop's FS round-trips overlap in a pool
+    run_jobs(*[
+        (lambda child=child: fsutil.rename(
+            spark, f"{root}/{child}", f"{root}/_retired_{child}"))
+        for child in fsutil.list_children(spark, root)
+        if not child.startswith(("_", "."))
+    ])
     fsutil.write_text(spark, root + "/" + SWAP_MOVING_MARKER, "")
-    for child in fsutil.list_children(spark, tmp):
-        # the tmp job's _SUCCESS/. markers stay behind (the root keeps
-        # its own _SUCCESS from the original build; renaming onto an
-        # existing path is a Hadoop rename failure)
-        if not child.startswith(("_", ".")):
-            fsutil.rename(spark, f"{tmp}/{child}", f"{root}/{child}")
+    # the tmp job's _SUCCESS/. markers stay behind (the root keeps
+    # its own _SUCCESS from the original build; renaming onto an
+    # existing path is a Hadoop rename failure)
+    run_jobs(*[
+        (lambda child=child: fsutil.rename(
+            spark, f"{tmp}/{child}", f"{root}/{child}"))
+        for child in fsutil.list_children(spark, tmp)
+        if not child.startswith(("_", "."))
+    ])
     fsutil.delete(spark, tmp)
-    for child in fsutil.list_children(spark, root):
-        if child.startswith("_retired_"):
-            fsutil.delete(spark, f"{root}/{child}")
+    run_jobs(*[
+        (lambda child=child: fsutil.delete(spark, f"{root}/{child}"))
+        for child in fsutil.list_children(spark, root)
+        if child.startswith("_retired_")
+    ])
     clear_tombstones(spark, index_path)
     fsutil.delete(spark, root + "/" + SWAP_MOVING_MARKER)
