@@ -1145,6 +1145,14 @@ def _anchored_windows(
         raise ValueError(f"anchor_method must be 'md5' or 'xxhash64', "
                          f"got {anchor_method!r}")
     from ncbi_analysis_spark.functions.text import ascii_fast_grams
+    from ncbi_analysis_spark.operators.spread import spread_narrow
+
+    # the per-position md5 probe is ~100x CPU per input byte, so a
+    # byte-narrow input (single scan split, broadcast-join output on
+    # the scan's tasks) serializes the stage on 1-2 cores (profiled
+    # r15: a 4.1s two-task span probe inside curation_v6 on an idle
+    # 32-core box) — guarded round-robin, no-op at corpus scale
+    df = spread_narrow(df)
 
     zeros = "0" * (anchor_bits // 4)
     t = F.coalesce(F.col(text), F.lit(""))
@@ -1347,6 +1355,12 @@ def _remove_spans(df: DataFrame, spans: DataFrame, text: str,
     row per ``df`` document; documents with no spans come back verbatim
     with zero counts.
     """
+    from ncbi_analysis_spark.operators.spread import spread_narrow
+
+    # the complement-rebuild folds (per-span substr+concat chains) are
+    # CPU-dense per row; with per_doc broadcast the join runs on the
+    # byte-narrow doc scan's 1-2 tasks — guarded spread, no-op at scale
+    df = spread_narrow(df)
     per_doc = (
         spans
         .groupBy(id_col)

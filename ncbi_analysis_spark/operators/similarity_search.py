@@ -24,39 +24,10 @@ from ncbi_analysis_spark.functions.vectors import cosine
 from ncbi_analysis_spark.operators.topk import topk_per_group
 
 
-def _scoring_parallelism(spark) -> int:
-    """Task count for CPU-dense expression-scoring stages: the larger
-    of defaultParallelism and spark.sql.shuffle.partitions (the
-    plans.similarity_scan._scorer_parallelism rule — shuffle.partitions
-    is the deploy-time statement of intended width and floors the
-    at-submit executor count under dynamic allocation)."""
-    sc = spark.sparkContext
-    try:
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except (ValueError, TypeError):
-        shuffle = 0
-    return max(sc.defaultParallelism, shuffle, 1)
-
-
-def _spread_scoring(df: DataFrame) -> DataFrame:
-    """Round-robin a CPU-dense expression-scoring input across the
-    session's intended parallelism WHEN its physical partitioning is
-    narrower. The interpreted HOF cosine fold is heavy per ROW while
-    its input is tiny per BYTE, so byte-based planning (scan splits,
-    AQE coalescing) funnels it onto 1-2 tasks and serializes the stage
-    (measured r15: ann_recall_audit's truth leg as one 3.8s single-task
-    job on an idle 32-core box). No-op — and no shuffle — when the
-    input is already at least that wide, so at corpus scale (scan
-    already wider than the target) this never adds a corpus shuffle.
-    Placement does not affect results: scoring is per-row pure and
-    every consumer re-orders by its own keys with id tiebreaks."""
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning quirk: skip the spread
-        return df
-    if n >= _scoring_parallelism(df.sparkSession):
-        return df
-    return df.repartition(_scoring_parallelism(df.sparkSession))
+from ncbi_analysis_spark.operators.spread import (  # noqa: E402
+    spread_narrow as _spread_scoring,
+    spread_parallelism as _scoring_parallelism,
+)
 
 
 def brute_force_topk(
