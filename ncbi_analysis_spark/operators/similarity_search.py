@@ -1554,7 +1554,8 @@ def ivf_sq8_topk(
     los, his = _sq_bounds_lists(bounds)
     if index is None:
         if assigned is None:
-            assigned = ivf_assign(corpus, centroids, vec, id_col, c_id)
+            assigned = ivf_assign(_spread_scoring(corpus), centroids,
+                                  vec, id_col, c_id)
         index = sq8_encode_index(assigned, bounds, id_col, c_id)
 
     cent = centroids.select(F.col(c_id), F.col(vec).alias("__cent"))
@@ -1568,8 +1569,13 @@ def ivf_sq8_topk(
         probes, [q_id], [F.desc("__sim"), F.asc(c_id)], nprobe
     ).select(q_id, "__qv", c_id)
 
+    # dequantize + cosine is the interpreted-HOF CPU-dense shape the
+    # guarded spread exists for (profiled r15: a 1.66s single-task
+    # scoring job inside ann_ivf_sq8) — no-op once the coded index scan
+    # is wider than the session parallelism
     scored = (
-        index.join(F.broadcast(probes), on=c_id, how="inner")
+        _spread_scoring(index.join(F.broadcast(probes), on=c_id,
+                                   how="inner"))
         .withColumn("__dv", sq_dequantize_expr(F.col("sq_code"), los, his))
         .select(q_id, id_col,
                 F.round(cosine(F.col("__qv"), F.col("__dv")), 6)
@@ -1586,7 +1592,8 @@ def ivf_sq8_topk(
     qv = queries.select(F.col(q_id), F.col(vec).alias("__qv"))
     cv = corpus.select(F.col(id_col), F.col(vec).alias("__xv"))
     exact = (
-        cv.join(F.broadcast(cands), on=id_col, how="inner")
+        _spread_scoring(cv.join(F.broadcast(cands), on=id_col,
+                                how="inner"))
         .join(F.broadcast(qv), on=q_id, how="inner")
         .select(q_id, id_col,
                 F.round(cosine(F.col("__qv"), F.col("__xv")), 6)
