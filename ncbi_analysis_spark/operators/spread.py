@@ -50,3 +50,26 @@ def spread_narrow(df: DataFrame) -> DataFrame:
     if n >= spread_parallelism(df.sparkSession):
         return df
     return df.repartition(spread_parallelism(df.sparkSession))
+
+
+def spread_narrow_est(df: DataFrame,
+                      per_task_bytes: int = 1 << 20) -> DataFrame:
+    """The :func:`spread_narrow` guard for POST-SHUFFLE inputs, where
+    the pre-execution partition count is the static
+    ``shuffle.partitions`` and the narrowness only appears when AQE
+    coalesces the stage at runtime (profiled r15: the Arrow batch
+    scorer ran as a 2-task 1.7s job inside curation_v2 because the
+    deduped corpus coalesced to ~2 partitions at sf0.1). Guard on the
+    optimizer's SIZE estimate instead: spread only when the input would
+    occupy fewer than ``spread_parallelism`` tasks at ``per_task_bytes``
+    each — data-derived, so a corpus-scale input (estimate ≫
+    parallelism · 1 MB) is untouched and no exchange is added."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — no estimate: leave the plan alone
+        return df
+    p = spread_parallelism(df.sparkSession)
+    if est <= 0 or est >= p * per_task_bytes:
+        return df
+    return df.repartition(p)

@@ -401,7 +401,14 @@ def _score_fold_np(df: DataFrame, text: str, id_col: str, w_map: dict,
             yield pd.DataFrame(
                 {id_col: ids, "n_feats": nfs, "__sum": sums})
 
-    return df.select(id_col, text).mapInPandas(gen, schema)
+    from ncbi_analysis_spark.operators.spread import spread_narrow_est
+
+    # the per-doc md5 fold is CPU-dense per byte; when the input is a
+    # post-shuffle frame AQE coalesces the Arrow stage onto 1-2 tasks
+    # at small sizes (profiled r15 inside curation_v2) — size-estimate-
+    # guarded spread, identity at corpus scale
+    return spread_narrow_est(
+        df.select(id_col, text)).mapInPandas(gen, schema)
 
 
 def dsir_score(
