@@ -253,24 +253,47 @@ class maintenance_lock:
             # lock; every loser falls through to the claim below,
             # which exactly one process (winner or loser) wins via
             # create-if-absent.
+            # `held` can be SECONDS stale by now (claim attempt + read +
+            # scheduling under contention), and the expired lock we read
+            # may have been stolen, released and re-claimed by a LIVE
+            # writer in the meantime — renaming on stale evidence tombs
+            # that live lock, and if its holder releases while tombed,
+            # the restore below would RESURRECT a released lock that
+            # then wedges the path for its full ttl (caught by the
+            # 16-thread steal-race test under a loaded box). Re-read
+            # immediately before the rename and steal only the exact
+            # (owner, acquired_unix) lock we judged expired; anything
+            # else is a fresh claimant — bow out and let retry re-judge.
+            try:
+                cur = json.loads(fsutil.read_text(self._spark, self._path))
+            except Exception:
+                cur = None
+            if cur is not None and (
+                    cur.get("owner") != held.get("owner")
+                    or cur.get("acquired_unix")
+                    != held.get("acquired_unix")):
+                raise ConcurrentMaintenanceError(
+                    f"index maintenance lock at {self._path!r} was "
+                    "re-claimed while we prepared to steal the expired "
+                    "one — retry later"
+                )
             steal_tomb = f"{self._path}.steal.{self._owner}"
             try:
                 fsutil.rename(self._spark, self._path, steal_tomb)
             except Exception:
                 pass  # lost the steal race — claim below adjudicates
             else:
-                # verify WHAT was renamed: between our expired-read and
-                # the rename, the holder could have released and a NEW
-                # writer claimed — the tomb would then hold a LIVE
-                # lock. Restore it and bow out (the claim below fails
-                # against the restored file). Residual window: if a
-                # third writer claims between our rename and the
-                # restore, the restore fails and the renamed-away live
-                # holder proceeds lockless — which is why every mutator
-                # fences its commit with assert_owned(): the lockless
-                # holder's fence sees the third writer's token and
-                # aborts with its staged work unreferenced
-                # (test_owner_fence_closes_triple_race).
+                # CLAIM FIRST, verify second: the rename leaves the
+                # path empty, and verifying before re-claiming holds
+                # that hole open for ~2 FS calls — long enough on a
+                # loaded box for a NEW writer to claim while the
+                # tombed (possibly live) lock's holder is still
+                # inside (the 16-thread steal-race test observed the
+                # double-holder). Claiming our own lock immediately
+                # shrinks the hole to the single rename→create gap;
+                # if verification then shows we tombed the WRONG lock
+                # we undo (drop our claim, restore the tomb).
+                claimed = self._try_claim()
                 try:
                     tomb = json.loads(
                         fsutil.read_text(self._spark, steal_tomb))
@@ -290,12 +313,38 @@ class maintenance_lock:
                     same = not fsutil.exists(self._spark, steal_tomb)
                 if same:
                     fsutil.delete(self._spark, steal_tomb)
+                    if claimed:
+                        return self
                 else:
+                    # we tombed a lock that is NOT the expired one we
+                    # judged — a live writer's. Undo: release our claim
+                    # (the FULL release: our own mid-steal claim can
+                    # itself be renamed into ANOTHER stale stealer's
+                    # tomb, and bowing out without sweeping left it as
+                    # residue — observed in the 16-thread race) and put
+                    # the live lock back. If its holder released while
+                    # tombed, its release-sweep deletes the tomb and
+                    # our restore fails harmlessly on the gone source.
+                    if claimed:
+                        self._release_own()
                     try:
                         fsutil.rename(self._spark, steal_tomb,
                                       self._path)
                     except Exception:
-                        pass
+                        # restore failed: a third writer claimed the
+                        # path, so the tombed lock can NEVER return to
+                        # service (its holder proceeds lockless behind
+                        # the commit fence and its release-sweep may
+                        # already have run) — delete our tomb rather
+                        # than leave permanent debris. Deleting here is
+                        # safe precisely BECAUSE the restore failed:
+                        # nothing can re-admit the tombed lock.
+                        fsutil.delete(self._spark, steal_tomb)
+                    raise ConcurrentMaintenanceError(
+                        f"index maintenance lock at {self._path!r} was "
+                        "re-claimed by a live writer during the steal — "
+                        "restored it; retry later"
+                    )
         if not self._try_claim():
             raise ConcurrentMaintenanceError(
                 f"index maintenance lock at {self._path!r} was re-claimed "
@@ -334,25 +383,77 @@ class maintenance_lock:
                 "staged work is unreferenced"
             )
 
-    def __exit__(self, exc_type, exc, tb):
+    def _release_own(self) -> None:
+        """Delete OUR lock wherever it currently is — at its path or
+        renamed into a stale stealer's tomb mid-verify.
+
+        Release only what we own: after a TTL steal, deleting blindly
+        could drop the STEALER's lock. Residual window (accepted): the
+        read-check-delete is not atomic, so if OUR OWN TTL expires
+        between the owner check and the delete AND a stealer claims
+        inside that instant, we drop the stealer's lock — that requires
+        the mutation to have already overrun ttl_s, the contract
+        violation the ttl exists to bound.
+
+        Our lock may not be AT its path: a stale-read stealer can hold
+        it in a rename tomb mid-verify, and its restore would RESURRECT
+        our released lock as an ownerless wedge that blocks the path
+        for a full ttl. The lock file is always at exactly one of
+        {path, some tomb} (renames are atomic), but it can MOVE between
+        our checks — so alternate path-check and tomb-sweep a few
+        rounds until a delete lands or a full round finds nothing of
+        ours anywhere. A miss needs a perfectly timed rename per round
+        on top of the pre-steal re-verify's ms window; the commit fence
+        (assert_owned) remains the hard backstop."""
         import json
+        import time as _time
 
         from ncbi_analysis_spark.sources import fsutil
 
-        # release only what we own: after a TTL steal, deleting blindly
-        # could drop the STEALER's lock. Residual window (accepted): the
-        # read-check-delete below is not atomic, so if OUR OWN TTL
-        # expires between the owner check and the delete AND a stealer
-        # claims inside that instant, we drop the stealer's lock. That
-        # requires the mutation to have already overrun ttl_s — itself
-        # a contract violation the ttl exists to bound — so the fix is
-        # sizing ttl_s generously, not more locking here.
-        try:
-            held = json.loads(fsutil.read_text(self._spark, self._path))
-            if held.get("owner") == self._owner:
-                fsutil.delete(self._spark, self._path)
-        except Exception:
-            pass
+        parent = self._path.rsplit("/", 1)[0]
+        marker = self._path.rsplit("/", 1)[1] + ".steal."
+        # backoff covers a stealer's IN-FLIGHT rename: under load a
+        # py4j FS call takes 100ms+, so a tomb holding our lock can
+        # materialize well after our first sweep round — miss it and
+        # the stealer's restore resurrects our released lock
+        backoff = [0.01, 0.03, 0.08, 0.15, 0.3, 0.5]
+        for attempt, pause in enumerate(backoff):
+            try:
+                held = json.loads(
+                    fsutil.read_text(self._spark, self._path))
+                if held.get("owner") == self._owner:
+                    if fsutil.delete(self._spark, self._path):
+                        return
+                # foreign owner at the path: ours is gone OR tombed by a
+                # stale stealer while the foreigner claimed — fall
+                # through and sweep the tombs for our content too
+            except Exception:
+                pass  # not at the path right now — check the tombs
+            found_ours = False
+            try:
+                for child in fsutil.list_children(self._spark, parent):
+                    if not child.startswith(marker):
+                        continue
+                    tomb = f"{parent}/{child}"
+                    try:
+                        t = json.loads(
+                            fsutil.read_text(self._spark, tomb))
+                    except Exception:
+                        continue  # tomb vanished/moving — next round
+                    if t.get("owner") == self._owner:
+                        found_ours = True
+                        if fsutil.delete(self._spark, tomb):
+                            return
+            except Exception:
+                pass
+            if not found_ours and attempt >= 2:
+                # multiple rounds saw our lock nowhere — it was already
+                # deleted (or never re-materialized)
+                return
+            _time.sleep(pause)
+
+    def __exit__(self, exc_type, exc, tb):
+        self._release_own()
         return False
 
 
