@@ -8,6 +8,8 @@ New operators built in round 10 stage here (the ``--staged`` leg of
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -206,6 +208,46 @@ def _stage_as_stream(spark, df, tmp: str, n_files: int = 8) -> str:
     return src
 
 
+@_contextmanager
+def _staged_stream_conf(spark, src: str, target_bytes: int = 32 << 20):
+    """Scoped shuffle-partition conf for a staged-source streaming run
+    (guide §2.2/§1.2: partition count derived from the data, set before
+    the stateful exchange is planned).
+
+    A streaming query fixes its stateful-exchange / foreachBatch
+    partition count from ``spark.sql.shuffle.partitions`` at start; the
+    session default is sized for corpus-scale batch work, so a staged
+    micro-batch of a few MB pays ~32 state-store open/commit cycles for
+    a few thousand rows (profiled r16: the batch job of
+    stream_dedup_digests is 40 tasks / 0.95s, almost all state-store
+    overhead). Derivation: ceil(staged_bytes / target_bytes), floored
+    at the staged FILE count (per-file read parallelism) and capped at
+    the session's configured value — so locally the tiny batch gets
+    file-count partitions, and at corpus scale the derived count rises
+    until the cap makes this a no-op (the admin-sized setting wins).
+    Only valid for FRESH checkpoints: state partition counts persist in
+    a checkpoint, so a restartable/durable stream must keep the session
+    setting (stream_curation_durable is deliberately not wrapped)."""
+    import math as _math
+    import os as _os
+
+    n_files, n_bytes = 0, 0
+    for f in _os.listdir(src):
+        p = _os.path.join(src, f)
+        if _os.path.isfile(p):
+            n_files += 1
+            n_bytes += _os.path.getsize(p)
+    key = "spark.sql.shuffle.partitions"
+    session_n = int(spark.conf.get(key))
+    derived = min(session_n,
+                  max(n_files, _math.ceil(n_bytes / target_bytes), 1))
+    spark.conf.set(key, str(derived))
+    try:
+        yield derived
+    finally:
+        spark.conf.set(key, str(session_n))
+
+
 def stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact dedup end-to-end
     (streaming/events.py::stream_exact_dedup): the documents corpus as
@@ -237,7 +279,8 @@ def stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _stage_as_stream(spark, d, tmp)
         stream = spark.readStream.schema(d.schema).parquet(src)
         kept = stream_exact_dedup(stream, ["digest"])
-        run_to_memory(kept.select("digest"), name, timeout_s=300)
+        with _staged_stream_conf(spark, src):
+            run_to_memory(kept.select("digest"), name, timeout_s=300)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)
@@ -279,7 +322,9 @@ def stream_hll_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs = stream_hll_registers(
             stream, "user_id", p=8, group_by=["event_type"]
         )
-        run_to_memory(regs, name, timeout_s=300, output_mode="complete")
+        with _staged_stream_conf(spark, src):
+            run_to_memory(regs, name, timeout_s=300,
+                          output_mode="complete")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(name)

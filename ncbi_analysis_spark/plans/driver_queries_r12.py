@@ -439,22 +439,24 @@ def stream_hll_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         from ncbi_analysis_spark.plans.driver_queries_r11 import (
             _stage_as_stream,
+            _staged_stream_conf,
         )
 
         src = _stage_as_stream(spark, ev, tmp)
         stream = spark.readStream.schema(ev.schema).parquet(src)
         out = f"{tmp}/sketches"
-        publish_hll_snapshots(
-            stream, "user_id", out, f"{tmp}/ck", p=8,
-            group_by=["event_type"],
-        )
-        merged = read_hll_snapshots(
-            spark, out, p=8, group_by=["event_type"]
-        )
-        # the snapshot directory dies with tmp: materialize the bounded
-        # (groups x 2^p) merged table before cleanup
-        rows = merged.collect()
-        schema = merged.schema
+        with _staged_stream_conf(spark, src):
+            publish_hll_snapshots(
+                stream, "user_id", out, f"{tmp}/ck", p=8,
+                group_by=["event_type"],
+            )
+            merged = read_hll_snapshots(
+                spark, out, p=8, group_by=["event_type"]
+            )
+            # the snapshot directory dies with tmp: materialize the
+            # bounded (groups x 2^p) merged table before cleanup
+            rows = merged.collect()
+            schema = merged.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)

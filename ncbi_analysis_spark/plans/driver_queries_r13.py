@@ -231,6 +231,7 @@ def stream_cm_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncbi_analysis_spark.plans.driver_queries import _events
     from ncbi_analysis_spark.plans.driver_queries_r11 import (
         _stage_as_stream,
+        _staged_stream_conf,
     )
     from ncbi_analysis_spark.streaming.events import (
         publish_cm_snapshots,
@@ -245,15 +246,17 @@ def stream_cm_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _stage_as_stream(spark, ev, tmp)
         stream = spark.readStream.schema(ev.schema).parquet(src)
         out = f"{tmp}/sketches"
-        publish_cm_snapshots(
-            stream, "user_id", out, f"{tmp}/ck",
-            width=_SCM_W, depth=_SCM_D,
-        )
-        merged = read_cm_snapshots(spark, out, width=_SCM_W, depth=_SCM_D)
-        # snapshot dir dies with tmp: materialize the depth×width-
-        # bounded register table before cleanup
-        rows = merged.collect()
-        schema = merged.schema
+        with _staged_stream_conf(spark, src):
+            publish_cm_snapshots(
+                stream, "user_id", out, f"{tmp}/ck",
+                width=_SCM_W, depth=_SCM_D,
+            )
+            merged = read_cm_snapshots(spark, out,
+                                       width=_SCM_W, depth=_SCM_D)
+            # snapshot dir dies with tmp: materialize the depth×width-
+            # bounded register table before cleanup
+            rows = merged.collect()
+            schema = merged.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
@@ -534,6 +537,7 @@ def stream_quantile_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ncbi_analysis_spark.plans.driver_queries import _events
     from ncbi_analysis_spark.plans.driver_queries_r11 import (
         _stage_as_stream,
+        _staged_stream_conf,
     )
     from ncbi_analysis_spark.streaming.events import (
         publish_quantile_snapshots,
@@ -548,13 +552,14 @@ def stream_quantile_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _stage_as_stream(spark, ev, tmp)
         stream = spark.readStream.schema(ev.schema).parquet(src)
         out = f"{tmp}/sketches"
-        publish_quantile_snapshots(
-            stream, "value", "event_id", out, f"{tmp}/ck", k=_SQP_K,
-        )
-        merged = read_quantile_snapshots(spark, out, k=_SQP_K)
-        est = quantile_sketch_estimate(merged, list(_SQP_QS))
-        rows = est.collect()
-        schema = est.schema
+        with _staged_stream_conf(spark, src):
+            publish_quantile_snapshots(
+                stream, "value", "event_id", out, f"{tmp}/ck", k=_SQP_K,
+            )
+            merged = read_quantile_snapshots(spark, out, k=_SQP_K)
+            est = quantile_sketch_estimate(merged, list(_SQP_QS))
+            rows = est.collect()
+            schema = est.schema
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
@@ -896,7 +901,10 @@ def stream_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_from_lsh_index,
         write_lsh_index,
     )
-    from ncbi_analysis_spark.plans.driver_queries_r11 import _stage_as_stream
+    from ncbi_analysis_spark.plans.driver_queries_r11 import (
+        _stage_as_stream,
+        _staged_stream_conf,
+    )
     from ncbi_analysis_spark.streaming.events import (
         read_gated_docs,
         stream_index_decon,
@@ -918,7 +926,8 @@ def stream_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         src = _stage_as_stream(spark, new, tmp)
         stream = spark.readStream.schema(new.schema).parquet(src)
-        stream_index_decon(stream, idx, f"{tmp}/gated", f"{tmp}/ck")
+        with _staged_stream_conf(spark, src):
+            stream_index_decon(stream, idx, f"{tmp}/gated", f"{tmp}/ck")
         gated = read_gated_docs(spark, f"{tmp}/gated").select(
             "doc_id",
             F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
@@ -1152,7 +1161,10 @@ def stream_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_assign,
         write_ivf_index,
     )
-    from ncbi_analysis_spark.plans.driver_queries_r11 import _stage_as_stream
+    from ncbi_analysis_spark.plans.driver_queries_r11 import (
+        _stage_as_stream,
+        _staged_stream_conf,
+    )
     from ncbi_analysis_spark.streaming.events import (
         read_gated_docs,
         stream_ivf_decon,
@@ -1172,8 +1184,9 @@ def stream_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             old.filter(F.col("vec_id") % 5 == 0).select("vec_id"), idx)
         src = _stage_as_stream(spark, new, tmp)
         stream = spark.readStream.schema(new.schema).parquet(src)
-        stream_ivf_decon(stream, idx, cents, f"{tmp}/gated", f"{tmp}/ck",
-                         threshold=0.32, nprobe=2)
+        with _staged_stream_conf(spark, src):
+            stream_ivf_decon(stream, idx, cents, f"{tmp}/gated",
+                             f"{tmp}/ck", threshold=0.32, nprobe=2)
         gated = read_gated_docs(spark, f"{tmp}/gated").select("vec_id")
         rows = gated.collect()
         schema = gated.schema

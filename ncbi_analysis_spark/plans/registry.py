@@ -26,13 +26,14 @@ import importlib
 # driver_queries.py; order only affects the registry's insertion-order
 # tiebreak during stalest-first rotation).
 WIRED: list[str] = [
-    "r14", "r13", "r12", "r11", "r10", "r9", "r8", "r7", "r6", "r5",
-    "r3b", "r2", "r3",
+    "r15", "r14", "r13", "r12", "r11", "r10", "r9", "r8", "r7", "r6",
+    "r5", "r3b", "r2", "r3",
 ]
 
 # Staged for the NEXT round: oracle-gated and bench-seeded this round,
-# registered at next round's start.
-STAGED: list[str] = ["r15"]
+# registered at next round's start. (Round 16 is an optimization round:
+# nothing new is staged.)
+STAGED: list[str] = []
 
 
 def _round_num(suffix: str) -> int:
